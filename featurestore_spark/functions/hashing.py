@@ -1,0 +1,63 @@
+"""Key-hash and row-fingerprint column expressions.
+
+Reference semantics (common/utility/hashFunctions.scala:30-61):
+- `hashKey`      = MD5 hex of a concatenated string  → entity keys.
+- `sha256HashKey` = SHA-256 hex variant.
+- `fastHash`     = xxHash64 of the value columns     → change detection.
+
+All are Spark built-ins here (md5 / sha2 / xxhash64) — JVM-side,
+codegen'd, no Python UDFs. The exact hash family for `fingerprint` is
+configurable because its only contract is "stable row fingerprint";
+`md5` mode exists so DuckDB oracles can reproduce it exactly.
+
+Null / ordering discipline (SURVEY.md §7 "what's hard"): the inputs to
+both hashes are rendered null-safely (null → empty string sentinel) in
+a pinned column order, otherwise updates are spuriously detected.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+NULL_SENTINEL = ""  # never appears in real data; distinguishes null from ''
+
+
+def _rendered(cols: Sequence[str | Column]) -> list[Column]:
+    """Null-safe string rendering of hash inputs in pinned order."""
+    out = []
+    for c in cols:
+        col = F.col(c) if isinstance(c, str) else c
+        out.append(F.coalesce(col.cast("string"), F.lit(NULL_SENTINEL)))
+    return out
+
+
+def hash_key(*cols: str | Column) -> Column:
+    """MD5 hex of the concatenated key columns (entity_id convention).
+
+    Mirrors hashFunctions.scala:30-37 (`hashKey(idType ++ id)`), e.g.
+    ``hash_key(F.lit("customer"), "c_custkey")``.
+    """
+    return F.md5(F.concat(*_rendered(cols)))
+
+
+def sha256_hash_key(*cols: str | Column) -> Column:
+    """SHA-256 hex variant (hashFunctions.scala:45-51)."""
+    return F.sha2(F.concat(*_rendered(cols)), 256)
+
+
+def fingerprint(cols: Sequence[str | Column], method: str = "xxhash64") -> Column:
+    """Stable row fingerprint over the value columns (change detection).
+
+    `xxhash64` (default) is the fast JVM path, mirroring `fastHash`
+    (hashFunctions.scala:60-61). `md5` gives a cross-engine-stable
+    string (same result in DuckDB) for oracle-checked paths.
+    """
+    rendered = _rendered(cols)
+    if method == "xxhash64":
+        return F.xxhash64(*rendered).cast("string")
+    if method == "md5":
+        return F.md5(F.concat_ws("", *rendered))
+    raise ValueError(f"unknown fingerprint method: {method}")
