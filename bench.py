@@ -1,0 +1,82 @@
+#!/usr/bin/env python3
+"""Benchmark headline queries; prints ONE JSON line for the driver.
+
+Runs each headline query from the catalog at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], forcing
+full execution through the `noop` sink (no driver-collect overhead),
+and reports per-query wall seconds.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "q_tpch_q1",
+    "q_tpch_q3",
+    "q_tpch_q5",
+    "q_sessionize",
+    "q_session_stats",
+    "q_pivot_snapshot",
+    "q_pivot_chord",
+    "q_chord_path",
+    "q_unique_path",
+    "q_current_events",
+    "q_previous_interactions",
+    "q_hub_customer",
+    "q_link_customer_order",
+    "q_star_fact_order_counts",
+    "q_dedup_exact",
+    "q_text_quality",
+    "q_token_count",
+    "q_embedding_topk",
+]
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    from featurestore_spark.queries import QUERIES
+    from featurestore_spark.session import get_spark
+
+    spark = get_spark(
+        "featurestore-bench", master=f"local[{cpus}]", shuffle_partitions=int(cpus)
+    )
+    # Warm the JVM + parquet footers once (excluded from timings).
+    QUERIES["q_tpch_q1"].spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        spec = QUERIES.get(name)
+        if spec is None:
+            continue
+        t0 = time.perf_counter()
+        spec.spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -49,11 +49,25 @@ def _nano_ts_columns(path: str) -> list[str]:
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one testdata table, normalizing nano-timestamps to TimestampType."""
+    """Read one testdata table, normalizing nano-timestamps to TimestampType.
+
+    Self-sufficient w.r.t. session config: the driver may hand us a
+    plain SparkSession, so the nanos compat flag and UTC timezone
+    (naive parquet timestamps == UTC instants, matching DuckDB's naive
+    semantics) are (re)applied here — both are runtime-settable.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     path = os.path.join(sf_dir, f"{name}.parquet")
     df = spark.read.parquet(path)
     for c in _nano_ts_columns(path):
         df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    # Naive (isAdjustedToUTC=false) parquet timestamps arrive as
+    # TIMESTAMP_NTZ; normalize to TIMESTAMP (lossless under the UTC
+    # session tz pinned above) so unix_micros & friends apply uniformly.
+    for name, dtype in df.dtypes:
+        if dtype == "timestamp_ntz":
+            df = df.withColumn(name, F.col(name).cast("timestamp"))
     return df
 
 

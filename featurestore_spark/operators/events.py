@@ -31,6 +31,11 @@ def _ordered_window(entity_col: str, ts_col: str, *tiebreak: str):
     return Window.partitionBy(entity_col).orderBy(ts_col, *tiebreak)
 
 
+def _as_col(v) -> Column:
+    """Accept either a literal (string/timestamp) or a ready Column."""
+    return v if isinstance(v, Column) else F.lit(v)
+
+
 def sessionize(
     df: DataFrame,
     timeout_seconds: float,
@@ -76,9 +81,9 @@ def _window_filter(
     if event_type is not None:
         out = out.where(F.col(type_col) == event_type)
     if start_time is not None:
-        out = out.where(F.col(ts_col) >= F.lit(start_time))
+        out = out.where(F.col(ts_col) >= _as_col(start_time))
     if end_time is not None:
-        out = out.where(F.col(ts_col) <= F.lit(end_time))
+        out = out.where(F.col(ts_col) <= _as_col(end_time))
     return out
 
 
@@ -165,7 +170,7 @@ def days_since_latest(
     return (
         _window_filter(df, event_type, None, as_of, type_col=type_col, ts_col=ts_col)
         .groupBy(entity_col)
-        .agg(F.datediff(F.lit(as_of).cast("date"), F.max(ts_col).cast("date")).alias(out_col))
+        .agg(F.datediff(_as_col(as_of).cast("date"), F.max(ts_col).cast("date")).alias(out_col))
     )
 
 
@@ -183,7 +188,7 @@ def days_since_earliest(
     return (
         _window_filter(df, event_type, None, as_of, type_col=type_col, ts_col=ts_col)
         .groupBy(entity_col)
-        .agg(F.datediff(F.lit(as_of).cast("date"), F.min(ts_col).cast("date")).alias(out_col))
+        .agg(F.datediff(_as_col(as_of).cast("date"), F.min(ts_col).cast("date")).alias(out_col))
     )
 
 
@@ -207,7 +212,7 @@ def previous_interactions(
     order = [F.col(ts_col).desc()] + [F.col(c).desc() for c in tiebreak_cols]
     w = Window.partitionBy(entity_col).orderBy(*order)
     return (
-        df.where(F.col(ts_col) <= F.lit(as_of))
+        df.where(F.col(ts_col) <= _as_col(as_of))
         .withColumn(rank_col, F.row_number().over(w))
         .where(F.col(rank_col) <= n)
     )
@@ -257,7 +262,7 @@ def previous_interactions_chord(
     entity partitioning as the rank window — one shuffle serves both.
     """
     w_part = Window.partitionBy(entity_col)
-    bounded = df.where(F.col(ts_col) <= F.lit(as_of))
+    bounded = df.where(F.col(ts_col) <= _as_col(as_of))
     with_chord = bounded.withColumn(
         "_chord",
         F.max(F.when(F.col(type_col) == event_type, F.col(ts_col))).over(w_part),

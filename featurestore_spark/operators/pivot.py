@@ -11,8 +11,12 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def _as_col(v) -> Column:
+    return v if isinstance(v, Column) else F.lit(v)
 
 
 def latest_value_per_attribute(
@@ -28,7 +32,7 @@ def latest_value_per_attribute(
     """Latest value per (entity, attribute) at time <= as_of."""
     out = df
     if as_of is not None:
-        out = out.where(F.col(ts_col) <= F.lit(as_of))
+        out = out.where(F.col(ts_col) <= _as_col(as_of))
     order = [F.col(ts_col).desc()] + [F.col(c).desc() for c in tiebreak_cols]
     w = Window.partitionBy(entity_col, attr_col).orderBy(*order)
     return (

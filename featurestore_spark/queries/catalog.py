@@ -1,0 +1,770 @@
+"""Query catalog: every operator exposed as (Spark dataflow, DuckDB oracle).
+
+This is the correctness surface the driver checks (SURVEY.md §2): each
+entry pairs a PySpark implementation (built on the library operators)
+with an equivalent ANSI-SQL string DuckDB runs on the same parquet
+tables. Conventions keeping the two engines hash-identical:
+
+- timestamps exported as `unix_micros` BIGINTs (`*_us` columns) —
+  no timezone/format ambiguity (Spark `unix_micros` ≡ DuckDB `epoch_us`);
+- literal time bounds are integer-micros (`timestamp_micros(lit)`), so
+  the session timezone never parses a string;
+- double aggregates rounded (2–6 dp) to absorb summation-order ulps;
+- DuckDB `SUM(int)` → HUGEINT is cast to BIGINT; `row_number()` cast
+  to INT to match Spark;
+- every computed column aliased identically on both sides.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from datetime import datetime, timezone
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from featurestore_spark.functions.hashing import hash_key
+from featurestore_spark.io import load_table
+from featurestore_spark.operators import (
+    count_events,
+    count_unique_events,
+    days_since_latest,
+    extract_chords,
+    paths,
+    previous_interactions,
+    previous_interactions_chord,
+    sessionize,
+    sum_events,
+    unique_paths,
+)
+from featurestore_spark.operators.pivot import chord_pivot, snapshot_pivot
+from featurestore_spark.operators.snapshot import latest_per_key
+
+
+def _us(s: str) -> int:
+    return int(datetime.fromisoformat(s).replace(tzinfo=timezone.utc).timestamp()) * 1_000_000
+
+
+AS_OF = "2024-01-15 00:00:00"
+WIN_START = "2024-01-10 00:00:00"
+WIN_END = "2024-01-20 00:00:00"
+FEB1 = "2024-02-01 00:00:00"
+SESSION_TIMEOUT_S = 1800.0
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@dataclass
+class QuerySpec:
+    name: str
+    spark: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+    description: str = ""
+
+
+QUERIES: dict[str, QuerySpec] = {}
+
+
+def _register(name: str, oracle: str | None, description: str = ""):
+    def deco(fn):
+        QUERIES[name] = QuerySpec(name, fn, oracle, description)
+        return fn
+
+    return deco
+
+
+def _events(spark, sf_dir):
+    return load_table(spark, sf_dir, "events")
+
+
+def _ts_lit(s: str):
+    return F.timestamp_micros(F.lit(_us(s)))
+
+
+# ---------------------------------------------------------------------------
+# Event feature engineering (SURVEY.md §2.5, eventFunctions.scala)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q_sessionize",
+    f"""
+    SELECT user_id, event_id, CAST(sess AS BIGINT) AS sess FROM (
+      SELECT user_id, event_id,
+             SUM(CASE WHEN prev_us IS NULL OR epoch_us(ts) - prev_us > {int(SESSION_TIMEOUT_S * 1e6)}
+                 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sess
+      FROM (SELECT user_id, event_id, ts,
+                   lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+            FROM events))
+    """,
+    "W1 sessionize: 30-min-timeout session ids per event",
+)
+def q_sessionize(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    out = sessionize(
+        ev, SESSION_TIMEOUT_S, entity_col="user_id", ts_col="ts", tiebreak_cols=("event_id",)
+    )
+    return out.select("user_id", "event_id", F.col("session").alias("sess"))
+
+
+@_register(
+    "q_session_stats",
+    f"""
+    SELECT user_id, CAST(max(sess) AS BIGINT) AS n_sessions, count(*) AS n_events FROM (
+      SELECT user_id,
+             SUM(CASE WHEN prev_us IS NULL OR epoch_us(ts) - prev_us > {int(SESSION_TIMEOUT_S * 1e6)}
+                 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sess
+      FROM (SELECT user_id, event_id, ts,
+                   lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+            FROM events))
+    GROUP BY user_id
+    """,
+    "W1 sessionize rollup: sessions + events per user",
+)
+def q_session_stats(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    s = sessionize(
+        ev, SESSION_TIMEOUT_S, entity_col="user_id", ts_col="ts", tiebreak_cols=("event_id",)
+    )
+    return s.groupBy("user_id").agg(
+        F.max("session").alias("n_sessions"), F.count(F.lit(1)).alias("n_events")
+    )
+
+
+@_register(
+    "q_event_count_window",
+    f"""
+    SELECT user_id, count(*) AS n_purchases
+    FROM events
+    WHERE event_type = 'purchase'
+      AND ts >= TIMESTAMP '{WIN_START}' AND ts <= TIMESTAMP '{WIN_END}'
+    GROUP BY user_id
+    """,
+    "A3 count(eventType, start, end) per entity",
+)
+def q_event_count_window(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    return count_events(
+        ev,
+        "purchase",
+        _ts_lit(WIN_START),
+        _ts_lit(WIN_END),
+        entity_col="user_id",
+        type_col="event_type",
+        ts_col="ts",
+        out_col="n_purchases",
+    )
+
+
+@_register(
+    "q_event_distinct_window",
+    f"""
+    SELECT user_id, count(DISTINCT value) AS n_unique
+    FROM events
+    WHERE event_type = 'view'
+      AND ts >= TIMESTAMP '{WIN_START}' AND ts <= TIMESTAMP '{WIN_END}'
+    GROUP BY user_id
+    """,
+    "A4 countUnique(eventType, start, end) per entity",
+)
+def q_event_distinct_window(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    return count_unique_events(
+        ev,
+        "view",
+        _ts_lit(WIN_START),
+        _ts_lit(WIN_END),
+        entity_col="user_id",
+        type_col="event_type",
+        ts_col="ts",
+        value_col="value",
+        out_col="n_unique",
+    )
+
+
+@_register(
+    "q_event_sum_window",
+    f"""
+    SELECT user_id, round(CAST(sum(value) AS DOUBLE), 2) AS total
+    FROM events
+    WHERE event_type = 'purchase'
+      AND ts >= TIMESTAMP '{WIN_START}' AND ts <= TIMESTAMP '{WIN_END}'
+    GROUP BY user_id
+    """,
+    "A5 sum(value) in window per entity",
+)
+def q_event_sum_window(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    out = sum_events(
+        ev,
+        "purchase",
+        _ts_lit(WIN_START),
+        _ts_lit(WIN_END),
+        entity_col="user_id",
+        type_col="event_type",
+        ts_col="ts",
+        value_col="value",
+        out_col="_total",
+    )
+    return out.select("user_id", F.round("_total", 2).alias("total"))
+
+
+@_register(
+    "q_days_since_latest",
+    f"""
+    SELECT user_id,
+           CAST(datediff('day', CAST(max(ts) AS DATE), DATE '{FEB1[:10]}') AS INTEGER) AS days_since
+    FROM events
+    WHERE event_type = 'purchase' AND ts <= TIMESTAMP '{FEB1}'
+    GROUP BY user_id
+    """,
+    "A6 days since latest event per entity",
+)
+def q_days_since_latest(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    return days_since_latest(
+        ev,
+        "purchase",
+        _ts_lit(FEB1),
+        entity_col="user_id",
+        type_col="event_type",
+        ts_col="ts",
+        out_col="days_since",
+    )
+
+
+@_register(
+    "q_previous_interactions",
+    f"""
+    SELECT user_id, CAST(rn AS INTEGER) AS rn, event_id, event_type, epoch_us(ts) AS ts_us
+    FROM (SELECT user_id, event_id, event_type, ts,
+                 row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events WHERE ts <= TIMESTAMP '{AS_OF}')
+    WHERE rn <= 5
+    """,
+    "W2 previousInteractions(n=5, asof): latest-n event path",
+)
+def q_previous_interactions(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    out = previous_interactions(
+        ev,
+        n=5,
+        as_of=_ts_lit(AS_OF),
+        entity_col="user_id",
+        ts_col="ts",
+        tiebreak_cols=("event_id",),
+    )
+    return out.select(
+        "user_id", "rn", "event_id", "event_type", F.unix_micros("ts").alias("ts_us")
+    )
+
+
+@_register(
+    "q_chords",
+    """
+    SELECT user_id,
+           epoch_us(max(CASE WHEN event_type = 'purchase' THEN ts END)) AS chord_ts_us
+    FROM events GROUP BY user_id
+    """,
+    "W6 extractChords: latest 'purchase' ts per entity, all entities kept",
+)
+def q_chords(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    out = extract_chords(
+        ev, "purchase", entity_col="user_id", type_col="event_type", ts_col="ts"
+    )
+    return out.select("user_id", F.unix_micros("chord_ts").alias("chord_ts_us"))
+
+
+@_register(
+    "q_chord_path",
+    f"""
+    WITH bounded AS (SELECT * FROM events WHERE ts <= TIMESTAMP '{AS_OF}'),
+    chord AS (SELECT user_id, max(ts) AS ch FROM bounded
+              WHERE event_type = 'purchase' GROUP BY user_id),
+    ranked AS (
+      SELECT e.user_id, e.event_type, e.ts, e.event_id,
+             row_number() OVER (PARTITION BY e.user_id ORDER BY e.ts DESC, e.event_id DESC) AS rn
+      FROM bounded e JOIN chord c ON e.user_id = c.user_id AND e.ts <= c.ch)
+    SELECT user_id, string_agg(event_type, ',' ORDER BY ts, event_id) AS path
+    FROM ranked WHERE rn <= 10 GROUP BY user_id
+    """,
+    "W3+W7 chord-aligned top-10 path as comma-joined string",
+)
+def q_chord_path(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    aligned = previous_interactions_chord(
+        ev,
+        "purchase",
+        n=10,
+        as_of=_ts_lit(AS_OF),
+        entity_col="user_id",
+        type_col="event_type",
+        ts_col="ts",
+        tiebreak_cols=("event_id",),
+    )
+    return paths(
+        aligned,
+        entity_col="user_id",
+        type_col="event_type",
+        ts_col="ts",
+        tiebreak_cols=("event_id",),
+    )
+
+
+@_register(
+    "q_unique_path",
+    """
+    WITH flagged AS (
+      SELECT user_id, event_type, ts, event_id,
+             CASE WHEN lag(event_type) OVER w IS NULL
+                       OR lag(event_type) OVER w <> event_type
+                  THEN 1 ELSE 0 END AS chg
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+    SELECT user_id, string_agg(event_type, ',' ORDER BY ts, event_id) AS path
+    FROM flagged WHERE chg = 1 GROUP BY user_id
+    """,
+    "W4/W7 uniquePaths: contiguous duplicate runs collapsed",
+)
+def q_unique_path(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    return unique_paths(
+        ev,
+        entity_col="user_id",
+        type_col="event_type",
+        ts_col="ts",
+        tiebreak_cols=("event_id",),
+    )
+
+
+@_register(
+    "q_current_events",
+    """
+    SELECT user_id, event_type, epoch_us(ts) AS ts_us, value
+    FROM (SELECT user_id, event_type, ts, value,
+                 row_number() OVER (PARTITION BY user_id, event_type
+                                    ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events)
+    WHERE rn = 1
+    """,
+    "W5/A2 latest state per (entity, attribute)",
+)
+def q_current_events(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    out = latest_per_key(ev, ["user_id", "event_type"], ["ts", "event_id"])
+    return out.select("user_id", "event_type", F.unix_micros("ts").alias("ts_us"), "value")
+
+
+def _pivot_oracle(bound_sql: str) -> str:
+    cases = ",\n      ".join(
+        f"max(CASE WHEN event_type = '{t}' THEN value END) AS {t}" for t in EVENT_TYPES
+    )
+    return f"""
+    WITH latest AS (
+      SELECT user_id, event_type, value
+      FROM (SELECT user_id, event_type, value,
+                   row_number() OVER (PARTITION BY user_id, event_type
+                                      ORDER BY ts DESC, event_id DESC) AS rn
+            FROM ({bound_sql}))
+      WHERE rn = 1)
+    SELECT user_id, {cases}
+    FROM latest GROUP BY user_id
+    """
+
+
+@_register(
+    "q_pivot_snapshot",
+    _pivot_oracle(f"SELECT * FROM events WHERE ts <= TIMESTAMP '{AS_OF}'"),
+    "W8 EAVT->wide snapshot pivot at as_of",
+)
+def q_pivot_snapshot(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    return snapshot_pivot(
+        ev,
+        EVENT_TYPES,
+        as_of=_ts_lit(AS_OF),
+        entity_col="user_id",
+        attr_col="event_type",
+        ts_col="ts",
+        value_col="value",
+        tiebreak_cols=("event_id",),
+    )
+
+
+@_register(
+    "q_pivot_chord",
+    _pivot_oracle(
+        """
+        SELECT e.* FROM events e
+        JOIN (SELECT user_id, max(ts) AS ch FROM events
+              WHERE event_type = 'signup' GROUP BY user_id) c
+          ON e.user_id = c.user_id AND e.ts <= c.ch
+        """
+    ),
+    "W9 chord pivot: per-entity sync time = latest 'signup'",
+)
+def q_pivot_chord(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    return chord_pivot(
+        ev,
+        EVENT_TYPES,
+        chord_attr="signup",
+        entity_col="user_id",
+        attr_col="event_type",
+        ts_col="ts",
+        value_col="value",
+        tiebreak_cols=("event_id",),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Vault key-hash builds (SURVEY.md §2.8 M1/M3 core dataflows)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q_hub_customer",
+    """
+    SELECT DISTINCT md5('customer' || CAST(c_custkey AS VARCHAR)) AS entity_id,
+           'customer' AS id_type, c_custkey AS customer_id
+    FROM customer
+    """,
+    "M1 loadHub key derivation: entity_id = md5(idType ++ naturalKey)",
+)
+def q_hub_customer(spark, sf_dir):
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.select(
+        hash_key(F.lit("customer"), "c_custkey").alias("entity_id"),
+        F.lit("customer").alias("id_type"),
+        F.col("c_custkey").alias("customer_id"),
+    ).distinct()
+
+
+@_register(
+    "q_link_customer_order",
+    """
+    SELECT DISTINCT md5('customer' || CAST(o_custkey AS VARCHAR)) AS src_entity_id,
+           md5('order' || CAST(o_orderkey AS VARCHAR)) AS dst_entity_id
+    FROM orders
+    """,
+    "M3 loadLink key derivation: hashed src/dst entity ids",
+)
+def q_link_customer_order(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select(
+        hash_key(F.lit("customer"), "o_custkey").alias("src_entity_id"),
+        hash_key(F.lit("order"), "o_orderkey").alias("dst_entity_id"),
+    ).distinct()
+
+
+# ---------------------------------------------------------------------------
+# Analytics / star schema (SURVEY.md §2.4, §2.8 M8-M9)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q_tpch_q1",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(CAST(sum(l_quantity) AS DOUBLE), 2) AS sum_qty,
+           round(CAST(sum(l_extendedprice) AS DOUBLE), 2) AS sum_base_price,
+           round(CAST(sum(l_extendedprice * (1 - l_discount)) AS DOUBLE), 2) AS sum_disc_price,
+           round(CAST(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS DOUBLE), 2) AS sum_charge,
+           round(CAST(avg(l_quantity) AS DOUBLE), 4) AS avg_qty,
+           round(CAST(avg(l_extendedprice) AS DOUBLE), 4) AS avg_price,
+           round(CAST(avg(l_discount) AS DOUBLE), 6) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-09-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    "Pricing-summary aggregate (map-side partial agg, no join)",
+)
+def q_tpch_q1(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.where(F.col("l_shipdate") <= _ts_lit("2001-09-01 00:00:00"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@_register(
+    "q_tpch_q3",
+    """
+    SELECT l_orderkey,
+           round(CAST(sum(l_extendedprice * (1 - l_discount)) AS DOUBLE), 2) AS revenue,
+           epoch_us(o_orderdate) AS o_orderdate_us, o_orderpriority
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+    "Shipping-priority top-10 (3-way join + agg + ordered limit)",
+)
+def q_tpch_q3(spark, sf_dir):
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cutoff = _ts_lit("1998-01-01 00:00:00")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .where((F.col("o_orderdate") < cutoff) & (F.col("l_shipdate") > cutoff))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.unix_micros("o_orderdate").alias("o_orderdate_us"),
+            "o_orderpriority",
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+@_register(
+    "q_tpch_q5",
+    """
+    SELECT n_name, round(CAST(sum(l_extendedprice * (1 - l_discount)) AS DOUBLE), 2) AS revenue
+    FROM region JOIN nation ON n_regionkey = r_regionkey
+                JOIN customer ON c_nationkey = n_nationkey
+                JOIN orders ON o_custkey = c_custkey
+                JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n_name
+    """,
+    "Local-supplier-volume style 5-way join; small dims broadcast",
+)
+def q_tpch_q5(spark, sf_dir):
+    region = load_table(spark, sf_dir, "region")
+    nation = load_table(spark, sf_dir, "nation")
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    dims = F.broadcast(
+        region.where(F.col("r_name") == "ASIA").join(
+            nation, nation.n_regionkey == region.r_regionkey
+        )
+    )
+    return (
+        cust.join(dims, cust.c_nationkey == dims.n_nationkey)
+        .join(orders, orders.o_custkey == cust.c_custkey)
+        .where(
+            (F.col("o_orderdate") >= _ts_lit("1996-01-01 00:00:00"))
+            & (F.col("o_orderdate") < _ts_lit("1998-01-01 00:00:00"))
+        )
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+@_register(
+    "q_star_dim_order_priority",
+    """
+    SELECT CAST(row_number() OVER (ORDER BY o_orderpriority) AS INTEGER) AS dim_id,
+           o_orderpriority AS order_priority
+    FROM (SELECT DISTINCT o_orderpriority FROM orders)
+    """,
+    "M8 star dim build: distinct values + deterministic surrogate id",
+)
+def q_star_dim_order_priority(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    from pyspark.sql import Window
+
+    w = Window.orderBy("o_orderpriority")
+    return (
+        orders.select("o_orderpriority")
+        .distinct()
+        .withColumn("dim_id", F.row_number().over(w))
+        .select("dim_id", F.col("o_orderpriority").alias("order_priority"))
+    )
+
+
+@_register(
+    "q_star_fact_order_counts",
+    """
+    WITH dim AS (
+      SELECT CAST(row_number() OVER (ORDER BY o_orderpriority) AS INTEGER) AS dim_id,
+             o_orderpriority AS order_priority
+      FROM (SELECT DISTINCT o_orderpriority FROM orders))
+    SELECT dim_id, count(*) AS n_orders,
+           round(CAST(sum(o_totalprice) AS DOUBLE), 2) AS total_price
+    FROM orders JOIN dim ON orders.o_orderpriority = dim.order_priority
+    GROUP BY dim_id
+    """,
+    "M9 star fact FK resolution via broadcast dim join",
+)
+def q_star_fact_order_counts(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    dim = q_star_dim_order_priority(spark, sf_dir)
+    return (
+        orders.join(
+            F.broadcast(dim), orders.o_orderpriority == dim.order_priority
+        )
+        .groupBy("dim_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline: text analysis / dedup / similarity
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q_doc_fingerprint",
+    """
+    SELECT doc_id, md5(lower(trim(text))) AS fp FROM documents
+    """,
+    "Document fingerprint: md5 of normalized text",
+)
+def q_doc_fingerprint(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", F.md5(F.lower(F.trim("text"))).alias("fp"))
+
+
+@_register(
+    "q_dedup_exact",
+    """
+    SELECT md5(lower(trim(text))) AS fp, min(doc_id) AS keep_id, count(*) AS n_dups
+    FROM documents GROUP BY 1
+    """,
+    "Exact dedup: hash-groupBy keep-first (map-side combine)",
+)
+def q_dedup_exact(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("fp", F.md5(F.lower(F.trim("text"))))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_dups"))
+    )
+
+
+@_register(
+    "q_token_count",
+    r"""
+    SELECT doc_id, CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INTEGER) AS n_tokens
+    FROM documents
+    """,
+    "Whitespace token count per document",
+)
+def q_token_count(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.size(F.split(F.trim("text"), r"\s+")).alias("n_tokens")
+    )
+
+
+@_register(
+    "q_text_quality",
+    r"""
+    SELECT doc_id,
+           CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INTEGER) AS n_tokens,
+           round(CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+                 / length(text), 3) AS alpha_ratio,
+           round(CAST(length(text) AS DOUBLE)
+                 / len(regexp_split_to_array(trim(text), '\s+')), 3) AS chars_per_token
+    FROM documents
+    """,
+    "Quality scoring: token count, alphabetic ratio, chars/token",
+)
+def q_text_quality(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split(F.trim("text"), r"\s+"))
+    return docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        F.round(
+            F.length(F.regexp_replace("text", "[^a-zA-Z]", "")).cast("double")
+            / F.length("text"),
+            3,
+        ).alias("alpha_ratio"),
+        F.round(F.length("text").cast("double") / n_tokens, 3).alias("chars_per_token"),
+    )
+
+
+@_register(
+    "q_embedding_topk",
+    """
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 3),
+    c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id >= 3),
+    sims AS (
+      SELECT query_id, neighbor_id,
+             round(list_dot_product(qv, cv)
+                   / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 6) AS sim
+      FROM q CROSS JOIN c)
+    SELECT query_id, CAST(rnk AS INTEGER) AS rnk, neighbor_id, sim
+    FROM (SELECT query_id, neighbor_id, sim,
+                 row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
+          FROM sims)
+    WHERE rnk <= 5
+    """,
+    "Brute-force cosine top-k ANN baseline over embedding column",
+)
+def q_embedding_topk(spark, sf_dir):
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    as_double = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    base = emb.select("vec_id", as_double.alias("v"))
+    q = base.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    c = base.where(F.col("vec_id") >= 3).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv")
+    )
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+        )
+
+    sims = c.crossJoin(F.broadcast(q)).select(
+        "query_id",
+        "neighbor_id",
+        F.round(
+            dot(F.col("qv"), F.col("cv"))
+            / (
+                F.sqrt(dot(F.col("qv"), F.col("qv")))
+                * F.sqrt(dot(F.col("cv"), F.col("cv")))
+            ),
+            6,
+        ).alias("sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        sims.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 5)
+        .select("query_id", "rnk", "neighbor_id", "sim")
+    )
