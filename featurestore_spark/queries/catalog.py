@@ -459,6 +459,73 @@ def q_link_customer_order(spark, sf_dir):
     ).distinct()
 
 
+_SAT_VALUE_RENDER = (
+    "concat(coalesce(CAST(c_name AS VARCHAR), ''),"
+    " coalesce(CAST(c_nationkey AS VARCHAR), ''),"
+    " coalesce(CAST({acctbal} AS VARCHAR), ''),"
+    " coalesce(CAST(c_mktsegment AS VARCHAR), ''))"
+)
+
+
+@_register(
+    "q_satellite_classify",
+    f"""
+    WITH incoming AS (
+      SELECT md5('customer' || CAST(c_custkey AS VARCHAR)) AS entity_id,
+             md5({_SAT_VALUE_RENDER.format(acctbal="c_acctbal")}) AS hashed_value
+      FROM customer),
+    existing AS (
+      SELECT md5('customer' || CAST(c_custkey AS VARCHAR)) AS entity_id,
+             md5({_SAT_VALUE_RENDER.format(
+                 acctbal="c_acctbal + CASE WHEN c_custkey % 5 = 0 THEN 10.0 ELSE 0.0 END")}) AS hashed_value,
+             1 AS version
+      FROM customer WHERE c_custkey % 7 <> 0)
+    SELECT i.entity_id, 'I' AS rectype, CAST(1 AS INTEGER) AS version
+    FROM incoming i LEFT JOIN existing e ON i.entity_id = e.entity_id
+    WHERE e.entity_id IS NULL
+    UNION ALL
+    SELECT i.entity_id, 'U' AS rectype, CAST(e.version + 1 AS INTEGER) AS version
+    FROM incoming i JOIN existing e ON i.entity_id = e.entity_id
+    WHERE i.hashed_value <> e.hashed_value
+    """,
+    "M2 satellite change classification (J1 inserts + J3 updates) on a "
+    "simulated drifted current; exercises library classify_upserts",
+)
+def q_satellite_classify(spark, sf_dir):
+    from featurestore_spark.functions.hashing import fingerprint
+    from featurestore_spark.load import classify_upserts
+
+    cust = load_table(spark, sf_dir, "customer")
+    value_cols = ["c_name", "c_nationkey", "c_acctbal", "c_mktsegment"]
+
+    def enrich(df):
+        return df.select(
+            hash_key(F.lit("customer"), "c_custkey").alias("entity_id"),
+            fingerprint(value_cols, "md5").alias("hashed_value"),
+        )
+
+    incoming = enrich(cust)
+    # Simulated "current": key 0 mod 7 missing (→ inserts), acctbal
+    # drifted for key 0 mod 5 (→ updates).
+    existing = enrich(
+        cust.where(F.col("c_custkey") % 7 != 0).withColumn(
+            "c_acctbal",
+            F.col("c_acctbal")
+            + F.when(F.col("c_custkey") % 5 == 0, F.lit(10.0)).otherwise(F.lit(0.0)),
+        )
+    ).withColumn("version", F.lit(1))
+    inserts, updates = classify_upserts(
+        incoming,
+        existing,
+        key_col="entity_id",
+        hash_col="hashed_value",
+        version_col="version",
+        rectype_col="rectype",
+    )
+    cols = ["entity_id", "rectype", "version"]
+    return inserts.select(*cols).unionByName(updates.select(*cols))
+
+
 # ---------------------------------------------------------------------------
 # Analytics / star schema (SURVEY.md §2.4, §2.8 M8-M9)
 # ---------------------------------------------------------------------------

@@ -1,0 +1,233 @@
+"""Data Vault loader golden-sequence tests, mirroring the reference's
+LoadHubParquetSpec / LoadSatelliteParquetSpec / Overwrite variants
+(full -> delta -> update -> delete; history counts, versions, rectypes,
+current snapshot, end-dating)."""
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from featurestore_spark.load import VaultLoader
+
+T0 = "2024-01-01 00:00:00"
+T1 = "2024-01-02 00:00:00"
+T2 = "2024-01-03 00:00:00"
+
+
+def _customers(spark, ids, flag=0):
+    rows = [(str(i), i % 2, flag) for i in ids]
+    return spark.createDataFrame(rows, ["cust_id", "age_flag", "income_flag"])
+
+
+@pytest.fixture()
+def loader(spark, tmp_path):
+    return VaultLoader(spark, str(tmp_path), fingerprint_method="md5")
+
+
+def test_hub_md5_key_and_delta(spark, loader):
+    res = loader.load_hub(
+        _customers(spark, range(100)),
+        table="customer_hub",
+        entity_type="customer",
+        id_fields=["cust_id"],
+        id_type="customer",
+        process_time=T0,
+    )
+    assert res.inserts == 100
+    cur = loader.read_current("customer_hub")
+    assert cur.count() == 100
+    # entity_id == md5(idType ++ id)  (LoadHubParquetSpec.scala:41-49)
+    row = cur.where(F.col("cust_id") == "7").first()
+    assert row["entity_id"] == hashlib.md5(b"customer7").hexdigest()
+    assert row["version"] == 1 and row["rectype"] == "I"
+
+    # delta: 10 new ids -> only they are inserted
+    res2 = loader.load_hub(
+        _customers(spark, range(95, 110)),
+        table="customer_hub",
+        entity_type="customer",
+        id_fields=["cust_id"],
+        id_type="customer",
+        process_time=T1,
+    )
+    assert res2.inserts == 10
+    assert loader.read_current("customer_hub").count() == 110
+    assert loader.read_history("customer_hub").count() == 110
+
+
+def test_hub_full_refresh_deletes(spark, loader):
+    loader.load_hub(
+        _customers(spark, range(20)),
+        table="h",
+        entity_type="c",
+        id_fields=["cust_id"],
+        id_type="customer",
+        process_time=T0,
+    )
+    res = loader.load_hub(
+        _customers(spark, range(15)),  # 15..19 vanished
+        table="h",
+        entity_type="c",
+        id_fields=["cust_id"],
+        id_type="customer",
+        process_time=T1,
+        full_refresh=True,
+    )
+    assert res.deletes == 5
+    cur = loader.read_current("h")
+    dels = cur.where(F.col("rectype") == "D")
+    assert dels.count() == 5
+    assert dels.first()["version"] == 2
+    assert cur.count() == 20  # deleted entities stay, flagged D
+
+
+def test_satellite_full_delta_update_sequence(spark, loader):
+    kwargs = dict(
+        table="cust_sat",
+        entity_type="customer",
+        id_fields=["cust_id"],
+        id_type="customer",
+    )
+    # full load: 100 rows (analog of 20,000-row golden load)
+    res = loader.load_satellite(_customers(spark, range(100)), process_time=T0, **kwargs)
+    assert res.inserts == 100 and res.updates == 0
+    assert loader.read_history("cust_sat").count() == 100
+
+    # delta: 10 new -> history 110
+    res = loader.load_satellite(
+        _customers(spark, range(100, 110)), process_time=T1, **kwargs
+    )
+    assert res.inserts == 10 and res.updates == 0
+    assert loader.read_history("cust_sat").count() == 110
+
+    # updates: same 10 ids, changed values -> version 2, rectype U
+    res = loader.load_satellite(
+        _customers(spark, range(100, 110), flag=9), process_time=T2, **kwargs
+    )
+    assert res.inserts == 0 and res.updates == 10
+    hist = loader.read_history("cust_sat")
+    assert hist.count() == 120  # 20000 -> 20010 -> 20020 analog
+    cur = loader.read_current("cust_sat")
+    assert cur.count() == 110
+    changed = cur.where(F.col("income_flag") == 9)
+    assert changed.count() == 10
+    first = changed.first()
+    assert first["version"] == 2 and first["rectype"] == "U"
+    # unchanged rows NOT spuriously updated (hash discipline)
+    assert cur.where((F.col("version") == 1) & (F.col("rectype") == "I")).count() == 100
+
+
+def test_satellite_unchanged_reload_is_noop(spark, loader):
+    kwargs = dict(
+        table="s2", entity_type="c", id_fields=["cust_id"], id_type="customer"
+    )
+    loader.load_satellite(_customers(spark, range(50)), process_time=T0, **kwargs)
+    res = loader.load_satellite(_customers(spark, range(50)), process_time=T1, **kwargs)
+    assert res.inserts == 0 and res.updates == 0 and res.deletes == 0
+    assert loader.read_history("s2").count() == 50
+
+
+def test_satellite_overwrite_end_dates_previous(spark, loader):
+    kwargs = dict(
+        table="s3", entity_type="c", id_fields=["cust_id"], id_type="customer"
+    )
+    loader.load_satellite(_customers(spark, range(10)), process_time=T0, **kwargs)
+    loader.load_satellite(
+        _customers(spark, range(10), flag=5), process_time=T1, overwrite=True, **kwargs
+    )
+    hist = loader.read_history("s3")
+    assert hist.count() == 20
+    v1 = hist.where(F.col("version") == 1).first()
+    v2 = hist.where(F.col("version") == 2).first()
+    # old end_time == new start_time (LoadSatelliteOverwriteParquetSpec:119-122)
+    assert str(v1["end_time"]) == T1
+    assert str(v2["start_time"]) == T1
+    assert str(v2["end_time"]).startswith("9999-12-31")
+
+
+def test_satellite_delete_indicator(spark, loader):
+    kwargs = dict(
+        table="s4", entity_type="c", id_fields=["cust_id"], id_type="customer"
+    )
+    df0 = _customers(spark, range(10)).withColumn("status", F.lit("active"))
+    loader.load_satellite(
+        df0, process_time=T0, delete_indicator=("status", "deleted"), **kwargs
+    )
+    df1 = _customers(spark, range(10)).withColumn(
+        "status", F.when(F.col("cust_id") == "3", "deleted").otherwise("active")
+    )
+    res = loader.load_satellite(
+        df1, process_time=T1, delete_indicator=("status", "deleted"), **kwargs
+    )
+    assert res.deletes == 1
+    cur = loader.read_current("s4")
+    drow = cur.where(F.col("rectype") == "D").first()
+    assert drow["version"] == 2
+
+
+def test_link_and_mapping(spark, loader):
+    pairs = spark.createDataFrame(
+        [(str(i), str(i * 10)) for i in range(20)], ["cust_id", "order_id"]
+    )
+    res = loader.load_link(
+        pairs,
+        table="cust_order_link",
+        src_fields=["cust_id"],
+        src_id_type="customer",
+        dst_fields=["order_id"],
+        dst_id_type="order",
+        process_time=T0,
+    )
+    assert res.inserts == 20
+    res2 = loader.load_link(
+        pairs, table="cust_order_link",
+        src_fields=["cust_id"], src_id_type="customer",
+        dst_fields=["order_id"], dst_id_type="order", process_time=T1,
+    )
+    assert res2.inserts == 0  # idempotent
+
+    maps = spark.createDataFrame(
+        [(str(i), f"e{i}", 0.9) for i in range(5)], ["cust_id", "email", "conf"]
+    )
+    res3 = loader.load_mapping(
+        maps,
+        table="cust_email_map",
+        src_fields=["cust_id"],
+        src_id_type="customer",
+        dst_fields=["email"],
+        dst_id_type="email",
+        confidence_col="conf",
+        process_time=T0,
+    )
+    assert res3.inserts == 5
+    cm = loader.read_current_mapping("cust_email_map")
+    assert cm.count() == 5 and cm.first()["confidence"] == 0.9
+
+
+def test_load_all_orchestration(spark, loader):
+    cfg = {
+        "hubs": [
+            {
+                "source": "cust",
+                "table": "hub_all",
+                "entity_type": "customer",
+                "id_fields": ["cust_id"],
+                "id_type": "customer",
+                "process_time": T0,
+            }
+        ],
+        "satellites": [
+            {
+                "source": "cust",
+                "table": "sat_all",
+                "entity_type": "customer",
+                "id_fields": ["cust_id"],
+                "id_type": "customer",
+                "process_time": T0,
+            }
+        ],
+    }
+    results = loader.load_all({"cust": _customers(spark, range(30))}, cfg)
+    assert results["hub_all"].inserts == 30
+    assert results["sat_all"].inserts == 30
