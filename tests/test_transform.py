@@ -1,0 +1,136 @@
+"""Transformation framework tests, mirroring TransformSpec (DAG
+ordering + appended columns), StringUtilsSpec (template edge cases),
+ExecuteSQLSpec (named SQL with params)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from featurestore_spark.functions.templating import template
+from featurestore_spark.store import Feature, FeatureStore
+from featurestore_spark.transform import (
+    AppendColumnRowTransformation,
+    NamedSQLTransformation,
+    Pipeline,
+    RowTransformationPipeline,
+    SQLTableTransformation,
+    TableTransformation,
+    TableTransformationPipeline,
+    TransformationContext,
+)
+from featurestore_spark.transform.row import ErrorThresholdReachedException
+
+
+def test_template_edge_cases():
+    # StringUtilsSpec.scala:8-19
+    assert template("Hello $w", {"w": "World"}) == "Hello World"
+    assert template("Hello ${w}", {"w": "World"}) == "Hello World"
+    assert template("keep $$w as-is", {"w": "World"}) == "keep $$w as-is"
+    assert template("unknown $nope stays", {"w": "x"}) == "unknown $nope stays"
+    assert template("quoted '$w' and \"${w}\"", {"w": "V"}) == "quoted 'V' and \"V\""
+    assert (
+        template("select * from $t where id = '$id'", {"t": "events", "id": "7"})
+        == "select * from events where id = '7'"
+    )
+
+
+def test_table_pipeline_dag_order(spark):
+    df = spark.range(5).toDF("n")
+    order = []
+
+    def mk(name, col_expr):
+        def fn(d, ctx):
+            order.append(name)
+            return d.withColumn(name, col_expr)
+
+        return TableTransformation(name, fn)
+
+    t_c = mk("c", F.col("b") + 1)
+    t_a = mk("a", F.col("n") * 2)
+    t_b = mk("b", F.col("a") + 10)
+    t_b.add_dependencies(t_a)
+    t_c.add_dependencies(t_b)
+
+    ctx = TransformationContext()
+    pipe = TableTransformationPipeline("p", t_c, t_b, t_a)  # declared out of order
+    out = pipe(df, ctx)
+    assert order == ["a", "b", "c"]  # toposorted
+    row = out.where(F.col("n") == 3).first()
+    assert (row["a"], row["b"], row["c"]) == (6, 16, 17)
+    assert [s.name for s in ctx["steps"]] == ["a", "b", "c"]
+    assert all(s.status == "success" for s in ctx["steps"])
+
+
+def test_row_pipeline_expr_and_python_paths(spark):
+    df = spark.createDataFrame([("5",), ("7",), ("oops",)], ["v"])
+    expr_t = AppendColumnRowTransformation(
+        "doubled", "doubled", "int", expr=F.col("v").try_cast("int") * 2
+    )
+    py_t = AppendColumnRowTransformation(
+        "parsed", "parsed", "int", fn=lambda row: int(row["v"]) + 1
+    )
+    pipe = RowTransformationPipeline("rp", expr_t, py_t)
+    ctx = TransformationContext({"errorThreshold": 5})
+    out = pipe.run_with_error_check(df, ctx)
+    got = {r["v"]: (r["doubled"], r["parsed"]) for r in out.collect()}
+    assert got["5"] == (10, 6)
+    assert got["oops"] == (None, None)  # error captured, row kept
+    assert len(ctx["errors"]) == 1 and "ValueError" in ctx["errors"][0]
+
+    strict = TransformationContext({"errorThreshold": 0})
+    with pytest.raises(ErrorThresholdReachedException):
+        pipe.run_with_error_check(df, strict)
+
+
+def test_sql_table_transformation_and_pipeline(spark, tmp_path):
+    df = spark.createDataFrame([(1, "a"), (2, "b"), (3, "a")], ["id", "k"])
+    t = SQLTableTransformation(
+        "select k, count(*) as n from $tbl group by k", "ev_tmp"
+    )
+    ctx = TransformationContext({"sqlparams": {"tbl": "ev_tmp"}})
+    out = t(df, ctx)
+    got = {r["k"]: r["n"] for r in out.collect()}
+    assert got == {"a": 2, "b": 1}
+
+    # full pipeline: source -> transform -> sink
+    src_path = str(tmp_path / "in.parquet")
+    out_path = str(tmp_path / "out.parquet")
+    df.write.parquet(src_path)
+
+    from featurestore_spark.io.sources import ParquetSink, ParquetSource
+
+    pipe = Pipeline("p", t)
+    ctx2 = TransformationContext(
+        {"path": src_path, "out_path": out_path, "sqlparams": {"tbl": "ev_tmp"}}
+    )
+    pipe.run(ParquetSource(spark), ParquetSink(), ctx2)
+    assert spark.read.parquet(out_path).count() == 2
+
+
+def test_named_sql_loader(spark, tmp_path):
+    props = tmp_path / "sql.properties"
+    props.write_text(
+        "query1=select 1 as one\n"
+        "query3=select event_type, ts from $mytable where user_id = $entityId\n"
+    )
+    ev = spark.createDataFrame(
+        [(1, "click", "2024-01-01")], ["user_id", "event_type", "ts"]
+    )
+    ev.createOrReplaceTempView("events_named")
+    ctx = TransformationContext(
+        {"sqlparams": {"mytable": "events_named", "entityId": "1"}}
+    )
+    out = NamedSQLTransformation(str(props), "query3")(spark, ctx)
+    assert out.count() == 1 and out.first()["event_type"] == "click"
+
+
+def test_feature_store_roundtrip(tmp_path):
+    fs = FeatureStore()
+    fs.register_feature(Feature("purchase", "Base", "web"))
+    fs.register_feature(Feature("score", "Derived", "web", active=False))
+    fs.register_feature(Feature("view", "Base", "web"))
+    assert fs.attribute_names("web") == ["purchase", "view"]  # active only
+    p = str(tmp_path / "features.csv")
+    fs.save(p)
+    fs2 = FeatureStore.load(p)
+    assert fs2.attribute_names("web") == ["purchase", "view"]
+    assert len(fs2.features(active_only=False)) == 3
