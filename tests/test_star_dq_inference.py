@@ -1,0 +1,152 @@
+"""Star-schema (StarSpec golden: 6 dim rows), DQ plans (unit_price>0
+threshold 0.01), and CSV sniffing (ExtractFileMetadataSpec) tests."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from featurestore_spark.dq import DQRunner
+from featurestore_spark.inference import sniff
+from featurestore_spark.inference.sniffer import get_type, read_ebcdic_lines
+from featurestore_spark.star import DimSpec, StarConfig, StarLoader
+
+
+@pytest.fixture()
+def sales(spark):
+    rows = [
+        (i, f"P{i % 6}", f"prio{i % 6}", "east" if i % 2 else "west", 10.0 * (i + 1), 1.0 + i)
+        for i in range(60)
+    ]
+    return spark.createDataFrame(
+        rows, ["order_id", "product", "order_priority", "region", "sales", "unit_price"]
+    )
+
+
+def test_star_dim_golden_count_and_fact_fks(spark, sales, tmp_path):
+    loader = StarLoader(spark, str(tmp_path))
+    cfg = StarConfig(
+        dims=[DimSpec("order_priority", ["order_priority"]), DimSpec("region", ["region"])],
+        measure_cols=["sales", "unit_price"],
+        fact_name="sales",
+    )
+    fact = loader.dimensionalize(sales, cfg)
+    dim = spark.read.parquet(str(tmp_path / "dim_order_priority.parquet"))
+    # 6 distinct priorities + unknown row (StarSpec.scala:36-38 analog)
+    assert dim.where("id >= 0").count() == 6
+    assert dim.where("id = -1").count() == 1
+    assert fact.count() == 60
+    assert fact.where(F.col("order_priority_id") == -1).count() == 0
+    # FK joins back to the right dim member
+    joined = fact.join(
+        dim.select(F.col("id").alias("order_priority_id"), "order_priority"),
+        "order_priority_id",
+    )
+    assert joined.where(
+        (F.col("sales") == 10.0) & (F.col("order_priority") != "prio0")
+    ).count() == 0
+
+
+def test_star_dim_scd2_change(spark, tmp_path):
+    loader = StarLoader(spark, str(tmp_path))
+    spec = DimSpec("prod", ["product"], ["category"])
+    d0 = spark.createDataFrame(
+        [("A", "cat1"), ("B", "cat2")], ["product", "category"]
+    )
+    loader.load_dim(d0, spec, process_time="2024-01-01 00:00:00")
+    d1 = spark.createDataFrame(
+        [("A", "catX"), ("B", "cat2"), ("C", "cat3")], ["product", "category"]
+    )
+    dim = loader.load_dim(d1, spec, process_time="2024-02-01 00:00:00")
+    a_rows = dim.where("product = 'A'").orderBy("version").collect()
+    assert len(a_rows) == 2
+    assert a_rows[0]["current"] is False and str(a_rows[0]["end_time"]).startswith("2024-02-01")
+    assert a_rows[1]["current"] is True and a_rows[1]["version"] == 2
+    # id stable across versions
+    assert a_rows[0]["id"] == a_rows[1]["id"]
+    # new member got a fresh id beyond the seed
+    c = dim.where("product = 'C'").first()
+    assert c["version"] == 1 and c["id"] > 0
+
+
+def test_dq_assertion_and_plan(spark, sales):
+    dq = DQRunner(spark)
+    bad = sales.withColumn(
+        "unit_price", F.when(F.col("order_id") == 3, -5.0).otherwise(F.col("unit_price"))
+    )
+    res, invalid = dq.run_assertion(bad, "positive_price", "unit_price > 0", 0.01)
+    assert not res.passed and res.invalid == 1
+    assert invalid.count() == 1 and invalid.first()["order_id"] == 3
+
+    plan = {
+        "steps": [
+            {
+                "type": "view",
+                "name": "east_sales",
+                "sql": "select * from raw where region = 'east'",
+            },
+            {
+                "type": "assertion",
+                "input": "east_sales",
+                "assertions": [
+                    {"name": "pos_price", "query": "unit_price > 0", "threshold": 0.5},
+                    {"name": "sales_cap", "query": "sales <= 1000", "threshold": 0.0},
+                ],
+            },
+            {
+                "type": "diff",
+                "name": "self_diff",
+                "left": "east_sales",
+                "right": "east_sales",
+                "key_cols": ["order_id"],
+                "compare_cols": ["sales"],
+            },
+        ]
+    }
+    report = dq.run_plan(plan, {"raw": bad})
+    assert report.assertions[0].passed  # threshold tolerates 1 bad row
+    assert not report.assertions[1].passed or bad.where("sales > 1000").count() == 0
+    assert report.diffs["self_diff"] == 0
+
+
+def test_dq_diff_detects_mismatches(spark):
+    dq = DQRunner(spark)
+    l = spark.createDataFrame([(1, 10.0), (2, 20.0)], ["id", "v"])
+    r = spark.createDataFrame([(1, 10.0), (2, 99.0), (3, 30.0)], ["id", "v"])
+    diff = dq.run_diff(l, r, ["id"], ["v"])
+    rows = {row["id"]: row["v_match"] for row in diff.collect()}
+    assert rows[1] is True and rows[2] is False and rows[3] is False
+
+
+def test_sniffer_comma_and_tab(tmp_path):
+    csv_data = "Order ID,Order Date,Sales,Active\n1,2012-01-05,100.5,true\n2,2012-02-07,20.25,false\n"
+    md = sniff(csv_data)
+    assert md.delimiter == "," and md.has_header
+    assert md.column_names[0] == "Order ID"
+    assert md.column_types == ["bigint", "date", "double", "boolean"]
+
+    tsv = "a\tb\tc\n1\t2.5\tx\n3\t4.5\ty\n"
+    md2 = sniff(tsv)
+    assert md2.delimiter == "\t" and md2.has_header
+    assert md2.column_types == ["bigint", "double", "string"]
+
+    noheader = "1,2.5\n3,4.0\n5,6.25\n"
+    md3 = sniff(noheader)
+    assert not md3.has_header
+    assert md3.spark_read_options()["header"] == "false"
+
+
+def test_type_detection():
+    assert get_type("42") == "bigint"
+    assert get_type("-3.14") == "double"
+    assert get_type("1e5") == "double"
+    assert get_type("2024-01-05") == "date"
+    assert get_type("2024-01-05 10:30:00") == "timestamp"
+    assert get_type("true") == "boolean"
+    assert get_type("hello") == "string"
+
+
+def test_ebcdic_roundtrip(tmp_path):
+    p = tmp_path / "ebcdic.dat"
+    text = "10SMSDC HELLO\nSECOND LINE\n"
+    p.write_bytes(text.encode("cp500"))
+    lines = read_ebcdic_lines(str(p))
+    assert lines[0].startswith("10SMSDC") and "SECOND" in lines[1]
