@@ -35,7 +35,11 @@ HEADLINE = [
     "q_dedup_exact",
     "q_text_quality",
     "q_token_count",
+    "q_lang_id",
+    "q_minhash_bands",
+    "q_minhash_pairs",
     "q_embedding_topk",
+    "q_embedding_ann_lsh",
 ]
 
 

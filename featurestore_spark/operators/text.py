@@ -1,0 +1,97 @@
+"""Text-analysis operators for large-scale training-data pipelines:
+tokenization, quality scoring, language ID, fingerprinting.
+
+All pure Column expressions (JVM-side, whole-stage codegen) — a 100 TB
+documents table never leaves the JVM. Language ID is an n-gram /
+stopword-lexicon heuristic: per-language marker-token counts with a
+fixed-priority argmax (deterministic, SQL-expressible for oracles).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Small marker lexicons (top function words per language).
+LANG_LEXICONS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "for"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "ein", "mit"],
+    "es": ["el", "la", "que", "los", "una", "por", "con", "para"],
+    "fr": ["le", "les", "et", "des", "est", "une", "dans", "pour"],
+    "zh": ["的", "是", "不", "在", "了", "有", "我", "他"],
+}
+
+
+def tokens(text_col: str | Column = "text") -> Column:
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.split(F.trim(F.lower(c)), r"\s+")
+
+
+def token_count(text_col: str | Column = "text") -> Column:
+    return F.size(tokens(text_col))
+
+
+def lexicon_score(text_col: str | Column, lexicon: list[str]) -> Column:
+    """Number of tokens contained in the lexicon."""
+    lex = F.array(*[F.lit(w) for w in lexicon])
+    return F.size(F.filter(tokens(text_col), lambda t: F.array_contains(lex, t)))
+
+
+def language_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append `<lang>_score` columns + `lang_pred` (fixed-priority
+    argmax, deterministic under ties)."""
+    out = df
+    for lang, lex in LANG_LEXICONS.items():
+        out = out.withColumn(f"{lang}_score", lexicon_score(text_col, lex))
+    langs = list(LANG_LEXICONS)
+    pred = None
+    for lang in langs:  # priority = declaration order
+        cond = None
+        for other in langs:
+            if other == lang:
+                continue
+            c = F.col(f"{lang}_score") >= F.col(f"{other}_score")
+            cond = c if cond is None else (cond & c)
+        pred = F.when(cond, lang) if pred is None else pred.when(cond, lang)
+    return out.withColumn("lang_pred", pred.otherwise(langs[-1]))
+
+
+def quality_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length / punctuation / alpha-ratio style quality scores."""
+    text = F.col(text_col)
+    n_tok = token_count(text_col)
+    return df.withColumns(
+        {
+            "n_chars": F.length(text),
+            "n_tokens": n_tok,
+            "alpha_ratio": F.round(
+                F.length(F.regexp_replace(text, "[^a-zA-Z]", "")).cast("double")
+                / F.length(text),
+                3,
+            ),
+            "punct_ratio": F.round(
+                F.length(F.regexp_replace(text, r"[^.,;:!?]", "")).cast("double")
+                / F.length(text),
+                3,
+            ),
+            "chars_per_token": F.round(F.length(text).cast("double") / n_tok, 3),
+        }
+    )
+
+
+def normalized_fingerprint(text_col: str | Column = "text") -> Column:
+    """Stable document fingerprint: md5 of lowercase,
+    whitespace-collapsed text."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.md5(F.regexp_replace(F.lower(F.trim(c)), r"\s+", " "))
+
+
+def rolling_hashes(text_col: str | Column = "text", window: int = 8) -> Column:
+    """Winnowing-style rolling fingerprints: md5 of each `window`-token
+    shingle (document fingerprinting for containment detection)."""
+    toks = tokens(text_col)
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), F.greatest(n - window + 1, F.lit(1)))
+    return F.transform(
+        idx, lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, window)))
+    )

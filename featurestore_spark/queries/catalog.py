@@ -781,6 +781,193 @@ def q_text_quality(spark, sf_dir):
     )
 
 
+# -- language ID --------------------------------------------------------------
+
+
+def _lang_oracle() -> str:
+    from featurestore_spark.operators.text import LANG_LEXICONS
+
+    score_cols = []
+    for lang, lex in LANG_LEXICONS.items():
+        arr = "[" + ", ".join(f"'{w}'" for w in lex) + "]"
+        score_cols.append(
+            f"CAST(len(list_filter(toks, t -> list_contains({arr}, t))) AS INTEGER)"
+            f" AS {lang}_score"
+        )
+    langs = list(LANG_LEXICONS)
+    cases = []
+    for lang in langs:
+        conds = " AND ".join(
+            f"{lang}_score >= {o}_score" for o in langs if o != lang
+        )
+        cases.append(f"WHEN {conds} THEN '{lang}'")
+    pred = "CASE " + " ".join(cases) + f" ELSE '{langs[-1]}' END"
+    return rf"""
+    WITH toked AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+      FROM documents),
+    scored AS (SELECT doc_id, {", ".join(score_cols)} FROM toked)
+    SELECT doc_id, {", ".join(f"{lang}_score" for lang in langs)},
+           {pred} AS lang_pred
+    FROM scored
+    """
+
+
+@_register(
+    "q_lang_id",
+    _lang_oracle(),
+    "Language ID: stopword-lexicon scores + fixed-priority argmax",
+)
+def q_lang_id(spark, sf_dir):
+    from featurestore_spark.operators.text import LANG_LEXICONS, language_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = language_scores(docs)
+    return out.select(
+        "doc_id", *[f"{lang}_score" for lang in LANG_LEXICONS], "lang_pred"
+    )
+
+
+# -- MinHash / LSH dedup -------------------------------------------------------
+
+_MH_K, _MH_BANDS, _MH_N = 16, 4, 3
+
+_DUCK_SHINGLES = r"""
+    WITH toked AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+      FROM documents),
+    shingled AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(toks) >= {n}
+               THEN list_transform(generate_series(1, len(toks) - {nm1}),
+                                   i -> array_to_string(toks[i:i+{nm1}], ' '))
+               ELSE [array_to_string(toks, ' ')] END) AS sh
+      FROM toked)
+""".format(n=_MH_N, nm1=_MH_N - 1)
+
+
+def _duck_minhash_bands() -> str:
+    from featurestore_spark.operators.dedup import MINHASH_A, MINHASH_B, MINHASH_P
+
+    # Same affine family as operators.dedup: h = first 7 md5 hex digits,
+    # mh_i = min((A[i]*h + B[i]) mod P).
+    hs = (
+        "list_transform(sh, s -> "
+        "CAST(CAST(('0x' || substr(md5(s), 1, 7)) AS UBIGINT) AS BIGINT))"
+    )
+    sigs = ", ".join(
+        f"list_min(list_transform(hs, h -> ({MINHASH_A[i]} * h + {MINHASH_B[i]})"
+        f" % {MINHASH_P})) AS mh_{i}"
+        for i in range(_MH_K)
+    )
+    r = _MH_K // _MH_BANDS
+    bands = ", ".join(
+        "md5("
+        + " || '|' || ".join(f"CAST(mh_{b * r + j} AS VARCHAR)" for j in range(r))
+        + f") AS band_{b}"
+        for b in range(_MH_BANDS)
+    )
+    return (
+        f"{_DUCK_SHINGLES}, hashed AS (SELECT doc_id, {hs} AS hs FROM shingled),"
+        f" sigs AS (SELECT doc_id, {sigs} FROM hashed),"
+        f" bands AS (SELECT doc_id, {bands} FROM sigs)"
+    )
+
+
+@_register(
+    "q_minhash_bands",
+    _duck_minhash_bands() + "\nSELECT * FROM bands",
+    "MinHash LSH band digests per document (shuffle-free signatures)",
+)
+def q_minhash_bands(spark, sf_dir):
+    from featurestore_spark.operators.dedup import minhash_bands
+
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_bands(docs, n=_MH_N, k=_MH_K, bands=_MH_BANDS)
+
+
+@_register(
+    "q_minhash_pairs",
+    _duck_minhash_bands()
+    + ",\n melted AS ("
+    + " UNION ALL ".join(
+        f"SELECT doc_id, {i} AS band_idx, band_{i} AS band_hash FROM bands"
+        for i in range(_MH_BANDS)
+    )
+    + """)
+    SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+    FROM melted a JOIN melted b USING (band_idx, band_hash)
+    WHERE a.doc_id < b.doc_id
+    """,
+    "MinHash LSH near-dup candidate pairs (band bucket join)",
+)
+def q_minhash_pairs(spark, sf_dir):
+    from featurestore_spark.operators.dedup import minhash_candidate_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_candidate_pairs(
+        docs, n=_MH_N, k=_MH_K, bands=_MH_BANDS, max_bucket=10**9
+    )
+
+
+@_register(
+    "q_ngram_jaccard",
+    _DUCK_SHINGLES
+    + """
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
+    FROM shingled a JOIN shingled b ON a.doc_id < b.doc_id
+    WHERE a.doc_id < 15 AND b.doc_id < 15
+    """,
+    "Exact n-gram Jaccard similarity over a pair sample (LSH verify step)",
+)
+def q_ngram_jaccard(spark, sf_dir):
+    from featurestore_spark.operators.dedup import jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 15)
+    ids = docs.select(F.col("doc_id").alias("a_id"))
+    pairs = ids.crossJoin(docs.select(F.col("doc_id").alias("b_id"))).where(
+        F.col("a_id") < F.col("b_id")
+    )
+    return jaccard_pairs(docs, pairs, n=_MH_N)
+
+
+@_register(
+    "q_simhash_near_dups",
+    None,  # no SQL oracle: vectorized Arrow simhash (rows-only check)
+    "SimHash near-dup pairs: prefix blocking + Hamming<=8 verify",
+)
+def q_simhash_near_dups(spark, sf_dir):
+    from featurestore_spark.operators.dedup import simhash_near_dups
+
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_near_dups(docs, max_hamming=8, prefix_bits=8)
+
+
+# -- binary / multimodal plumbing ---------------------------------------------
+
+
+@_register(
+    "q_binary_meta",
+    """
+    SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           md5(text) AS content_md5  -- md5(VARCHAR) hashes the UTF-8 bytes
+    FROM documents
+    """,
+    "Opaque-binary column metadata (size + digest) — multimodal base",
+)
+def q_binary_meta(spark, sf_dir):
+    from featurestore_spark.operators.multimodal import (
+        attach_binary_metadata,
+        text_as_binary,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    with_bin = attach_binary_metadata(text_as_binary(docs), "content")
+    return with_bin.select("doc_id", "n_bytes", "content_md5")
+
+
 @_register(
     "q_embedding_topk",
     """
@@ -835,3 +1022,45 @@ def q_embedding_topk(spark, sf_dir):
         .where(F.col("rnk") <= 5)
         .select("query_id", "rnk", "neighbor_id", "sim")
     )
+
+
+@_register(
+    "q_embedding_ann_lsh",
+    """
+    WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    bucketed AS (
+      SELECT vec_id, v,
+             (CASE WHEN v[1] > 0 THEN 4 ELSE 0 END
+              + CASE WHEN v[2] > 0 THEN 2 ELSE 0 END
+              + CASE WHEN v[3] > 0 THEN 1 ELSE 0 END) AS bkt
+      FROM base),
+    q AS (SELECT vec_id AS query_id, v AS qv, bkt FROM bucketed WHERE vec_id < 5),
+    c AS (SELECT vec_id AS neighbor_id, v AS cv, bkt FROM bucketed WHERE vec_id >= 5),
+    sims AS (
+      SELECT query_id, neighbor_id,
+             round(list_dot_product(qv, cv)
+                   / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 6) AS sim
+      FROM q JOIN c USING (bkt))
+    SELECT query_id, CAST(rnk AS INTEGER) AS rnk, neighbor_id, sim
+    FROM (SELECT query_id, neighbor_id, sim,
+                 row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
+          FROM sims)
+    WHERE rnk <= 3
+    """,
+    "Sign-bucket LSH ANN: equi-join on bucket id instead of cross product",
+)
+def q_embedding_ann_lsh(spark, sf_dir):
+    from featurestore_spark.operators.similarity import (
+        as_double_array,
+        bucketed_ann_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.select("vec_id", as_double_array("embedding").alias("v"))
+    q = base.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    c = base.where(F.col("vec_id") >= 5).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv")
+    )
+    return bucketed_ann_topk(q, c, k=3, bits=3)
