@@ -1,0 +1,95 @@
+"""Entity resolution over id-mapping graphs (J12).
+
+The reference attempted a GraphX Pregel walk over the id-mapping graph
+(star/CustomerResolver.scala:26-100) and shipped it self-described as
+"not ready" (line 14). Rebuild implements the *intent* — resolve every
+id to a canonical entity across mapping tables — as iterative
+DataFrame joins (connected components via label propagation to the
+minimum id), which needs no graph library and scales as a sequence of
+shuffles on uniformly-hashed keys.
+
+Convergence: components' diameters in id-crosswalk graphs are tiny
+(id→email→phone chains), so the loop usually terminates in 3-5
+rounds; `max_iterations` bounds the worst case. Each round is one
+join + aggregate; intermediate results are localCheckpointed to cut
+the exponentially growing lineage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_iterations: int = 20,
+    checkpoint_every: int = 3,
+) -> DataFrame:
+    """(id, component) — component = min id reachable (label
+    propagation / "small-star" style contraction)."""
+    # undirected: symmetrize once
+    fwd = edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+    sym = fwd.unionByName(
+        edges.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b"))
+    ).distinct()
+    labels = (
+        sym.select(F.col("a").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+    )
+    for i in range(max_iterations):
+        # each node adopts the min component among itself + neighbors
+        neighbor_labels = (
+            sym.join(labels.withColumnRenamed("id", "b"), "b")
+            .select(F.col("a").alias("id"), "component")
+        )
+        new_labels = (
+            labels.unionByName(neighbor_labels)
+            .groupBy("id")
+            .agg(F.min("component").alias("component"))
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if (i + 1) % checkpoint_every == 0:
+            labels = labels.localCheckpoint(eager=True)
+        if changed == 0:
+            break
+    return labels
+
+
+def resolve_entities(
+    mappings: DataFrame,
+    *,
+    src_col: str = "src_entity_id",
+    dst_col: str = "dst_entity_id",
+    confidence_col: str | None = "confidence",
+    min_confidence: float = 0.0,
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Canonical entity per id across mapping tables: edges above the
+    confidence floor, components labeled by min entity id.
+
+    Returns (entity_id, canonical_id) for every id seen in a mapping
+    (CustomerResolver intent: find the target id of type X reachable
+    with confidence ≥ c; here: canonical representative + join back).
+    """
+    edges = mappings
+    if confidence_col is not None and confidence_col in mappings.columns:
+        edges = edges.where(F.col(confidence_col) >= min_confidence)
+    comp = connected_components(
+        edges.select(src_col, dst_col), src_col=src_col, dst_col=dst_col,
+        max_iterations=max_iterations,
+    )
+    return comp.select(
+        F.col("id").alias("entity_id"), F.col("component").alias("canonical_id")
+    )

@@ -1,0 +1,5 @@
+from featurestore_spark.streaming.ops import (  # noqa: F401
+    read_event_stream,
+    streaming_event_counts,
+    streaming_sessionize,
+)

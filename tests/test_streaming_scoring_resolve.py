@@ -1,0 +1,120 @@
+"""Tests: streaming variants (cross-checked vs batch operators via a
+real micro-batch run), pandas-batch scoring, entity resolution."""
+
+from pyspark.sql import functions as F
+
+from featurestore_spark.functions.dates import (
+    convert_string_to_date,
+    format_date_string,
+)
+from featurestore_spark.functions.scoring import score_batch
+from featurestore_spark.io import load_table
+from featurestore_spark.operators.resolve import connected_components, resolve_entities
+from featurestore_spark.operators.events import sessionize
+from featurestore_spark.streaming import (
+    read_event_stream,
+    streaming_event_counts,
+    streaming_sessionize,
+)
+
+
+def test_streaming_sessionize_matches_batch(spark, tmp_path):
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    src = str(tmp_path / "stream_src")
+    ev.write.parquet(src)
+    static = spark.read.parquet(src)
+
+    stream = read_event_stream(spark, src, static.schema)
+    q = (
+        streaming_sessionize(stream, gap="30 minutes")
+        .writeStream.format("memory")
+        .queryName("sessions_out")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = spark.table("sessions_out")
+
+    batch = sessionize(
+        static, 1800.0, entity_col="user_id", ts_col="ts", tiebreak_cols=("event_id",)
+    )
+    batch_sessions = batch.groupBy("user_id").agg(
+        F.max("session").alias("n_sessions")
+    )
+    got_stream = {
+        r["user_id"]: r["cnt"]
+        for r in streamed.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    got_batch = {r["user_id"]: r["n_sessions"] for r in batch_sessions.collect()}
+    # session_window closes sessions on gap > gap; counts align with
+    # the batch lag/cumsum formulation (strict-vs-inclusive boundary
+    # differences would need equal microsecond gaps — not present)
+    assert got_stream == got_batch
+
+
+def test_streaming_event_counts_watermark_plumbing(spark, tmp_path):
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    src = str(tmp_path / "stream_src2")
+    ev.write.parquet(src)
+    static = spark.read.parquet(src)
+    stream = read_event_stream(spark, src, static.schema)
+    q = (
+        streaming_event_counts(stream, window="1 day", watermark="2 days")
+        .writeStream.format("memory")
+        .queryName("counts_out")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = spark.table("counts_out")
+    batch = streaming_event_counts(static, window="1 day")
+    assert streamed.count() == batch.count()
+    s_total = streamed.agg(F.sum("n_events")).first()[0]
+    assert s_total == static.count()
+
+
+def test_score_batch(spark):
+    df = spark.createDataFrame(
+        [(1.0, 2.0), (3.0, 4.0), (None, 10.0)], ["f1", "f2"]
+    )
+    out = score_batch(df, ["f1", "f2"], lambda X: X["f1"] * 10 + X["f2"])
+    got = sorted(r["score"] for r in out.collect())
+    assert got == [10.0, 12.0, 34.0]  # null f1 -> filled 0.0
+
+
+def test_date_functions(spark):
+    df = spark.createDataFrame([("05/03/2024",), ("bogus",)], ["d"])
+    out = df.select(
+        convert_string_to_date("d", "dd/MM/yyyy").alias("dt"),
+        format_date_string("d", "dd/MM/yyyy").alias("fmt"),
+    )
+    rows = out.collect()
+    assert str(rows[0]["dt"]) == "2024-03-05" and rows[0]["fmt"] == "2024-03-05"
+    assert rows[1]["dt"] is None and rows[1]["fmt"] is None  # malformed -> null
+
+
+def test_connected_components_and_resolution(spark):
+    edges = spark.createDataFrame(
+        [
+            ("c1", "e1", 0.9),
+            ("e1", "p1", 0.8),   # chain c1-e1-p1
+            ("c2", "e2", 0.95),  # separate component
+            ("c3", "e3", 0.1),   # below confidence floor -> excluded
+        ],
+        ["src_entity_id", "dst_entity_id", "confidence"],
+    )
+    comp = connected_components(
+        edges.select("src_entity_id", "dst_entity_id"),
+        src_col="src_entity_id",
+        dst_col="dst_entity_id",
+    )
+    labels = {r["id"]: r["component"] for r in comp.collect()}
+    assert labels["c1"] == labels["e1"] == labels["p1"]
+    assert labels["c2"] == labels["e2"] != labels["c1"]
+
+    resolved = resolve_entities(edges, min_confidence=0.5)
+    rmap = {r["entity_id"]: r["canonical_id"] for r in resolved.collect()}
+    assert rmap["p1"] == rmap["c1"]
+    assert "c3" not in rmap  # low-confidence edge dropped
