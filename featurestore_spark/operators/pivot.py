@@ -33,6 +33,11 @@ def latest_value_per_attribute(
     out = df
     if as_of is not None:
         out = out.where(F.col(ts_col) <= _as_col(as_of))
+    # ONE shuffle for the whole pivot: partitioning by entity alone
+    # satisfies both the window's (entity, attr) clustering and the
+    # downstream groupBy(entity).pivot — Spark reuses the exchange
+    # instead of shuffling twice.
+    out = out.repartition(entity_col)
     order = [F.col(ts_col).desc()] + [F.col(c).desc() for c in tiebreak_cols]
     w = Window.partitionBy(entity_col, attr_col).orderBy(*order)
     return (
