@@ -419,6 +419,146 @@ def q_pivot_chord(spark, sf_dir):
     )
 
 
+@_register(
+    "q_days_since_earliest",
+    f"""
+    SELECT user_id,
+           CAST(datediff('day', CAST(min(ts) AS DATE), DATE '{FEB1[:10]}') AS INTEGER) AS days_since
+    FROM events
+    WHERE event_type = 'signup' AND ts <= TIMESTAMP '{FEB1}'
+    GROUP BY user_id
+    """,
+    "A6 days since earliest event per entity",
+)
+def q_days_since_earliest(spark, sf_dir):
+    from featurestore_spark.operators import days_since_earliest
+
+    ev = _events(spark, sf_dir)
+    return days_since_earliest(
+        ev,
+        "signup",
+        _ts_lit(FEB1),
+        entity_col="user_id",
+        type_col="event_type",
+        ts_col="ts",
+        out_col="days_since",
+    )
+
+
+@_register(
+    "q_full_paths",
+    """
+    SELECT user_id, string_agg(event_type, ',' ORDER BY ts, event_id) AS path
+    FROM events GROUP BY user_id
+    """,
+    "W7 paths: full per-entity event path, time-ordered",
+)
+def q_full_paths(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    return paths(
+        ev,
+        entity_col="user_id",
+        type_col="event_type",
+        ts_col="ts",
+        tiebreak_cols=("event_id",),
+    )
+
+
+@_register(
+    "q_collapse_runs",
+    """
+    WITH flagged AS (
+      SELECT user_id, event_type, ts, event_id,
+             CASE WHEN lag(event_type) OVER w IS NULL
+                       OR lag(event_type) OVER w <> event_type
+                  THEN 1 ELSE 0 END AS chg
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    runs AS (
+      SELECT user_id, event_type, ts,
+             SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS run_id
+      FROM flagged)
+    SELECT user_id, event_type, epoch_us(max(ts)) AS ts_us,
+           count(*) AS run_count
+    FROM runs GROUP BY user_id, event_type, run_id
+    """,
+    "W4 inner op: run-length encoding of contiguous event-type runs",
+)
+def q_collapse_runs(spark, sf_dir):
+    from featurestore_spark.operators import collapse_runs
+
+    ev = _events(spark, sf_dir)
+    out = collapse_runs(
+        ev,
+        entity_col="user_id",
+        type_col="event_type",
+        ts_col="ts",
+        tiebreak_cols=("event_id",),
+    )
+    return out.select(
+        "user_id", "event_type", F.unix_micros("ts").alias("ts_us"), "run_count"
+    )
+
+
+@_register(
+    "q_tpch_q6",
+    """
+    SELECT round(CAST(sum(l_extendedprice * l_discount) AS DOUBLE), 2) AS revenue,
+           count(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.02 AND 0.09
+      AND l_quantity < 25
+    """,
+    "Forecast-revenue filter aggregate (pure scan + pushdown)",
+)
+def q_tpch_q6(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= _ts_lit("1996-01-01 00:00:00"))
+            & (F.col("l_shipdate") < _ts_lit("1997-01-01 00:00:00"))
+            & (F.col("l_discount") >= 0.02)
+            & (F.col("l_discount") <= 0.09)
+            & (F.col("l_quantity") < 25)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@_register(
+    "q_top_customers",
+    """
+    SELECT c_custkey, c_name,
+           round(CAST(sum(o_totalprice) AS DOUBLE), 2) AS total_spend,
+           count(*) AS n_orders
+    FROM customer JOIN orders ON o_custkey = c_custkey
+    GROUP BY c_custkey, c_name
+    ORDER BY total_spend DESC, c_custkey
+    LIMIT 20
+    """,
+    "Top-k revenue entities (join + agg + ordered limit)",
+)
+def q_top_customers(spark, sf_dir):
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("total_spend"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy(F.col("total_spend").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Vault key-hash builds (SURVEY.md §2.8 M1/M3 core dataflows)
 # ---------------------------------------------------------------------------

@@ -134,3 +134,19 @@ def test_feature_store_roundtrip(tmp_path):
     fs2 = FeatureStore.load(p)
     assert fs2.attribute_names("web") == ["purchase", "view"]
     assert len(fs2.features(active_only=False)) == 3
+
+
+def test_string_utils():
+    from featurestore_spark.functions.strings import (
+        camelize,
+        count_substring,
+        is_number,
+        underscore,
+    )
+
+    assert camelize("order_priority") == "orderPriority"
+    assert camelize("order_priority", upper_first=True) == "OrderPriority"
+    assert underscore("OrderPriority") == "order_priority"
+    assert underscore("Product Sub-Category") == "product_sub_category"
+    assert count_substring("a,b,,c", ",") == 3
+    assert is_number("3.5") and is_number("-2") and not is_number("3x")
