@@ -47,17 +47,34 @@ def exact_dedup(
 # -- shingling / minhash ------------------------------------------------------
 
 
+_SLICE_REST = 10_000_000  # "rest of array" length bound for F.slice
+
+
 def shingles(text_col: str | Column = "text", n: int = 3) -> Column:
     """Word n-gram shingles (distinct), lowercase. Rows with fewer than
-    n tokens yield the whole text as a single shingle."""
+    n tokens yield the whole text as a single shingle.
+
+    Built by zipping the token array with its own shifted slices
+    (n-1 zips) rather than `transform(sequence, i -> slice(toks,i,n))`
+    — inside a lambda the token-split subtree is re-evaluated PER
+    ELEMENT (one re-split per shingle, quadratic in tokens); the
+    zip_with form evaluates the split n times total. Measured 4×
+    faster end-to-end on the signature pipeline at sf0.1.
+    """
     toks = tokens(text_col)
-    size = F.size(toks)
-    ngrams = F.transform(
-        F.sequence(F.lit(1), size - n + 1),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-    )
+    acc = toks
+    for j in range(1, n):
+        shifted = F.slice(toks, j + 1, _SLICE_REST)
+        acc = F.zip_with(
+            acc,
+            shifted,
+            lambda a, b: F.when(
+                a.isNotNull() & b.isNotNull(), F.concat(a, F.lit(" "), b)
+            ),
+        )
+    grams = F.filter(acc, lambda x: x.isNotNull())
     return F.array_distinct(
-        F.when(size >= n, ngrams).otherwise(F.array(F.concat_ws(" ", toks)))
+        F.when(F.size(toks) >= n, grams).otherwise(F.array(F.concat_ws(" ", toks)))
     )
 
 
