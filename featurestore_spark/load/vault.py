@@ -43,8 +43,6 @@ hub delete SQL, link snapshot using the wrong dataframe, the
 from __future__ import annotations
 
 import json
-import os
-import shutil
 from dataclasses import dataclass, field
 from datetime import datetime, timezone
 
@@ -148,15 +146,38 @@ class VaultLoader:
         self.collect_counts = collect_counts
 
     # -- storage helpers ----------------------------------------------------
+    #
+    # All filesystem operations go through the Hadoop FileSystem API of
+    # the Spark session, so the same loader works on file://, hdfs://,
+    # s3a:// etc. (os.path/shutil would silently only work locally).
 
     def _dir(self, table: str) -> str:
-        return os.path.join(self.base, table)
+        return f"{self.base}/{table}"
 
     def _path(self, table: str, leaf: str) -> str:
-        return os.path.join(self._dir(table), leaf)
+        return f"{self._dir(table)}/{leaf}"
+
+    def _hadoop(self, path: str):
+        jvm = self.spark._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = jpath.getFileSystem(self.spark._jsc.hadoopConfiguration())
+        return fs, jpath
+
+    def _fs_exists(self, path: str) -> bool:
+        fs, jpath = self._hadoop(path)
+        return fs.exists(jpath)
+
+    def _fs_delete(self, path: str) -> None:
+        fs, jpath = self._hadoop(path)
+        fs.delete(jpath, True)
+
+    def _fs_rename(self, src: str, dst: str) -> None:
+        fs, jsrc = self._hadoop(src)
+        _, jdst = self._hadoop(dst)
+        fs.rename(jsrc, jdst)
 
     def _exists(self, table: str) -> bool:
-        return os.path.exists(self._path(table, CURRENT_FILE))
+        return self._fs_exists(self._path(table, CURRENT_FILE))
 
     def read_current(self, table: str) -> DataFrame:
         return self.spark.read.parquet(self._path(table, CURRENT_FILE))
@@ -170,9 +191,9 @@ class VaultLoader:
         tmp = self._path(table, CURRENT_FILE + ".tmp")
         df.write.mode("overwrite").parquet(tmp)
         final = self._path(table, CURRENT_FILE)
-        if os.path.exists(final):
-            shutil.rmtree(final)
-        os.rename(tmp, final)
+        if self._fs_exists(final):
+            self._fs_delete(final)
+        self._fs_rename(tmp, final)
 
     def _append_history(self, df: DataFrame, table: str, partition_by=None) -> None:
         writer = df.write.mode("append")
@@ -222,24 +243,53 @@ class VaultLoader:
 
     # -- process log / meta sidecar (S16/S17) ------------------------------
 
+    def _fs_write_text(self, path: str, text: str) -> None:
+        """Create/overwrite a small text file via the Hadoop FS API
+        (meta.json / proc.csv sidecars; works on any scheme)."""
+        fs, jpath = self._hadoop(path)
+        out = fs.create(jpath, True)
+        try:
+            out.write(bytearray(text.encode("utf-8")))
+        finally:
+            out.close()
+
+    def _fs_read_text(self, path: str) -> str | None:
+        fs, jpath = self._hadoop(path)
+        if not fs.exists(jpath):
+            return None
+        stream = fs.open(jpath)
+        try:
+            chunks = []
+            buf = bytearray(65536)
+            while True:
+                n = stream.read(buf)
+                if n <= 0:
+                    break
+                chunks.append(bytes(buf[:n]))
+            return b"".join(chunks).decode("utf-8")
+        finally:
+            stream.close()
+
     def _write_process_log(self, table: str, result: LoadResult) -> None:
+        """Append one summary row to proc.csv (read-old + rewrite —
+        the reference's read-union-overwrite protocol,
+        ParquetDataLoader.scala:1014-1056)."""
         if not self.collect_counts:
             return
-        os.makedirs(self._dir(table), exist_ok=True)
         path = self._path(table, PROC_FILE)
-        header = not os.path.exists(path)
-        with open(path, "a") as f:
-            if header:
-                f.write("process_time,table,read_count,duplicates,inserts,updates,deletes\n")
-            f.write(
-                f"{result.process_time},{result.table},{result.read_count},"
-                f"{result.duplicates},{result.inserts},{result.updates},{result.deletes}\n"
-            )
+        existing = self._fs_read_text(path)
+        if existing is None:
+            existing = "process_time,table,read_count,duplicates,inserts,updates,deletes\n"
+        line = (
+            f"{result.process_time},{result.table},{result.read_count},"
+            f"{result.duplicates},{result.inserts},{result.updates},{result.deletes}\n"
+        )
+        self._fs_write_text(path, existing + line)
 
     def _write_meta(self, table: str, params: dict) -> None:
-        os.makedirs(self._dir(table), exist_ok=True)
-        with open(self._path(table, META_FILE), "w") as f:
-            json.dump(params, f, indent=2, default=str)
+        self._fs_write_text(
+            self._path(table, META_FILE), json.dumps(params, indent=2, default=str)
+        )
 
     # -- change tables (S19) ------------------------------------------------
 
@@ -254,23 +304,25 @@ class VaultLoader:
             df.write.mode("append").partitionBy(self.m.process_date).parquet(path)
             self._prune_partitions(path, retention_days)
 
-    @staticmethod
-    def _prune_partitions(path: str, retention_days: int) -> None:
+    def _prune_partitions(self, path: str, retention_days: int) -> None:
         """Drop process_date partitions older than the retention window
-        (ParquetDataLoader.scala:1079-1103, daysAgo=3)."""
+        (ParquetDataLoader.scala:1079-1103, daysAgo=3) — Hadoop FS
+        listing, so pruning works on object stores too."""
         from datetime import date, timedelta
 
         cutoff = date.today() - timedelta(days=retention_days)
-        if not os.path.isdir(path):
+        fs, jpath = self._hadoop(path)
+        if not fs.exists(jpath):
             return
-        for entry in os.listdir(path):
-            if "=" in entry:
+        for status in fs.listStatus(jpath):
+            name = status.getPath().getName()
+            if "=" in name:
                 try:
-                    d = date.fromisoformat(entry.split("=", 1)[1])
+                    d = date.fromisoformat(name.split("=", 1)[1])
                 except ValueError:
                     continue
                 if d < cutoff:
-                    shutil.rmtree(os.path.join(path, entry), ignore_errors=True)
+                    fs.delete(status.getPath(), True)
 
     # -- hub (M1) -----------------------------------------------------------
 
@@ -543,8 +595,8 @@ class VaultLoader:
             tmp = self._path(table, HISTORY_FILE + ".tmp")
             new_history.write.mode("overwrite").parquet(tmp)
             final = self._path(table, HISTORY_FILE)
-            shutil.rmtree(final)
-            os.rename(tmp, final)
+            self._fs_delete(final)
+            self._fs_rename(tmp, final)
         else:
             self._append_history(delta, table)
 

@@ -666,6 +666,52 @@ def q_satellite_classify(spark, sf_dir):
     return inserts.select(*cols).unionByName(updates.select(*cols))
 
 
+@_register(
+    "q_vault_full_cycle",
+    """
+    SELECT md5('customer' || CAST(c_custkey AS VARCHAR)) AS entity_id,
+           CASE WHEN c_custkey % 5 = 0 THEN 'U' ELSE 'I' END AS rectype,
+           CAST(CASE WHEN c_custkey % 5 = 0 THEN 2 ELSE 1 END AS INTEGER) AS version,
+           round(CAST(c_acctbal
+                 + CASE WHEN c_custkey % 5 = 0 THEN 10.0 ELSE 0.0 END AS DOUBLE), 2) AS acctbal,
+           epoch_us(CASE WHEN c_custkey % 5 = 0
+                    THEN TIMESTAMP '2024-01-02 00:00:00'
+                    ELSE TIMESTAMP '2024-01-01 00:00:00' END) AS start_us
+    FROM customer
+    """,
+    "M2 end-to-end: satellite full load + drifted delta through the real "
+    "VaultLoader write path; current snapshot read back and checked",
+)
+def q_vault_full_cycle(spark, sf_dir):
+    import tempfile
+
+    from featurestore_spark.load import VaultLoader
+
+    base = tempfile.mkdtemp(prefix="vault_cycle_")
+    vl = VaultLoader(spark, base, fingerprint_method="md5", collect_counts=False)
+    cust = load_table(spark, sf_dir, "customer")
+    kwargs = dict(
+        table="sat",
+        entity_type="customer",
+        id_fields=["c_custkey"],
+        id_type="customer",
+    )
+    vl.load_satellite(cust, process_time="2024-01-01 00:00:00", **kwargs)
+    drifted = cust.withColumn(
+        "c_acctbal",
+        F.col("c_acctbal")
+        + F.when(F.col("c_custkey") % 5 == 0, F.lit(10.0)).otherwise(F.lit(0.0)),
+    )
+    vl.load_satellite(drifted, process_time="2024-01-02 00:00:00", **kwargs)
+    return vl.read_current("sat").select(
+        "entity_id",
+        "rectype",
+        "version",
+        F.round("c_acctbal", 2).alias("acctbal"),
+        F.unix_micros("start_time").alias("start_us"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Analytics / star schema (SURVEY.md §2.4, §2.8 M8-M9)
 # ---------------------------------------------------------------------------
