@@ -109,6 +109,121 @@ def bucketed_ann_topk(
     )
 
 
+def train_centroids(
+    df: DataFrame,
+    n_centroids: int = 16,
+    *,
+    vec_col: str = "embedding",
+    iterations: int = 3,
+) -> DataFrame:
+    """Deterministic Lloyd-style centroids for IVF: seed from sign
+    buckets (engine-agnostic), refine with mean-per-cluster rounds.
+
+    All DataFrame ops: assignment = argmin over broadcast centroids;
+    mean = `aggregate` element-wise sums / counts. Returns
+    (centroid_id, centroid array<double>).
+    """
+    bits = max(1, (n_centroids - 1).bit_length())
+    base = df.select(as_double_array(vec_col).alias("v"))
+    seeded = base.withColumn(
+        "centroid_id", sign_bucket(F.col("v"), bits) % n_centroids
+    )
+    for _ in range(iterations):
+        cents = _mean_vectors(seeded, "centroid_id", "v")
+        seeded = _assign_nearest(base, cents)
+    return _mean_vectors(seeded, "centroid_id", "v")
+
+
+def _mean_vectors(df: DataFrame, key_col: str, vec_col: str) -> DataFrame:
+    """Element-wise mean vector per key. posexplode → per-(key, dim)
+    partial sums → reassemble ordered array: bounded memory per group
+    (a collect_list-of-vectors fold would buffer whole clusters)."""
+    ex = df.select(key_col, F.posexplode(vec_col).alias("pos", "val"))
+    per_dim = ex.groupBy(key_col, "pos").agg(F.avg("val").alias("mean"))
+    return per_dim.groupBy(key_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "mean"))),
+            lambda s: s.getField("mean"),
+        ).alias("centroid")
+    )
+
+
+def _assign_nearest(base: DataFrame, centroids: DataFrame) -> DataFrame:
+    """argmin centroid per vector via broadcast cross join + window."""
+    sims = base.crossJoin(F.broadcast(centroids)).withColumn(
+        "_d",
+        F.aggregate(
+            F.zip_with(F.col("v"), F.col("centroid"), lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+    w = Window.partitionBy("v").orderBy(F.col("_d"), F.col("centroid_id"))
+    return (
+        sims.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("v", "centroid_id")
+    )
+
+
+def ivf_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    centroids: DataFrame,
+    k: int,
+    *,
+    n_probe: int = 1,
+    query_id: str = "query_id",
+    cand_id: str = "neighbor_id",
+    query_vec: str = "qv",
+    cand_vec: str = "cv",
+) -> DataFrame:
+    """IVF search: candidates pre-assigned to their nearest centroid;
+    each query probes its `n_probe` nearest centroid lists only. The
+    join is an equi-join on centroid_id — at 100 TB the candidate side
+    is bucketed/partitioned by centroid_id on disk and only probed
+    lists are scanned."""
+    cand_assigned = (
+        _assign_nearest(
+            candidates.select(F.col(cand_id), F.col(cand_vec).alias("v")), centroids
+        )
+        .withColumnRenamed("v", cand_vec)
+        .join(candidates.select(cand_id, cand_vec), cand_vec)
+    )
+    q_assigned = (
+        queries.crossJoin(F.broadcast(centroids))
+        .withColumn(
+            "_d",
+            F.aggregate(
+                F.zip_with(
+                    F.col(query_vec), F.col("centroid"), lambda a, b: (a - b) * (a - b)
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        )
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy(query_id).orderBy(F.col("_d"), F.col("centroid_id"))
+            ),
+        )
+        .where(F.col("_rn") <= n_probe)
+        .select(query_id, query_vec, "centroid_id")
+    )
+    sims = cand_assigned.join(F.broadcast(q_assigned), "centroid_id").select(
+        query_id,
+        cand_id,
+        cosine(F.col(query_vec), F.col(cand_vec)).alias("sim"),
+    )
+    w = Window.partitionBy(query_id).orderBy(F.col("sim").desc(), F.col(cand_id))
+    return (
+        sims.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select(query_id, "rnk", cand_id, "sim")
+    )
+
+
 def embedding_near_dups(
     df: DataFrame,
     *,

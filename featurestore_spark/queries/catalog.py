@@ -890,6 +890,122 @@ def q_star_fact_order_counts(spark, sf_dir):
     )
 
 
+@_register(
+    "q_tpch_q10",
+    """
+    SELECT c_custkey, c_name, n_name,
+           CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT))
+                AS BIGINT) AS revenue_cents
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+                  JOIN orders ON o_custkey = c_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue_cents DESC, c_custkey
+    LIMIT 20
+    """,
+    "Returned-item revenue ranking (4-way join + agg + ordered limit)",
+)
+def q_tpch_q10(spark, sf_dir):
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(orders, orders.o_custkey == cust.c_custkey)
+        .where(
+            (F.col("o_orderdate") >= _ts_lit("1997-01-01 00:00:00"))
+            & (F.col("o_orderdate") < _ts_lit("1998-01-01 00:00:00"))
+        )
+        .join(
+            li.where(F.col("l_returnflag") == "R"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            # exact integer-cents sum: per-row products are bit-identical
+            # across engines; summing bigints is order-independent,
+            # unlike rounding a float sum (boundary flips)
+            F.sum(
+                F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0)
+                .cast("bigint")
+            ).alias("revenue_cents")
+        )
+        .orderBy(F.col("revenue_cents").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+@_register(
+    "q_tpch_q12",
+    """
+    SELECT o_orderpriority,
+           CAST(sum(CASE WHEN l_quantity >= 25 THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN l_quantity < 25 THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY o_orderpriority
+    """,
+    "Conditional-count aggregation by priority (q12 shape)",
+)
+def q_tpch_q12(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        orders.join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .where(
+            (F.col("l_shipdate") >= _ts_lit("1996-01-01 00:00:00"))
+            & (F.col("l_shipdate") < _ts_lit("1997-01-01 00:00:00"))
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum(F.when(F.col("l_quantity") >= 25, 1).otherwise(0))
+            .cast("bigint")
+            .alias("high_line_count"),
+            F.sum(F.when(F.col("l_quantity") < 25, 1).otherwise(0))
+            .cast("bigint")
+            .alias("low_line_count"),
+        )
+    )
+
+
+@_register(
+    "q_tpch_q14",
+    """
+    SELECT round(CAST(100.0 * sum(CASE WHEN p_type LIKE 'PROMO%'
+                      THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END)
+                 / sum(l_extendedprice * (1 - l_discount)) AS DOUBLE), 4) AS promo_revenue_pct
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-06-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1996-07-01 00:00:00'
+    """,
+    "Promo-revenue ratio (ratio-of-conditional-sums, broadcast part dim)",
+)
+def q_tpch_q14(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.where(
+            (F.col("l_shipdate") >= _ts_lit("1996-06-01 00:00:00"))
+            & (F.col("l_shipdate") < _ts_lit("1996-07-01 00:00:00"))
+        )
+        .join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .agg(
+            F.round(
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type").like("PROMO%"), disc).otherwise(F.lit(0.0)))
+                / F.sum(disc),
+                4,
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Training-data pipeline: text analysis / dedup / similarity
 # ---------------------------------------------------------------------------

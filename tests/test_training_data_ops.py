@@ -151,3 +151,36 @@ def test_multimodal_plumbing(docs):
     frames = sample_frames(with_bin, every_n_bytes=16, max_frames=4)
     per_doc = frames.groupBy("doc_id").count().collect()
     assert all(1 <= row["count"] <= 4 for row in per_doc)
+
+
+def test_ivf_topk_recall(spark):
+    import random
+
+    from featurestore_spark.operators.similarity import (
+        cosine_topk,
+        ivf_topk,
+        train_centroids,
+    )
+
+    random.seed(11)
+    # two well-separated clusters so IVF recall is deterministic-ish
+    vecs = []
+    for i in range(40):
+        center = [5.0, 5.0, -5.0, 5.0] if i % 2 == 0 else [-5.0, -5.0, 5.0, -5.0]
+        vecs.append((i, [c + random.gauss(0, 0.3) for c in center]))
+    df = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    cents = train_centroids(df, n_centroids=2, iterations=2)
+    assert cents.count() == 2
+
+    q = df.where("vec_id < 2").select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    c = df.where("vec_id >= 2").select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv")
+    )
+    approx = ivf_topk(q, c, cents, k=3, n_probe=1)
+    exact = cosine_topk(q, c, k=3)
+    a = {(r["query_id"], r["rnk"]): r["neighbor_id"] for r in approx.collect()}
+    e = {(r["query_id"], r["rnk"]): r["neighbor_id"] for r in exact.collect()}
+    # with clean separation, probing 1 list recovers the exact top-3
+    assert a == e
