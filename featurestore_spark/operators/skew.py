@@ -1,0 +1,86 @@
+"""Skew and co-location utilities for cluster-scale joins.
+
+- `salted_join`: explicit salting for power-law keys — replicate the
+  small side `salt` ways, scatter the big side uniformly; the join key
+  becomes (key, salt) so one hot key spreads over `salt` reducers.
+  AQE's skew-join split handles *detected* skew after a shuffle
+  materializes; salting prevents the hot partition from ever being
+  built, and works for aggregations too (`salted_count`).
+- `write_bucketed` / `read_bucketed`: persist a table bucketed by its
+  join key so repeated joins/aggregations on that key are
+  exchange-free (bucketing survives restarts; a `repartition` doesn't).
+
+At 100 TB these are the difference between a straggler task holding
+the job for hours and uniform completion.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: str,
+    *,
+    salt: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Join with the big side's hot keys scattered over `salt` buckets.
+
+    `small` is replicated `salt`× (explode over the salt range) — use
+    only when small is genuinely small or the skew is worth the
+    replication. Output columns match a plain `big.join(small, on)`.
+    """
+    salted_big = big.withColumn(
+        "_salt", (F.rand(seed=42) * salt).cast("int")
+    )
+    salted_small = small.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+    )
+    return salted_big.join(salted_small, [on, "_salt"], how).drop("_salt")
+
+
+def salted_count(
+    df: DataFrame,
+    keys: list[str],
+    *,
+    salt: int = 16,
+    count_col: str = "n",
+) -> DataFrame:
+    """Two-phase count for skewed group keys: partial count per
+    (key, salt), then final sum per key — the hot key's rows are
+    pre-combined across `salt` reducers before the final (small)
+    shuffle. Spark's hash aggregate already does map-side partials;
+    salting additionally splits the REDUCE side of a hot key."""
+    partial = (
+        df.withColumn("_salt", (F.rand(seed=42) * salt).cast("int"))
+        .groupBy(*keys, "_salt")
+        .agg(F.count(F.lit(1)).alias("_pc"))
+    )
+    return partial.groupBy(*keys).agg(F.sum("_pc").cast("bigint").alias(count_col))
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int,
+    *,
+    sort_cols: list[str] | None = None,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+) -> None:
+    """Persist bucketed (and optionally sorted) by the join key:
+    subsequent equi-joins / groupBys on `bucket_cols` between tables
+    with matching bucketing run with NO exchange."""
+    writer = df.write.mode(mode).format(fmt).bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table)
+
+
+def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
+    return spark.table(table)

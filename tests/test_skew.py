@@ -1,0 +1,71 @@
+"""Skew/bucketing utilities: correctness vs plain formulations, and
+exchange-elimination proof for bucketed joins."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from featurestore_spark.operators.skew import (
+    read_bucketed,
+    salted_count,
+    salted_join,
+    write_bucketed,
+)
+
+
+@pytest.fixture()
+def skewed(spark):
+    # one hot key (90%) + uniform tail
+    hot = spark.range(900).select(F.lit("HOT").alias("k"), F.col("id").alias("v"))
+    tail = spark.range(100).select(
+        F.concat(F.lit("k"), F.col("id")).alias("k"), F.col("id").alias("v")
+    )
+    return hot.unionByName(tail)
+
+
+def test_salted_join_matches_plain(spark, skewed):
+    dim = spark.createDataFrame(
+        [("HOT", "hot-dim")] + [(f"k{i}", f"d{i}") for i in range(100)], ["k", "label"]
+    )
+    plain = skewed.join(dim, "k").groupBy("label").count()
+    salted = salted_join(skewed, dim, "k", salt=8).groupBy("label").count()
+    assert sorted(plain.collect()) == sorted(salted.collect())
+
+
+def test_salted_count_matches_plain(spark, skewed):
+    plain = {r["k"]: r["count"] for r in skewed.groupBy("k").count().collect()}
+    salted = {r["k"]: r["n"] for r in salted_count(skewed, ["k"], salt=8).collect()}
+    assert plain == salted
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    import io
+    from contextlib import redirect_stdout
+
+    import shutil
+
+    for t in ("bt_left", "bt_right"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        loc = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+        shutil.rmtree(f"{loc.removeprefix('file:')}/{t}", ignore_errors=True)
+    left = spark.range(1000).select(F.col("id").alias("k"), (F.col("id") * 2).alias("a"))
+    right = spark.range(1000).select(F.col("id").alias("k"), (F.col("id") * 3).alias("b"))
+    write_bucketed(left, "bt_left", ["k"], 4)
+    write_bucketed(right, "bt_right", ["k"], 4)
+    # disable auto-broadcast so the shuffle-join path is exercised —
+    # that's where bucketing eliminates the exchanges
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = read_bucketed(spark, "bt_left").join(
+            read_bucketed(spark, "bt_right"), "k"
+        )
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            joined.explain("formatted")
+        plan = buf.getvalue()
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        # bucketing alignment: no shuffle exchange on either join side
+        assert "Exchange hashpartitioning" not in plan
+        assert joined.count() == 1000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
