@@ -53,24 +53,31 @@ def _now() -> str:
 
 
 class StarLoader:
-    def __init__(self, spark: SparkSession, base_path: str):
+    def __init__(self, spark: SparkSession, base_path: str, fmt: str = "parquet"):
+        # fmt: "parquet" (default) or "orc" — S11 HiveWriter wrote ORC
+        # (star/io/HiveWriter.scala:14); both are columnar, same API.
         self.spark = spark
         self.base = base_path.rstrip("/")
+        self.fmt = fmt
 
     def _path(self, name: str) -> str:
-        return os.path.join(self.base, f"{name}.parquet")
+        return os.path.join(self.base, f"{name}.{self.fmt}")
+
+    def _write(self, df: DataFrame, path: str) -> None:
+        df.write.mode("overwrite").format(self.fmt).save(path)
 
     # -- base + sample tables (S11/S12) -------------------------------------
 
     def write_base_and_sample(self, df: DataFrame, name: str, sample_size: int = 10_000):
         """Base table + bounded random sample table
-        (star/io/ParquetWriter.scala:9-34)."""
-        df.write.mode("overwrite").parquet(self._path(name))
+        (star/io/ParquetWriter.scala:9-34, HiveWriter.scala:19-32)."""
+        self._write(df, self._path(name))
         n = df.count()
         fraction = min(1.0, sample_size / max(n, 1))
-        df.sample(fraction=fraction, seed=42).limit(sample_size).write.mode(
-            "overwrite"
-        ).parquet(self._path(f"{name}_sample"))
+        self._write(
+            df.sample(fraction=fraction, seed=42).limit(sample_size),
+            self._path(f"{name}_sample"),
+        )
 
     # -- dimensions (M8) -----------------------------------------------------
 
@@ -110,10 +117,10 @@ class StarLoader:
             )
             unknown = self._unknown_row(dim, cols, process_time)
             dim = dim.unionByName(unknown)
-            dim.write.mode("overwrite").parquet(dim_path)
-            return self.spark.read.parquet(dim_path)
+            dim.write.mode("overwrite").format(self.fmt).save(dim_path)
+            return self.spark.read.format(self.fmt).load(dim_path)
 
-        prev = self.spark.read.parquet(dim_path)
+        prev = self.spark.read.format(self.fmt).load(dim_path)
         prev_current = prev.where(F.col("current"))
         max_id = prev.agg(F.max("id")).first()[0] or 0  # A8 seed
 
@@ -169,12 +176,12 @@ class StarLoader:
             new_dim_rows
         ).unionByName(changed_new_versions)
         tmp = dim_path + ".tmp"
-        merged.write.mode("overwrite").parquet(tmp)
+        merged.write.mode("overwrite").format(self.fmt).save(tmp)
         import shutil
 
         shutil.rmtree(dim_path)
         os.rename(tmp, dim_path)
-        return self.spark.read.parquet(dim_path)
+        return self.spark.read.format(self.fmt).load(dim_path)
 
     @staticmethod
     def _unknown_row(dim: DataFrame, cols: list[str], process_time: str) -> DataFrame:
@@ -205,7 +212,7 @@ class StarLoader:
         out = df
         fk_cols = []
         for spec in config.dims:
-            dim = self.spark.read.parquet(self._path(f"dim_{spec.name}"))
+            dim = self.spark.read.format(self.fmt).load(self._path(f"dim_{spec.name}"))
             lookup = F.broadcast(
                 dim.where(F.col("current")).select(
                     F.col("hashed_key").alias(f"_hk_{spec.name}"),
@@ -229,7 +236,7 @@ class StarLoader:
             )
             fk_cols.append(f"{spec.name}_id")
         fact = out.select(*fk_cols, *config.measure_cols)
-        fact.write.mode("overwrite").parquet(self._path(f"fact_{config.fact_name}"))
+        self._write(fact, self._path(f"fact_{config.fact_name}"))
         return fact
 
     # -- orchestration (M10) -------------------------------------------------
