@@ -118,3 +118,48 @@ def test_connected_components_and_resolution(spark):
     rmap = {r["entity_id"]: r["canonical_id"] for r in resolved.collect()}
     assert rmap["p1"] == rmap["c1"]
     assert "c3" not in rmap  # low-confidence edge dropped
+
+
+def test_stateful_sessionize_matches_batch_across_batches(spark, tmp_path):
+    """Custom applyInPandasWithState session numbering: two time-ordered
+    files processed as separate micro-batches must produce exactly the
+    batch sessionize result (state carries the numbering across)."""
+    from featurestore_spark.streaming.stateful import stateful_sessionize
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    src = str(tmp_path / "chunks")
+    # chunk 1 = earlier half by ts, chunk 2 = later half (ordered arrival)
+    early = ev.where(F.col("ts") <= F.expr("timestamp'2024-01-15 00:00:00'"))
+    late = ev.where(F.col("ts") > F.expr("timestamp'2024-01-15 00:00:00'"))
+    early.coalesce(1).write.parquet(src)
+    late.coalesce(1).write.mode("append").parquet(src)
+
+    static = spark.read.parquet(src)
+    stream = (
+        spark.readStream.schema(static.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stateful_sessionize(stream, 1800.0)
+        .writeStream.format("memory")
+        .queryName("stateful_sessions")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    streamed = {
+        (r["user_id"], r["event_id"]): r["session"]
+        for r in spark.table("stateful_sessions").collect()
+    }
+
+    from featurestore_spark.operators.events import sessionize
+
+    batch = sessionize(
+        ev, 1800.0, entity_col="user_id", ts_col="ts", tiebreak_cols=("event_id",)
+    )
+    expected = {
+        (r["user_id"], r["event_id"]): r["session"] for r in batch.collect()
+    }
+    assert streamed == expected
