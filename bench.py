@@ -40,6 +40,12 @@ HEADLINE = [
     "q_minhash_pairs",
     "q_embedding_topk",
     "q_embedding_ann_lsh",
+    "q_tpch_q6",
+    "q_tpch_q10",
+    "q_tpch_q12",
+    "q_tpch_q14",
+    "q_top_customers",
+    "q_vault_full_cycle",  # write-path throughput (real loader)
 ]
 
 

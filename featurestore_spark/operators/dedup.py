@@ -174,9 +174,14 @@ def minhash_candidate_pairs(
 ) -> DataFrame:
     """Near-duplicate candidate pairs: documents sharing ≥1 band hash.
 
-    Shuffle pattern: melt to (band_idx, band_hash, id) → self-join on
-    the bucket key → distinct pairs. Buckets larger than `max_bucket`
-    (boilerplate) are dropped to bound the quadratic blowup.
+    Shuffle pattern: melt to (band_idx, band_hash, id) → ONE groupBy
+    on the bucket key collecting member ids → in-bucket pair expansion
+    with array combinatorics (flatten of sliced transforms) → distinct
+    across bands. One wide shuffle instead of the window-count +
+    self-join formulation (3 shuffles). Buckets larger than
+    `max_bucket` (boilerplate) are dropped to bound the quadratic
+    blowup — exactly what the windowed guard did, now free with the
+    same groupBy.
     """
     b = minhash_bands(df, text_col, id_col, n=n, k=k, bands=bands)
     melted = b.selectExpr(
@@ -185,15 +190,25 @@ def minhash_candidate_pairs(
             bands, ", ".join(f"'{i}', band_{i}" for i in range(bands))
         ),
     )
-    sized = melted.withColumn(
-        "_n", F.count(F.lit(1)).over(Window.partitionBy("band_idx", "band_hash"))
-    ).where(F.col("_n") <= max_bucket)
-    a = sized.select(F.col("band_idx"), F.col("band_hash"), F.col(id_col).alias("a_id"))
-    c = sized.select(F.col("band_idx"), F.col("band_hash"), F.col(id_col).alias("b_id"))
+    buckets = (
+        melted.groupBy("band_idx", "band_hash")
+        .agg(F.sort_array(F.collect_list(id_col)).alias("_ids"))
+        .where((F.size("_ids") >= 2) & (F.size("_ids") <= max_bucket))
+    )
+    # all ordered pairs within a bucket: for each position i, pair ids[i]
+    # with every later element
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("_ids"),
+            lambda a, i: F.transform(
+                F.slice(F.col("_ids"), i + 2, _SLICE_REST),
+                lambda bb: F.struct(a.alias("a_id"), bb.alias("b_id")),
+            ),
+        )
+    )
     return (
-        a.join(c, ["band_idx", "band_hash"])
-        .where(F.col("a_id") < F.col("b_id"))
-        .select("a_id", "b_id")
+        buckets.select(F.explode(pair_structs).alias("p"))
+        .select(F.col("p.a_id"), F.col("p.b_id"))
         .distinct()
     )
 
