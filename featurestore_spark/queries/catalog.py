@@ -891,6 +891,59 @@ def q_star_fact_order_counts(spark, sf_dir):
 
 
 @_register(
+    "q_dq_assertion",
+    """
+    SELECT 'discount_range' AS name, count(*) AS total,
+           CAST(sum(CASE WHEN NOT (l_discount >= 0.0 AND l_discount <= 0.08)
+                         OR l_discount IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS invalid,
+           CAST(sum(CASE WHEN NOT (l_discount >= 0.0 AND l_discount <= 0.08)
+                         OR l_discount IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*) <= 0.35 AS passed
+    FROM lineitem
+    """,
+    "D1 DQ assertion: valid-fraction check through the real DQRunner",
+)
+def q_dq_assertion(spark, sf_dir):
+    from featurestore_spark.dq import DQRunner
+
+    li = load_table(spark, sf_dir, "lineitem")
+    res, _invalid = DQRunner(spark).run_assertion(
+        li, "discount_range", "l_discount >= 0.0 AND l_discount <= 0.08", 0.35
+    )
+    return spark.createDataFrame(
+        [(res.name, res.total, res.invalid, res.passed)],
+        "name string, total bigint, invalid bigint, passed boolean",
+    )
+
+
+@_register(
+    "q_entity_resolution",
+    """
+    WITH e AS (SELECT DISTINCT
+                 md5('customer' || CAST(o_custkey AS VARCHAR)) AS c,
+                 md5('order' || CAST(o_orderkey AS VARCHAR)) AS o
+               FROM orders),
+    canon AS (SELECT c, least(c, min(o)) AS m FROM e GROUP BY c)
+    SELECT c AS entity_id, m AS canonical_id FROM canon
+    UNION ALL
+    SELECT e.o AS entity_id, canon.m AS canonical_id
+    FROM e JOIN canon ON e.c = canon.c
+    """,
+    "J12 entity resolution: iterative connected components over the "
+    "customer-order mapping graph (star components -> min-id labels)",
+)
+def q_entity_resolution(spark, sf_dir):
+    from featurestore_spark.operators.resolve import resolve_entities
+
+    orders = load_table(spark, sf_dir, "orders")
+    mappings = orders.select(
+        hash_key(F.lit("customer"), "o_custkey").alias("src_entity_id"),
+        hash_key(F.lit("order"), "o_orderkey").alias("dst_entity_id"),
+    ).distinct()
+    return resolve_entities(mappings, confidence_col=None)
+
+
+@_register(
     "q_tpch_q10",
     """
     SELECT c_custkey, c_name, n_name,
