@@ -340,9 +340,17 @@ class VaultLoader:
         delete_indicator: tuple[str, object] | None = None,
         new_names: dict[str, str] | None = None,
         projection: list[str] | None = None,
+        natural_key_col: str = "natural_key",
     ) -> LoadResult:
         """Register natural keys: one row-version per key, MD5 entity_id
-        (ParquetDataLoader.scala:49-270)."""
+        (ParquetDataLoader.scala:49-270).
+
+        The natural key is stored under ONE conformed column
+        (`natural_key_col`, multi-field keys joined with '|') so hubs
+        holding several id_types — e.g. customer ids, emails, fnns
+        registered into the same hub (CustomerMappingSpec.scala:20-87)
+        — keep a uniform schema across loads.
+        """
         m, rt = self.m, self.rt
         process = process or ProcessInfo()
         process_time = process_time or _now_str()
@@ -360,7 +368,9 @@ class VaultLoader:
             hash_key(F.lit(id_type), *id_fields).alias(m.entity_id),
             F.lit(entity_type).alias(m.entity_type),
             F.lit(id_type).alias(m.id_type),
-            *[F.col(c).cast("string").alias(c) for c in id_fields],
+            F.concat_ws("|", *[F.col(c).cast("string") for c in id_fields]).alias(
+                natural_key_col
+            ),
             *self._meta_cols(process, process_time),
             *( [delete_flag.alias("_is_delete")] if delete_flag is not None else [] ),
         )

@@ -38,7 +38,7 @@ def test_hub_md5_key_and_delta(spark, loader):
     cur = loader.read_current("customer_hub")
     assert cur.count() == 100
     # entity_id == md5(idType ++ id)  (LoadHubParquetSpec.scala:41-49)
-    row = cur.where(F.col("cust_id") == "7").first()
+    row = cur.where(F.col("natural_key") == "7").first()
     assert row["entity_id"] == hashlib.md5(b"customer7").hexdigest()
     assert row["version"] == 1 and row["rectype"] == "I"
 
@@ -231,3 +231,28 @@ def test_load_all_orchestration(spark, loader):
     results = loader.load_all({"cust": _customers(spark, range(30))}, cfg)
     assert results["hub_all"].inserts == 30
     assert results["sat_all"].inserts == 30
+
+
+def test_hub_multiple_id_types_preserved(spark, loader):
+    """Loading a second id_type, then re-loading the first, must not
+    drop the other id_type's rows from current (regression for the
+    filtered-classify / full-current rebuild split)."""
+    kwargs = dict(table="multi_hub", entity_type="party")
+    loader.load_hub(
+        _customers(spark, range(10)), id_fields=["cust_id"], id_type="customer",
+        process_time=T0, **kwargs,
+    )
+    emails = spark.createDataFrame(
+        [(f"u{i}@x.com",) for i in range(5)], ["email"]
+    )
+    loader.load_hub(
+        emails, id_fields=["email"], id_type="email", process_time=T0, **kwargs
+    )
+    # delta load of customers only
+    loader.load_hub(
+        _customers(spark, range(10, 12)), id_fields=["cust_id"], id_type="customer",
+        process_time=T1, **kwargs,
+    )
+    cur = loader.read_current("multi_hub")
+    by_type = {r["id_type"]: r["count"] for r in cur.groupBy("id_type").count().collect()}
+    assert by_type == {"customer": 12, "email": 5}
