@@ -357,9 +357,10 @@ def q_current_events(spark, sf_dir):
     return out.select("user_id", "event_type", F.unix_micros("ts").alias("ts_us"), "value")
 
 
-def _pivot_oracle(bound_sql: str) -> str:
+def _pivot_oracle(bound_sql: str, features=None) -> str:
     cases = ",\n      ".join(
-        f"max(CASE WHEN event_type = '{t}' THEN value END) AS {t}" for t in EVENT_TYPES
+        f"max(CASE WHEN event_type = '{t}' THEN value END) AS {t}"
+        for t in (features or EVENT_TYPES)
     )
     return f"""
     WITH latest AS (
@@ -887,6 +888,71 @@ def q_star_fact_order_counts(spark, sf_dir):
             F.count(F.lit(1)).alias("n_orders"),
             F.round(F.sum("o_totalprice"), 2).alias("total_price"),
         )
+    )
+
+
+@_register(
+    "q_pivot_registry",
+    _pivot_oracle(
+        f"SELECT * FROM events WHERE ts <= TIMESTAMP '{AS_OF}'",
+        features=["click", "error", "purchase"],
+    ),
+    "T11+W8: snapshot pivot with columns driven by the feature registry",
+)
+def q_pivot_registry(spark, sf_dir):
+    from featurestore_spark.store import Feature, FeatureStore
+
+    fs = FeatureStore()
+    for attr in ["click", "error", "purchase"]:
+        fs.register_feature(Feature(attr, "Base", "events"))
+    fs.register_feature(Feature("signup", "Base", "events", active=False))  # excluded
+    ev = _events(spark, sf_dir)
+    return snapshot_pivot(
+        ev,
+        fs.attribute_names("events"),
+        as_of=_ts_lit(AS_OF),
+        entity_col="user_id",
+        attr_col="event_type",
+        ts_col="ts",
+        value_col="value",
+        tiebreak_cols=("event_id",),
+    )
+
+
+@_register(
+    "q_sniff_csv",
+    """
+    SELECT ',' AS delimiter, true AS has_header, 3 AS n_cols,
+           'bigint' AS c0_type, 'double' AS c1_type, 'string' AS c2_type
+    """,
+    "I1-I5: sniff a generated CSV head sample; expected metadata as oracle",
+)
+def q_sniff_csv(spark, sf_dir):
+    import tempfile
+
+    from featurestore_spark.inference import sniff_file
+
+    docs = load_table(spark, sf_dir, "documents").orderBy("doc_id").limit(50)
+    rows = docs.select("doc_id", "n_chars", "lang").collect()
+    path = tempfile.mktemp(suffix=".csv")
+    with open(path, "w") as f:
+        f.write("doc_id,score,lang\n")
+        for r in rows:
+            f.write(f"{r['doc_id']},{r['n_chars'] / 7.0},{r['lang']}\n")
+    md = sniff_file(path)
+    return spark.createDataFrame(
+        [
+            (
+                md.delimiter,
+                md.has_header,
+                len(md.column_types),
+                md.column_types[0],
+                md.column_types[1],
+                md.column_types[2],
+            )
+        ],
+        "delimiter string, has_header boolean, n_cols int, c0_type string,"
+        " c1_type string, c2_type string",
     )
 
 
