@@ -957,6 +957,32 @@ def q_sniff_csv(spark, sf_dir):
 
 
 @_register(
+    "q_hash_split",
+    """
+    WITH bucketed AS (
+      SELECT doc_id,
+             CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7)) AS UBIGINT)
+                  % 1000000 AS INTEGER) AS b
+      FROM documents)
+    SELECT CASE WHEN b < 800000 THEN 'train'
+                WHEN b < 900000 THEN 'val'
+                ELSE 'test' END AS split,
+           count(*) AS n, min(doc_id) AS min_id
+    FROM bucketed GROUP BY 1
+    """,
+    "Deterministic hash-based train/val/test split (portable buckets)",
+)
+def q_hash_split(spark, sf_dir):
+    from featurestore_spark.operators.sampling import split_by_hash
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = split_by_hash(docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    return out.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n"), F.min("doc_id").alias("min_id")
+    )
+
+
+@_register(
     "q_dq_assertion",
     """
     SELECT 'discount_range' AS name, count(*) AS total,
@@ -1352,6 +1378,48 @@ def q_ngram_jaccard(spark, sf_dir):
         F.col("a_id") < F.col("b_id")
     )
     return jaccard_pairs(docs, pairs, n=_MH_N)
+
+
+@_register(
+    "q_dedup_pipeline",
+    _duck_minhash_bands()
+    + ",\n melted AS ("
+    + " UNION ALL ".join(
+        f"SELECT doc_id, {i} AS band_idx, band_{i} AS band_hash FROM bands"
+        for i in range(_MH_BANDS)
+    )
+    + """),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+      FROM melted a JOIN melted b USING (band_idx, band_hash)
+      WHERE a.doc_id < b.doc_id),
+    verified AS (
+      SELECT c.a_id, c.b_id
+      FROM cand c JOIN shingled sa ON sa.doc_id = c.a_id
+                  JOIN shingled sb ON sb.doc_id = c.b_id
+      WHERE round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+            / len(list_distinct(list_concat(sa.sh, sb.sh))), 4) >= 0.8),
+    drops AS (SELECT DISTINCT b_id FROM verified)
+    SELECT d.doc_id FROM documents d
+    LEFT JOIN drops ON d.doc_id = drops.b_id
+    WHERE drops.b_id IS NULL
+    """,
+    "End-to-end dedup pipeline: LSH candidates -> Jaccard>=0.8 verify "
+    "-> keep-list (drop later near-duplicates)",
+)
+def q_dedup_pipeline(spark, sf_dir):
+    from featurestore_spark.operators.dedup import (
+        jaccard_pairs,
+        minhash_candidate_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    cand = minhash_candidate_pairs(
+        docs, n=_MH_N, k=_MH_K, bands=_MH_BANDS, max_bucket=10**9
+    )
+    dups = jaccard_pairs(docs, cand, n=_MH_N).where(F.col("jaccard") >= 0.8)
+    drops = dups.select(F.col("b_id").alias("doc_id")).distinct()
+    return docs.join(drops, "doc_id", "left_anti").select("doc_id")
 
 
 @_register(

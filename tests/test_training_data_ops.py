@@ -184,3 +184,30 @@ def test_ivf_topk_recall(spark):
     e = {(r["query_id"], r["rnk"]): r["neighbor_id"] for r in exact.collect()}
     # with clean separation, probing 1 list recovers the exact top-3
     assert a == e
+
+
+def test_split_by_hash_deterministic_and_stable(spark):
+    from featurestore_spark.operators.sampling import (
+        split_by_hash,
+        stratified_sample_by_hash,
+    )
+
+    df = spark.range(10000).toDF("id")
+    out = split_by_hash(df, "id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    counts = {r["split"]: r["count"] for r in out.groupBy("split").count().collect()}
+    assert abs(counts["train"] - 8000) < 300
+    assert abs(counts["val"] - 1000) < 150
+    # deterministic: same assignment on re-run
+    again = split_by_hash(df, "id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    assert out.exceptAll(again).count() == 0
+    # stable under growth: original rows keep their split
+    bigger = split_by_hash(
+        spark.range(20000).toDF("id"), "id", {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+    assert bigger.where("id < 10000").exceptAll(out).count() == 0
+
+    strat = stratified_sample_by_hash(
+        df.withColumn("g", (F.col("id") % 4)), "id", ["g"], 0.25
+    )
+    per_g = {r["g"]: r["count"] for r in strat.groupBy("g").count().collect()}
+    assert all(abs(v - 625) < 150 for v in per_g.values())
