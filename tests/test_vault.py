@@ -256,3 +256,40 @@ def test_hub_multiple_id_types_preserved(spark, loader):
     cur = loader.read_current("multi_hub")
     by_type = {r["id_type"]: r["count"] for r in cur.groupBy("id_type").count().collect()}
     assert by_type == {"customer": 12, "email": 5}
+
+
+def test_table_vault_loader_managed_tables(spark):
+    """M6 analog: same algorithms on catalog managed tables, full
+    insert/update support (which Hive-on-Spark 1.5 lacked)."""
+    import pytest as _pytest
+
+    from featurestore_spark.load.table_vault import TableVaultLoader
+
+    for t in spark.catalog.listTables("default"):
+        if t.name.startswith("tv_"):
+            spark.sql(f"DROP TABLE IF EXISTS default.{t.name}")
+
+    tv = TableVaultLoader(spark, fingerprint_method="md5")
+    res = tv.load_satellite(
+        _customers(spark, range(30)), table="tv_sat", entity_type="c",
+        id_fields=["cust_id"], id_type="customer", process_time=T0,
+    )
+    assert res.inserts == 30
+    assert spark.table("default.tv_sat_current").count() == 30
+
+    res2 = tv.load_satellite(
+        _customers(spark, range(25, 35), flag=7), table="tv_sat", entity_type="c",
+        id_fields=["cust_id"], id_type="customer", process_time=T1,
+    )
+    assert res2.inserts == 5 and res2.updates == 5
+    cur = spark.table("default.tv_sat_current")
+    assert cur.count() == 35
+    assert cur.where("version = 2 AND rectype = 'U'").count() == 5
+    assert spark.table("default.tv_sat_history").count() == 40
+    assert spark.table("default.tv_sat_proc").count() == 2
+
+    with _pytest.raises(NotImplementedError):
+        tv.load_satellite(
+            _customers(spark, range(3)), table="tv_sat2", entity_type="c",
+            id_fields=["cust_id"], id_type="customer", overwrite=True,
+        )
