@@ -265,9 +265,16 @@ def test_table_vault_loader_managed_tables(spark):
 
     from featurestore_spark.load.table_vault import TableVaultLoader
 
+    import glob
+    import shutil
+
     for t in spark.catalog.listTables("default"):
         if t.name.startswith("tv_"):
             spark.sql(f"DROP TABLE IF EXISTS default.{t.name}")
+    # stale locations from a previous session's (in-memory) catalog
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    for d in glob.glob(f"{warehouse.removeprefix('file:')}/tv_*"):
+        shutil.rmtree(d, ignore_errors=True)
 
     tv = TableVaultLoader(spark, fingerprint_method="md5")
     res = tv.load_satellite(
