@@ -227,6 +227,32 @@ class VaultLoader:
             out = out.withColumnsRenamed(new_names)
         return out.distinct()
 
+    def _resurrect(self, inserts: DataFrame, cur: DataFrame, keys: list[str]) -> DataFrame:
+        """Continue the version chain for re-inserted (resurrected) keys.
+
+        Change classification runs against current rows with
+        rectype <> 'D' (the reference's filter,
+        ParquetDataLoader.scala:343-345), so a deleted entity that
+        re-appears classifies as an insert. The reference restarts it at
+        version 1, which its own max-version snapshot
+        (ParquetDataLoader.scala:983-990) would lose to the tombstone's
+        higher version — current would stay deleted. We bump the
+        resurrected insert past the tombstone instead, so
+        `latest_per_key` flips current back to the live row and
+        (entity_id, version) stays unique in history.
+        """
+        m, rt = self.m, self.rt
+        tomb = cur.where(F.col(m.rectype) == rt.delete).select(
+            *keys, F.col(m.version).alias("_tomb_version")
+        )
+        return (
+            inserts.join(tomb, keys, "left")
+            .withColumn(
+                m.version, F.coalesce(F.col("_tomb_version") + 1, F.col(m.version))
+            )
+            .drop("_tomb_version")
+        )
+
     def _count(self, df: DataFrame) -> int:
         return df.count() if self.collect_counts else -1
 
@@ -404,11 +430,13 @@ class VaultLoader:
             else:
                 flagged_deletes = None
 
+            live_keys = cur.where(F.col(m.rectype) != rt.delete).select(m.entity_id)
             inserts = (
-                incoming.join(cur.select(m.entity_id), m.entity_id, "left_anti")
+                incoming.join(live_keys, m.entity_id, "left_anti")
                 .withColumn(m.rectype, F.lit(rt.insert))
                 .withColumn(m.version, F.lit(1))
             )
+            inserts = self._resurrect(inserts, cur, [m.entity_id])
 
             deletes = None
             delete_src = None
@@ -536,16 +564,21 @@ class VaultLoader:
             flagged_deletes = incoming.where(F.col("_is_delete")).drop("_is_delete")
             incoming = incoming.where(~F.col("_is_delete")).drop("_is_delete")
 
-        # J1 + J3 classification (shared with the oracle-checked query)
+        # J1 + J3 classification (shared with the oracle-checked query).
+        # Classify against LIVE current only (rectype <> 'D',
+        # ParquetDataLoader.scala:343-345): a deleted entity re-appearing
+        # with identical values must re-insert, not fingerprint-match the
+        # tombstone and vanish.
         inserts, updates = classify_upserts(
             incoming,
-            cur,
+            cur.where(F.col(m.rectype) != rt.delete),
             key_col=m.entity_id,
             hash_col=m.hashed_value,
             version_col=m.version,
             rectype_col=m.rectype,
             rectype=rt,
         )
+        inserts = self._resurrect(inserts, cur, [m.entity_id])
 
         # J2 / delete-indicator: vanished or flagged keys → rectype D
         deletes = None
@@ -689,11 +722,13 @@ class VaultLoader:
             result.inserts = self._count(new_rows)
         else:
             cur = self.read_current(table)
+            live_pairs = cur.where(F.col(m.rectype) != rt.delete).select(*pair)
             inserts = (
-                keyed.join(cur.select(*pair), pair, "left_anti")
+                keyed.join(live_pairs, pair, "left_anti")
                 .withColumn(m.rectype, F.lit(rt.insert))
                 .withColumn(m.version, F.lit(1))
             )
+            inserts = self._resurrect(inserts, cur, pair)
             deletes = None
             if full_refresh:
                 deletes = (

@@ -300,3 +300,78 @@ def test_table_vault_loader_managed_tables(spark):
             _customers(spark, range(3)), table="tv_sat2", entity_type="c",
             id_fields=["cust_id"], id_type="customer", overwrite=True,
         )
+
+
+def test_satellite_delete_then_resurrect(spark, loader):
+    """A deleted entity re-appearing with identical values must
+    re-insert and flip current back to live (ADVICE r1: the fingerprint
+    used to match the tombstone and the row silently vanished).
+    Reference filters rectype <> 'D' before classifying
+    (ParquetDataLoader.scala:343-345)."""
+    kwargs = dict(
+        table="s_res", entity_type="c", id_fields=["cust_id"], id_type="customer"
+    )
+    loader.load_satellite(_customers(spark, range(10)), process_time=T0, **kwargs)
+    # full refresh without id 3 -> tombstone
+    res = loader.load_satellite(
+        _customers(spark, [i for i in range(10) if i != 3]),
+        process_time=T1,
+        full_refresh=True,
+        **kwargs,
+    )
+    assert res.deletes == 1
+    # id 3 comes back with the SAME values
+    res2 = loader.load_satellite(
+        _customers(spark, range(10)), process_time=T2, full_refresh=True, **kwargs
+    )
+    assert res2.inserts == 1 and res2.updates == 0 and res2.deletes == 0
+    cur = loader.read_current("s_res")
+    assert cur.where("rectype = 'D'").count() == 0
+    row = cur.where(F.col("entity_id") == hashlib.md5(b"customer3").hexdigest()).first()
+    # version chain continues past the tombstone (v1 I, v2 D, v3 I)
+    assert row["rectype"] == "I" and row["version"] == 3
+    hist = loader.read_history("s_res")
+    assert hist.count() == 12  # 10 + tombstone + resurrect
+    assert (
+        hist.groupBy("entity_id", "version").count().where("count > 1").count() == 0
+    )
+
+
+def test_hub_delete_then_resurrect(spark, loader):
+    kwargs = dict(
+        table="h_res", entity_type="c", id_fields=["cust_id"], id_type="customer"
+    )
+    loader.load_hub(_customers(spark, range(5)), process_time=T0, **kwargs)
+    loader.load_hub(
+        _customers(spark, range(4)), process_time=T1, full_refresh=True, **kwargs
+    )
+    res = loader.load_hub(
+        _customers(spark, range(5)), process_time=T2, full_refresh=True, **kwargs
+    )
+    assert res.inserts == 1 and res.deletes == 0
+    cur = loader.read_current("h_res")
+    assert cur.count() == 5 and cur.where("rectype = 'D'").count() == 0
+    row = cur.where(F.col("natural_key") == "4").first()
+    assert row["version"] == 3 and row["rectype"] == "I"
+
+
+def test_link_delete_then_resurrect(spark, loader):
+    pairs = spark.createDataFrame(
+        [(str(i), str(i * 10)) for i in range(4)], ["cust_id", "order_id"]
+    )
+    kwargs = dict(
+        table="l_res",
+        src_fields=["cust_id"],
+        src_id_type="customer",
+        dst_fields=["order_id"],
+        dst_id_type="order",
+    )
+    loader.load_link(pairs, process_time=T0, **kwargs)
+    loader.load_link(
+        pairs.where("cust_id <> '2'"), process_time=T1, full_refresh=True, **kwargs
+    )
+    res = loader.load_link(pairs, process_time=T2, full_refresh=True, **kwargs)
+    assert res.inserts == 1 and res.deletes == 0
+    cur = loader.read_current("l_res")
+    assert cur.count() == 4 and cur.where("rectype = 'D'").count() == 0
+    assert cur.where("version = 3").count() == 1
