@@ -1424,14 +1424,44 @@ def q_dedup_pipeline(spark, sf_dir):
 
 @_register(
     "q_simhash_near_dups",
-    None,  # no SQL oracle: vectorized Arrow simhash (rows-only check)
-    "SimHash near-dup pairs: prefix blocking + Hamming<=8 verify",
+    # Brute-force all-pairs oracle: pigeonhole blocking is EXACT within
+    # max_hamming, so ground truth is simply every pair with
+    # bit_count(xor) <= 8. Signature replicated bit-for-bit in SQL
+    # (md5-prefix token hashes, per-bit majority; empty docs -> 0).
+    r"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS tok
+      FROM documents
+    ), tok2 AS (
+      SELECT doc_id, ('0x' || substr(md5(tok), 1, 16))::UBIGINT AS h
+      FROM toks WHERE tok <> ''
+    ), bits AS (
+      SELECT doc_id, b.b,
+             CASE WHEN 2 * SUM((h >> b.b) & 1) >= COUNT(*) THEN 1 ELSE 0 END AS maj
+      FROM tok2, (SELECT unnest(range(64)) AS b) b
+      GROUP BY doc_id, b.b
+    ), sigp AS (
+      SELECT doc_id, SUM(maj::HUGEINT * (1::HUGEINT << b)) AS u
+      FROM bits GROUP BY doc_id
+    ), sig AS (
+      SELECT d.doc_id,
+             COALESCE(CAST(s.u - CASE WHEN s.u >= 9223372036854775808
+                 THEN 18446744073709551616::HUGEINT ELSE 0 END AS BIGINT), 0)
+               AS simhash
+      FROM documents d LEFT JOIN sigp s USING (doc_id)
+    )
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 8
+    """,
+    "SimHash near-dup pairs: pigeonhole blocking + Hamming<=8 verify",
 )
 def q_simhash_near_dups(spark, sf_dir):
     from featurestore_spark.operators.dedup import simhash_near_dups
 
     docs = load_table(spark, sf_dir, "documents")
-    return simhash_near_dups(docs, max_hamming=8, prefix_bits=8)
+    return simhash_near_dups(docs, max_hamming=8)
 
 
 # -- binary / multimodal plumbing ---------------------------------------------

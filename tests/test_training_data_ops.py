@@ -73,9 +73,22 @@ def test_minhash_bands_deterministic(docs):
 def test_simhash_blocking(docs):
     sigs = {r["doc_id"]: r["simhash"] for r in with_simhash(docs).collect()}
     assert sigs[0] == sigs[1]
-    pairs = simhash_near_dups(docs, max_hamming=10, prefix_bits=4)
+    pairs = simhash_near_dups(docs, max_hamming=10)
     got = {(r["a_id"], r["b_id"]): r["hamming"] for r in pairs.collect()}
     assert got.get((0, 1)) == 0
+    # pigeonhole blocking is EXACT: result == brute force within max_hamming
+    expect = {
+        (a, b): bin((sigs[a] ^ sigs[b]) & (2**64 - 1)).count("1")
+        for a in sigs
+        for b in sigs
+        if a < b and bin((sigs[a] ^ sigs[b]) & (2**64 - 1)).count("1") <= 10
+    }
+    assert got == expect
+
+
+def test_simhash_max_bucket_guard(docs):
+    # bucket cap small enough to drop every block -> zero candidates
+    assert simhash_near_dups(docs, max_hamming=10, max_bucket=0).count() == 0
 
 
 def test_hamming_expr(spark):
