@@ -1,0 +1,64 @@
+"""Hadoop FileSystem helpers shared by every loader.
+
+One storage protocol for vault + star loaders: all existence checks,
+deletes, renames and small text sidecars go through the session's
+Hadoop FileSystem API, so the same code works on file://, hdfs://,
+s3a:// etc. — `os.path`/`shutil` would silently only work locally
+(the reference's loaders use Hadoop FS throughout, e.g.
+ParquetDataLoader.scala:337, HiveDataLoader.scala:334).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+
+class HadoopFS:
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+
+    def _fs_path(self, path: str):
+        jvm = self.spark._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = jpath.getFileSystem(self.spark._jsc.hadoopConfiguration())
+        return fs, jpath
+
+    def exists(self, path: str) -> bool:
+        fs, jpath = self._fs_path(path)
+        return fs.exists(jpath)
+
+    def delete(self, path: str) -> None:
+        fs, jpath = self._fs_path(path)
+        fs.delete(jpath, True)
+
+    def rename(self, src: str, dst: str) -> None:
+        fs, jsrc = self._fs_path(src)
+        _, jdst = self._fs_path(dst)
+        fs.rename(jsrc, jdst)
+
+    def write_text(self, path: str, text: str) -> None:
+        """Create/overwrite a small text file (meta.json / proc.csv
+        sidecars)."""
+        fs, jpath = self._fs_path(path)
+        out = fs.create(jpath, True)
+        try:
+            out.write(bytearray(text.encode("utf-8")))
+        finally:
+            out.close()
+
+    def read_text(self, path: str) -> str | None:
+        fs, jpath = self._fs_path(path)
+        if not fs.exists(jpath):
+            return None
+        stream = fs.open(jpath)
+        try:
+            chunks = []
+            buf = bytearray(65536)
+            while True:
+                n = stream.read(buf)
+                if n <= 0:
+                    break
+                chunks.append(bytes(buf[:n]))
+            return b"".join(chunks).decode("utf-8")
+        finally:
+            stream.close()

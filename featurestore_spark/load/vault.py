@@ -63,6 +63,7 @@ from featurestore_spark.config import (
     Rectype,
 )
 from featurestore_spark.functions.hashing import fingerprint, hash_key
+from featurestore_spark.io.fs import HadoopFS
 from featurestore_spark.operators.snapshot import latest_per_key
 
 
@@ -157,24 +158,18 @@ class VaultLoader:
     def _path(self, table: str, leaf: str) -> str:
         return f"{self._dir(table)}/{leaf}"
 
-    def _hadoop(self, path: str):
-        jvm = self.spark._jvm
-        jpath = jvm.org.apache.hadoop.fs.Path(path)
-        fs = jpath.getFileSystem(self.spark._jsc.hadoopConfiguration())
-        return fs, jpath
+    @property
+    def _fs(self) -> HadoopFS:
+        return HadoopFS(self.spark)
 
     def _fs_exists(self, path: str) -> bool:
-        fs, jpath = self._hadoop(path)
-        return fs.exists(jpath)
+        return self._fs.exists(path)
 
     def _fs_delete(self, path: str) -> None:
-        fs, jpath = self._hadoop(path)
-        fs.delete(jpath, True)
+        self._fs.delete(path)
 
     def _fs_rename(self, src: str, dst: str) -> None:
-        fs, jsrc = self._hadoop(src)
-        _, jdst = self._hadoop(dst)
-        fs.rename(jsrc, jdst)
+        self._fs.rename(src, dst)
 
     def _exists(self, table: str) -> bool:
         return self._fs_exists(self._path(table, CURRENT_FILE))
@@ -270,31 +265,10 @@ class VaultLoader:
     # -- process log / meta sidecar (S16/S17) ------------------------------
 
     def _fs_write_text(self, path: str, text: str) -> None:
-        """Create/overwrite a small text file via the Hadoop FS API
-        (meta.json / proc.csv sidecars; works on any scheme)."""
-        fs, jpath = self._hadoop(path)
-        out = fs.create(jpath, True)
-        try:
-            out.write(bytearray(text.encode("utf-8")))
-        finally:
-            out.close()
+        self._fs.write_text(path, text)
 
     def _fs_read_text(self, path: str) -> str | None:
-        fs, jpath = self._hadoop(path)
-        if not fs.exists(jpath):
-            return None
-        stream = fs.open(jpath)
-        try:
-            chunks = []
-            buf = bytearray(65536)
-            while True:
-                n = stream.read(buf)
-                if n <= 0:
-                    break
-                chunks.append(bytes(buf[:n]))
-            return b"".join(chunks).decode("utf-8")
-        finally:
-            stream.close()
+        return self._fs.read_text(path)
 
     def _write_process_log(self, table: str, result: LoadResult) -> None:
         """Append one summary row to proc.csv (read-old + rewrite —

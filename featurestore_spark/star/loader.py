@@ -19,7 +19,6 @@ Rebuilds star/Loader.scala (M8–M10 in SURVEY.md §2.8) Spark-first:
 
 from __future__ import annotations
 
-import os
 from dataclasses import dataclass, field
 from datetime import datetime, timezone
 
@@ -28,6 +27,7 @@ from pyspark.sql import functions as F
 
 from featurestore_spark.functions.hashing import fingerprint, hash_key
 from featurestore_spark.config import OPEN_END_DATE
+from featurestore_spark.io.fs import HadoopFS
 
 
 @dataclass
@@ -59,12 +59,56 @@ class StarLoader:
         self.spark = spark
         self.base = base_path.rstrip("/")
         self.fmt = fmt
+        # Storage goes through Hadoop FS like VaultLoader, so hdfs://
+        # and s3a:// base paths work — os.path on a remote scheme would
+        # always report "missing" and silently re-initialize the dim,
+        # destroying SCD2 history (ADVICE r1, medium).
+        self.fs = HadoopFS(spark)
 
     def _path(self, name: str) -> str:
-        return os.path.join(self.base, f"{name}.{self.fmt}")
+        return f"{self.base}/{name}.{self.fmt}"
 
     def _write(self, df: DataFrame, path: str) -> None:
         df.write.mode("overwrite").format(self.fmt).save(path)
+
+    # -- surrogate ids (W11/A8) ---------------------------------------------
+
+    _ID_BUCKETS = 256
+
+    def _assign_ids(self, df: DataFrame, cols: list[str], start: int) -> DataFrame:
+        """Dense surrogate ids = global row_number over hashed_key,
+        WITHOUT a single-partition window.
+
+        hashed_key is md5 hex, so bucketing on its leading byte gives
+        256 uniform buckets whose lexicographic bucket order equals the
+        global key order — per-bucket row_number + cumulative bucket
+        offsets (one 256-row collect) reproduces the exact global
+        ranking while the sort runs 256-way parallel. Replaces the
+        r1 `Window.orderBy("hashed_key")` that serialized large dims
+        (VERDICT r1 next-round #3); ids are bit-identical to the old
+        plan, so oracles are unchanged.
+        """
+        bucketed = df.withColumn(
+            "_bkt", F.conv(F.substring("hashed_key", 1, 2), 16, 10).cast("int")
+        )
+        counts = {
+            r["_bkt"]: r["count"]
+            for r in bucketed.groupBy("_bkt").count().collect()
+        }
+        offsets, acc = [], start
+        for b in range(self._ID_BUCKETS):
+            offsets.append(acc)
+            acc += counts.get(b, 0)
+        omap = F.array(*[F.lit(o) for o in offsets])
+        w = Window.partitionBy("_bkt").orderBy("hashed_key")
+        return bucketed.select(
+            (F.row_number().over(w) + F.element_at(omap, F.col("_bkt") + 1))
+            .cast("long")
+            .alias("id"),
+            *cols,
+            "hashed_key",
+            "hashed_value",
+        )
 
     # -- base + sample tables (S11/S12) -------------------------------------
 
@@ -102,14 +146,9 @@ class StarLoader:
         )
 
         dim_path = self._path(f"dim_{spec.name}")
-        exists = os.path.exists(dim_path)
-        if not exists:
-            w = Window.orderBy("hashed_key")
-            dim = enriched.select(
-                (F.row_number().over(w)).cast("long").alias("id"),
-                *cols,
-                "hashed_key",
-                "hashed_value",
+        if not self.fs.exists(dim_path):
+            dim = self._assign_ids(enriched, cols, 0).select(
+                "*",
                 F.lit(process_time).cast("timestamp").alias("start_time"),
                 F.lit(OPEN_END_DATE).cast("timestamp").alias("end_time"),
                 F.lit(1).alias("version"),
@@ -127,12 +166,8 @@ class StarLoader:
         new_rows = enriched.join(
             prev_current.select("hashed_key"), "hashed_key", "left_anti"
         )
-        w = Window.orderBy("hashed_key")
-        new_dim_rows = new_rows.select(
-            (F.row_number().over(w) + F.lit(max_id)).cast("long").alias("id"),
-            *cols,
-            "hashed_key",
-            "hashed_value",
+        new_dim_rows = self._assign_ids(new_rows, cols, max_id).select(
+            "*",
             F.lit(process_time).cast("timestamp").alias("start_time"),
             F.lit(OPEN_END_DATE).cast("timestamp").alias("end_time"),
             F.lit(1).alias("version"),
@@ -175,12 +210,13 @@ class StarLoader:
         merged = untouched.unionByName(end_dated_old).unionByName(
             new_dim_rows
         ).unionByName(changed_new_versions)
+        # Write-new-then-swap via Hadoop FS (same protocol as
+        # VaultLoader._write_current): works on any scheme, and a crash
+        # mid-write can't destroy the previous dim.
         tmp = dim_path + ".tmp"
         merged.write.mode("overwrite").format(self.fmt).save(tmp)
-        import shutil
-
-        shutil.rmtree(dim_path)
-        os.rename(tmp, dim_path)
+        self.fs.delete(dim_path)
+        self.fs.rename(tmp, dim_path)
         return self.spark.read.format(self.fmt).load(dim_path)
 
     @staticmethod

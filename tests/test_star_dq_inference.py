@@ -150,3 +150,30 @@ def test_ebcdic_roundtrip(tmp_path):
     p.write_bytes(text.encode("cp500"))
     lines = read_ebcdic_lines(str(p))
     assert lines[0].startswith("10SMSDC") and "SECOND" in lines[1]
+
+
+def test_star_dim_scheme_qualified_path_and_id_order(spark, tmp_path):
+    """SCD2 merge through a scheme-qualified base path (file:/...) —
+    os.path.exists is always False on these, so r1 silently re-initialized
+    the dim and reassigned ids (ADVICE r1, medium). Also asserts the
+    bucketed id assignment reproduces the global hashed_key ranking."""
+    loader = StarLoader(spark, f"file:{tmp_path}")
+    spec = DimSpec("prod", ["product"], ["category"])
+    d0 = spark.createDataFrame(
+        [(f"P{i:03d}", f"cat{i % 5}") for i in range(60)], ["product", "category"]
+    )
+    dim0 = loader.load_dim(d0, spec, process_time="2024-01-01 00:00:00")
+    # ids == dense rank over hashed_key (bucketed window, same ordering)
+    rows = dim0.where("id > 0").orderBy("hashed_key").collect()
+    assert [r["id"] for r in rows] == list(range(1, 61))
+
+    # merge load: one change + one new member — history must SURVIVE
+    d1 = spark.createDataFrame(
+        [("P000", "catX"), ("P999", "catN")], ["product", "category"]
+    )
+    dim1 = loader.load_dim(d1, spec, process_time="2024-02-01 00:00:00")
+    assert dim1.count() == 60 + 1 + 1 + 1  # 60 v1 + unknown + changed v2 + new
+    p0 = dim1.where("product = 'P000'").orderBy("version").collect()
+    assert len(p0) == 2 and p0[0]["id"] == p0[1]["id"]  # FK-stable
+    new = dim1.where("product = 'P999'").first()
+    assert new["id"] == 61  # seeded past previous max
