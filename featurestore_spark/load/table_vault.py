@@ -65,7 +65,8 @@ class TableVaultLoader(VaultLoader):
     def _append_history(self, df: DataFrame, table: str, partition_by=None) -> None:
         name = self._tbl(table, "history")
         writer = df.write.mode("append")
-        if partition_by and not self.spark.catalog.tableExists(name):
+        if partition_by:
+            # append to a partitioned table must restate the partitioning
             writer = writer.partitionBy(partition_by)
         writer.saveAsTable(name)
 
@@ -95,15 +96,57 @@ class TableVaultLoader(VaultLoader):
         )
         row.write.mode("overwrite").saveAsTable(self._tbl(table, "meta"))
 
-    # The satellite `overwrite` end-dating mode and change tables use
-    # FS paths in the base class — not yet mapped to catalog tables.
-    def load_satellite(self, df, **kwargs) -> LoadResult:
-        if kwargs.get("overwrite") or kwargs.get("write_change_tables"):
-            raise NotImplementedError(
-                "TableVaultLoader: overwrite / change tables are parquet-layer "
-                "features; use VaultLoader for in-place history end-dating"
+    # -- overwrite end-dating + change tables (M6 full parity) ---------------
+    #
+    # The reference's HiveDataLoader only aspired to these
+    # (HiveDataLoader.scala:203-228, updates/deletes commented out);
+    # modern managed tables run the identical merge as the parquet layer.
+
+    def _snapshot_history_to_prev(self, table: str) -> DataFrame:
+        prev = self._tbl(table, "prev")
+        self.read_history(table).write.mode("overwrite").saveAsTable(prev)
+        return self.spark.table(prev)
+
+    def _overwrite_history(self, df: DataFrame, table: str) -> None:
+        staged = self._tbl(table, "history_staging")
+        df.write.mode("overwrite").saveAsTable(staged)
+        out = self._tbl(table, "history")
+        self.spark.sql(f"DROP TABLE IF EXISTS {out}")
+        self.spark.sql(f"ALTER TABLE {staged} RENAME TO {out}")
+
+    def _write_change_tables(
+        self, table: str, inserts: DataFrame, updates: DataFrame, deletes: DataFrame,
+        retention_days: int = 3,
+    ) -> None:
+        from datetime import date, timedelta
+
+        from pyspark.sql import functions as F
+
+        cutoff = date.today() - timedelta(days=retention_days)
+        for leaf, df in (("new", inserts), ("changed", updates), ("removed", deletes)):
+            if df is None:
+                continue
+            name = self._tbl(table, leaf)
+            df.write.mode("append").partitionBy(self.m.process_date).saveAsTable(name)
+            # Retention pruning: staged rewrite of the recent window
+            # (change tables hold <= retention_days of deltas, so the
+            # rewrite is bounded; ALTER TABLE DROP PARTITION is not
+            # portable to the in-memory catalog).
+            full = self.spark.table(name)
+            stale = full.where(
+                F.col(self.m.process_date) < F.lit(cutoff.isoformat()).cast("date")
             )
-        return super().load_satellite(df, **kwargs)
+            if stale.limit(1).count() > 0:
+                kept = full.where(
+                    F.col(self.m.process_date)
+                    >= F.lit(cutoff.isoformat()).cast("date")
+                )
+                staged = self._tbl(table, f"{leaf}_staging")
+                kept.write.mode("overwrite").partitionBy(
+                    self.m.process_date
+                ).saveAsTable(staged)
+                self.spark.sql(f"DROP TABLE IF EXISTS {name}")
+                self.spark.sql(f"ALTER TABLE {staged} RENAME TO {name}")
 
     def _fs_exists(self, path: str) -> bool:  # pragma: no cover - guard
         raise NotImplementedError(

@@ -196,6 +196,27 @@ class VaultLoader:
             writer = writer.partitionBy(partition_by)
         writer.parquet(self._path(table, HISTORY_FILE))
 
+    def _snapshot_history_to_prev(self, table: str) -> DataFrame:
+        """Materialize history into the prev snapshot and return it.
+
+        The overwrite merge both reads and rewrites history; reading it
+        back from the prev copy breaks the self-referencing plan AND
+        leaves a recovery point (the reference's prev.parquet escape
+        hatch, ParquetDataLoader.scala:460-463).
+        """
+        self.read_history(table).write.mode("overwrite").parquet(
+            self._path(table, PREV_FILE)
+        )
+        return self.spark.read.parquet(self._path(table, PREV_FILE))
+
+    def _overwrite_history(self, df: DataFrame, table: str) -> None:
+        """Replace history with `df` (write-new-then-swap)."""
+        tmp = self._path(table, HISTORY_FILE + ".tmp")
+        df.write.mode("overwrite").parquet(tmp)
+        final = self._path(table, HISTORY_FILE)
+        self._fs_delete(final)
+        self._fs_rename(tmp, final)
+
     # -- shared column builders --------------------------------------------
 
     def _meta_cols(self, process: ProcessInfo, process_time: str) -> list[Column]:
@@ -311,7 +332,7 @@ class VaultLoader:
         from datetime import date, timedelta
 
         cutoff = date.today() - timedelta(days=retention_days)
-        fs, jpath = self._hadoop(path)
+        fs, jpath = self._fs._fs_path(path)
         if not fs.exists(jpath):
             return
         for status in fs.listStatus(jpath):
@@ -587,10 +608,8 @@ class VaultLoader:
             # End-date the previous row-version of changed/deleted
             # entities: carry forward untouched history (J11 left_anti on
             # (entity_id, version)), rewrite affected rows with
-            # end_time = new start_time. prev.parquet escape hatch first.
-            hist = self.read_history(table)
-            hist.write.mode("overwrite").parquet(self._path(table, PREV_FILE))
-            prev = self.spark.read.parquet(self._path(table, PREV_FILE))
+            # end_time = new start_time. prev snapshot escape hatch first.
+            prev = self._snapshot_history_to_prev(table)
             affected = delta.where(F.col(m.rectype) != rt.insert).select(
                 F.col(m.entity_id).alias("_e"), (F.col(m.version) - 1).alias("_v")
             )
@@ -609,11 +628,7 @@ class VaultLoader:
                 "left_anti",
             )
             new_history = untouched.unionByName(end_dated).unionByName(delta)
-            tmp = self._path(table, HISTORY_FILE + ".tmp")
-            new_history.write.mode("overwrite").parquet(tmp)
-            final = self._path(table, HISTORY_FILE)
-            self._fs_delete(final)
-            self._fs_rename(tmp, final)
+            self._overwrite_history(new_history, table)
         else:
             self._append_history(delta, table)
 

@@ -295,11 +295,44 @@ def test_table_vault_loader_managed_tables(spark):
     assert spark.table("default.tv_sat_history").count() == 40
     assert spark.table("default.tv_sat_proc").count() == 2
 
-    with _pytest.raises(NotImplementedError):
-        tv.load_satellite(
-            _customers(spark, range(3)), table="tv_sat2", entity_type="c",
-            id_fields=["cust_id"], id_type="customer", overwrite=True,
-        )
+    # overwrite end-dating on managed tables (golden sequence analog of
+    # LoadSatelliteOverwriteParquetSpec.scala:108-122)
+    kwargs2 = dict(
+        table="tv_sat2", entity_type="c", id_fields=["cust_id"], id_type="customer"
+    )
+    tv.load_satellite(
+        _customers(spark, range(10)), process_time=T0, overwrite=True,
+        write_change_tables=True, **kwargs2,
+    )
+    res3 = tv.load_satellite(
+        _customers(spark, range(10), flag=5), process_time=T1, overwrite=True,
+        write_change_tables=True, **kwargs2,
+    )
+    assert res3.updates == 10
+    hist = spark.table("default.tv_sat2_history")
+    assert hist.count() == 20
+    v1 = hist.where("version = 1").first()
+    v2 = hist.where("version = 2").first()
+    assert str(v1["end_time"]) == T1  # old version end-dated in place
+    assert str(v2["start_time"]) == T1
+    assert str(v2["end_time"]).startswith("9999-12-31")
+    # change tables materialized as catalog tables; the 2024 partitions
+    # are beyond the 3-day retention window and were pruned
+    assert spark.catalog.tableExists("default.tv_sat2_changed")
+    assert spark.table("default.tv_sat2_changed").count() == 0
+    # prev escape hatch holds the pre-merge history
+    assert spark.table("default.tv_sat2_prev").count() == 10
+
+    # a recent-dated load's change rows survive retention
+    from datetime import datetime, timezone
+
+    now = datetime.now(timezone.utc).strftime("%Y-%m-%d %H:%M:%S")
+    res4 = tv.load_satellite(
+        _customers(spark, range(10), flag=9), process_time=now, overwrite=True,
+        write_change_tables=True, **kwargs2,
+    )
+    assert res4.updates == 10
+    assert spark.table("default.tv_sat2_changed").count() == 10
 
 
 def test_satellite_delete_then_resurrect(spark, loader):
