@@ -250,13 +250,16 @@ def previous_interactions_chord(
     ts_col: str = "ts",
     rank_col: str = "rn",
     tiebreak_cols: tuple[str, ...] = (),
+    keep_chordless: bool = False,
 ) -> DataFrame:
     """Chord-aligned path: per entity, the latest `n` events at/before
     that entity's latest `event_type` event ("the chord").
 
-    Entities without a chord produce no rows here (the reference gives
-    them epoch 1970 ⇒ an empty path; eventFunctions.scala:128-185 —
-    retain them by left-joining the output back to the entity universe).
+    `keep_chordless=True` matches the reference exactly: every entity
+    in the input is retained — entities without a chord get one row of
+    null event columns, the row-shaped analog of the reference's
+    epoch-1970 chord ⇒ empty path (eventFunctions.scala:128-185).
+    Default False drops them (the common analytics shape).
 
     Spark-first: chord = windowed conditional max over the SAME
     entity partitioning as the rank window — one shuffle serves both.
@@ -269,12 +272,16 @@ def previous_interactions_chord(
     )
     order = [F.col(ts_col).desc()] + [F.col(c).desc() for c in tiebreak_cols]
     w_rank = Window.partitionBy(entity_col).orderBy(*order)
-    return (
+    out = (
         with_chord.where(F.col(ts_col) <= F.col("_chord"))
         .withColumn(rank_col, F.row_number().over(w_rank))
         .where(F.col(rank_col) <= n)
         .drop("_chord")
     )
+    if keep_chordless:
+        universe = df.select(entity_col).distinct()
+        out = universe.join(out, entity_col, "left")
+    return out
 
 
 def collapse_runs(
@@ -325,9 +332,12 @@ def previous_unique_interactions(
     rank_col: str = "rn",
     count_col: str = "run_count",
     tiebreak_cols: tuple[str, ...] = (),
+    keep_chordless: bool = False,
 ) -> DataFrame:
     """Chord-aligned path with contiguous duplicate runs collapsed to
-    (event, count) — reference eventFunctions.scala:197-295."""
+    (event, count) — reference eventFunctions.scala:197-295.
+    `keep_chordless=True` retains chordless entities as one
+    null-event row (see previous_interactions_chord)."""
     chorded = previous_interactions_chord(
         df,
         event_type,
@@ -347,7 +357,13 @@ def previous_unique_interactions(
         count_col=count_col,
     )
     w = Window.partitionBy(entity_col).orderBy(F.col(ts_col).desc())
-    return runs.withColumn(rank_col, F.row_number().over(w)).where(F.col(rank_col) <= n)
+    out = runs.withColumn(rank_col, F.row_number().over(w)).where(
+        F.col(rank_col) <= n
+    )
+    if keep_chordless:
+        universe = df.select(entity_col).distinct()
+        out = universe.join(out, entity_col, "left")
+    return out
 
 
 def current_events(

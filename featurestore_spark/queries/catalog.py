@@ -315,6 +315,48 @@ def q_chord_path(spark, sf_dir):
 
 
 @_register(
+    "q_chord_path_all",
+    f"""
+    WITH bounded AS (SELECT * FROM events WHERE ts <= TIMESTAMP '{AS_OF}'),
+    chord AS (SELECT user_id, max(ts) AS ch FROM bounded
+              WHERE event_type = 'purchase' GROUP BY user_id),
+    ranked AS (
+      SELECT e.user_id, e.event_type, e.ts, e.event_id,
+             row_number() OVER (PARTITION BY e.user_id ORDER BY e.ts DESC, e.event_id DESC) AS rn
+      FROM bounded e JOIN chord c ON e.user_id = c.user_id AND e.ts <= c.ch),
+    kept AS (
+      SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id,
+             CAST(rn AS INT) AS rn
+      FROM ranked WHERE rn <= 10)
+    SELECT u.user_id, k.event_type, k.ts_us, k.event_id, k.rn
+    FROM (SELECT DISTINCT user_id FROM events) u
+    LEFT JOIN kept k USING (user_id)
+    """,
+    "W3 keep_chordless: chord-aligned events, ALL entities retained",
+)
+def q_chord_path_all(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    aligned = previous_interactions_chord(
+        ev,
+        "purchase",
+        n=10,
+        as_of=_ts_lit(AS_OF),
+        entity_col="user_id",
+        type_col="event_type",
+        ts_col="ts",
+        tiebreak_cols=("event_id",),
+        keep_chordless=True,
+    )
+    return aligned.select(
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("ts_us"),
+        "event_id",
+        "rn",
+    )
+
+
+@_register(
     "q_unique_path",
     """
     WITH flagged AS (

@@ -82,6 +82,28 @@ def test_chords_and_chord_alignment(events_df):
     assert all(r["eventType"] != "churn" for r in rows_1003)
 
 
+def test_chord_keep_chordless_retains_all_entities(events_df):
+    """keep_chordless=True matches eventFunctions.scala:177-185: every
+    entity appears, chordless ones as a single null-event row."""
+    aligned = previous_interactions_chord(
+        events_df, "churn", n=5, as_of="2016-03-01 00:00:00", keep_chordless=True
+    )
+    by_entity = {}
+    for r in aligned.collect():
+        by_entity.setdefault(r["entity"], []).append(r)
+    assert set(by_entity) == {"1001", "1002", "1003"}  # universe retained
+    # 1001/1002 never churned -> one all-null row each (empty path)
+    assert len(by_entity["1001"]) == 1 and by_entity["1001"][0]["eventType"] is None
+    assert len(by_entity["1002"]) == 1 and by_entity["1002"][0]["rn"] is None
+    # 1003 churned at 02-25: its whole history is at/before the chord
+    assert len(by_entity["1003"]) == 4
+    # default drops chordless entities
+    assert (
+        previous_interactions_chord(events_df, "churn", n=5, as_of="2016-03-01 00:00:00")
+        .select("entity").distinct().count() == 1
+    )
+
+
 def test_previous_interactions_topn(events_df):
     top = previous_interactions(events_df, n=2, as_of="2016-03-01 00:00:00")
     per_entity = {}
