@@ -17,16 +17,10 @@ import re
 from collections import Counter
 from dataclasses import dataclass, field
 
+from featurestore_spark.inference.dates import DateParser
+
 _CANDIDATE_DELIMS = [",", "\t", ";", "|", ":", " "]
 _BOOLEANS = {"true", "false", "yes", "no", "t", "f", "y", "n", "0", "1"}
-_DATE_PATTERNS = [
-    (re.compile(r"^\d{4}-\d{2}-\d{2}$"), "yyyy-MM-dd"),
-    (re.compile(r"^\d{4}/\d{2}/\d{2}$"), "yyyy/MM/dd"),
-    (re.compile(r"^\d{2}/\d{2}/\d{4}$"), "dd/MM/yyyy"),
-    (re.compile(r"^\d{2}-\d{2}-\d{4}$"), "dd-MM-yyyy"),
-    (re.compile(r"^\d{8}$"), "yyyyMMdd"),
-    (re.compile(r"^\d{4}-\d{2}-\d{2}[ T]\d{2}:\d{2}(:\d{2})?(\.\d+)?$"), "yyyy-MM-dd HH:mm:ss"),
-]
 
 
 @dataclass
@@ -39,11 +33,18 @@ class FileMetadata:
     line_ending: str = "\n"
     column_types: list[str] = field(default_factory=list)
     column_names: list[str] = field(default_factory=list)
+    # winning Joda/java.time patterns, fed straight to spark.read.csv
+    date_format: str | None = None
+    timestamp_format: str | None = None
 
     def spark_read_options(self) -> dict[str, str]:
         opts = {"sep": self.delimiter, "header": str(self.has_header).lower()}
         if self.quote_char:
             opts["quote"] = self.quote_char
+        if self.date_format:
+            opts["dateFormat"] = self.date_format
+        if self.timestamp_format:
+            opts["timestampFormat"] = self.timestamp_format
         return opts
 
     def spark_schema_ddl(self) -> str:
@@ -100,21 +101,34 @@ def guess_delimiter(lines: list[str], consistency: float = 0.9) -> str:
     return best
 
 
-def get_type(value: str) -> str:
-    """I5: Integer/Double/Date/Boolean/String detection."""
+def get_type_and_format(
+    value: str, parser: DateParser | None = None
+) -> tuple[str, str | None]:
+    """I5: Integer/Double/Date/Timestamp/Boolean/String detection.
+
+    Dates go through the 36-format move-to-front DateParser
+    (DateParser.scala:11-100) — pass one `parser` instance per file so
+    the move-to-front state pays off. Returns (spark type, matched
+    Joda pattern or None). Pure digit runs stay numeric (a bare
+    `20010704` is more often an id than a date).
+    """
     v = value.strip()
     if v == "":
-        return "string"
+        return "string", None
     if re.fullmatch(r"[+-]?\d+", v):
-        return "bigint"
+        return "bigint", None
     if re.fullmatch(r"[+-]?(\d+\.\d*|\.\d+|\d+)([eE][+-]?\d+)?", v):
-        return "double"
-    for pat, _fmt in _DATE_PATTERNS:
-        if pat.match(v):
-            return "date" if len(v) <= 10 else "timestamp"
+        return "double", None
+    parsed = (parser or DateParser()).parse(v)
+    if parsed is not None:
+        return ("timestamp" if parsed.has_time else "date"), parsed.pattern
     if v.lower() in _BOOLEANS - {"0", "1"}:
-        return "boolean"
-    return "string"
+        return "boolean", None
+    return "string", None
+
+
+def get_type(value: str, parser: DateParser | None = None) -> str:
+    return get_type_and_format(value, parser)[0]
 
 
 def _merge_types(types: set[str]) -> str:
@@ -160,11 +174,41 @@ def sniff(data: str) -> FileMetadata:
     header = has_header(rows)
     body = rows[1:] if header else rows
     n_cols = max((len(r) for r in body), default=0)
-    col_types = []
+    parser = DateParser()  # one per file: move-to-front pays off
+    col_types: list[str] = []
+    col_fmts: list[set[str]] = []
     for i in range(n_cols):
-        col_types.append(
-            _merge_types({get_type(r[i]) for r in body if i < len(r) and r[i].strip() != ""})
-        )
+        types, fmts = set(), set()
+        for r in body:
+            if i < len(r) and r[i].strip() != "":
+                t, f = get_type_and_format(r[i], parser)
+                types.add(t)
+                if f:
+                    fmts.add(f)
+        col_types.append(_merge_types(types))
+        col_fmts.append(fmts)
+    # Spark takes ONE dateFormat + ONE timestampFormat per read: the
+    # first consistent (single-format) date/timestamp column sets it;
+    # columns with a conflicting or mixed format demote to string so
+    # the subsequent read can't silently mis-parse them.
+    date_format = timestamp_format = None
+    for i, t in enumerate(col_types):
+        if t not in ("date", "timestamp") :
+            continue
+        if len(col_fmts[i]) != 1:
+            col_types[i] = "string"
+            continue
+        fmt = next(iter(col_fmts[i]))
+        if t == "date":
+            if date_format is None:
+                date_format = fmt
+            elif fmt != date_format:
+                col_types[i] = "string"
+        else:
+            if timestamp_format is None:
+                timestamp_format = fmt
+            elif fmt != timestamp_format:
+                col_types[i] = "string"
     names = (
         [c.strip().strip('"').strip("'") for c in rows[0]]
         if header
@@ -177,6 +221,8 @@ def sniff(data: str) -> FileMetadata:
         line_ending=ending,
         column_types=col_types,
         column_names=names,
+        date_format=date_format,
+        timestamp_format=timestamp_format,
     )
 
 

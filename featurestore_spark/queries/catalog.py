@@ -964,10 +964,12 @@ def q_pivot_registry(spark, sf_dir):
 @_register(
     "q_sniff_csv",
     """
-    SELECT ',' AS delimiter, true AS has_header, 3 AS n_cols,
-           'bigint' AS c0_type, 'double' AS c1_type, 'string' AS c2_type
+    SELECT ',' AS delimiter, true AS has_header, 4 AS n_cols,
+           'bigint' AS c0_type, 'double' AS c1_type, 'string' AS c2_type,
+           'date' AS c3_type, 'dd/MM/yyyy' AS date_format
     """,
-    "I1-I5: sniff a generated CSV head sample; expected metadata as oracle",
+    "I1-I5: sniff a generated CSV head sample (incl. multi-format date"
+    " detection); expected metadata as oracle",
 )
 def q_sniff_csv(spark, sf_dir):
     import tempfile
@@ -978,9 +980,13 @@ def q_sniff_csv(spark, sf_dir):
     rows = docs.select("doc_id", "n_chars", "lang").collect()
     path = tempfile.mktemp(suffix=".csv")
     with open(path, "w") as f:
-        f.write("doc_id,score,lang\n")
-        for r in rows:
-            f.write(f"{r['doc_id']},{r['n_chars'] / 7.0},{r['lang']}\n")
+        f.write("doc_id,score,lang,loaded\n")
+        for i, r in enumerate(rows):
+            day, month = (i % 28) + 1, (i % 12) + 1
+            f.write(
+                f"{r['doc_id']},{r['n_chars'] / 7.0},{r['lang']},"
+                f"{day:02d}/{month:02d}/202{i % 4}\n"
+            )
     md = sniff_file(path)
     return spark.createDataFrame(
         [
@@ -991,10 +997,12 @@ def q_sniff_csv(spark, sf_dir):
                 md.column_types[0],
                 md.column_types[1],
                 md.column_types[2],
+                md.column_types[3],
+                md.date_format,
             )
         ],
         "delimiter string, has_header boolean, n_cols int, c0_type string,"
-        " c1_type string, c2_type string",
+        " c1_type string, c2_type string, c3_type string, date_format string",
     )
 
 

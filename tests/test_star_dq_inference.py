@@ -177,3 +177,67 @@ def test_star_dim_scheme_qualified_path_and_id_order(spark, tmp_path):
     assert len(p0) == 2 and p0[0]["id"] == p0[1]["id"]  # FK-stable
     new = dim1.where("product = 'P999'").first()
     assert new["id"] == 61  # seeded past previous max
+
+
+def test_date_parser_36_formats_and_move_to_front():
+    """DateParser.scala:11-100 parity: US/EU/compact/month-name/offset
+    formats all parse; winning format moves to the front."""
+    from featurestore_spark.inference import DateParser
+
+    p = DateParser()
+    cases = {
+        "2001-07-04T12:08:56.235-0700": "yyyy-MM-dd'T'HH:mm:ss.SSSZ",
+        "2001-07-04 12:08:56.235000": "yyyy-MM-dd HH:mm:ss.SSSSSS",
+        "20010704 12:08:56": "yyyyMMdd HH:mm:ss",
+        "Wed, Jul 4, '01": "EEE, MMM d, ''yy",
+        "Wed, Jul 4, 2001": "EEE, MMM d, yyyy",
+        "2001.07.04": "yyyy.MM.dd",
+        "2001/07/04": "yyyy/MM/dd",
+        "04.07.2001": "dd.MM.yyyy",
+        "04/07/2001": "dd/MM/yyyy",  # EU day-first wins over US
+        "03/APR/15": "dd/MMM/yy",
+        "2001-07-04 12:08": "yyyy-MM-dd HH:mm",
+        "2001-07-04T12:08:56": "yyyy-MM-dd'T'HH:mm:ss",
+    }
+    for value, want in cases.items():
+        got = DateParser().parse(value)
+        assert got is not None and got.pattern == want, value
+    # move-to-front: after one US-style hit the format is tried first
+    p = DateParser()
+    assert p.parse("07-04-2001")  # matches dd-MM-yyyy (day-first priority)
+    assert p.formats[0][0] == "dd-MM-yyyy"
+    assert p.parse("not a date") is None
+    assert p.parse("") is None and p.parse(None) is None
+
+
+def test_sniff_harvests_date_formats(tmp_path):
+    fp = tmp_path / "dated.csv"
+    fp.write_text(
+        "id,when,stamp,note\n"
+        "1,04/07/2001,2001-07-04 12:08:56,a\n"
+        "2,05/08/2002,2002-08-05 01:02:03,b\n"
+        "3,06/09/2003,2003-09-06 23:59:59,c\n"
+    )
+    from featurestore_spark.inference import sniff_file
+
+    md = sniff_file(str(fp))
+    assert md.column_types == ["bigint", "date", "timestamp", "string"]
+    assert md.date_format == "dd/MM/yyyy"
+    assert md.timestamp_format == "yyyy-MM-dd HH:mm:ss"
+    opts = md.spark_read_options()
+    assert opts["dateFormat"] == "dd/MM/yyyy"
+    assert opts["timestampFormat"] == "yyyy-MM-dd HH:mm:ss"
+
+
+def test_sniff_demotes_mixed_format_date_column(tmp_path):
+    fp = tmp_path / "mixed.csv"
+    fp.write_text(
+        "a,b\n"
+        "2024-01-05,04/07/2001\n"
+        "2024/01/06,05/08/2002\n"  # column a mixes two formats
+    )
+    from featurestore_spark.inference import sniff_file
+
+    md = sniff_file(str(fp))
+    assert md.column_types[0] == "string"  # mixed -> demoted, not corrupted
+    assert md.column_types[1] == "date" and md.date_format == "dd/MM/yyyy"
