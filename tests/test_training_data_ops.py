@@ -197,6 +197,91 @@ def test_ivf_topk_recall(spark):
     e = {(r["query_id"], r["rnk"]): r["neighbor_id"] for r in exact.collect()}
     # with clean separation, probing 1 list recovers the exact top-3
     assert a == e
+    # no array-keyed exchange anywhere in the IVF plan (r1 regression:
+    # Window PARTITION BY v + re-join on the vector array)
+    plan = approx._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(v#" not in plan and "hashpartitioning(cv#" not in plan
+
+
+def test_ivf_recall_overlapping_clusters(spark):
+    """VERDICT r1 #6: recall >= 0.9 vs brute force at n_probe=2 on
+    OVERLAPPING clusters (the hard case), and duplicate candidate
+    vectors must not cross-multiply (r1 array-equality re-join bug)."""
+    import random
+
+    from featurestore_spark.operators.similarity import (
+        cosine_topk,
+        ivf_topk,
+        train_centroids,
+    )
+
+    random.seed(7)
+    centers = [
+        [3.0, 0.0, 0.0, 1.0],
+        [0.0, 3.0, 1.0, 0.0],
+        [-3.0, 0.0, 0.0, -1.0],
+        [0.0, -3.0, -1.0, 0.0],
+    ]
+    vecs = [
+        (i, [c + random.gauss(0, 1.2) for c in centers[i % 4]]) for i in range(120)
+    ]
+    # duplicate vectors: ids 200/201 share id 2's embedding exactly
+    vecs += [(200, vecs[2][1]), (201, vecs[2][1])]
+    df = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    cents = train_centroids(df, n_centroids=4, iterations=3)
+
+    q = df.where("vec_id < 6").select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    c = df.where("vec_id >= 6").select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv")
+    )
+    k = 10
+    approx = ivf_topk(q, c, cents, k=k, n_probe=2)
+    rows = approx.collect()
+    # exactly one row per (query, rank): duplicates didn't multiply
+    assert len(rows) == len({(r["query_id"], r["rnk"]) for r in rows}) == 6 * k
+    exact = cosine_topk(q, c, k=k)
+    e = {}
+    a = {}
+    for r in exact.collect():
+        e.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    for r in rows:
+        a.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    recall = sum(len(a[qid] & e[qid]) for qid in e) / (6 * k)
+    assert recall >= 0.9, recall
+
+
+def test_bucketed_ann_multi_probe_recall(spark):
+    import random
+
+    from featurestore_spark.operators.similarity import bucketed_ann_topk, cosine_topk
+
+    random.seed(3)
+    vecs = [
+        (i, [random.gauss(0, 1) for _ in range(6)]) for i in range(150)
+    ]
+    df = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    q = df.where("vec_id < 5").select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    c = df.where("vec_id >= 5").select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv")
+    )
+
+    def hits(out):
+        got = {}
+        for r in out.collect():
+            got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        ex = {}
+        for r in cosine_topk(q, c, k=5).collect():
+            ex.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        return sum(len(got.get(k_, set()) & ex[k_]) for k_ in ex)
+
+    single = hits(bucketed_ann_topk(q, c, k=5, bits=3))
+    multi = hits(bucketed_ann_topk(q, c, k=5, bits=3, multi_probe=True))
+    assert multi >= single  # probing neighbor buckets never loses recall
+    assert multi >= 0.6 * 25  # and actually recovers most of the top-5
 
 
 def test_split_by_hash_deterministic_and_stable(spark):
