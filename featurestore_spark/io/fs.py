@@ -47,18 +47,17 @@ class HadoopFS:
             out.close()
 
     def read_text(self, path: str) -> str | None:
+        # NB: reading into a Python bytearray buffer does NOT work —
+        # py4j passes byte[] by value, so Java's writes into the buffer
+        # never reach Python (the r1 code silently returned NULs).
+        # Decode fully on the JVM side instead.
         fs, jpath = self._fs_path(path)
         if not fs.exists(jpath):
             return None
         stream = fs.open(jpath)
         try:
-            chunks = []
-            buf = bytearray(65536)
-            while True:
-                n = stream.read(buf)
-                if n <= 0:
-                    break
-                chunks.append(bytes(buf[:n]))
-            return b"".join(chunks).decode("utf-8")
+            return self.spark._jvm.org.apache.commons.io.IOUtils.toString(
+                stream, "UTF-8"
+            )
         finally:
             stream.close()

@@ -8,6 +8,7 @@ from featurestore_spark.transform.sql import (  # noqa: F401
     NamedSQLTransformation,
     SQLFileTransformation,
     SQLLoader,
+    SQLResourceTransformation,
     SQLTableTransformation,
     SQLTransformation,
 )

@@ -75,6 +75,27 @@ class NamedSQLTransformation:
         return spark.sql(template(sql, _params(ctx)))
 
 
+class SQLResourceTransformation:
+    """Run SQL loaded from a package resource, with constructor-bound
+    params (sql/SQLResourceTransformation.scala:14-25 — the 4th SQL
+    runner variant: ships the query inside the library/wheel instead
+    of on the filesystem)."""
+
+    def __init__(self, package: str, resource: str, params: dict | None = None):
+        self.package = package
+        self.resource = resource
+        self.params = dict(params or {})
+
+    def __call__(self, spark: SparkSession, ctx: TransformationContext | None = None) -> DataFrame:
+        from importlib import resources
+
+        sql = (
+            resources.files(self.package).joinpath(self.resource).read_text()
+        )
+        merged = {**_params(ctx), **self.params}
+        return spark.sql(template(sql, merged))
+
+
 class SQLFileTransformation:
     """Run SQL loaded from a plain file
     (sql/SQLFileTransformation.scala:14-24)."""

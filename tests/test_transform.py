@@ -150,3 +150,63 @@ def test_string_utils():
     assert underscore("Product Sub-Category") == "product_sub_category"
     assert count_substring("a,b,,c", ",") == 3
     assert is_number("3.5") and is_number("-2") and not is_number("3x")
+
+
+def test_sql_resource_transformation(spark):
+    """T8 4th variant: SQL shipped as a package resource
+    (sql/SQLResourceTransformation.scala:14-25)."""
+    from featurestore_spark.transform import SQLResourceTransformation
+
+    spark.createDataFrame(
+        [(3, "c"), (1, "a"), (2, "b")], ["id", "val"]
+    ).createOrReplaceTempView("res_t")
+    tf = SQLResourceTransformation(
+        "featurestore_spark.queries",
+        "sql/top_rows.sql",
+        {"table": "res_t", "order_col": "id", "n": "2"},
+    )
+    rows = tf(spark).collect()
+    assert [r["val"] for r in rows] == ["a", "b"]
+    # ctx sqlparams fill anything the constructor didn't bind
+    tf2 = SQLResourceTransformation(
+        "featurestore_spark.queries", "sql/top_rows.sql", {"n": "1"}
+    )
+    ctx = TransformationContext(
+        {"sqlparams": {"table": "res_t", "order_col": "id", "n": "3"}}
+    )
+    assert tf2(spark, ctx).count() == 1  # constructor params win
+
+
+def test_audit_repositories_roundtrip(spark, tmp_path):
+    """ErrorRepository/JobStepRepository CSV persistence
+    (store/ErrorRepository.scala:25-41, JobStepRepository.scala:25-41):
+    the context's audit trail survives a save/load cycle, through the
+    Hadoop FS path (scheme-qualified) and the plain-local path."""
+    from featurestore_spark.store import (
+        ErrorRepository,
+        JobStepRepository,
+        persist_context_audit,
+    )
+    from featurestore_spark.transform.context import JobStep, TransformationError
+
+    steps = [
+        JobStep("load_hub", "success", ""),
+        JobStep("load_satellite", "failure", "boom, with ,commas"),
+    ]
+    errors = [TransformationError("cast_age", "bad int", "row(age='x')")]
+    ctx = TransformationContext({"steps": steps, "errors": errors})
+    persist_context_audit(
+        ctx,
+        steps_path=f"file:{tmp_path}/steps.csv",
+        errors_path=f"file:{tmp_path}/errors.csv",
+        spark=spark,
+    )
+    got_steps = JobStepRepository(f"file:{tmp_path}/steps.csv", spark).load()
+    assert got_steps == steps  # csv quoting preserved the commas
+    got_errors = ErrorRepository(f"file:{tmp_path}/errors.csv", spark).load()
+    assert got_errors == errors
+
+    local = JobStepRepository(str(tmp_path / "steps_local.csv"))
+    local.save(steps)
+    assert local.load() == steps
+    assert JobStepRepository(str(tmp_path / "missing.csv")).load() == []

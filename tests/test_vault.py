@@ -116,6 +116,13 @@ def test_satellite_full_delta_update_sequence(spark, loader):
     assert first["version"] == 2 and first["rectype"] == "U"
     # unchanged rows NOT spuriously updated (hash discipline)
     assert cur.where((F.col("version") == 1) & (F.col("rectype") == "I")).count() == 100
+    # proc.csv accumulated one clean line per load (S16; the r1
+    # Hadoop-FS read returned NUL bytes, corrupting the append)
+    proc = loader._fs_read_text(loader._path("cust_sat", "proc.csv"))
+    lines = proc.strip().split("\n")
+    assert lines[0].startswith("process_time,") and len(lines) == 4
+    assert "\x00" not in proc
+    assert lines[3].startswith(T2) and lines[3].endswith(",0,10,0")
 
 
 def test_satellite_unchanged_reload_is_noop(spark, loader):
