@@ -210,3 +210,47 @@ def test_audit_repositories_roundtrip(spark, tmp_path):
     local.save(steps)
     assert local.load() == steps
     assert JobStepRepository(str(tmp_path / "missing.csv")).load() == []
+
+
+def test_csv_sink_and_sql_file_source(spark, tmp_path):
+    """S5 + S6: untested r1 constructors get a real write/read path."""
+    from featurestore_spark.io.sources import CSVSink, CSVSource, SQLFileSource
+
+    df = spark.createDataFrame(
+        [(1, "a b", 2.5), (2, "c,d", -1.0)], ["id", "txt", "x"]
+    )
+    out = str(tmp_path / "sink_csv")
+    CSVSink()(df, {"out_path": out, "header": True})
+    back = CSVSource(spark)(
+        {"path": out, "header": True, "schema": "id bigint, txt string, x double"}
+    )
+    assert sorted(back.collect()) == sorted(df.collect())  # commas quoted
+
+    sql_path = tmp_path / "q.sql"
+    sql_path.write_text("SELECT count(*) AS n FROM $view WHERE x > $min_x")
+    df.createOrReplaceTempView("sink_v")
+    res = SQLFileSource(spark, str(sql_path))(
+        {"sqlparams": {"view": "sink_v", "min_x": "0"}}
+    )
+    assert res.first()["n"] == 1
+
+
+def test_jdbc_source_roundtrip_derby(spark):
+    """S9 smoke via the Derby embedded driver that ships in Spark's
+    jars (star/io/JdbcReader.scala:9-24): write a table over JDBC,
+    read it back through JdbcSource."""
+    from featurestore_spark.io.sources import JdbcSource
+
+    url = "jdbc:derby:memory:fs_jdbc;create=true"
+    driver = "org.apache.derby.iapi.jdbc.AutoloadedDriver"
+    df = spark.createDataFrame([(1, "x"), (2, "y")], ["id", "val"])
+    (
+        df.write.format("jdbc")
+        .option("driver", driver)
+        .option("url", url)
+        .option("dbtable", "t_smoke")
+        .mode("overwrite")
+        .save()
+    )
+    back = JdbcSource(spark)({"driver": driver, "url": url, "dbtable": "t_smoke"})
+    assert sorted((r["id"], r["val"]) for r in back.collect()) == [(1, "x"), (2, "y")]
