@@ -11,8 +11,20 @@ configurable because its only contract is "stable row fingerprint";
 `md5` mode exists so DuckDB oracles can reproduce it exactly.
 
 Null / ordering discipline (SURVEY.md §7 "what's hard"): the inputs to
-both hashes are rendered null-safely (null → empty string sentinel) in
-a pinned column order, otherwise updates are spuriously detected.
+both hashes are rendered null-safely in a pinned column order,
+otherwise updates are spuriously detected. Two renderings:
+
+- `hash_key` renders null as "\x01" and concatenates WITHOUT field
+  separators, matching the reference's `hashKey(idType ++ id)` for all
+  non-null inputs (hashFunctions.scala:30-37) so entity ids equal the
+  reference's. Inherited caveat: multi-field keys are ambiguous under
+  bare concatenation (('ab','c') == ('a','bc')) — acceptable for keys,
+  which are near-always single non-null fields.
+- `fingerprint` (change detection; internal-only contract) breaks from
+  the reference deliberately: fields joined with the ASCII unit
+  separator, null rendered as the record separator — field boundaries
+  unambiguous, null never collides with any real string. A silent
+  missed-update is worse than hash inequality with the reference.
 """
 
 from __future__ import annotations
@@ -22,15 +34,19 @@ from collections.abc import Sequence
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-NULL_SENTINEL = ""  # never appears in real data; distinguishes null from ''
+NULL_SENTINEL = "\x01"  # hash_key null marker (distinct from '' but unseparated)
+FP_FIELD_SEP = "\x1f"  # fingerprint field boundary (ASCII unit separator)
+FP_NULL_SENTINEL = "\x1e"  # fingerprint null marker (ASCII record separator)
 
 
-def _rendered(cols: Sequence[str | Column]) -> list[Column]:
+def _rendered(
+    cols: Sequence[str | Column], null_sentinel: str = NULL_SENTINEL
+) -> list[Column]:
     """Null-safe string rendering of hash inputs in pinned order."""
     out = []
     for c in cols:
         col = F.col(c) if isinstance(c, str) else c
-        out.append(F.coalesce(col.cast("string"), F.lit(NULL_SENTINEL)))
+        out.append(F.coalesce(col.cast("string"), F.lit(null_sentinel)))
     return out
 
 
@@ -55,9 +71,9 @@ def fingerprint(cols: Sequence[str | Column], method: str = "xxhash64") -> Colum
     (hashFunctions.scala:60-61). `md5` gives a cross-engine-stable
     string (same result in DuckDB) for oracle-checked paths.
     """
-    rendered = _rendered(cols)
+    rendered = _rendered(cols, FP_NULL_SENTINEL)
     if method == "xxhash64":
         return F.xxhash64(*rendered).cast("string")
     if method == "md5":
-        return F.md5(F.concat_ws("", *rendered))
+        return F.md5(F.concat_ws(FP_FIELD_SEP, *rendered))
     raise ValueError(f"unknown fingerprint method: {method}")

@@ -32,10 +32,23 @@ def salted_join(
 
     `small` is replicated `salt`× (explode over the salt range) — use
     only when small is genuinely small or the skew is worth the
-    replication. Output columns match a plain `big.join(small, on)`.
+    replication. Output matches a plain `big.join(small, on)` for
+    `how` in (inner, left, left_semi): exactly one of the small side's
+    replicas matches each big row. Right/full outer would emit each
+    UNMATCHED small row salt× (every replica survives), so those modes
+    are rejected rather than silently wrong (ADVICE r1).
+
+    The salt is derived from the big row's content (hash of all
+    columns, never `rand()`): deterministic under task retry, and a
+    hot key still scatters because its rows differ in other columns.
     """
+    if how not in ("inner", "left", "left_outer", "left_semi"):
+        raise ValueError(
+            f"salted_join supports inner/left/left_semi, not {how!r}: "
+            "outer-replicated small rows would duplicate"
+        )
     salted_big = big.withColumn(
-        "_salt", (F.rand(seed=42) * salt).cast("int")
+        "_salt", F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(salt)).cast("int")
     )
     salted_small = small.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
@@ -56,7 +69,10 @@ def salted_count(
     shuffle. Spark's hash aggregate already does map-side partials;
     salting additionally splits the REDUCE side of a hot key."""
     partial = (
-        df.withColumn("_salt", (F.rand(seed=42) * salt).cast("int"))
+        df.withColumn(
+            "_salt",
+            F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(salt)).cast("int"),
+        )
         .groupBy(*keys, "_salt")
         .agg(F.count(F.lit(1)).alias("_pc"))
     )

@@ -642,11 +642,13 @@ def q_link_customer_order(spark, sf_dir):
     ).distinct()
 
 
+# fingerprint rendering: unit-separator field boundaries, record
+# separator for nulls (functions/hashing.py FP_FIELD_SEP/FP_NULL_SENTINEL)
 _SAT_VALUE_RENDER = (
-    "concat(coalesce(CAST(c_name AS VARCHAR), ''),"
-    " coalesce(CAST(c_nationkey AS VARCHAR), ''),"
-    " coalesce(CAST({acctbal} AS VARCHAR), ''),"
-    " coalesce(CAST(c_mktsegment AS VARCHAR), ''))"
+    "concat_ws(chr(31), coalesce(CAST(c_name AS VARCHAR), chr(30)),"
+    " coalesce(CAST(c_nationkey AS VARCHAR), chr(30)),"
+    " coalesce(CAST({acctbal} AS VARCHAR), chr(30)),"
+    " coalesce(CAST(c_mktsegment AS VARCHAR), chr(30)))"
 )
 
 

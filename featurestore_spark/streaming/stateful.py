@@ -22,17 +22,8 @@ from pyspark.sql.types import (
     LongType,
     StructField,
     StructType,
-    TimestampType,
 )
 
-_OUT_SCHEMA = StructType(
-    [
-        StructField("user_id", LongType()),
-        StructField("event_id", LongType()),
-        StructField("ts", TimestampType()),
-        StructField("session", LongType()),
-    ]
-)
 _STATE_SCHEMA = StructType(
     [
         StructField("last_ts_us", LongType()),
@@ -48,16 +39,32 @@ def stateful_sessionize(
     entity_col: str = "user_id",
     ts_col: str = "ts",
     id_col: str = "event_id",
+    session_col: str = "session",
 ) -> DataFrame:
     """Per-event session numbers (1-based, increment when the gap to
     the previous event exceeds the timeout), continuous across
-    micro-batches. Works on a streaming OR batch grouped input."""
+    micro-batches. Works on a streaming OR batch grouped input.
+
+    The output schema is DERIVED from the input: (entity_col, id_col,
+    ts_col) keep their incoming names and types, plus a long
+    `session_col` — string entity ids work as-is (ADVICE r1: the
+    hardcoded long user_id/event_id schema cast-failed on any other
+    shape).
+    """
     gap_us = int(timeout_seconds * 1_000_000)
+    in_schema = events.schema
+    out_schema = StructType(
+        [
+            in_schema[entity_col],
+            in_schema[id_col],
+            in_schema[ts_col],
+            StructField(session_col, LongType()),
+        ]
+    )
 
     def assign(key, pdfs, state: GroupState):
         import pandas as pd
 
-        (user_id,) = key
         if state.exists:
             last_ts_us, session_no = state.get
         else:
@@ -76,16 +83,16 @@ def stateful_sessionize(
         state.update((last_ts_us, session_no))
         yield pd.DataFrame(
             {
-                "user_id": pdf[entity_col].astype("int64"),
-                "event_id": pdf[id_col].astype("int64"),
-                "ts": pdf[ts_col],
-                "session": pd.Series(sessions, index=pdf.index, dtype="int64"),
+                entity_col: pdf[entity_col],
+                id_col: pdf[id_col],
+                ts_col: pdf[ts_col],
+                session_col: pd.Series(sessions, index=pdf.index, dtype="int64"),
             }
         )
 
     return events.groupBy(entity_col).applyInPandasWithState(
         assign,
-        outputStructType=_OUT_SCHEMA,
+        outputStructType=out_schema,
         stateStructType=_STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,

@@ -69,3 +69,20 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         assert joined.count() == 1000
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_salted_join_rejects_outer_and_is_deterministic(spark, skewed):
+    dim = spark.createDataFrame(
+        [("HOT", "hot-dim")] + [(f"k{i}", f"d{i}") for i in range(50)], ["k", "label"]
+    )
+    with pytest.raises(ValueError):
+        salted_join(skewed, dim, "k", how="right")
+    with pytest.raises(ValueError):
+        salted_join(skewed, dim, "k", how="full_outer")
+    # content-derived salt: two runs give identical row-level results
+    a = sorted(map(tuple, salted_join(skewed, dim, "k", how="left").collect()))
+    b = sorted(map(tuple, salted_join(skewed, dim, "k", how="left").collect()))
+    assert a == b
+    # left join keeps unmatched big rows exactly once
+    plain = sorted(map(tuple, skewed.join(dim, "k", "left").collect()))
+    assert a == plain

@@ -163,3 +163,30 @@ def test_stateful_sessionize_matches_batch_across_batches(spark, tmp_path):
         (r["user_id"], r["event_id"]): r["session"] for r in batch.collect()
     }
     assert streamed == expected
+
+
+def test_stateful_sessionize_string_ids(spark, tmp_path):
+    """Output schema derives from the input (ADVICE r1): string entity
+    ids and renamed columns flow through unchanged."""
+    from featurestore_spark.streaming.stateful import stateful_sessionize
+
+    rows = [
+        ("alice", "e1", "2024-01-01 00:00:00"),
+        ("alice", "e2", "2024-01-01 00:10:00"),
+        ("alice", "e3", "2024-01-02 09:00:00"),  # > timeout -> session 2
+        ("bob", "e4", "2024-01-01 05:00:00"),
+    ]
+    df = (
+        spark.createDataFrame(rows, ["who", "eid", "ts_str"])
+        .withColumn("when_ts", F.to_timestamp("ts_str"))
+        .drop("ts_str")
+    )
+    out = stateful_sessionize(
+        df, 3600.0, entity_col="who", ts_col="when_ts", id_col="eid",
+        session_col="sess",
+    )
+    assert [f.name for f in out.schema.fields] == ["who", "eid", "when_ts", "sess"]
+    got = {(r["who"], r["eid"]): r["sess"] for r in out.collect()}
+    assert got[("alice", "e1")] == 1 and got[("alice", "e2")] == 1
+    assert got[("alice", "e3")] == 2
+    assert got[("bob", "e4")] == 1

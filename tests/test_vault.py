@@ -415,3 +415,28 @@ def test_link_delete_then_resurrect(spark, loader):
     cur = loader.read_current("l_res")
     assert cur.count() == 4 and cur.where("rectype = 'D'").count() == 0
     assert cur.where("version = 3").count() == 1
+
+
+def test_fingerprint_field_boundaries_and_nulls(spark):
+    """fingerprint discriminates ('ab','c') vs ('a','bc') and null vs
+    '' (conscious break from the reference's bare concat; ADVICE r1)."""
+    from featurestore_spark.functions.hashing import fingerprint
+
+    df = spark.createDataFrame(
+        [("ab", "c", None, ""), ("a", "bc", "", None)], ["w", "x", "y", "z"]
+    )
+    for method in ("xxhash64", "md5"):
+        fps = [
+            r["fp"]
+            for r in df.select(
+                fingerprint(["w", "x"], method).alias("fp")
+            ).collect()
+        ]
+        assert fps[0] != fps[1], method  # field boundary
+        fps2 = [
+            r["fp"]
+            for r in df.select(
+                fingerprint(["y", "z"], method).alias("fp")
+            ).collect()
+        ]
+        assert fps2[0] != fps2[1], method  # (null,'') vs ('',null)
