@@ -1385,6 +1385,9 @@ def q_minhash_bands(spark, sf_dir):
     return minhash_bands(docs, n=_MH_N, k=_MH_K, bands=_MH_BANDS)
 
 
+_MH_MAX_BUCKET = 1000  # production skew guard, modeled on BOTH sides
+
+
 @_register(
     "q_minhash_pairs",
     _duck_minhash_bands()
@@ -1393,19 +1396,23 @@ def q_minhash_bands(spark, sf_dir):
         f"SELECT doc_id, {i} AS band_idx, band_{i} AS band_hash FROM bands"
         for i in range(_MH_BANDS)
     )
-    + """)
+    + f"""),
+    kept AS (  -- the operator's max_bucket guard, mirrored
+      SELECT band_idx, band_hash FROM melted
+      GROUP BY band_idx, band_hash HAVING count(*) <= {_MH_MAX_BUCKET})
     SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
     FROM melted a JOIN melted b USING (band_idx, band_hash)
+    JOIN kept USING (band_idx, band_hash)
     WHERE a.doc_id < b.doc_id
     """,
-    "MinHash LSH near-dup candidate pairs (band bucket join)",
+    "MinHash LSH near-dup candidate pairs (band bucket join, guarded)",
 )
 def q_minhash_pairs(spark, sf_dir):
     from featurestore_spark.operators.dedup import minhash_candidate_pairs
 
     docs = load_table(spark, sf_dir, "documents")
     return minhash_candidate_pairs(
-        docs, n=_MH_N, k=_MH_K, bands=_MH_BANDS, max_bucket=10**9
+        docs, n=_MH_N, k=_MH_K, bands=_MH_BANDS, max_bucket=_MH_MAX_BUCKET
     )
 
 
@@ -1440,10 +1447,14 @@ def q_ngram_jaccard(spark, sf_dir):
         f"SELECT doc_id, {i} AS band_idx, band_{i} AS band_hash FROM bands"
         for i in range(_MH_BANDS)
     )
-    + """),
+    + f"""),
+    kept AS (
+      SELECT band_idx, band_hash FROM melted
+      GROUP BY band_idx, band_hash HAVING count(*) <= {_MH_MAX_BUCKET}),
     cand AS (
       SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
       FROM melted a JOIN melted b USING (band_idx, band_hash)
+      JOIN kept USING (band_idx, band_hash)
       WHERE a.doc_id < b.doc_id),
     verified AS (
       SELECT c.a_id, c.b_id
@@ -1467,7 +1478,7 @@ def q_dedup_pipeline(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     cand = minhash_candidate_pairs(
-        docs, n=_MH_N, k=_MH_K, bands=_MH_BANDS, max_bucket=10**9
+        docs, n=_MH_N, k=_MH_K, bands=_MH_BANDS, max_bucket=_MH_MAX_BUCKET
     )
     dups = jaccard_pairs(docs, cand, n=_MH_N).where(F.col("jaccard") >= 0.8)
     drops = dups.select(F.col("b_id").alias("doc_id")).distinct()

@@ -43,7 +43,9 @@ def stateful_sessionize(
 ) -> DataFrame:
     """Per-event session numbers (1-based, increment when the gap to
     the previous event exceeds the timeout), continuous across
-    micro-batches. Works on a streaming OR batch grouped input.
+    micro-batches. Streaming input only — Spark rejects
+    applyInPandasWithState in batch queries; use
+    `operators.events.sessionize` for batch.
 
     The output schema is DERIVED from the input: (entity_col, id_col,
     ts_col) keep their incoming names and types, plus a long

@@ -181,12 +181,26 @@ def test_stateful_sessionize_string_ids(spark, tmp_path):
         .withColumn("when_ts", F.to_timestamp("ts_str"))
         .drop("ts_str")
     )
+    src = str(tmp_path / "string_id_events")
+    df.coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(df.schema).parquet(src)
     out = stateful_sessionize(
-        df, 3600.0, entity_col="who", ts_col="when_ts", id_col="eid",
+        stream, 3600.0, entity_col="who", ts_col="when_ts", id_col="eid",
         session_col="sess",
     )
     assert [f.name for f in out.schema.fields] == ["who", "eid", "when_ts", "sess"]
-    got = {(r["who"], r["eid"]): r["sess"] for r in out.collect()}
+    q = (
+        out.writeStream.format("memory")
+        .queryName("string_sessions")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["who"], r["eid"]): r["sess"]
+        for r in spark.table("string_sessions").collect()
+    }
     assert got[("alice", "e1")] == 1 and got[("alice", "e2")] == 1
     assert got[("alice", "e3")] == 2
     assert got[("bob", "e4")] == 1
