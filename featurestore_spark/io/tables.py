@@ -60,8 +60,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     path = os.path.join(sf_dir, f"{name}.parquet")
     df = spark.read.parquet(path)
+    dtypes = dict(df.dtypes)
+    # Only convert ns-columns that actually arrived as BIGINT nanos:
+    # Spark reads its own ns-written files as timestamps directly, so a
+    # re-materialized table (e.g. tools/gen_scale.py output) must not
+    # be divided twice.
     for c in _nano_ts_columns(path):
-        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+        if dtypes.get(c) == "bigint":
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
     # Naive (isAdjustedToUTC=false) parquet timestamps arrive as
     # TIMESTAMP_NTZ; normalize to TIMESTAMP (lossless under the UTC
     # session tz pinned above) so unix_micros & friends apply uniformly.

@@ -1,0 +1,69 @@
+"""Derive a ~10x scale stress dataset from sf0.1 (no sf1 testdata is
+shipped; VERDICT r1 #9 asks for shuffle-path stress at 10x).
+
+Fact-ish tables are replicated `factor` times with all primary and
+intra-replica foreign keys shifted by `i * stride`, so joins stay
+referentially valid and key cardinality actually grows 10x (a naive
+union would just create duplicate keys and skew every join). Small
+dims (region, nation, supplier, part) are kept as-is — exactly the
+shape of a real warehouse growing facts against stable dims.
+
+documents/embeddings replicas keep their payloads, so every document
+gains `factor-1` exact near-duplicates — a deliberately brutal dedup
+workload (LSH buckets are `factor`x denser).
+
+Usage:
+    python3 tools/gen_scale.py [--factor 10] [--out /tmp/sf1_derived]
+    SPARK_GRAFT_SF_DIR=/tmp/sf1_derived python3 bench.py
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from pyspark.sql import functions as F
+
+from featurestore_spark.io import load_table
+from featurestore_spark.session import get_spark
+
+KEEP = ["region", "nation", "supplier", "part"]
+# table -> columns shifted per replica (PKs + FKs into replicated tables)
+SHIFT = {
+    "customer": ["c_custkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--src", default="/root/testdata/sf0.1")
+    ap.add_argument("--out", default="/tmp/sf1_derived")
+    ap.add_argument("--factor", type=int, default=10)
+    args = ap.parse_args()
+
+    spark = get_spark("gen_scale", master="local[32]", shuffle_partitions=32)
+    for t in KEEP:
+        load_table(spark, args.src, t).write.mode("overwrite").parquet(
+            f"{args.out}/{t}.parquet"
+        )
+        print(f"copied {t}")
+    for t, keys in SHIFT.items():
+        df = load_table(spark, args.src, t)
+        strides = {k: df.agg(F.max(k)).first()[0] + 1 for k in keys}
+        # one replica per value of an exploded index column — a single
+        # distributed pass, not `factor` unions of the same scan
+        rep = df.withColumn(
+            "_i", F.explode(F.sequence(F.lit(0), F.lit(args.factor - 1)))
+        )
+        for k in keys:
+            rep = rep.withColumn(k, F.col(k) + F.col("_i") * F.lit(strides[k]))
+        rep.drop("_i").write.mode("overwrite").parquet(f"{args.out}/{t}.parquet")
+        print(f"replicated {t} x{args.factor} (strides {strides})")
+
+
+if __name__ == "__main__":
+    main()
