@@ -44,6 +44,12 @@ HEADLINE = [
     "q_tpch_q10",
     "q_tpch_q12",
     "q_tpch_q14",
+    "q_tpch_q4",
+    "q_tpch_q13",
+    "q_tpch_q15",
+    "q_tpch_q18",
+    "q_tpch_q19",
+    "q_tpch_q22",
     "q_top_customers",
     "q_vault_full_cycle",  # write-path throughput (real loader)
 ]

@@ -21,7 +21,7 @@ from dataclasses import dataclass
 from datetime import datetime, timezone
 from typing import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from featurestore_spark.functions.hashing import hash_key
@@ -1201,6 +1201,203 @@ def q_tpch_q14(spark, sf_dir):
             ).alias("promo_revenue_pct")
         )
     )
+
+
+@_register(
+    "q_tpch_q4",
+    """
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+    GROUP BY o_orderpriority
+    """,
+    "EXISTS semi-join + grouped count (q4 shape; planned as LeftSemi)",
+)
+def q_tpch_q4(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    heavy = li.where(F.col("l_quantity") > 45).select("l_orderkey")
+    return (
+        orders.where(
+            (F.col("o_orderdate") >= _ts_lit("1996-01-01 00:00:00"))
+            & (F.col("o_orderdate") < _ts_lit("1996-07-01 00:00:00"))
+        )
+        .join(heavy, F.col("l_orderkey") == F.col("o_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@_register(
+    "q_tpch_q13",
+    """
+    SELECT c_count, count(*) AS custdist
+    FROM (SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+          FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+          GROUP BY c.c_custkey)
+    GROUP BY c_count
+    """,
+    "Customer-order-count distribution incl. zero-order customers "
+    "(q13 shape: outer join + double aggregation)",
+)
+def q_tpch_q13(spark, sf_dir):
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@_register(
+    "q_tpch_q18",
+    """
+    SELECT c_name, c.c_custkey, o.o_orderkey, epoch_us(o_orderdate) AS odate_us,
+           o_totalprice, big.total_qty
+    FROM (SELECT l_orderkey, CAST(sum(l_quantity) AS BIGINT) AS total_qty
+          FROM lineitem GROUP BY l_orderkey
+          HAVING sum(l_quantity) > 250) big
+    JOIN orders o ON o.o_orderkey = big.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    """,
+    "Large-volume orders: HAVING-filtered agg driving a 3-way join "
+    "(q18 shape; agg output is the small build side)",
+)
+def q_tpch_q18(spark, sf_dir):
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .where(F.col("total_qty") > 250)
+        .withColumn("total_qty", F.col("total_qty").cast("bigint"))
+    )
+    return (
+        F.broadcast(big)
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(cust, F.col("c_custkey") == F.col("o_custkey"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.unix_micros("o_orderdate").alias("odate_us"),
+            "o_totalprice",
+            "total_qty",
+        )
+    )
+
+
+@_register(
+    "q_tpch_q19",
+    """
+    SELECT CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0)
+                    AS BIGINT)) AS BIGINT) AS revenue_cents
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size <= 15 AND l_quantity >= 10)
+       OR (p_brand = 'Brand#3' AND p_size <= 30 AND l_quantity >= 20)
+       OR (p_type LIKE 'PROMO%' AND l_quantity < 5)
+    """,
+    "Disjunctive predicate revenue (q19 shape; OR-of-conjunctions must "
+    "still prune/push partially). Integer-cents sum for engine parity.",
+)
+def q_tpch_q19(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & (F.col("p_size") <= 15) & (F.col("l_quantity") >= 10))
+        | ((F.col("p_brand") == "Brand#3") & (F.col("p_size") <= 30) & (F.col("l_quantity") >= 20))
+        | (F.col("p_type").like("PROMO%") & (F.col("l_quantity") < 5))
+    )
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
+    ).cast("bigint")
+    return (
+        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .where(cond)
+        .agg(F.sum(cents).cast("bigint").alias("revenue_cents"))
+    )
+
+
+@_register(
+    "q_tpch_q22",
+    """
+    SELECT substr(c_name, 10, 1) AS cseg, count(*) AS numcust,
+           CAST(sum(CAST(round(c_acctbal * 100, 0) AS BIGINT)) AS BIGINT)
+             AS totacctbal_cents
+    FROM customer c
+    WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= TIMESTAMP '2001-01-01 00:00:00')
+    GROUP BY substr(c_name, 10, 1)
+    """,
+    "Above-average-balance customers dormant since 2001 (q22 shape: "
+    "scalar subquery + anti-join). Integer-cents sum for engine parity.",
+)
+def q_tpch_q22(spark, sf_dir):
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    avg_bal = cust.where(F.col("c_acctbal") > 0.0).agg(F.avg("c_acctbal")).first()[0]
+    recent = orders.where(F.col("o_orderdate") >= _ts_lit("2001-01-01 00:00:00"))
+    cents = F.round(F.col("c_acctbal") * 100, 0).cast("bigint")
+    return (
+        cust.where(F.col("c_acctbal") > avg_bal)
+        .join(recent, F.col("o_custkey") == F.col("c_custkey"), "left_anti")
+        .groupBy(F.substring("c_name", 10, 1).alias("cseg"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(cents).cast("bigint").alias("totacctbal_cents"),
+        )
+    )
+
+
+@_register(
+    "q_tpch_q15",
+    """
+    WITH rev AS (
+      SELECT l_suppkey,
+             CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0)
+                      AS BIGINT)) AS BIGINT) AS revenue_cents
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+      GROUP BY l_suppkey)
+    SELECT s.s_suppkey, s.s_name, r.revenue_cents
+    FROM rev r JOIN supplier s ON s.s_suppkey = r.l_suppkey
+    WHERE r.revenue_cents = (SELECT max(revenue_cents) FROM rev)
+    """,
+    "Top supplier by quarterly revenue (q15 shape: agg view + scalar "
+    "max subquery; ties all kept)",
+)
+def q_tpch_q15(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
+    ).cast("bigint")
+    rev = (
+        li.where(
+            (F.col("l_shipdate") >= _ts_lit("1996-01-01 00:00:00"))
+            & (F.col("l_shipdate") < _ts_lit("1996-04-01 00:00:00"))
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum(cents).cast("bigint").alias("revenue_cents"))
+    )
+    w = Window.orderBy(F.col("revenue_cents").desc())
+    top = (
+        rev.withColumn("_rk", F.rank().over(w))
+        .where(F.col("_rk") == 1)
+        .drop("_rk")
+    )
+    return top.join(
+        F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey")
+    ).select("s_suppkey", "s_name", "revenue_cents")
 
 
 # ---------------------------------------------------------------------------
