@@ -8,6 +8,9 @@ streaming-compatible).
   a watermark for late data (A3/A5 streaming analog).
 - `streaming_sessionize`: `session_window` gap-based sessions — the
   built-in stateful operator matching W1's timeout semantics exactly.
+- `streaming_dedup_exact`: watermarked exact dedup on a content
+  fingerprint — the streaming side of `operators/dedup.exact_dedup`
+  (state bounded by the watermark horizon instead of all history).
 
 Both run identically on batch DataFrames (Spark's unified API), which
 is how the tests cross-check them against the batch operators.
@@ -63,6 +66,32 @@ def streaming_event_counts(
             "total",
         )
     )
+
+
+def streaming_dedup_exact(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+    fingerprint_col: str = "_fp",
+) -> DataFrame:
+    """Drop exact-content duplicates from a stream: md5 fingerprint +
+    `dropDuplicatesWithinWatermark`, so the dedup state store holds
+    only the watermark horizon — at 100 TB/day the unbounded
+    `dropDuplicates` state would never stop growing. Batch inputs fall
+    back to plain `dropDuplicates` on the same fingerprint (identical
+    semantics when everything fits one "horizon").
+    """
+    fp = F.md5(F.col(text_col).cast("string"))
+    src = docs.withColumn(fingerprint_col, fp)
+    if src.isStreaming:
+        out = src.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+            [fingerprint_col]
+        )
+    else:
+        out = src.dropDuplicates([fingerprint_col])
+    return out.drop(fingerprint_col)
 
 
 def streaming_sessionize(

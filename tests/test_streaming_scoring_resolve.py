@@ -204,3 +204,44 @@ def test_stateful_sessionize_string_ids(spark, tmp_path):
     assert got[("alice", "e1")] == 1 and got[("alice", "e2")] == 1
     assert got[("alice", "e3")] == 2
     assert got[("bob", "e4")] == 1
+
+
+def test_streaming_dedup_exact(spark, tmp_path):
+    """Watermarked exact dedup drops same-content docs across
+    micro-batches (within the watermark horizon)."""
+    from featurestore_spark.streaming.ops import streaming_dedup_exact
+
+    rows = [
+        (1, "the same text", "2024-01-01 00:00:00"),
+        (2, "unique one", "2024-01-01 00:05:00"),
+        (3, "the same text", "2024-01-01 00:10:00"),  # dup of 1
+        (4, "unique two", "2024-01-01 00:20:00"),
+        (5, "the same text", "2024-01-01 00:25:00"),  # dup of 1
+    ]
+    df = (
+        spark.createDataFrame(rows, ["doc_id", "text", "ts_str"])
+        .withColumn("ts", F.to_timestamp("ts_str"))
+        .drop("ts_str")
+    )
+    src = str(tmp_path / "doc_stream")
+    df.where("doc_id <= 3").coalesce(1).write.parquet(src)
+    df.where("doc_id > 3").coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(df.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = (
+        streaming_dedup_exact(stream, ts_col="ts", watermark="1 hour")
+        .writeStream.format("memory")
+        .queryName("dedup_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    kept_texts = [r["text"] for r in spark.table("dedup_stream").collect()]
+    assert sorted(kept_texts) == ["the same text", "unique one", "unique two"]
+
+    # batch fallback: same keep-set
+    batch = streaming_dedup_exact(df, ts_col="ts")
+    assert batch.count() == 3
