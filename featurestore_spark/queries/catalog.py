@@ -1400,6 +1400,400 @@ def q_tpch_q15(spark, sf_dir):
     ).select("s_suppkey", "s_name", "revenue_cents")
 
 
+@_register(
+    "q_tpch_q7",
+    """
+    SELECT supp_nation, cust_nation, l_year,
+           CAST(sum(cents) AS BIGINT) AS revenue_cents
+    FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                 CAST(year(l_shipdate) AS INT) AS l_year,
+                 CAST(round(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT) AS cents
+          FROM lineitem
+          JOIN supplier ON s_suppkey = l_suppkey
+          JOIN orders ON o_orderkey = l_orderkey
+          JOIN customer ON c_custkey = o_custkey
+          JOIN nation n1 ON n1.n_nationkey = s_nationkey
+          JOIN nation n2 ON n2.n_nationkey = c_nationkey
+          WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+              OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+            AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+            AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00')
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+    "Cross-nation shipping volume by year (q7 shape: the nation-pair "
+    "disjunction becomes per-dim IN-filters pushed below the join, "
+    "plus supp_nation<>cust_nation after)",
+)
+def q_tpch_q7(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    pair = ["NATION_1", "NATION_2"]
+    npair = nation.where(F.col("n_name").isin(pair))
+    sn = supp.join(
+        F.broadcast(npair), F.col("n_nationkey") == F.col("s_nationkey")
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    cn = cust.join(
+        F.broadcast(npair), F.col("n_nationkey") == F.col("c_nationkey")
+    ).select("c_custkey", F.col("n_name").alias("cust_nation"))
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
+    ).cast("bigint")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= _ts_lit("1996-01-01 00:00:00"))
+            & (F.col("l_shipdate") < _ts_lit("1998-01-01 00:00:00"))
+        )
+        .join(F.broadcast(sn), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(cn, F.col("c_custkey") == F.col("o_custkey"))
+        .where(F.col("supp_nation") != F.col("cust_nation"))
+        .select(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+            cents.alias("cents"),
+        )
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(F.sum("cents").cast("bigint").alias("revenue_cents"))
+    )
+
+
+@_register(
+    "q_tpch_q8",
+    """
+    SELECT o_year,
+           CAST(round(CAST(sum(CASE WHEN supp_nation = 'NATION_2' THEN cents ELSE 0 END)
+                           AS DOUBLE) / CAST(sum(cents) AS DOUBLE), 6) AS DOUBLE)
+             AS mkt_share
+    FROM (SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+                 CAST(round(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT) AS cents,
+                 n2.n_name AS supp_nation
+          FROM lineitem
+          JOIN part ON p_partkey = l_partkey
+          JOIN orders ON o_orderkey = l_orderkey
+          JOIN customer ON c_custkey = o_custkey
+          JOIN nation n1 ON n1.n_nationkey = c_nationkey
+          JOIN region ON r_regionkey = n1.n_regionkey
+          JOIN supplier ON s_suppkey = l_suppkey
+          JOIN nation n2 ON n2.n_nationkey = s_nationkey
+          WHERE r_name = 'ASIA' AND p_type = 'PROMO')
+    GROUP BY o_year
+    """,
+    "National market share within a region (q8 shape: conditional-sum "
+    "ratio; exact integer-cents sums, one rounded division at the end)",
+)
+def q_tpch_q8(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    asia_nk = nation.join(
+        F.broadcast(region.where(F.col("r_name") == "ASIA")),
+        F.col("r_regionkey") == F.col("n_regionkey"),
+    ).select("n_nationkey")
+    cust_asia = cust.join(
+        F.broadcast(asia_nk), F.col("c_nationkey") == F.col("n_nationkey")
+    ).select("c_custkey")
+    supp_n = supp.join(
+        F.broadcast(nation.select("n_nationkey", F.col("n_name").alias("supp_nation"))),
+        F.col("n_nationkey") == F.col("s_nationkey"),
+    ).select("s_suppkey", "supp_nation")
+    promo = load_table(spark, sf_dir, "part").where(F.col("p_type") == "PROMO")
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
+    ).cast("bigint")
+    base = (
+        li.join(F.broadcast(promo.select("p_partkey")), F.col("p_partkey") == F.col("l_partkey"))
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(cust_asia, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(supp_n), F.col("s_suppkey") == F.col("l_suppkey"))
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            cents.alias("cents"),
+            "supp_nation",
+        )
+    )
+    share = (
+        F.sum(
+            F.when(F.col("supp_nation") == "NATION_2", F.col("cents")).otherwise(F.lit(0))
+        ).cast("double")
+        / F.sum("cents").cast("double")
+    )
+    return base.groupBy("o_year").agg(
+        F.round(share, 6).cast("double").alias("mkt_share")
+    )
+
+
+@_register(
+    "q_tpch_q9",
+    """
+    SELECT n_name AS nation, o_year, CAST(sum(cents) AS BIGINT) AS profit_cents
+    FROM (SELECT n.n_name, CAST(year(o_orderdate) AS INT) AS o_year,
+                 CAST(round(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT) AS cents
+          FROM lineitem
+          JOIN part ON p_partkey = l_partkey
+          JOIN supplier ON s_suppkey = l_suppkey
+          JOIN nation n ON n.n_nationkey = s_nationkey
+          JOIN orders ON o_orderkey = l_orderkey
+          WHERE p_name LIKE '%widget%')
+    GROUP BY n_name, o_year
+    """,
+    "Product-line profit by supplier nation and year (q9 shape: "
+    "substring LIKE over part drives a 5-way join; dims broadcast)",
+)
+def q_tpch_q9(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    part = load_table(spark, sf_dir, "part")
+    widget = part.where(F.col("p_name").like("%widget%")).select("p_partkey")
+    sn = supp.join(
+        F.broadcast(nation), F.col("n_nationkey") == F.col("s_nationkey")
+    ).select("s_suppkey", "n_name")
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
+    ).cast("bigint")
+    return (
+        li.join(F.broadcast(widget), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(sn), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+            cents.alias("cents"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(F.sum("cents").cast("bigint").alias("profit_cents"))
+    )
+
+
+@_register(
+    "q_tpch_q2",
+    """
+    WITH pc AS (SELECT l_partkey, l_suppkey,
+                       CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS price_c
+                FROM lineitem),
+    mn AS (SELECT l_partkey, min(price_c) AS min_price_cents FROM pc GROUP BY l_partkey),
+    w AS (SELECT pc.l_partkey, mn.min_price_cents, min(pc.l_suppkey) AS s_key
+          FROM pc JOIN mn ON pc.l_partkey = mn.l_partkey AND pc.price_c = mn.min_price_cents
+          GROUP BY pc.l_partkey, mn.min_price_cents)
+    SELECT p_partkey, p_name, s_name, n_name, min_price_cents
+    FROM w
+    JOIN part ON p_partkey = w.l_partkey
+    JOIN supplier ON s_suppkey = w.s_key
+    JOIN nation ON n_nationkey = s_nationkey
+    WHERE p_size <= 3
+    """,
+    "Cheapest supplier per small part (q2 shape: min-per-group with "
+    "join-back; Spark does it in ONE shuffle via min(struct(price, "
+    "suppkey)) lexicographic agg, dims broadcast)",
+)
+def q_tpch_q2(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    pc = li.select(
+        "l_partkey",
+        "l_suppkey",
+        F.round(F.col("l_extendedprice") * 100, 0).cast("bigint").alias("price_c"),
+    )
+    best = (
+        pc.groupBy("l_partkey")
+        .agg(F.min(F.struct(F.col("price_c"), F.col("l_suppkey"))).alias("b"))
+        .select(
+            "l_partkey",
+            F.col("b.price_c").alias("min_price_cents"),
+            F.col("b.l_suppkey").alias("s_key"),
+        )
+    )
+    small = part.where(F.col("p_size") <= 3)
+    return (
+        best.join(F.broadcast(small), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("s_key"))
+        .join(F.broadcast(nation), F.col("n_nationkey") == F.col("s_nationkey"))
+        .select("p_partkey", "p_name", "s_name", "n_name", "min_price_cents")
+    )
+
+
+@_register(
+    "q_tpch_q11",
+    """
+    WITH v AS (SELECT l_partkey,
+                      CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT)
+                        AS value_cents
+               FROM lineitem GROUP BY l_partkey),
+    t AS (SELECT CAST(sum(value_cents) AS BIGINT) AS total_c FROM v)
+    SELECT l_partkey, value_cents FROM v, t WHERE value_cents * 1600 > total_c
+    """,
+    "High-value parts above a global-total fraction (q11 shape: HAVING "
+    "vs scalar subquery; all-integer math so the threshold compare is "
+    "engine-exact)",
+)
+def q_tpch_q11(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100, 0).cast("bigint")
+    v = li.groupBy("l_partkey").agg(F.sum(cents).cast("bigint").alias("value_cents"))
+    total = v.agg(F.sum("value_cents").cast("bigint")).first()[0]
+    return v.where(F.col("value_cents") * 1600 > F.lit(total))
+
+
+@_register(
+    "q_tpch_q16",
+    """
+    SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#1' AND p_size IN (1, 5, 9, 13, 17, 21)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_name LIKE '%3%')
+    GROUP BY p_brand, p_type, p_size
+    """,
+    "Supplier variety per part attribute (q16 shape: NOT-IN exclusion "
+    "as broadcast anti-join + count distinct)",
+)
+def q_tpch_q16(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supp = load_table(spark, sf_dir, "supplier")
+    bad = supp.where(F.col("s_name").like("%3%")).select("s_suppkey")
+    pf = part.where(
+        (F.col("p_brand") != "Brand#1") & F.col("p_size").isin([1, 5, 9, 13, 17, 21])
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    return (
+        li.join(F.broadcast(bad), F.col("s_suppkey") == F.col("l_suppkey"), "left_anti")
+        .join(F.broadcast(pf), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@_register(
+    "q_tpch_q17",
+    """
+    SELECT CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT) AS rev_cents
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p_brand = 'Brand#2'
+      AND l_quantity < (SELECT 0.5 * avg(l2.l_quantity) FROM lineitem l2
+                        WHERE l2.l_partkey = l.l_partkey)
+    """,
+    "Small-quantity revenue vs per-part average (q17 shape: correlated "
+    "AVG subquery becomes a window avg over the part key — one shuffle, "
+    "no self-join; the part-level brand filter commutes with the avg)",
+)
+def q_tpch_q17(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    b2 = part.where(F.col("p_brand") == "Brand#2").select("p_partkey")
+    lif = li.join(F.broadcast(b2), F.col("p_partkey") == F.col("l_partkey"))
+    w = Window.partitionBy("l_partkey")
+    cents = F.round(F.col("l_extendedprice") * 100, 0).cast("bigint")
+    return (
+        lif.withColumn("_avg_qty", F.avg("l_quantity").over(w))
+        .where(F.col("l_quantity") < 0.5 * F.col("_avg_qty"))
+        .agg(F.sum(cents).cast("bigint").alias("rev_cents"))
+    )
+
+
+@_register(
+    "q_tpch_q20",
+    """
+    SELECT s_suppkey, s_name, n_name
+    FROM supplier JOIN nation ON n_nationkey = s_nationkey
+    WHERE n_name IN ('NATION_3', 'NATION_4', 'NATION_5')
+      AND s_suppkey IN (SELECT l_suppkey
+                        FROM lineitem JOIN part ON p_partkey = l_partkey
+                        WHERE p_name LIKE 'small%'
+                          AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+                          AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+                        GROUP BY l_suppkey, l_partkey
+                        HAVING sum(l_quantity) > 50)
+    """,
+    "Suppliers with heavy volume of a part family (q20 shape: nested "
+    "IN-subquery chain as agg -> left_semi join)",
+)
+def q_tpch_q20(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    fam = part.where(F.col("p_name").like("small%")).select("p_partkey")
+    heavy = (
+        li.where(
+            (F.col("l_shipdate") >= _ts_lit("1996-01-01 00:00:00"))
+            & (F.col("l_shipdate") < _ts_lit("1997-01-01 00:00:00"))
+        )
+        .join(F.broadcast(fam), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .where(F.col("qty") > 50)
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        supp.join(
+            F.broadcast(nation.where(F.col("n_name").isin(["NATION_3", "NATION_4", "NATION_5"]))),
+            F.col("n_nationkey") == F.col("s_nationkey"),
+        )
+        .join(heavy, F.col("l_suppkey") == F.col("s_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name", "n_name")
+    )
+
+
+@_register(
+    "q_tpch_q21",
+    """
+    WITH li AS (SELECT l_orderkey, l_suppkey,
+                       max(CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
+                                THEN 1 ELSE 0 END) AS late
+                FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+                WHERE o_orderstatus = 'F'
+                GROUP BY l_orderkey, l_suppkey)
+    SELECT s_name, count(*) AS numwait
+    FROM li l1 JOIN supplier ON s_suppkey = l1.l_suppkey
+    WHERE l1.late = 1
+      AND EXISTS (SELECT 1 FROM li l2
+                  WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM li l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey AND l3.late = 1)
+    GROUP BY s_name
+    """,
+    "Sole-late supplier in multi-supplier orders (q21 shape: the "
+    "EXISTS / NOT EXISTS pair becomes ONE window over the order key "
+    "computing n_supp/n_late — no self-joins; late = shipped >90 days "
+    "after order date, adapted to this schema's columns)",
+)
+def q_tpch_q21(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supp = load_table(spark, sf_dir, "supplier")
+    lo = li.join(
+        orders.where(F.col("o_orderstatus") == "F").select("o_orderkey", "o_orderdate"),
+        F.col("o_orderkey") == F.col("l_orderkey"),
+    )
+    late = F.when(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    per = lo.groupBy("l_orderkey", "l_suppkey").agg(F.max(late).alias("late"))
+    w = Window.partitionBy("l_orderkey")
+    flagged = (
+        per.withColumn("n_supp", F.count(F.lit(1)).over(w))
+        .withColumn("n_late", F.sum("late").over(w))
+        .where((F.col("late") == 1) & (F.col("n_supp") > 1) & (F.col("n_late") == 1))
+    )
+    return (
+        flagged.join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Training-data pipeline: text analysis / dedup / similarity
 # ---------------------------------------------------------------------------
@@ -1843,3 +2237,28 @@ def q_embedding_ann_lsh(spark, sf_dir):
         F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv")
     )
     return bucketed_ann_topk(q, c, k=3, bits=3)
+
+
+@_register(
+    "q_embedding_near_dups",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    b AS (SELECT vec_id, v,
+                 ((v[1] > 0)::INT * 4 + (v[2] > 0)::INT * 2 + (v[3] > 0)::INT) AS bkt
+          FROM e),
+    p AS (SELECT a.vec_id AS a_id, b2.vec_id AS b_id,
+                 round(list_dot_product(a.v, b2.v)
+                       / (sqrt(list_dot_product(a.v, a.v))
+                          * sqrt(list_dot_product(b2.v, b2.v))), 6) AS sim
+          FROM b a JOIN b b2 ON a.bkt = b2.bkt AND a.vec_id < b2.vec_id)
+    SELECT a_id, b_id, sim FROM p WHERE sim >= 0.35
+    """,
+    "Embedding-cosine near-dup pairs: sign-bucket blocking turns the "
+    "all-pairs product into an equi-join; threshold on the rounded sim "
+    "so the compare is engine-exact",
+)
+def q_embedding_near_dups(spark, sf_dir):
+    from featurestore_spark.operators.similarity import embedding_near_dups
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_near_dups(emb, threshold=0.35, bits=3)
