@@ -50,6 +50,16 @@ HEADLINE = [
     "q_tpch_q18",
     "q_tpch_q19",
     "q_tpch_q22",
+    "q_tpch_q2",
+    "q_tpch_q7",
+    "q_tpch_q8",
+    "q_tpch_q9",
+    "q_tpch_q11",
+    "q_tpch_q16",
+    "q_tpch_q17",
+    "q_tpch_q20",
+    "q_tpch_q21",
+    "q_embedding_near_dups",
     "q_top_customers",
     "q_vault_full_cycle",  # write-path throughput (real loader)
 ]

@@ -261,16 +261,30 @@ def embedding_near_dups(
     """Embedding-cosine near-duplicate pairs via sign-bucket blocking:
     pairs within the same bucket with cosine ≥ threshold. (Exact
     near-dups by cosine almost always share leading sign bits; raise
-    recall by lowering `bits`.)"""
-    base = df.select(
-        F.col(id_col), as_double_array(vec_col).alias("v")
-    ).withColumn("_bkt", sign_bucket(F.col("v"), bits))
-    a = base.select("_bkt", F.col(id_col).alias("a_id"), F.col("v").alias("va"))
-    b = base.select("_bkt", F.col(id_col).alias("b_id"), F.col("v").alias("vb"))
+    recall by lowering `bits`.)
+
+    Norms are computed once per vector BEFORE the pair join (N sqrt-dots
+    instead of 2 per pair — the per-pair work is a single zip_with dot).
+    sqrt(dot(v,v)) on the same vector is bit-identical wherever it's
+    computed, so results match the naive per-pair cosine exactly."""
+    base = (
+        df.select(F.col(id_col), as_double_array(vec_col).alias("v"))
+        .withColumn("_bkt", sign_bucket(F.col("v"), bits))
+        .withColumn("_nrm", norm(F.col("v")))
+    )
+    a = base.select(
+        "_bkt", F.col(id_col).alias("a_id"), F.col("v").alias("va"), F.col("_nrm").alias("na")
+    )
+    b = base.select(
+        "_bkt", F.col(id_col).alias("b_id"), F.col("v").alias("vb"), F.col("_nrm").alias("nb")
+    )
     return (
         a.join(b, "_bkt")
         .where(F.col("a_id") < F.col("b_id"))
-        .withColumn("sim", cosine(F.col("va"), F.col("vb")))
+        .withColumn(
+            "sim",
+            F.round(dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6),
+        )
         .where(F.col("sim") >= threshold)
         .select("a_id", "b_id", "sim")
     )
