@@ -52,11 +52,18 @@ def cosine_topk(
     query_vec: str = "qv",
     cand_vec: str = "cv",
 ) -> DataFrame:
-    """Exact brute-force cosine top-k; queries broadcast."""
-    sims = candidates.crossJoin(F.broadcast(queries)).select(
+    """Exact brute-force cosine top-k; queries broadcast.
+
+    Norms are hoisted to each side before the cross join (bit-identical
+    to per-pair cosine: sqrt(dot(v,v)) has the same input either way)."""
+    q = queries.withColumn("_qn", norm(F.col(query_vec)))
+    c = candidates.withColumn("_cn", norm(F.col(cand_vec)))
+    sims = c.crossJoin(F.broadcast(q)).select(
         query_id,
         cand_id,
-        cosine(F.col(query_vec), F.col(cand_vec)).alias("sim"),
+        F.round(
+            dot(F.col(query_vec), F.col(cand_vec)) / (F.col("_qn") * F.col("_cn")), 6
+        ).alias("sim"),
     )
     w = Window.partitionBy(query_id).orderBy(F.col("sim").desc(), F.col(cand_id))
     return (
@@ -102,18 +109,24 @@ def bucketed_ann_topk(
     the candidate set grows (bits+1)× while staying bucket-bounded.
     Probe buckets are distinct, so no (query, candidate) pair repeats.
     """
-    q = queries.withColumn("_bkt", sign_bucket(F.col(query_vec), bits))
+    q = queries.withColumn("_bkt", sign_bucket(F.col(query_vec), bits)).withColumn(
+        "_qn", norm(F.col(query_vec))
+    )
     if multi_probe:
         probes = F.array(
             F.col("_bkt"),
             *[F.col("_bkt").bitwiseXOR(F.lit(1 << i)) for i in range(bits)],
         )
         q = q.withColumn("_bkt", F.explode(probes))
-    c = candidates.withColumn("_bkt", sign_bucket(F.col(cand_vec), bits))
+    c = candidates.withColumn("_bkt", sign_bucket(F.col(cand_vec), bits)).withColumn(
+        "_cn", norm(F.col(cand_vec))
+    )
     sims = c.join(F.broadcast(q), "_bkt").select(
         query_id,
         cand_id,
-        cosine(F.col(query_vec), F.col(cand_vec)).alias("sim"),
+        F.round(
+            dot(F.col(query_vec), F.col(cand_vec)) / (F.col("_qn") * F.col("_cn")), 6
+        ).alias("sim"),
     )
     w = Window.partitionBy(query_id).orderBy(F.col("sim").desc(), F.col(cand_id))
     return (
