@@ -276,28 +276,70 @@ def embedding_near_dups(
     near-dups by cosine almost always share leading sign bits; raise
     recall by lowering `bits`.)
 
-    Norms are computed once per vector BEFORE the pair join (N sqrt-dots
-    instead of 2 per pair — the per-pair work is a single zip_with dot).
-    sqrt(dot(v,v)) on the same vector is bit-identical wherever it's
-    computed, so results match the naive per-pair cosine exactly."""
-    base = (
-        df.select(F.col(id_col), as_double_array(vec_col).alias("v"))
+    Scale design (the 10x key-shifted stress exposed this): real
+    corpora are dominated by EXACT duplicates, which make the in-bucket
+    pair count quadratic in the duplication factor. So the pair join
+    runs over DISTINCT vectors only (groupBy the vector, min id as
+    representative), and member ids are expanded back afterwards —
+    pair work shrinks by the square of the duplication factor. Output
+    is identical to the naive all-rows join: identical vectors share
+    bucket/norm/dot by construction, intra-group sims use the same
+    dot(v,v)/(n*n) expression the naive path would, and norms are
+    hoisted per vector (bit-identical: sqrt(dot(v,v)) sees the same
+    input either way)."""
+    base = df.select(F.col(id_col).alias("_id"), as_double_array(vec_col).alias("v"))
+    reps = (
+        base.groupBy("v")
+        .agg(F.min("_id").alias("rep_id"), F.collect_list("_id").alias("members"))
         .withColumn("_bkt", sign_bucket(F.col("v"), bits))
         .withColumn("_nrm", norm(F.col("v")))
     )
-    a = base.select(
-        "_bkt", F.col(id_col).alias("a_id"), F.col("v").alias("va"), F.col("_nrm").alias("na")
+    a = reps.select(
+        "_bkt",
+        F.col("rep_id").alias("ra"),
+        F.col("members").alias("ma"),
+        F.col("v").alias("va"),
+        F.col("_nrm").alias("na"),
     )
-    b = base.select(
-        "_bkt", F.col(id_col).alias("b_id"), F.col("v").alias("vb"), F.col("_nrm").alias("nb")
+    b = reps.select(
+        "_bkt",
+        F.col("rep_id").alias("rb"),
+        F.col("members").alias("mb"),
+        F.col("v").alias("vb"),
+        F.col("_nrm").alias("nb"),
     )
-    return (
+    inter = (
         a.join(b, "_bkt")
-        .where(F.col("a_id") < F.col("b_id"))
+        .where(F.col("ra") < F.col("rb"))
         .withColumn(
             "sim",
             F.round(dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6),
         )
         .where(F.col("sim") >= threshold)
-        .select("a_id", "b_id", "sim")
+        .select(
+            F.explode("ma").alias("xa"), F.col("mb"), F.col("sim")
+        )
+        .select(
+            F.col("xa"), F.explode("mb").alias("xb"), F.col("sim")
+        )
+        .select(
+            F.least("xa", "xb").alias("a_id"),
+            F.greatest("xa", "xb").alias("b_id"),
+            "sim",
+        )
     )
+    # pairs WITHIN an exact-duplicate group: same expression the naive
+    # join would evaluate for two identical vectors (≈1.0, NaN-safe)
+    intra = (
+        reps.where(F.size("members") > 1)
+        .withColumn(
+            "sim",
+            F.round(dot(F.col("v"), F.col("v")) / (F.col("_nrm") * F.col("_nrm")), 6),
+        )
+        .where(F.col("sim") >= threshold)
+        .select(F.explode("members").alias("xa"), F.col("members"), F.col("sim"))
+        .select("xa", F.explode("members").alias("xb"), "sim")
+        .where(F.col("xa") < F.col("xb"))
+        .select(F.col("xa").alias("a_id"), F.col("xb").alias("b_id"), "sim")
+    )
+    return inter.unionByName(intra)
