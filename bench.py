@@ -60,6 +60,7 @@ HEADLINE = [
     "q_tpch_q20",
     "q_tpch_q21",
     "q_embedding_near_dups",
+    "q_dedup_clusters",
     "q_top_customers",
     "q_vault_full_cycle",  # write-path throughput (real loader)
 ]

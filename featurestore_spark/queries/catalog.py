@@ -2008,6 +2008,56 @@ def q_minhash_pairs(spark, sf_dir):
 
 
 @_register(
+    "q_dedup_clusters",
+    _duck_minhash_bands()
+    + ",\n melted AS ("
+    + " UNION ALL ".join(
+        f"SELECT doc_id, {i} AS band_idx, band_{i} AS band_hash FROM bands"
+        for i in range(_MH_BANDS)
+    )
+    + f"""),
+    kept AS (
+      SELECT band_idx, band_hash FROM melted
+      GROUP BY band_idx, band_hash HAVING count(*) <= {_MH_MAX_BUCKET}),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+      FROM melted a JOIN melted b USING (band_idx, band_hash)
+      JOIN kept USING (band_idx, band_hash)
+      WHERE a.doc_id < b.doc_id),
+    edges AS (SELECT a_id AS a, b_id AS b FROM pairs
+              UNION SELECT b_id, a_id FROM pairs)
+    SELECT id AS doc_id, min(lab) AS canonical_id
+    FROM (WITH RECURSIVE r(id, lab) AS (
+            SELECT DISTINCT a, a FROM edges
+            UNION
+            SELECT e.a, r.lab FROM edges e JOIN r ON r.id = e.b)
+          SELECT id, lab FROM r)
+    GROUP BY id
+    """,
+    "Transitive dedup clustering: LSH candidate pairs -> connected "
+    "components (min-doc_id label) -> one canonical id per near-dup "
+    "cluster. Oracle walks the same graph with a recursive CTE.",
+)
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup CLUSTERS, not just pairs: LSH pair graph contracted to
+    components so a whole family of mutual near-dups keeps exactly one
+    canonical doc (pairwise keep-lists over-delete on chains A-B, B-C).
+    Label propagation is iterative DataFrame joins
+    (operators/resolve.py) — shuffles on uniformly-hashed doc ids."""
+    from featurestore_spark.operators.dedup import minhash_candidate_pairs
+    from featurestore_spark.operators.resolve import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    cand = minhash_candidate_pairs(
+        docs, n=_MH_N, k=_MH_K, bands=_MH_BANDS, max_bucket=_MH_MAX_BUCKET
+    )
+    comp = connected_components(cand, src_col="a_id", dst_col="b_id")
+    return comp.select(
+        F.col("id").alias("doc_id"), F.col("component").alias("canonical_id")
+    )
+
+
+@_register(
     "q_ngram_jaccard",
     _DUCK_SHINGLES
     + """
