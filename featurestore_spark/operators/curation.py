@@ -1,0 +1,214 @@
+"""Corpus-curation operators for training-data pipelines: repetition
+metrics (Gopher-style quality filters), benchmark decontamination, and
+PII/URL redaction.
+
+Beyond-the-reference functionality (SURVEY §2 has no analog; the
+reference is a feature-store ETL engine) — these are the document-level
+operations a 100 TB pretraining corpus pipeline runs between ingest and
+dedup. Scale design:
+
+- **Repetition metrics are computed WITHOUT a shuffle**: the classic
+  formulation explodes every n-gram occurrence and double-aggregates
+  (two shuffles, |docs|x|tokens| intermediate rows). Here the n-gram
+  array is sorted per row and run-lengths are folded in ONE
+  `F.aggregate` pass — per-document metrics come out of a single
+  projection, all JVM-side (same philosophy as the shuffle-free MinHash
+  signatures in operators/dedup.py).
+- **Decontamination** joins document shingles against a broadcast
+  probe-shingle set — benchmark suites are tiny relative to the corpus,
+  so the corpus side never shuffles; each task streams its partition
+  against the in-memory probe hash map.
+- **Redaction** is pure `regexp_replace`/`regexp_extract_all` Column
+  expressions (whole-stage codegen; patterns chosen to be portable
+  between Java regex and RE2 so oracles reproduce them).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from featurestore_spark.operators.dedup import _SLICE_REST, shingles
+from featurestore_spark.operators.text import tokens
+
+# -- repetition metrics -------------------------------------------------------
+
+
+def ngrams_all(text_col: str | Column = "text", n: int = 2) -> Column:
+    """ALL word n-gram occurrences (duplicates retained — unlike
+    `dedup.shingles`, which is a distinct set). Docs with fewer than
+    n tokens yield an empty array. Same zip_with-shifted-slices build
+    as `shingles` (no per-element re-evaluation of the token split)."""
+    toks = tokens(text_col)
+    acc = toks
+    for j in range(1, n):
+        shifted = F.slice(toks, j + 1, _SLICE_REST)
+        acc = F.zip_with(
+            acc,
+            shifted,
+            lambda a, b: F.when(
+                a.isNotNull() & b.isNotNull(), F.concat(a, F.lit(" "), b)
+            ),
+        )
+    grams = F.filter(acc, lambda x: x.isNotNull())
+    return F.when(F.size(toks) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def _run_length_metrics(gram_col: Column) -> Column:
+    """Fold a SORTED n-gram array into (n_ngrams, top_ngram_count,
+    dup_ngram_count) in one pass: equal neighbours form runs; run
+    length == occurrence count of that n-gram."""
+    zero = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("maxrun"),
+        F.lit(0).cast("long").alias("dup"),
+        F.lit(0).cast("long").alias("total"),
+    )
+
+    def step(acc: Column, g: Column) -> Column:
+        same = acc.getField("prev").eqNullSafe(g)
+        run = F.when(same, acc.getField("run") + 1).otherwise(F.lit(1).cast("long"))
+        dup = F.when(
+            ~same & (acc.getField("run") >= 2),
+            acc.getField("dup") + acc.getField("run"),
+        ).otherwise(acc.getField("dup"))
+        return F.struct(
+            g.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc.getField("maxrun"), run).alias("maxrun"),
+            dup.alias("dup"),
+            (acc.getField("total") + 1).alias("total"),
+        )
+
+    def finish(acc: Column) -> Column:
+        dup = F.when(
+            acc.getField("run") >= 2, acc.getField("dup") + acc.getField("run")
+        ).otherwise(acc.getField("dup"))
+        return F.struct(
+            acc.getField("total").alias("n_ngrams"),
+            acc.getField("maxrun").alias("top_ngram_count"),
+            dup.alias("dup_ngram_count"),
+        )
+
+    return F.aggregate(F.array_sort(gram_col), zero, step, finish)
+
+
+def repetition_metrics(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", *, n: int = 2
+) -> DataFrame:
+    """Gopher-style within-document repetition metrics, per doc:
+
+    - `n_ngrams`: total n-gram occurrences;
+    - `top_ngram_count`: occurrences of the most frequent n-gram;
+    - `top_ngram_frac` = top/total (coverage of the single most
+      repeated n-gram — boilerplate/spam signal);
+    - `dup_ngram_count` / `dup_ngram_frac`: occurrences belonging to
+      n-grams seen more than once.
+
+    Fractions are NULL for docs with no n-grams (< n tokens). Zero
+    shuffles: one projection per row (see module docstring).
+    """
+    m = _run_length_metrics(ngrams_all(text_col, n))
+    out = df.select(F.col(id_col), m.alias("_m")).select(
+        F.col(id_col),
+        F.col("_m.n_ngrams").alias("n_ngrams"),
+        F.col("_m.top_ngram_count").alias("top_ngram_count"),
+        F.col("_m.dup_ngram_count").alias("dup_ngram_count"),
+    )
+    total = F.col("n_ngrams")
+    return out.withColumns(
+        {
+            "top_ngram_frac": F.when(
+                total > 0,
+                F.round(F.col("top_ngram_count").cast("double") / total, 3),
+            ),
+            "dup_ngram_frac": F.when(
+                total > 0,
+                F.round(F.col("dup_ngram_count").cast("double") / total, 3),
+            ),
+        }
+    )
+
+
+# -- benchmark decontamination ------------------------------------------------
+
+
+def decontaminate(
+    docs: DataFrame,
+    probes: DataFrame,
+    *,
+    n: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    probe_text_col: str = "text",
+    probe_id_col: str = "probe_id",
+) -> DataFrame:
+    """Benchmark-overlap detection: flag corpus documents sharing at
+    least one word n-gram shingle with any probe (test-set) document —
+    the standard pretraining decontamination sweep.
+
+    Returns (id, n_probes_hit, n_shared_shingles) for contaminated
+    docs only. The probe side (benchmark suites: thousands of rows vs
+    a 100 TB corpus) is exploded to (shingle, probe_id) and BROADCAST;
+    the corpus side streams partition-local against the in-memory map
+    — no corpus shuffle until the tiny per-doc aggregate."""
+    doc_sh = docs.select(
+        F.col(id_col), F.explode(shingles(text_col, n)).alias("_sh")
+    )
+    probe_sh = probes.select(
+        F.col(probe_id_col), F.explode(shingles(probe_text_col, n)).alias("_sh")
+    )
+    return (
+        doc_sh.join(F.broadcast(probe_sh), "_sh")
+        .groupBy(id_col)
+        .agg(
+            F.countDistinct(probe_id_col).alias("n_probes_hit"),
+            F.countDistinct("_sh").alias("n_shared_shingles"),
+        )
+    )
+
+
+# -- PII / URL redaction ------------------------------------------------------
+
+# Portable between Java regex (Spark) and RE2 (DuckDB oracles): no
+# backrefs, no lookaround, no possessive quantifiers.
+EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+URL_PATTERN = r"https?://[^\s]+"
+
+
+def redact_pii(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    out_col: str = "text_redacted",
+    email_token: str = "<EMAIL>",
+    url_token: str = "<URL>",
+) -> DataFrame:
+    """Replace URLs then emails with placeholder tokens and count the
+    matches (`n_urls`, `n_emails`). URL replacement runs first so an
+    email embedded in a URL query string is redacted once, as part of
+    the URL. Pure Column expressions — codegen'd, no Python."""
+    text = F.col(text_col)
+    counted = df.withColumns(
+        {
+            "n_urls": F.size(F.regexp_extract_all(text, F.lit(URL_PATTERN), 0)),
+            "n_emails": F.size(
+                F.regexp_extract_all(
+                    F.regexp_replace(text, URL_PATTERN, url_token),
+                    F.lit(EMAIL_PATTERN),
+                    0,
+                )
+            ),
+        }
+    )
+    return counted.withColumn(
+        out_col,
+        F.regexp_replace(
+            F.regexp_replace(text, URL_PATTERN, url_token),
+            EMAIL_PATTERN,
+            email_token,
+        ),
+    )

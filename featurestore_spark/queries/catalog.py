@@ -2312,3 +2312,251 @@ def q_embedding_near_dups(spark, sf_dir):
 
     emb = load_table(spark, sf_dir, "embeddings")
     return embedding_near_dups(emb, threshold=0.35, bits=3)
+
+
+# ---------------------------------------------------------------------------
+# Corpus curation (beyond-the-reference: repetition, decontamination, PII)
+# ---------------------------------------------------------------------------
+
+_DUCK_BIGRAM_COUNTS = r"""
+    WITH toked AS (
+      SELECT doc_id, text,
+             regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+      FROM documents),
+    grams AS (
+      SELECT doc_id, CASE WHEN len(toks) >= 2
+               THEN list_transform(generate_series(1, len(toks) - 1),
+                                   i -> toks[i] || ' ' || toks[i+1])
+               ELSE [] END AS g
+      FROM toked),
+    counts AS (
+      SELECT doc_id, gram, count(*) AS c
+      FROM (SELECT doc_id, unnest(g) AS gram FROM grams)
+      GROUP BY doc_id, gram)
+"""
+
+
+@_register(
+    "q_repetition",
+    _DUCK_BIGRAM_COUNTS
+    + """,
+    agg AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_ngrams,
+                   CAST(max(c) AS BIGINT) AS top_ngram_count,
+                   CAST(coalesce(sum(c) FILTER (WHERE c > 1), 0) AS BIGINT)
+                     AS dup_ngram_count
+            FROM counts GROUP BY doc_id)
+    SELECT t.doc_id,
+           coalesce(a.n_ngrams, 0) AS n_ngrams,
+           coalesce(a.top_ngram_count, 0) AS top_ngram_count,
+           coalesce(a.dup_ngram_count, 0) AS dup_ngram_count,
+           round(CAST(a.top_ngram_count AS DOUBLE) / a.n_ngrams, 3)
+             AS top_ngram_frac,
+           round(CAST(a.dup_ngram_count AS DOUBLE) / a.n_ngrams, 3)
+             AS dup_ngram_frac
+    FROM toked t LEFT JOIN agg a USING (doc_id)
+    """,
+    "Gopher-style repetition metrics per doc (bigram totals, top-gram "
+    "coverage, duplicated-gram fraction). Spark side is shuffle-FREE "
+    "(sorted-array run-length fold in one projection); the oracle uses "
+    "the classic unnest + double group-by.",
+)
+def q_repetition(spark, sf_dir):
+    """Within-document repetition: the oracle explodes every bigram and
+    aggregates twice (the formulation that shuffles |docs|x|tokens| rows
+    at corpus scale); the Spark operator folds run-lengths over the
+    per-row sorted bigram array — identical numbers, zero shuffles."""
+    from featurestore_spark.operators.curation import repetition_metrics
+
+    docs = load_table(spark, sf_dir, "documents")
+    return repetition_metrics(docs, n=2)
+
+
+@_register(
+    "q_decontaminate",
+    r"""
+    WITH toked AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+      FROM documents),
+    sh AS (
+      SELECT doc_id, unnest(list_distinct(CASE WHEN len(toks) >= 4
+               THEN list_transform(generate_series(1, len(toks) - 3),
+                                   i -> array_to_string(toks[i:i+3], ' '))
+               ELSE [array_to_string(toks, ' ')] END)) AS s
+      FROM toked),
+    probes AS (SELECT doc_id AS probe_id, s FROM sh WHERE doc_id % 29 = 0),
+    corpus AS (SELECT doc_id, s FROM sh WHERE doc_id % 29 <> 0)
+    SELECT doc_id,
+           CAST(count(DISTINCT probe_id) AS BIGINT) AS n_probes_hit,
+           CAST(count(DISTINCT s) AS BIGINT) AS n_shared_shingles
+    FROM corpus JOIN probes USING (s)
+    GROUP BY doc_id
+    """,
+    "Benchmark decontamination: corpus docs sharing a 4-gram shingle "
+    "with the probe set (docs where doc_id % 29 = 0 stand in for a "
+    "held-out benchmark). Probe side broadcast; corpus never shuffles "
+    "before the per-doc aggregate.",
+)
+def q_decontaminate(spark, sf_dir):
+    from featurestore_spark.operators.curation import decontaminate
+
+    docs = load_table(spark, sf_dir, "documents")
+    probes = docs.where(F.col("doc_id") % 29 == 0).select(
+        F.col("doc_id").alias("probe_id"), "text"
+    )
+    corpus = docs.where(F.col("doc_id") % 29 != 0)
+    return decontaminate(corpus, probes, n=4)
+
+
+@_register(
+    "q_redact_pii",
+    r"""
+    WITH aug AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0 THEN text || ' contact user'
+                    || CAST(doc_id AS VARCHAR)
+                    || '@example.com or admin@test.org'
+                  WHEN doc_id % 3 = 1 THEN text || ' see https://example.com/d/'
+                    || CAST(doc_id AS VARCHAR) || '?u=x@y.io now'
+                  ELSE text END AS t
+      FROM documents),
+    red AS (
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(t, 'https?://[^\s]+')) AS INTEGER)
+               AS n_urls,
+             regexp_replace(t, 'https?://[^\s]+', '<URL>', 'g') AS t_url
+      FROM aug)
+    SELECT doc_id, n_urls,
+           CAST(len(regexp_extract_all(t_url,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INTEGER)
+             AS n_emails,
+           md5(regexp_replace(t_url,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'))
+             AS red_md5
+    FROM red
+    """,
+    "PII/URL redaction: deterministic synthetic emails/URLs injected "
+    "per doc_id band, then regex-redacted with counts; URL pass runs "
+    "first so a URL-embedded email redacts once. md5 of the redacted "
+    "text makes the compare engine-exact.",
+)
+def q_redact_pii(spark, sf_dir):
+    from featurestore_spark.operators.curation import redact_pii
+
+    docs = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    aug = docs.withColumn(
+        "t",
+        F.when(
+            did % 3 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                did.cast("string"),
+                F.lit("@example.com or admin@test.org"),
+            ),
+        )
+        .when(
+            did % 3 == 1,
+            F.concat(
+                F.col("text"),
+                F.lit(" see https://example.com/d/"),
+                did.cast("string"),
+                F.lit("?u=x@y.io now"),
+            ),
+        )
+        .otherwise(F.col("text")),
+    )
+    out = redact_pii(aug, "t", out_col="t_red")
+    return out.select(
+        "doc_id", "n_urls", "n_emails", F.md5(F.col("t_red")).alias("red_md5")
+    )
+
+
+def _quality_filter_oracle() -> str:
+    from featurestore_spark.operators.text import LANG_LEXICONS
+
+    score_exprs = []
+    for lang, lex in LANG_LEXICONS.items():
+        arr = "[" + ", ".join(f"'{w}'" for w in lex) + "]"
+        score_exprs.append(
+            f"len(list_filter(toks, t -> list_contains({arr}, t)))"
+            f" AS {lang}_score"
+        )
+    langs = list(LANG_LEXICONS)
+    cases = []
+    for lang in langs:
+        conds = " AND ".join(f"{lang}_score >= {o}_score" for o in langs if o != lang)
+        cases.append(f"WHEN {conds} THEN '{lang}'")
+    pred = "CASE " + " ".join(cases) + f" ELSE '{langs[-1]}' END"
+    return rf"""
+    WITH toked AS (
+      SELECT doc_id, text,
+             regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+      FROM documents),
+    base AS (
+      SELECT doc_id, CAST(len(toks) AS INTEGER) AS n_tokens,
+             round(CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+                        AS DOUBLE) / length(text), 3) AS alpha_ratio,
+             {", ".join(score_exprs)}
+      FROM toked),
+    lang AS (SELECT doc_id, n_tokens, alpha_ratio, {pred} AS lang_pred FROM base),
+    grams AS (
+      SELECT doc_id, CASE WHEN len(toks) >= 2
+               THEN list_transform(generate_series(1, len(toks) - 1),
+                                   i -> toks[i] || ' ' || toks[i+1])
+               ELSE [] END AS g
+      FROM toked),
+    counts AS (
+      SELECT doc_id, gram, count(*) AS c
+      FROM (SELECT doc_id, unnest(g) AS gram FROM grams)
+      GROUP BY doc_id, gram),
+    rep AS (SELECT doc_id, round(CAST(max(c) AS DOUBLE) / sum(c), 3)
+                     AS top_ngram_frac
+            FROM counts GROUP BY doc_id),
+    flagged AS (
+      SELECT l.doc_id, n_tokens, alpha_ratio, top_ngram_frac, lang_pred,
+             concat_ws(',',
+               CASE WHEN n_tokens < 25 THEN 'too_short' END,
+               CASE WHEN alpha_ratio < 0.81 THEN 'low_alpha' END,
+               CASE WHEN top_ngram_frac > 0.08 THEN 'repetitive' END,
+               CASE WHEN lang_pred <> 'en' THEN 'non_english' END)
+               AS fail_reasons
+      FROM lang l JOIN rep USING (doc_id))
+    SELECT doc_id, n_tokens, alpha_ratio, top_ngram_frac, lang_pred,
+           fail_reasons, fail_reasons = '' AS keep
+    FROM flagged
+    """
+
+
+@_register(
+    "q_quality_filter",
+    _quality_filter_oracle(),
+    "Composite C4/Gopher-style keep/drop gate: token-count floor, "
+    "alpha-ratio floor, top-bigram repetition ceiling, language gate — "
+    "fail reasons concatenated, keep = no failures. Composes "
+    "quality_metrics + language_scores + repetition_metrics.",
+)
+def q_quality_filter(spark, sf_dir):
+    from featurestore_spark.operators.curation import repetition_metrics
+    from featurestore_spark.operators.text import language_scores, quality_metrics
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = language_scores(quality_metrics(docs))
+    rep = repetition_metrics(docs, n=2).select("doc_id", "top_ngram_frac")
+    j = base.join(rep, "doc_id")
+    reasons = F.concat_ws(
+        ",",
+        F.when(F.col("n_tokens") < 25, "too_short"),
+        F.when(F.col("alpha_ratio") < 0.81, "low_alpha"),
+        F.when(F.col("top_ngram_frac") > 0.08, "repetitive"),
+        F.when(F.col("lang_pred") != "en", "non_english"),
+    )
+    return j.select(
+        "doc_id",
+        "n_tokens",
+        "alpha_ratio",
+        "top_ngram_frac",
+        "lang_pred",
+        reasons.alias("fail_reasons"),
+        (reasons == "").alias("keep"),
+    )

@@ -1,0 +1,104 @@
+"""Corpus-curation operators: repetition metrics, decontamination,
+PII redaction (operators/curation.py — beyond-the-reference training-
+data pipeline components; oracle coverage in q_repetition,
+q_decontaminate, q_redact_pii, q_quality_filter)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from featurestore_spark.operators.curation import (
+    decontaminate,
+    ngrams_all,
+    redact_pii,
+    repetition_metrics,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "a b a b a"),  # bigrams: ab,ba,ab,ba -> top 2, all 4 duplicated
+        (2, "x y z"),  # bigrams xy,yz -> no repeats
+        (3, "solo"),  # < 2 tokens -> no bigrams
+        (4, "a b a b a"),  # exact dup of 1
+        (5, "p q r s t u v w"),  # disjoint vocabulary
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_ngrams_all_keeps_duplicates(spark, docs):
+    out = docs.select("doc_id", ngrams_all("text", 2).alias("g"))
+    by_id = {r["doc_id"]: r["g"] for r in out.collect()}
+    assert by_id[1] == ["a b", "b a", "a b", "b a"]
+    assert by_id[2] == ["x y", "y z"]
+    assert by_id[3] == []
+
+
+def test_repetition_metrics_counts_and_fracs(spark, docs):
+    out = repetition_metrics(docs, n=2)
+    by_id = {r["doc_id"]: r.asDict() for r in out.collect()}
+    assert by_id[1]["n_ngrams"] == 4
+    assert by_id[1]["top_ngram_count"] == 2
+    assert by_id[1]["dup_ngram_count"] == 4
+    assert by_id[1]["top_ngram_frac"] == 0.5
+    assert by_id[1]["dup_ngram_frac"] == 1.0
+    assert by_id[2]["n_ngrams"] == 2
+    assert by_id[2]["top_ngram_count"] == 1
+    assert by_id[2]["dup_ngram_count"] == 0
+    # no bigrams: zero counts, NULL fractions
+    assert by_id[3]["n_ngrams"] == 0
+    assert by_id[3]["top_ngram_frac"] is None
+    # all five docs retained (no explode-drop of gram-less docs)
+    assert len(by_id) == 5
+
+
+def test_repetition_metrics_trigrams(spark, docs):
+    out = repetition_metrics(docs, n=3)
+    r1 = {r["doc_id"]: r.asDict() for r in out.collect()}[1]
+    # trigrams of "a b a b a": aba, bab, aba -> top 2 of 3
+    assert r1["n_ngrams"] == 3
+    assert r1["top_ngram_count"] == 2
+    assert r1["dup_ngram_count"] == 2
+
+
+def test_decontaminate_flags_overlap(spark, docs):
+    probes = spark.createDataFrame(
+        [(100, "a b a b a"), (101, "m n o")], ["probe_id", "text"]
+    )
+    out = decontaminate(docs, probes, n=3)
+    by_id = {r["doc_id"]: r.asDict() for r in out.collect()}
+    # docs 1 and 4 share trigram shingles {aba, bab} with probe 100
+    assert set(by_id) == {1, 4}
+    assert by_id[1]["n_probes_hit"] == 1
+    assert by_id[1]["n_shared_shingles"] == 2
+    # broadcast hint survives to the probe side
+    assert "Broadcast" in out._jdf.queryExecution().executedPlan().toString()
+
+
+def test_redact_pii_counts_and_order(spark):
+    rows = [
+        (1, "mail me at bob@corp.com or sue+x@a.co.uk thanks"),
+        (2, "docs at https://ex.org/a?u=bob@corp.com plus http://b.io x"),
+        (3, "no pii here"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r.asDict() for r in redact_pii(df).collect()}
+    assert out[1]["n_emails"] == 2 and out[1]["n_urls"] == 0
+    assert out[1]["text_redacted"] == "mail me at <EMAIL> or <EMAIL> thanks"
+    # the URL-embedded email is swallowed by the URL token, not counted
+    assert out[2]["n_urls"] == 2 and out[2]["n_emails"] == 0
+    assert out[2]["text_redacted"] == "docs at <URL> plus <URL> x"
+    assert out[3]["n_emails"] == 0 and out[3]["n_urls"] == 0
+    assert out[3]["text_redacted"] == "no pii here"
+
+
+def test_repetition_plan_has_no_shuffle(spark, docs):
+    """The repetition fold must stay a single projection — no Exchange
+    in the physical plan (the 100 TB design claim)."""
+    plan = (
+        repetition_metrics(docs, n=2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
