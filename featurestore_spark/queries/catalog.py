@@ -2560,3 +2560,123 @@ def q_quality_filter(spark, sf_dir):
         reasons.alias("fail_reasons"),
         (reasons == "").alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Temporal joins (as-of / interval / rollup — operators/temporal.py)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q_asof_purchase",
+    """
+    WITH p AS (SELECT user_id, ts, max(event_id) AS eid
+               FROM events WHERE event_type = 'purchase'
+               GROUP BY user_id, ts)
+    SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us, p.eid AS p_eid,
+           epoch_us(e.ts) - epoch_us(p.ts) AS us_since
+    FROM events e ASOF LEFT JOIN p
+      ON e.user_id = p.user_id AND e.ts >= p.ts
+    """,
+    "Backward as-of join: every event gains the latest same-user "
+    "purchase at-or-before it. Spark side is union + carry-forward "
+    "window (one shuffle, no range predicate); oracle is DuckDB's "
+    "native ASOF LEFT JOIN.",
+)
+def q_asof_purchase(spark, sf_dir):
+    """As-of join re-expressed for Spark (no native ASOF): tag-union
+    both sides, single window shuffle on user_id, last(ignorenulls)
+    carry-forward. A naive l.ts >= r.ts join would plan as
+    BroadcastNestedLoop — this never creates a range condition."""
+    from featurestore_spark.operators.temporal import asof_join
+
+    ev = _events(spark, sf_dir)
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("eid"))
+    )
+    out = asof_join(
+        ev, p, on="user_id", left_ts="ts", right_ts="ts",
+        right_cols=["eid"], prefix="p_",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.col("p_eid"),
+        (F.unix_micros("ts") - F.unix_micros("p_ts")).alias("us_since"),
+    )
+
+
+@_register(
+    "q_interval_join",
+    """
+    WITH p AS (SELECT event_id AS p_eid, user_id, epoch_us(ts) AS s_us,
+                      epoch_us(ts) + 3600000000 AS e_us
+               FROM events WHERE event_type = 'purchase')
+    SELECT p_eid, CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(round(e.value * 100, 0) AS BIGINT)) AS BIGINT)
+             AS sum_value_cents
+    FROM p JOIN events e
+      ON p.user_id = e.user_id AND epoch_us(e.ts) BETWEEN p.s_us AND p.e_us
+    GROUP BY p_eid
+    """,
+    "Interval join: same-user events inside [purchase, purchase+1h], "
+    "aggregated per purchase. Spark side explodes intervals into hour "
+    "bins and hash-joins on (user, bin) — a plain equi-join, never a "
+    "nested loop; oracle uses the direct range predicate.",
+)
+def q_interval_join(spark, sf_dir):
+    from featurestore_spark.operators.temporal import interval_join
+
+    ev = _events(spark, sf_dir)
+    hour_us = 3600 * 1_000_000
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_eid"),
+        "user_id",
+        F.col("ts").alias("start_ts"),
+        F.timestamp_micros(F.unix_micros("ts") + hour_us).alias("end_ts"),
+    )
+    pts = ev.select("user_id", "ts", "value")
+    j = interval_join(
+        pts, p, on="user_id", point_ts="ts",
+        start_ts="start_ts", end_ts="end_ts", bin_width_s=3600,
+    )
+    return j.groupBy("p_eid").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias(
+            "sum_value_cents"
+        ),
+    )
+
+
+@_register(
+    "q_time_rollup",
+    """
+    SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+             AS sum_value_cents
+    FROM events
+    GROUP BY ROLLUP(strftime(ts, '%Y-%m-%d'), event_type)
+    """,
+    "Hypertable-style rollup: (day, event_type) cells, per-day "
+    "subtotals, grand total — ROLLUP grouping sets, one shuffle with "
+    "map-side partial aggregation of every level.",
+)
+def q_time_rollup(spark, sf_dir):
+    from featurestore_spark.operators.temporal import time_rollup
+
+    ev = _events(spark, sf_dir)
+    return time_rollup(
+        ev,
+        ts_col="ts",
+        group_cols=["event_type"],
+        aggs=[
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias(
+                "sum_value_cents"
+            ),
+        ],
+    )
