@@ -2680,3 +2680,36 @@ def q_time_rollup(spark, sf_dir):
             ),
         ],
     )
+
+
+@_register(
+    "q_attribution",
+    """
+    SELECT c.user_id, c.event_id AS click_id, epoch_us(c.ts) AS click_us,
+           p.event_id AS purchase_id, epoch_us(p.ts) AS purchase_us
+    FROM events c JOIN events p
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND epoch_us(p.ts) BETWEEN epoch_us(c.ts) AND epoch_us(c.ts) + 3600000000
+    """,
+    "Click-to-purchase attribution pairs within a 1h horizon — the "
+    "batch twin of streaming/ops.streaming_attribution (the streaming "
+    "form adds watermarks + state eviction; test_streaming_attribution "
+    "asserts stream == batch).",
+)
+def q_attribution(spark, sf_dir):
+    from featurestore_spark.streaming import streaming_attribution
+
+    ev = _events(spark, sf_dir)
+    out = streaming_attribution(
+        ev.where(F.col("event_type") == "click"),
+        ev.where(F.col("event_type") == "purchase"),
+        horizon="1 hour",
+    )
+    return out.select(
+        "user_id",
+        "click_id",
+        F.unix_micros("click_ts").alias("click_us"),
+        "purchase_id",
+        F.unix_micros("purchase_ts").alias("purchase_us"),
+    )

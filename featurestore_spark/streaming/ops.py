@@ -121,3 +121,52 @@ def streaming_sessionize(
             "n_events",
         )
     )
+
+
+def streaming_attribution(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    *,
+    entity_col: str = "user_id",
+    click_ts: str = "ts",
+    purchase_ts: str = "ts",
+    click_id: str = "event_id",
+    purchase_id: str = "event_id",
+    horizon: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream attribution join: every (click, purchase) pair for
+    the same entity with the purchase inside [click, click + horizon].
+
+    On streams both sides carry watermarks and the join has an explicit
+    event-time range bound — the two conditions Spark needs to plan a
+    StreamingSymmetricHashJoin with state EVICTION (without them the
+    join state grows forever). On batch inputs the identical condition
+    plans as a hash equi-join on the entity with a range post-filter,
+    which is how the tests cross-check stream vs batch output.
+    """
+    c = clicks.select(
+        F.col(entity_col),
+        F.col(click_id).alias("click_id"),
+        F.col(click_ts).alias("click_ts"),
+    )
+    p = purchases.select(
+        F.col(entity_col).alias("_p_entity"),
+        F.col(purchase_id).alias("purchase_id"),
+        F.col(purchase_ts).alias("purchase_ts"),
+    )
+    if c.isStreaming:
+        c = c.withWatermark("click_ts", watermark)
+    if p.isStreaming:
+        p = p.withWatermark("purchase_ts", watermark)
+    cond = (
+        (F.col(entity_col) == F.col("_p_entity"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts") + F.expr(f"INTERVAL {horizon}")
+        )
+    )
+    return c.join(p, cond, "inner").select(
+        entity_col, "click_id", "click_ts", "purchase_id", "purchase_ts"
+    )

