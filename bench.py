@@ -61,6 +61,14 @@ HEADLINE = [
     "q_tpch_q21",
     "q_embedding_near_dups",
     "q_dedup_clusters",
+    "q_repetition",
+    "q_decontaminate",
+    "q_redact_pii",
+    "q_quality_filter",
+    "q_asof_purchase",
+    "q_interval_join",
+    "q_time_rollup",
+    "q_attribution",
     "q_top_customers",
     "q_vault_full_cycle",  # write-path throughput (real loader)
 ]
