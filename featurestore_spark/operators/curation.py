@@ -212,3 +212,51 @@ def redact_pii(
             email_token,
         ),
     )
+
+
+# -- boilerplate span detection ----------------------------------------------
+
+
+def boilerplate_flags(
+    docs: DataFrame,
+    *,
+    n: int = 5,
+    min_df: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-document boilerplate: word n-gram spans appearing in at
+    least `min_df` DISTINCT documents (headers, footers, licence
+    blocks, templated spam). Returns, per document containing any:
+    (id, n_shingles, n_boilerplate, boilerplate_frac, max_span_df).
+
+    Scale shape: shingles are distinct per doc, so span document-
+    frequency is a plain count per shingle — one shuffle keyed on the
+    shingle (uniform md5-like distribution), then a join back and a
+    per-doc aggregate. The span list (df >= min_df) is the corpus's
+    boilerplate vocabulary — typically tiny, and broadcast when it is.
+    """
+    sh = docs.select(
+        F.col(id_col),
+        F.size(shingles(text_col, n)).alias("_n_sh"),
+        F.explode(shingles(text_col, n)).alias("_sh"),
+    )
+    span_df = sh.groupBy("_sh").agg(F.count(F.lit(1)).alias("span_df"))
+    boiler = span_df.where(F.col("span_df") >= min_df)
+    return (
+        sh.join(F.broadcast(boiler), "_sh")
+        .groupBy(id_col, "_n_sh")
+        .agg(
+            F.count(F.lit(1)).alias("n_boilerplate"),
+            F.max("span_df").alias("max_span_df"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("_n_sh").alias("n_shingles"),
+            "n_boilerplate",
+            F.round(
+                F.col("n_boilerplate").cast("double") / F.col("_n_sh"), 3
+            ).alias("boilerplate_frac"),
+            "max_span_df",
+        )
+    )

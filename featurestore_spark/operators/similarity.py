@@ -343,3 +343,52 @@ def embedding_near_dups(
         .select(F.col("xa").alias("a_id"), F.col("xb").alias("b_id"), "sim")
     )
     return inter.unionByName(intra)
+
+
+def assign_to_centroids(
+    df: DataFrame,
+    centroids: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id_col: str = "centroid_id",
+    centroid_vec_col: str = "centroid",
+    decimals: int = 6,
+) -> DataFrame:
+    """Nearest-centroid assignment against a FIXED centroid table:
+    (id, centroid_id, dist2). Squared-L2 distances are rounded to
+    `decimals` before the argmin and ties break on the lowest centroid
+    id — making the assignment reproducible in any engine (the
+    q_ivf_assign oracle recomputes it in SQL), where raw-float argmin
+    would be summation-order sensitive.
+
+    Scale shape: centroid table broadcast, argmin = one `min(struct)`
+    aggregate keyed on the scalar row id (never the vector array)."""
+    base = df.select(F.col(id_col), as_double_array(vec_col).alias("_v"))
+    cents = centroids.select(
+        F.col(centroid_id_col).alias("_cid"),
+        as_double_array(centroid_vec_col).alias("_cv"),
+    )
+    d2 = F.round(
+        F.aggregate(
+            F.zip_with(F.col("_v"), F.col("_cv"), lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        decimals,
+    )
+    best = (
+        base.crossJoin(F.broadcast(cents))
+        .withColumn("_d2", d2)
+        .groupBy(id_col)
+        .agg(
+            F.min(
+                F.struct(F.col("_d2").alias("d2"), F.col("_cid").alias("cid"))
+            ).alias("_b")
+        )
+    )
+    return best.select(
+        F.col(id_col),
+        F.col("_b.cid").alias(centroid_id_col),
+        F.col("_b.d2").alias("dist2"),
+    )

@@ -2713,3 +2713,75 @@ def q_attribution(spark, sf_dir):
         "purchase_id",
         F.unix_micros("purchase_ts").alias("purchase_us"),
     )
+
+
+@_register(
+    "q_ivf_assign",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    c AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < 8),
+    d AS (SELECT e.vec_id, c.centroid_id,
+                 round(list_sum(list_transform(generate_series(1, len(e.v)),
+                         i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i]))), 6)
+                   AS d2
+          FROM e CROSS JOIN c)
+    SELECT vec_id, centroid_id, d2 AS dist2
+    FROM (SELECT vec_id, centroid_id, d2,
+                 row_number() OVER (PARTITION BY vec_id
+                                    ORDER BY d2, centroid_id) AS rn
+          FROM d)
+    WHERE rn = 1
+    """,
+    "IVF nearest-centroid assignment against fixed centroids (vec_id "
+    "< 8 as the codebook): broadcast argmin keyed on the scalar row "
+    "id. Distances rounded before the argmin so the assignment is "
+    "engine-exact; ties break on centroid id.",
+)
+def q_ivf_assign(spark, sf_dir):
+    from featurestore_spark.operators.similarity import (
+        as_double_array,
+        assign_to_centroids,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"),
+        as_double_array("embedding").alias("centroid"),
+    )
+    return assign_to_centroids(emb, cents)
+
+
+@_register(
+    "q_boilerplate",
+    r"""
+    WITH toked AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+      FROM documents),
+    sh AS (
+      SELECT doc_id, len(shl) AS n_shingles, unnest(shl) AS s
+      FROM (SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 5
+               THEN list_transform(generate_series(1, len(toks) - 4),
+                                   i -> array_to_string(toks[i:i+4], ' '))
+               ELSE [array_to_string(toks, ' ')] END) AS shl
+            FROM toked)),
+    span AS (SELECT s, CAST(count(*) AS BIGINT) AS span_df FROM sh
+             GROUP BY s HAVING count(*) >= 2)
+    SELECT doc_id,
+           CAST(any_value(n_shingles) AS INTEGER) AS n_shingles,
+           CAST(count(*) AS BIGINT) AS n_boilerplate,
+           round(CAST(count(*) AS DOUBLE) / any_value(n_shingles), 3)
+             AS boilerplate_frac,
+           max(span_df) AS max_span_df
+    FROM sh JOIN span USING (s)
+    GROUP BY doc_id
+    """,
+    "Cross-document boilerplate: 5-gram spans present in >= 2 distinct "
+    "docs (C4-style repeated-span removal signal); per-doc span "
+    "counts and fraction. One shuffle on the span key + broadcast of "
+    "the boilerplate vocabulary.",
+)
+def q_boilerplate(spark, sf_dir):
+    from featurestore_spark.operators.curation import boilerplate_flags
+
+    docs = load_table(spark, sf_dir, "documents")
+    return boilerplate_flags(docs, n=5, min_df=2)

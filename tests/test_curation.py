@@ -102,3 +102,17 @@ def test_repetition_plan_has_no_shuffle(spark, docs):
         .toString()
     )
     assert "Exchange" not in plan
+
+
+def test_boilerplate_flags(spark, docs):
+    from featurestore_spark.operators.curation import boilerplate_flags
+
+    out = boilerplate_flags(docs, n=5, min_df=2)
+    by_id = {r["doc_id"]: r.asDict() for r in out.collect()}
+    # docs 1 and 4 are byte-identical: their single 5-gram span has
+    # document frequency 2; nothing else repeats across docs
+    assert set(by_id) == {1, 4}
+    assert by_id[1]["n_shingles"] == 1
+    assert by_id[1]["n_boilerplate"] == 1
+    assert by_id[1]["boilerplate_frac"] == 1.0
+    assert by_id[1]["max_span_df"] == 2
