@@ -1,0 +1,121 @@
+"""Property-based cross-checks of Spark operators against independent
+references (pandas merge_asof, collections.Counter) — randomized
+inputs, exact-equality oracles."""
+
+from collections import Counter
+
+import pandas as pd
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from featurestore_spark.operators.curation import repetition_metrics
+from featurestore_spark.operators.temporal import asof_join
+
+SPARK_SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+_keys = st.sampled_from(["A", "B", "C"])
+_ts_us = st.integers(min_value=0, max_value=3_600_000_000)
+
+left_rows = st.lists(
+    st.tuples(_keys, _ts_us), min_size=1, max_size=25, unique=True
+)
+right_rows = st.lists(
+    st.tuples(_keys, _ts_us, st.integers(-100, 100)),
+    min_size=0,
+    max_size=25,
+    unique_by=lambda r: (r[0], r[1]),  # unique (key, ts): asof precondition
+)
+
+
+def _asof_frames(spark, lrows, rrows):
+    left = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(lrows)], ["k", "ts_us", "lid"]
+    ).select("k", F.timestamp_micros("ts_us").alias("ts"), "lid")
+    right = spark.createDataFrame(
+        rrows or [("Z", 0, 0)], ["k", "ts_us", "val"]
+    ).select("k", F.timestamp_micros("ts_us").alias("ts"), "val")
+    if not rrows:
+        right = right.where(F.lit(False))
+    return left, right
+
+
+def _pandas_asof(lrows, rrows, tolerance_us=None):
+    lp = pd.DataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(lrows)],
+        columns=["k", "ts_us", "lid"],
+    ).sort_values(["ts_us", "lid"], kind="mergesort")
+    rp = pd.DataFrame(rrows, columns=["k", "ts_us", "val"]).sort_values(
+        "ts_us", kind="mergesort"
+    )
+    if rp.empty:
+        return {int(i): None for _, (_, _, i) in lp.iterrows()}
+    kwargs = {}
+    if tolerance_us is not None:
+        kwargs["tolerance"] = tolerance_us
+    m = pd.merge_asof(
+        lp, rp, on="ts_us", by="k", direction="backward",
+        allow_exact_matches=True, **kwargs,
+    )
+    return {
+        int(r.lid): (None if pd.isna(r.val) else int(r.val))
+        for r in m.itertuples()
+    }
+
+
+@settings(**SPARK_SETTINGS)
+@given(left_rows, right_rows)
+def test_asof_join_matches_pandas_merge_asof(spark, lrows, rrows):
+    left, right = _asof_frames(spark, lrows, rrows)
+    out = asof_join(
+        left, right, on="k", left_ts="ts", right_ts="ts",
+        right_cols=["val"], prefix="r_",
+    )
+    got = {r["lid"]: r["r_val"] for r in out.collect()}
+    assert got == _pandas_asof(lrows, rrows)
+
+
+@settings(**SPARK_SETTINGS)
+@given(left_rows, right_rows, st.integers(0, 1_800_000_000))
+def test_asof_join_tolerance_matches_pandas(spark, lrows, rrows, tol):
+    left, right = _asof_frames(spark, lrows, rrows)
+    out = asof_join(
+        left, right, on="k", left_ts="ts", right_ts="ts",
+        right_cols=["val"], prefix="r_", tolerance_us=tol,
+    )
+    got = {r["lid"]: r["r_val"] for r in out.collect()}
+    assert got == _pandas_asof(lrows, rrows, tolerance_us=tol)
+
+
+doc_tokens = st.lists(st.sampled_from(["a", "b", "c"]), max_size=10)
+
+
+def _rep_reference(tokens, n=2):
+    grams = (
+        [" ".join(tokens[i : i + n]) for i in range(len(tokens) - n + 1)]
+        if len(tokens) >= n
+        else []
+    )
+    c = Counter(grams)
+    total = sum(c.values())
+    return {
+        "n_ngrams": total,
+        "top_ngram_count": max(c.values()) if c else 0,
+        "dup_ngram_count": sum(v for v in c.values() if v > 1),
+    }
+
+
+@settings(**SPARK_SETTINGS)
+@given(st.lists(doc_tokens, min_size=1, max_size=12))
+def test_repetition_metrics_match_counter(spark, docs_tokens):
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs_tokens)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r.asDict() for r in repetition_metrics(df, n=2).collect()}
+    for i, toks in enumerate(docs_tokens):
+        want = _rep_reference(toks)
+        for field, expect in want.items():
+            assert out[i][field] == expect, (i, field, toks)
