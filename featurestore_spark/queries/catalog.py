@@ -2785,3 +2785,61 @@ def q_boilerplate(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     return boilerplate_flags(docs, n=5, min_df=2)
+
+
+@_register(
+    "q_corpus_stats",
+    r"""
+    WITH t AS (SELECT len(regexp_split_to_array(trim(lower(text)), '\s+'))
+                 AS nt FROM documents)
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(nt) AS BIGINT) AS total_tokens,
+           round(avg(nt), 3) AS mean_tokens,
+           round(quantile_cont(nt, 0.5), 4) AS p50,
+           round(quantile_cont(nt, 0.9), 4) AS p90,
+           round(quantile_cont(nt, 0.99), 4) AS p99
+    FROM t
+    """,
+    "Corpus size/length profile: doc count, token totals, exact "
+    "token-count percentiles (R-7 interpolation in both engines, "
+    "rounded to absorb ulps). Single-pass aggregate.",
+)
+def q_corpus_stats(spark, sf_dir):
+    from featurestore_spark.operators.text import token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(token_count("text").alias("nt")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("nt").cast("bigint").alias("total_tokens"),
+        F.round(F.avg("nt"), 3).alias("mean_tokens"),
+        F.round(F.expr("percentile(nt, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(nt, 0.9)"), 4).alias("p90"),
+        F.round(F.expr("percentile(nt, 0.99)"), 4).alias("p99"),
+    )
+
+
+@_register(
+    "q_vocab_topk",
+    r"""
+    SELECT tok, CAST(count(*) AS BIGINT) AS n
+    FROM (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+'))
+            AS tok FROM documents)
+    GROUP BY tok
+    ORDER BY n DESC, tok
+    LIMIT 20
+    """,
+    "Corpus vocabulary head: top-20 tokens by frequency "
+    "(deterministic total order: count desc, token asc). Explode + "
+    "one map-side-combined shuffle + global top-k.",
+)
+def q_vocab_topk(spark, sf_dir):
+    from featurestore_spark.operators.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(tokens("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "tok")
+        .limit(20)
+    )
