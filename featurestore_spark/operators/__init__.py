@@ -16,3 +16,14 @@ from featurestore_spark.operators.events import (  # noqa: F401
 )
 from featurestore_spark.operators.pivot import chord_pivot, snapshot_pivot  # noqa: F401
 from featurestore_spark.operators.snapshot import latest_per_key  # noqa: F401
+from featurestore_spark.operators.curation import (  # noqa: F401
+    boilerplate_flags,
+    decontaminate,
+    redact_pii,
+    repetition_metrics,
+)
+from featurestore_spark.operators.temporal import (  # noqa: F401
+    asof_join,
+    interval_join,
+    time_rollup,
+)
