@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from featurestore_spark.operators.dedup import _SLICE_REST, shingles
+from featurestore_spark.operators.dedup import shingles, zipped_ngrams
 from featurestore_spark.operators.text import tokens
 
 # -- repetition metrics -------------------------------------------------------
@@ -37,21 +37,11 @@ from featurestore_spark.operators.text import tokens
 def ngrams_all(text_col: str | Column = "text", n: int = 2) -> Column:
     """ALL word n-gram occurrences (duplicates retained — unlike
     `dedup.shingles`, which is a distinct set). Docs with fewer than
-    n tokens yield an empty array. Same zip_with-shifted-slices build
-    as `shingles` (no per-element re-evaluation of the token split)."""
+    n tokens yield an empty array. Shares `dedup.zipped_ngrams` (the
+    zip_with build that avoids per-element re-evaluation of the token
+    split)."""
     toks = tokens(text_col)
-    acc = toks
-    for j in range(1, n):
-        shifted = F.slice(toks, j + 1, _SLICE_REST)
-        acc = F.zip_with(
-            acc,
-            shifted,
-            lambda a, b: F.when(
-                a.isNotNull() & b.isNotNull(), F.concat(a, F.lit(" "), b)
-            ),
-        )
-    grams = F.filter(acc, lambda x: x.isNotNull())
-    return F.when(F.size(toks) >= n, grams).otherwise(
+    return F.when(F.size(toks) >= n, zipped_ngrams(toks, n)).otherwise(
         F.array().cast("array<string>")
     )
 
@@ -236,10 +226,16 @@ def boilerplate_flags(
     per-doc aggregate. The span list (df >= min_df) is the corpus's
     boilerplate vocabulary — typically tiny, and broadcast when it is.
     """
-    sh = docs.select(
-        F.col(id_col),
-        F.size(shingles(text_col, n)).alias("_n_sh"),
-        F.explode(shingles(text_col, n)).alias("_sh"),
+    # materialize the shingle array ONCE: size() lives in a Project and
+    # explode() in a Generate, and CSE does not span the two operators —
+    # inlining shingles() twice would build every doc's array twice
+    sh = (
+        docs.select(F.col(id_col), shingles(text_col, n).alias("_shl"))
+        .select(
+            F.col(id_col),
+            F.size("_shl").alias("_n_sh"),
+            F.explode("_shl").alias("_sh"),
+        )
     )
     span_df = sh.groupBy("_sh").agg(F.count(F.lit(1)).alias("span_df"))
     boiler = span_df.where(F.col("span_df") >= min_df)

@@ -50,18 +50,15 @@ def exact_dedup(
 _SLICE_REST = 10_000_000  # "rest of array" length bound for F.slice
 
 
-def shingles(text_col: str | Column = "text", n: int = 3) -> Column:
-    """Word n-gram shingles (distinct), lowercase. Rows with fewer than
-    n tokens yield the whole text as a single shingle.
-
-    Built by zipping the token array with its own shifted slices
-    (n-1 zips) rather than `transform(sequence, i -> slice(toks,i,n))`
-    — inside a lambda the token-split subtree is re-evaluated PER
-    ELEMENT (one re-split per shingle, quadratic in tokens); the
-    zip_with form evaluates the split n times total. Measured 4×
-    faster end-to-end on the signature pipeline at sf0.1.
-    """
-    toks = tokens(text_col)
+def zipped_ngrams(toks: Column, n: int) -> Column:
+    """Space-joined word n-grams of a token array, built by zipping the
+    array with its own shifted slices (n-1 zips) rather than
+    `transform(sequence, i -> slice(toks,i,n))` — inside a lambda the
+    token-split subtree is re-evaluated PER ELEMENT (one re-split per
+    shingle, quadratic in tokens); the zip_with form evaluates the
+    split n times total. Measured 4× faster end-to-end on the
+    signature pipeline at sf0.1. Assumes size(toks) >= n (callers
+    guard the short-row fallback)."""
     acc = toks
     for j in range(1, n):
         shifted = F.slice(toks, j + 1, _SLICE_REST)
@@ -72,7 +69,14 @@ def shingles(text_col: str | Column = "text", n: int = 3) -> Column:
                 a.isNotNull() & b.isNotNull(), F.concat(a, F.lit(" "), b)
             ),
         )
-    grams = F.filter(acc, lambda x: x.isNotNull())
+    return F.filter(acc, lambda x: x.isNotNull())
+
+
+def shingles(text_col: str | Column = "text", n: int = 3) -> Column:
+    """Word n-gram shingles (distinct), lowercase. Rows with fewer than
+    n tokens yield the whole text as a single shingle."""
+    toks = tokens(text_col)
+    grams = zipped_ngrams(toks, n)
     return F.array_distinct(
         F.when(F.size(toks) >= n, grams).otherwise(F.array(F.concat_ws(" ", toks)))
     )

@@ -48,30 +48,43 @@ def asof_join(
 
     Scale shape: union + single window shuffle on the key; both inputs
     stream through sorted partitions once. No range predicate, no
-    nested-loop fallback, no per-key collect.
+    nested-loop fallback, no per-key collect. The matched right row is
+    carried as ONE struct through a single last(ignorenulls) — so a
+    NULL inside the matched row stays NULL instead of falling back to
+    an older row's value (per-column carries would mix rows).
     """
     keys = [on] if isinstance(on, str) else list(on)
     if right_cols is None:
         right_cols = [
             c for c in right.columns if c not in keys and c != right_ts
         ]
+    reserved = {"_ts", "_is_left", "_l", "_r"}
+    clash = reserved & (set(left.columns) | set(keys))
+    if clash:
+        raise ValueError(f"left/key columns collide with internals: {clash}")
+    if "_ts_us" in right_cols:
+        raise ValueError("right column '_ts_us' collides with internals")
 
+    # the whole candidate right row as one struct: (_ts_us, values...)
+    r_struct = F.struct(
+        F.unix_micros(F.col(right_ts)).alias("_ts_us"),
+        *[F.col(c).alias(c) for c in right_cols],
+    )
     l_tagged = left.select(
         *[F.col(k) for k in keys],
         F.col(left_ts).alias("_ts"),
         F.lit(1).alias("_is_left"),
         F.struct(*[F.col(c) for c in left.columns]).alias("_l"),
-        F.lit(None).cast("long").alias("_r_ts_us"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}")
-          for c in right_cols],
+        F.lit(None).cast(
+            right.select(r_struct.alias("_r")).schema["_r"].dataType
+        ).alias("_r"),
     )
     r_tagged = right.select(
         *[F.col(k) for k in keys],
         F.col(right_ts).alias("_ts"),
         F.lit(0).alias("_is_left"),
         F.lit(None).cast(l_tagged.schema["_l"].dataType).alias("_l"),
-        F.unix_micros(F.col(right_ts)).alias("_r_ts_us"),
-        *[F.col(c).alias(f"_r_{c}") for c in right_cols],
+        r_struct.alias("_r"),
     )
     # right rows sort BEFORE left rows at equal timestamps (_is_left
     # ascending) -> the match is inclusive, as in DuckDB's l.ts >= r.ts
@@ -81,26 +94,22 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = l_tagged.unionByName(r_tagged).select(
-        "*",
-        F.last("_r_ts_us", ignorenulls=True).over(w).alias("_m_ts_us"),
-        *[
-            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"_m_{c}")
-            for c in right_cols
-        ],
+        "*", F.last("_r", ignorenulls=True).over(w).alias("_m")
     )
     out = carried.where(F.col("_is_left") == 1)
+    m = F.col("_m")
     in_tol: Column = F.lit(True)
     if tolerance_us is not None:
         in_tol = (
-            F.unix_micros(F.col("_ts")) - F.col("_m_ts_us")
+            F.unix_micros(F.col("_ts")) - m.getField("_ts_us")
         ) <= F.lit(tolerance_us)
     return out.select(
         "_l.*",
-        F.when(in_tol, F.timestamp_micros(F.col("_m_ts_us"))).alias(
+        F.when(in_tol, F.timestamp_micros(m.getField("_ts_us"))).alias(
             f"{prefix}{right_ts}"
         ),
         *[
-            F.when(in_tol, F.col(f"_m_{c}")).alias(f"{prefix}{c}")
+            F.when(in_tol, m.getField(c)).alias(f"{prefix}{c}")
             for c in right_cols
         ],
     )
@@ -130,6 +139,8 @@ def interval_join(
     (point's `point_ts` plus all interval columns).
     """
     keys = [on] if isinstance(on, str) else list(on)
+    if "_bin" in set(points.columns) | set(intervals.columns):
+        raise ValueError("column '_bin' collides with internals")
     bw = F.lit(int(bin_width_s) * 1_000_000)
 
     iv = intervals.select(

@@ -2521,7 +2521,7 @@ def _quality_filter_oracle() -> str:
                CASE WHEN top_ngram_frac > 0.08 THEN 'repetitive' END,
                CASE WHEN lang_pred <> 'en' THEN 'non_english' END)
                AS fail_reasons
-      FROM lang l JOIN rep USING (doc_id))
+      FROM lang l LEFT JOIN rep USING (doc_id))
     SELECT doc_id, n_tokens, alpha_ratio, top_ngram_frac, lang_pred,
            fail_reasons, fail_reasons = '' AS keep
     FROM flagged

@@ -132,3 +132,35 @@ def test_time_rollup_levels(spark):
     assert rows[("2024-01-01", None)] == 3  # per-day subtotal
     assert rows[(None, None)] == 4  # grand total
     assert len(rows) == 6  # 3 cells + 2 day subtotals + grand total
+
+
+def test_asof_null_in_matched_row_stays_null(spark, quotes):
+    """A NULL inside the matched right row must come through as NULL —
+    per-column carry-forward would leak an older row's value (DuckDB
+    ASOF / pandas merge_asof return the matched row atomically)."""
+    q = _ts(
+        spark.createDataFrame(
+            [("A", "2024-01-01 10:00:00", 100.0),
+             ("A", "2024-01-01 10:05:00", None)],
+            ["sym", "ts", "px"],
+        ),
+        "ts",
+    )
+    t = _ts(
+        spark.createDataFrame(
+            [("A", "2024-01-01 10:07:00", 1)], ["sym", "ts", "tid"]
+        ),
+        "ts",
+    )
+    out = asof_join(t, q, on="sym", right_cols=["px"], prefix="q_").collect()
+    assert len(out) == 1
+    assert out[0]["q_ts"] is not None  # matched the 10:05 row...
+    assert out[0]["q_px"] is None  # ...whose px is genuinely NULL
+
+
+def test_asof_reserved_name_guard(spark, quotes, trades):
+    import pytest as _pytest
+
+    bad = trades.withColumnRenamed("tid", "_ts")
+    with _pytest.raises(ValueError, match="collide"):
+        asof_join(bad, quotes, on="sym", right_cols=["px"])
