@@ -75,3 +75,29 @@ def stratified_sample_by_hash(
         )
     )
     return df.where(h < int(fraction * HASH_BUCKETS))
+
+
+def mixture_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    *,
+    source_col: str = "source",
+    key: str | Column = "doc_id",
+    default_rate: float = 1.0,
+) -> DataFrame:
+    """Pretraining data-mixture sampling: keep each row with a
+    per-source probability (downsample boilerplate web, keep books),
+    decided by the row's stable hash — so the sample is reproducible
+    across runs/engines/cluster layouts, rows keep their fate as the
+    corpus grows, and exact thresholds are integers (no float-boundary
+    ambiguity: threshold = round(rate * HASH_BUCKETS) computed
+    driver-side).
+
+    Filter-only (no shuffle); composes with everything downstream.
+    """
+    thresholds = {s: int(round(r * HASH_BUCKETS)) for s, r in rates.items()}
+    default_thr = int(round(default_rate * HASH_BUCKETS))
+    thr: Column = F.lit(default_thr)
+    for s, t in sorted(thresholds.items()):
+        thr = F.when(F.col(source_col) == s, F.lit(t)).otherwise(thr)
+    return df.where(hash_bucket(key) < thr)

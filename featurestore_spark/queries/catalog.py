@@ -2843,3 +2843,70 @@ def q_vocab_topk(spark, sf_dir):
         .orderBy(F.col("n").desc(), "tok")
         .limit(20)
     )
+
+
+@_register(
+    "q_mixture_sample",
+    """
+    WITH kept AS (
+      SELECT doc_id, source
+      FROM documents
+      WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7))
+                 AS UBIGINT) % 1000000
+            < CASE WHEN source = 'src0' THEN 100000
+                   WHEN source = 'src1' THEN 500000
+                   ELSE 900000 END)
+    SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
+           CAST(min(doc_id) AS BIGINT) AS min_doc,
+           CAST(max(doc_id) AS BIGINT) AS max_doc
+    FROM kept GROUP BY source
+    """,
+    "Pretraining mixture sampling: per-source keep rates (src0 10%, "
+    "src1 50%, rest 90%) decided by each row's stable md5 bucket — "
+    "reproducible across engines and stable under corpus growth. "
+    "Filter-only, no shuffle before the audit aggregate.",
+)
+def q_mixture_sample(spark, sf_dir):
+    from featurestore_spark.operators.sampling import mixture_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = mixture_sample(
+        docs, {"src0": 0.1, "src1": 0.5}, default_rate=0.9
+    )
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )
+
+
+@_register(
+    "q_quality_buckets",
+    r"""
+    WITH scored AS (
+      SELECT doc_id,
+             round(CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+                        AS DOUBLE) / length(text), 3) AS alpha_ratio
+      FROM documents)
+    SELECT doc_id, alpha_ratio,
+           CAST(ntile(4) OVER (ORDER BY alpha_ratio, doc_id) AS INTEGER)
+             AS quality_bucket
+    FROM scored
+    """,
+    "Curriculum bucketing: quartile assignment over a quality score "
+    "(ntile on a deterministic total order — rounded score, then "
+    "doc_id). Single global sort; at corpus scale ntile over a "
+    "pre-aggregated histogram replaces the sort.",
+)
+def q_quality_buckets(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    alpha = F.round(
+        F.length(F.regexp_replace("text", "[^a-zA-Z]", "")).cast("double")
+        / F.length("text"),
+        3,
+    )
+    w = Window.orderBy("alpha_ratio", "doc_id")
+    return (
+        docs.select("doc_id", alpha.alias("alpha_ratio"))
+        .withColumn("quality_bucket", F.ntile(4).over(w))
+    )
