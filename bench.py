@@ -69,6 +69,12 @@ HEADLINE = [
     "q_interval_join",
     "q_time_rollup",
     "q_attribution",
+    "q_boilerplate",
+    "q_corpus_stats",
+    "q_vocab_topk",
+    "q_ivf_assign",
+    "q_mixture_sample",
+    "q_quality_buckets",
     "q_top_customers",
     "q_vault_full_cycle",  # write-path throughput (real loader)
 ]
