@@ -259,3 +259,40 @@ def boilerplate_flags(
             "max_span_df",
         )
     )
+
+
+# -- fixed-window chunking ----------------------------------------------------
+
+
+def chunk_documents(
+    docs: DataFrame,
+    *,
+    window: int = 512,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split every document into fixed-size token windows — the
+    pretraining chunking step that turns variable-length docs into
+    context-window-sized training rows. Returns (id, chunk_idx,
+    n_chunk_tokens, chunk_text); the final chunk is the remainder
+    (no padding — packing/padding is the trainer's concern).
+
+    Pure Column expressions: one sequence + slice per row, no Python,
+    no shuffle. Row fan-out is ceil(tokens/window) — bounded and
+    linear in corpus size."""
+    toks = tokens(text_col)
+    n_chunks = F.ceil(F.size(toks) / F.lit(window)).cast("int")
+    out = docs.select(
+        F.col(id_col),
+        toks.alias("_toks"),
+        F.explode(F.sequence(F.lit(0), F.greatest(n_chunks, F.lit(1)) - 1)).alias(
+            "chunk_idx"
+        ),
+    )
+    chunk = F.slice(F.col("_toks"), F.col("chunk_idx") * window + 1, window)
+    return out.select(
+        F.col(id_col),
+        "chunk_idx",
+        F.size(chunk).alias("n_chunk_tokens"),
+        F.concat_ws(" ", chunk).alias("chunk_text"),
+    )

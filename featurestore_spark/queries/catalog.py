@@ -2910,3 +2910,39 @@ def q_quality_buckets(spark, sf_dir):
         docs.select("doc_id", alpha.alias("alpha_ratio"))
         .withColumn("quality_bucket", F.ntile(4).over(w))
     )
+
+
+@_register(
+    "q_chunk_documents",
+    r"""
+    WITH toked AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+      FROM documents),
+    chunks AS (
+      SELECT doc_id, toks,
+             unnest(generate_series(0,
+               greatest(CAST(ceil(len(toks) / 32.0) AS INTEGER), 1) - 1))
+               AS chunk_idx
+      FROM toked)
+    SELECT doc_id, CAST(chunk_idx AS INTEGER) AS chunk_idx,
+           CAST(len(toks[chunk_idx * 32 + 1 : chunk_idx * 32 + 32])
+                AS INTEGER) AS n_chunk_tokens,
+           md5(array_to_string(toks[chunk_idx * 32 + 1 : chunk_idx * 32 + 32],
+               ' ')) AS chunk_md5
+    FROM chunks
+    """,
+    "Fixed-window chunking: each doc split into 32-token training "
+    "chunks (final chunk = remainder). Pure projection + bounded "
+    "explode; chunk text compared by md5.",
+)
+def q_chunk_documents(spark, sf_dir):
+    from featurestore_spark.operators.curation import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = chunk_documents(docs, window=32)
+    return out.select(
+        "doc_id",
+        "chunk_idx",
+        "n_chunk_tokens",
+        F.md5(F.col("chunk_text")).alias("chunk_md5"),
+    )

@@ -116,3 +116,19 @@ def test_boilerplate_flags(spark, docs):
     assert by_id[1]["n_boilerplate"] == 1
     assert by_id[1]["boilerplate_frac"] == 1.0
     assert by_id[1]["max_span_df"] == 2
+
+
+def test_chunk_documents_windows(spark):
+    from featurestore_spark.operators.curation import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "x y"), (3, "p q r s")], ["doc_id", "text"]
+    )
+    out = chunk_documents(df, window=2)
+    rows = {(r["doc_id"], r["chunk_idx"]): r for r in out.collect()}
+    assert rows[(1, 0)]["chunk_text"] == "a b"
+    assert rows[(1, 2)]["chunk_text"] == "e"  # remainder, no padding
+    assert rows[(1, 2)]["n_chunk_tokens"] == 1
+    # exact multiple of window: no empty trailing chunk
+    assert {(d, i) for d, i in rows if d == 3} == {(3, 0), (3, 1)}
+    assert {(d, i) for d, i in rows if d == 2} == {(2, 0)}
