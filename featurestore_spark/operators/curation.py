@@ -296,3 +296,58 @@ def chunk_documents(
         F.size(chunk).alias("n_chunk_tokens"),
         F.concat_ws(" ", chunk).alias("chunk_text"),
     )
+
+
+# -- sequence packing ---------------------------------------------------------
+
+
+def pack_chunks(
+    chunks: DataFrame,
+    *,
+    budget: int = 2048,
+    group_col: str = "pack_group",
+    len_col: str = "n_chunk_tokens",
+    order_cols: tuple[str, ...] = ("doc_id", "chunk_idx"),
+) -> DataFrame:
+    """Greedy next-fit packing of chunk rows into token-budget bins —
+    the final pretraining step (chunk → packed training sequence).
+    Appends `bin_id` (unique within each `group_col` value) and
+    `bin_fill` (running token count of the bin after this chunk).
+
+    Packing is inherently sequential, so it runs as an Arrow-batched
+    `applyInPandas` per pack group; choose `group_col` with enough
+    cardinality to spread work (e.g. a hash bucket or source shard) —
+    each group's chunks are processed in deterministic `order_cols`
+    order, so reruns and task retries produce identical bins. Chunks
+    longer than the budget get their own bin (never split here; the
+    chunking step controls max chunk size).
+    """
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    order = list(order_cols)
+    # fresh StructType: StructType.add mutates in place, which would
+    # corrupt the input DataFrame's cached schema object
+    out_schema = StructType(
+        list(chunks.schema.fields)
+        + [StructField("bin_id", LongType()), StructField("bin_fill", LongType())]
+    )
+
+    def _pack(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values(order, kind="mergesort").reset_index(drop=True)
+        bins, fills = [], []
+        cur_bin, cur_fill = 0, 0
+        for n in pdf[len_col]:
+            n = int(n)
+            if cur_fill > 0 and cur_fill + n > budget:
+                cur_bin += 1
+                cur_fill = 0
+            cur_fill += n
+            bins.append(cur_bin)
+            fills.append(cur_fill)
+        pdf["bin_id"] = pd.Series(bins, dtype="int64")
+        pdf["bin_fill"] = pd.Series(fills, dtype="int64")
+        return pdf
+
+    return chunks.groupBy(group_col).applyInPandas(_pack, out_schema)

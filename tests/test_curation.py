@@ -132,3 +132,36 @@ def test_chunk_documents_windows(spark):
     # exact multiple of window: no empty trailing chunk
     assert {(d, i) for d, i in rows if d == 3} == {(3, 0), (3, 1)}
     assert {(d, i) for d, i in rows if d == 2} == {(2, 0)}
+
+
+def test_pack_chunks_next_fit(spark):
+    from featurestore_spark.operators.curation import chunk_documents, pack_chunks
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(i, " ".join(["w"] * n)) for i, n in [(1, 5), (2, 3), (3, 4), (4, 9)]],
+        ["doc_id", "text"],
+    )
+    chunks = chunk_documents(df, window=4).withColumn(
+        "pack_group", F.col("doc_id") % 2
+    )
+    packed = pack_chunks(chunks, budget=6)
+    rows = packed.collect()
+    assert len(rows) == len(chunks.collect())  # every chunk packed once
+    # no bin exceeds the budget (single over-budget chunks impossible:
+    # chunk window 4 <= budget 6)
+    by_bin = {}
+    for r in rows:
+        key = (r["pack_group"], r["bin_id"])
+        by_bin[key] = by_bin.get(key, 0) + r["n_chunk_tokens"]
+    assert all(v <= 6 for v in by_bin.values())
+    # deterministic: rerun produces identical assignment
+    again = {
+        (r["doc_id"], r["chunk_idx"]): (r["bin_id"], r["bin_fill"])
+        for r in pack_chunks(chunks, budget=6).collect()
+    }
+    first = {
+        (r["doc_id"], r["chunk_idx"]): (r["bin_id"], r["bin_fill"])
+        for r in rows
+    }
+    assert again == first
