@@ -75,6 +75,7 @@ HEADLINE = [
     "q_ivf_assign",
     "q_mixture_sample",
     "q_quality_buckets",
+    "q_chunk_documents",
     "q_top_customers",
     "q_vault_full_cycle",  # write-path throughput (real loader)
 ]
