@@ -277,17 +277,20 @@ def chunk_documents(
     n_chunk_tokens, chunk_text); the final chunk is the remainder
     (no padding — packing/padding is the trainer's concern).
 
-    Pure Column expressions: one sequence + slice per row, no Python,
-    no shuffle. Row fan-out is ceil(tokens/window) — bounded and
-    linear in corpus size."""
-    toks = tokens(text_col)
-    n_chunks = F.ceil(F.size(toks) / F.lit(window)).cast("int")
-    out = docs.select(
+    Pure Column expressions, no Python, no shuffle. Row fan-out is
+    ceil(tokens/window) — bounded and linear in corpus size. The token
+    array is materialized in a first select so the split runs once per
+    DOCUMENT, not once per chunk (CSE does not span Project/Generate —
+    same trap as boilerplate_flags). NULL-text docs emit no rows (a
+    null upper bound makes sequence, hence explode, produce nothing).
+    """
+    base = docs.select(F.col(id_col), tokens(text_col).alias("_toks"))
+    n_chunks = F.ceil(F.size("_toks") / F.lit(window)).cast("int")
+    last_idx = F.when(n_chunks.isNotNull(), F.greatest(n_chunks, F.lit(1)) - 1)
+    out = base.select(
         F.col(id_col),
-        toks.alias("_toks"),
-        F.explode(F.sequence(F.lit(0), F.greatest(n_chunks, F.lit(1)) - 1)).alias(
-            "chunk_idx"
-        ),
+        F.col("_toks"),
+        F.explode(F.sequence(F.lit(0), last_idx)).alias("chunk_idx"),
     )
     chunk = F.slice(F.col("_toks"), F.col("chunk_idx") * window + 1, window)
     return out.select(
@@ -318,9 +321,12 @@ def pack_chunks(
     `applyInPandas` per pack group; choose `group_col` with enough
     cardinality to spread work (e.g. a hash bucket or source shard) —
     each group's chunks are processed in deterministic `order_cols`
-    order, so reruns and task retries produce identical bins. Chunks
-    longer than the budget get their own bin (never split here; the
-    chunking step controls max chunk size).
+    order, so reruns and task retries produce identical bins. That
+    guarantee requires `order_cols` to be UNIQUE within each group
+    (tie order would otherwise depend on partitioning); both that and
+    null chunk lengths are validated with clear errors rather than
+    packed arbitrarily. Chunks longer than the budget get their own
+    bin (never split here; the chunking step controls max chunk size).
     """
     from pyspark.sql.types import LongType, StructField, StructType
 
@@ -335,7 +341,18 @@ def pack_chunks(
     def _pack(pdf):
         import pandas as pd
 
+        if pdf[len_col].isna().any():
+            raise ValueError(
+                f"pack_chunks: null {len_col!r} in pack group "
+                f"{pdf[group_col].iloc[0]!r} — filter or fix chunking first"
+            )
         pdf = pdf.sort_values(order, kind="mergesort").reset_index(drop=True)
+        if pdf.duplicated(order).any():
+            raise ValueError(
+                f"pack_chunks: order_cols {order!r} not unique within pack "
+                f"group {pdf[group_col].iloc[0]!r} — bins would depend on "
+                "partition order"
+            )
         bins, fills = [], []
         cur_bin, cur_fill = 0, 0
         for n in pdf[len_col]:

@@ -2899,15 +2899,13 @@ def q_mixture_sample(spark, sf_dir):
     "pre-aggregated histogram replaces the sort.",
 )
 def q_quality_buckets(spark, sf_dir):
+    from featurestore_spark.operators.text import quality_metrics
+
     docs = load_table(spark, sf_dir, "documents")
-    alpha = F.round(
-        F.length(F.regexp_replace("text", "[^a-zA-Z]", "")).cast("double")
-        / F.length("text"),
-        3,
-    )
     w = Window.orderBy("alpha_ratio", "doc_id")
     return (
-        docs.select("doc_id", alpha.alias("alpha_ratio"))
+        quality_metrics(docs)
+        .select("doc_id", "alpha_ratio")
         .withColumn("quality_bucket", F.ntile(4).over(w))
     )
 

@@ -165,3 +165,40 @@ def test_pack_chunks_next_fit(spark):
         for r in rows
     }
     assert again == first
+
+
+def test_chunk_documents_null_text_and_single_tokenize(spark):
+    from featurestore_spark.operators.curation import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, None)], ["doc_id", "text"]
+    )
+    out = chunk_documents(df, window=2)
+    rows = out.collect()
+    # null-text doc emits NO rows (no phantom empty chunk)
+    assert {r["doc_id"] for r in rows} == {1}
+    # the token split runs once per document, not once per chunk
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("split(") == 1
+
+
+def test_pack_chunks_validates_inputs(spark):
+    from featurestore_spark.operators.curation import pack_chunks
+    from pyspark.sql import functions as F
+
+    base = spark.createDataFrame(
+        [(1, 0, 3, 0), (1, 1, 2, 0)],
+        ["doc_id", "chunk_idx", "n_chunk_tokens", "pack_group"],
+    )
+    with pytest.raises(Exception, match="null"):
+        pack_chunks(
+            base.withColumn(
+                "n_chunk_tokens",
+                F.when(F.col("chunk_idx") == 0, None).otherwise(
+                    F.col("n_chunk_tokens")
+                ),
+            ),
+            budget=4,
+        ).collect()
+    with pytest.raises(Exception, match="not unique"):
+        pack_chunks(base, budget=4, order_cols=("doc_id",)).collect()
