@@ -76,6 +76,7 @@ HEADLINE = [
     "q_mixture_sample",
     "q_quality_buckets",
     "q_chunk_documents",
+    "q_token_budget_sample",
     "q_top_customers",
     "q_vault_full_cycle",  # write-path throughput (real loader)
 ]

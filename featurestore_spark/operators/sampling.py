@@ -101,3 +101,32 @@ def mixture_sample(
     for s, t in sorted(thresholds.items()):
         thr = F.when(F.col(source_col) == s, F.lit(t)).otherwise(thr)
     return df.where(hash_bucket(key) < thr)
+
+
+def token_budget_sample(
+    df: DataFrame,
+    budget_tokens: int,
+    *,
+    source_col: str = "source",
+    key: str | Column = "doc_id",
+    text_col: str = "text",
+    token_col: str | None = None,
+) -> DataFrame:
+    """Fill each source with documents until its token budget is met —
+    mixtures specified in tokens rather than rates (the form real
+    pretraining recipes use). Docs are taken in stable hash order
+    (ties broken by the key), so the selection is reproducible across
+    engines/runs and only the boundary doc changes as the budget moves.
+    The doc that crosses the budget is kept ("at least budget" fill).
+
+    Appends nothing; returns the kept rows plus `_nt` (token count).
+    One window shuffle keyed on the source."""
+    from pyspark.sql import Window
+
+    from featurestore_spark.operators.text import token_count
+
+    nt = token_count(text_col) if token_col is None else F.col(token_col)
+    keyc = F.col(key) if isinstance(key, str) else key
+    w = Window.partitionBy(source_col).orderBy(hash_bucket(keyc), keyc)
+    out = df.withColumn("_nt", nt).withColumn("_cum", F.sum("_nt").over(w))
+    return out.where(F.col("_cum") - F.col("_nt") < budget_tokens).drop("_cum")

@@ -2944,3 +2944,36 @@ def q_chunk_documents(spark, sf_dir):
         "n_chunk_tokens",
         F.md5(F.col("chunk_text")).alias("chunk_md5"),
     )
+
+
+@_register(
+    "q_token_budget_sample",
+    r"""
+    WITH t AS (
+      SELECT doc_id, source,
+             len(regexp_split_to_array(trim(lower(text)), '\s+')) AS nt,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7))
+                  AS UBIGINT) % 1000000 AS hb
+      FROM documents),
+    c AS (SELECT doc_id, source, nt,
+                 sum(nt) OVER (PARTITION BY source ORDER BY hb, doc_id)
+                   AS cum
+          FROM t)
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs_kept,
+           CAST(sum(nt) AS BIGINT) AS n_tokens_kept
+    FROM c WHERE cum - nt < 1000
+    GROUP BY source
+    """,
+    "Token-budget mixture: fill each source to 1000 tokens in stable "
+    "hash order (boundary doc kept). One window shuffle per source; "
+    "audit aggregate per source.",
+)
+def q_token_budget_sample(spark, sf_dir):
+    from featurestore_spark.operators.sampling import token_budget_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = token_budget_sample(docs, 1000)
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs_kept"),
+        F.sum("_nt").cast("bigint").alias("n_tokens_kept"),
+    )
