@@ -77,6 +77,7 @@ HEADLINE = [
     "q_quality_buckets",
     "q_chunk_documents",
     "q_token_budget_sample",
+    "q_embedding_clusters",
     "q_top_customers",
     "q_vault_full_cycle",  # write-path throughput (real loader)
 ]

@@ -2977,3 +2977,42 @@ def q_token_budget_sample(spark, sf_dir):
         F.count(F.lit(1)).alias("n_docs_kept"),
         F.sum("_nt").cast("bigint").alias("n_tokens_kept"),
     )
+
+
+@_register(
+    "q_embedding_clusters",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    b AS (SELECT vec_id, v,
+                 ((v[1] > 0)::INT * 4 + (v[2] > 0)::INT * 2 + (v[3] > 0)::INT) AS bkt
+          FROM e),
+    p AS (SELECT a.vec_id AS a_id, b2.vec_id AS b_id
+          FROM b a JOIN b b2 ON a.bkt = b2.bkt AND a.vec_id < b2.vec_id
+          WHERE round(list_dot_product(a.v, b2.v)
+                      / (sqrt(list_dot_product(a.v, a.v))
+                         * sqrt(list_dot_product(b2.v, b2.v))), 6) >= 0.35),
+    edges AS (SELECT a_id AS a, b_id AS b FROM p
+              UNION SELECT b_id, a_id FROM p)
+    SELECT id AS vec_id, min(lab) AS canonical_id
+    FROM (WITH RECURSIVE r(id, lab) AS (
+            SELECT DISTINCT a, a FROM edges
+            UNION
+            SELECT e2.a, r.lab FROM edges e2 JOIN r ON r.id = e2.b)
+          SELECT id, lab FROM r)
+    GROUP BY id
+    """,
+    "Embedding near-dup CLUSTERS: sign-bucket cosine pairs contracted "
+    "to connected components (min-vec_id canonical) — semantic dedup "
+    "keeps one vector per near-dup family, not pairwise keep-lists. "
+    "Same materialized-edge label propagation as q_dedup_clusters.",
+)
+def q_embedding_clusters(spark, sf_dir):
+    from featurestore_spark.operators.resolve import connected_components
+    from featurestore_spark.operators.similarity import embedding_near_dups
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = embedding_near_dups(emb, threshold=0.35, bits=3).select("a_id", "b_id")
+    comp = connected_components(pairs, src_col="a_id", dst_col="b_id")
+    return comp.select(
+        F.col("id").alias("vec_id"), F.col("component").alias("canonical_id")
+    )
