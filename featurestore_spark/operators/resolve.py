@@ -61,6 +61,10 @@ def connected_components(
             .groupBy("id")
             .agg(F.min("component").alias("component"))
         )
+        # (path-halving via a propagated⋈propagated self-join was
+        # measured SLOWER here: the unmaterialized self-join computes
+        # each round twice, costing more than the rounds it saves on
+        # the short chains these near-dup graphs produce.)
         # materialize BEFORE the convergence probe so the probe job
         # reads this round's result instead of recomputing the join
         if (i + 1) % checkpoint_every == 0:
