@@ -3016,3 +3016,79 @@ def q_embedding_clusters(spark, sf_dir):
     return comp.select(
         F.col("id").alias("vec_id"), F.col("component").alias("canonical_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Driver-gate registration order.
+#
+# The correctness driver verifies the FIRST 50 queries in registration
+# (dict-insertion) order.  Decorator order above follows the build history,
+# which left the whole LLM-pipeline surface (dedup / similarity / curation /
+# temporal / sampling / chunking) past slot 50 in round 2 — green under
+# judge re-runs but absent from CORRECTNESS_r02.json.  Reorder in place so
+# the least-evidenced queries occupy the window first; the event/vault/TPC-H
+# block (two rounds of green driver rows + pytest) takes the overflow slots.
+# Mutating the existing dict keeps `from ... import QUERIES` bindings valid.
+# ---------------------------------------------------------------------------
+
+_DRIVER_PRIORITY = [
+    # Never driver-verified (r2 slots 51-83): LLM-pipeline surface + q21.
+    "q_doc_fingerprint",
+    "q_dedup_exact",
+    "q_token_count",
+    "q_text_quality",
+    "q_lang_id",
+    "q_minhash_bands",
+    "q_minhash_pairs",
+    "q_dedup_clusters",
+    "q_ngram_jaccard",
+    "q_dedup_pipeline",
+    "q_simhash_near_dups",
+    "q_binary_meta",
+    "q_embedding_topk",
+    "q_embedding_ann_lsh",
+    "q_embedding_near_dups",
+    "q_embedding_clusters",
+    "q_repetition",
+    "q_decontaminate",
+    "q_redact_pii",
+    "q_quality_filter",
+    "q_asof_purchase",
+    "q_interval_join",
+    "q_time_rollup",
+    "q_attribution",
+    "q_ivf_assign",
+    "q_boilerplate",
+    "q_corpus_stats",
+    "q_vocab_topk",
+    "q_mixture_sample",
+    "q_quality_buckets",
+    "q_chunk_documents",
+    "q_token_budget_sample",
+    "q_tpch_q21",
+    # New this round — must also land inside the 50-query window.
+    "q_pack_chunks",
+    "q_image_meta",
+    # One representative per remaining operator family (already double-green,
+    # kept inside the window to retain at least one fresh row per family).
+    "q_vault_full_cycle",
+    "q_satellite_classify",
+    "q_hub_customer",
+    "q_link_customer_order",
+    "q_star_dim_order_priority",
+    "q_star_fact_order_counts",
+    "q_sessionize",
+    "q_current_events",
+    "q_pivot_snapshot",
+    "q_pivot_registry",
+    "q_sniff_csv",
+    "q_hash_split",
+    "q_dq_assertion",
+    "q_entity_resolution",
+    "q_tpch_q1",
+]
+
+_ordered = {n: QUERIES[n] for n in _DRIVER_PRIORITY if n in QUERIES}
+_ordered.update({n: s for n, s in QUERIES.items() if n not in _ordered})
+QUERIES.clear()
+QUERIES.update(_ordered)
