@@ -111,6 +111,7 @@ def token_budget_sample(
     key: str | Column = "doc_id",
     text_col: str = "text",
     token_col: str | None = None,
+    n_buckets: int = 256,
 ) -> DataFrame:
     """Fill each source with documents until its token budget is met —
     mixtures specified in tokens rather than rates (the form real
@@ -118,15 +119,64 @@ def token_budget_sample(
     (ties broken by the key), so the selection is reproducible across
     engines/runs and only the boundary doc changes as the budget moves.
     The doc that crosses the budget is kept ("at least budget" fill).
+    Keys must be unique per source (like `pack_chunks`' order_cols) —
+    duplicate keys make the boundary-bucket row order, and therefore
+    which duplicate crosses the budget, nondeterministic.
 
     Appends nothing; returns the kept rows plus `_nt` (token count).
-    One window shuffle keyed on the source."""
+
+    Scale shape (two-phase distributed prefix sum — a pretraining
+    mixture has ~5-20 sources with "web" holding most of the corpus,
+    so a per-source running sum must never run in one window task):
+      1. split each source into `n_buckets` CONTIGUOUS hash-range
+         buckets (bucket order == hash order, so the global per-source
+         order is preserved);
+      2. aggregate per-bucket token totals (tiny: sources x buckets
+         rows) and window THAT frame into cumulative bucket offsets;
+      3. broadcast the offsets back: buckets entirely under the budget
+         keep every row with no window at all, buckets entirely past
+         it are filtered out at the scan, and only the single
+         straddling bucket per source (~1/n_buckets of the source)
+         pays a windowed prefix sum."""
     from pyspark.sql import Window
 
     from featurestore_spark.operators.text import token_count
 
     nt = token_count(text_col) if token_col is None else F.col(token_col)
     keyc = F.col(key) if isinstance(key, str) else key
-    w = Window.partitionBy(source_col).orderBy(hash_bucket(keyc), keyc)
-    out = df.withColumn("_nt", nt).withColumn("_cum", F.sum("_nt").over(w))
-    return out.where(F.col("_cum") - F.col("_nt") < budget_tokens).drop("_cum")
+    width = max(1, HASH_BUCKETS // n_buckets)
+    out = (
+        df.withColumn("_nt", nt)
+        .withColumn("_hb", hash_bucket(keyc))
+        .withColumn("_pf", F.floor(F.col("_hb") / width).cast("int"))
+    )
+    totals = out.groupBy(source_col, "_pf").agg(F.sum("_nt").alias("_bt"))
+    wb = (
+        Window.partitionBy(source_col)
+        .orderBy("_pf")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.withColumn(
+        "_off", F.coalesce(F.sum("_bt").over(wb), F.lit(0)).cast("long")
+    )
+    joined = out.join(F.broadcast(offsets), [source_col, "_pf"])
+    helper = ["_hb", "_pf", "_bt", "_off"]
+    # whole buckets below the budget: every row starts < _off + _bt <= budget
+    full = joined.where(F.col("_off") + F.col("_bt") <= budget_tokens).drop(*helper)
+    # the one straddling bucket per source pays the window; explicit
+    # ROWS frame so tied orderings never share a cumulative value
+    win = (
+        Window.partitionBy(source_col, "_pf")
+        .orderBy(F.col("_hb"), keyc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    straddle = joined.where(
+        (F.col("_off") < budget_tokens)
+        & (F.col("_off") + F.col("_bt") > budget_tokens)
+    )
+    straddle_kept = (
+        straddle.withColumn("_cum", F.col("_off") + F.sum("_nt").over(win))
+        .where(F.col("_cum") - F.col("_nt") < budget_tokens)
+        .drop("_cum", *helper)
+    )
+    return full.unionByName(straddle_kept)

@@ -2965,8 +2965,10 @@ def q_chunk_documents(spark, sf_dir):
     GROUP BY source
     """,
     "Token-budget mixture: fill each source to 1000 tokens in stable "
-    "hash order (boundary doc kept). One window shuffle per source; "
-    "audit aggregate per source.",
+    "hash order (boundary doc kept). Two-phase bucketed prefix sum — "
+    "per-bucket totals windowed on a tiny frame, broadcast back; only "
+    "the straddling bucket pays a row window (never one reducer per "
+    "source). Audit aggregate per source.",
 )
 def q_token_budget_sample(spark, sf_dir):
     from featurestore_spark.operators.sampling import token_budget_sample

@@ -309,3 +309,48 @@ def test_split_by_hash_deterministic_and_stable(spark):
     )
     per_g = {r["g"]: r["count"] for r in strat.groupBy("g").count().collect()}
     assert all(abs(v - 625) < 150 for v in per_g.values())
+
+
+def test_token_budget_sample_two_phase(spark):
+    """Bucketed two-phase fill matches the naive per-source running sum
+    and never windows on the source alone (the 100 TB single-reducer
+    trap: one window task per source)."""
+    from pyspark.sql import Window
+
+    from featurestore_spark.operators.sampling import (
+        hash_bucket,
+        token_budget_sample,
+    )
+
+    df = (
+        spark.range(5000)
+        .toDF("doc_id")
+        .withColumn("source", F.when(F.col("doc_id") % 10 < 8, "web").otherwise("books"))
+        .withColumn("n_tok", (F.col("doc_id") % 97 + 1).cast("long"))
+    )
+    budget = 20_000
+    kept = token_budget_sample(
+        df, budget, key="doc_id", token_col="n_tok", n_buckets=16
+    )
+    # naive reference: one running sum per source
+    w = Window.partitionBy("source").orderBy(hash_bucket(F.col("doc_id")), "doc_id")
+    ref = (
+        df.withColumn("_cum", F.sum("n_tok").over(w))
+        .where(F.col("_cum") - F.col("n_tok") < budget)
+        .drop("_cum")
+    )
+    got = kept.select("doc_id", "source", "n_tok")
+    assert got.exceptAll(ref).count() == 0 and ref.exceptAll(got).count() == 0
+    # every source fills to >= budget (boundary doc kept) without a
+    # gross overshoot (bounded by the max doc size)
+    sums = {
+        r["source"]: r["s"]
+        for r in kept.groupBy("source").agg(F.sum("n_tok").alias("s")).collect()
+    }
+    assert all(budget <= s < budget + 97 for s in sums.values())
+    # plan: no window partitioned on the bare source column — windows
+    # run only inside (source, bucket)
+    plan = kept._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if "Window" in line and "windowspecdefinition(source" in line:
+            assert "_pf" in line, f"window partitions on source alone: {line}"
