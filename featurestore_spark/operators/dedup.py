@@ -199,21 +199,26 @@ def minhash_candidate_pairs(
         .agg(F.sort_array(F.collect_list(id_col)).alias("_ids"))
         .where((F.size("_ids") >= 2) & (F.size("_ids") <= max_bucket))
     )
-    # all ordered pairs within a bucket: for each position i, pair ids[i]
-    # with every later element
-    pair_structs = F.flatten(
+    return (
+        buckets.select(F.explode(bucket_member_pairs(F.col("_ids"))).alias("p"))
+        .select(F.col("p.a_id"), F.col("p.b_id"))
+        .distinct()
+    )
+
+
+def bucket_member_pairs(ids: Column) -> Column:
+    """All ordered (a_id, b_id) pairs within a sorted bucket-member
+    array: for each position i, pair ids[i] with every later element —
+    pure array combinatorics, expanded with one explode by the caller
+    (shared by MinHash banding and embedding SRP blocking)."""
+    return F.flatten(
         F.transform(
-            F.col("_ids"),
+            ids,
             lambda a, i: F.transform(
-                F.slice(F.col("_ids"), i + 2, _SLICE_REST),
+                F.slice(ids, i + 2, _SLICE_REST),
                 lambda bb: F.struct(a.alias("a_id"), bb.alias("b_id")),
             ),
         )
-    )
-    return (
-        buckets.select(F.explode(pair_structs).alias("p"))
-        .select(F.col("p.a_id"), F.col("p.b_id"))
-        .distinct()
     )
 
 

@@ -13,13 +13,20 @@
 
 At 100 TB of embeddings the brute-force path is O(Q×N) — usable only
 for small Q; the bucketed path is the default for pipeline-scale
-joins (near-dup by embedding: `embedding_near_dups`).
+joins. Corpus-scale near-dup pairs (`embedding_near_dups`) use seeded
+random-hyperplane SRP-LSH banding (`srp_hyperplanes` /
+`srp_band_codes`) with a `max_bucket` guard — the leading-sign-bit
+`sign_bucket` stays as the cheap variant for query-bounded ANN and
+centroid seeding, where candidate work is bounded by the broadcast
+query side rather than quadratic in the corpus.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+from featurestore_spark.operators.dedup import bucket_member_pairs
 
 
 def as_double_array(col: str | Column) -> Column:
@@ -71,6 +78,68 @@ def cosine_topk(
         .where(F.col("rnk") <= k)
         .select(query_id, "rnk", cand_id, "sim")
     )
+
+
+SRP_QUANT_SCALE = 1000
+
+
+def srp_hyperplanes(dim: int, n: int, seed: int = 42) -> list[list[int]]:
+    """`n` deterministic pseudo-random hyperplanes with INTEGER
+    components in [-100, 100], from a hand-rolled LCG — identical
+    constants are reproducible in any engine (the DuckDB oracles
+    inline them as literals), and integer components make the SRP
+    sign test exact arithmetic (see `srp_band_codes`)."""
+    s = seed & 0x7FFFFFFF
+    out: list[list[int]] = []
+    for _ in range(n):
+        h = []
+        for _ in range(dim):
+            s = (1103515245 * s + 12345) % (1 << 31)
+            h.append((s % 201) - 100)
+        out.append(h)
+    return out
+
+
+def srp_band_codes(
+    vec: Column, hyperplanes: list[list[int]], bits: int, bands: int
+) -> Column:
+    """array<int> of `bands` SRP (signed-random-projection) band codes
+    for an array<float/double> column. Band b's code packs the sign
+    bits of dot(quantize(v), h) over its `bits` hyperplanes:
+    Σ_j (dot(q, h_{b·bits+j}) > 0) · 2^j, with q = round(v·1000).
+
+    Arrow-batched numpy pandas_udf, same justification as SimHash
+    (VERDICT r1): the pure-Column formulation is a ~3,000-literal
+    nested higher-order-function tree that costs ~10s of driver-side
+    plan processing per query (measured at sf0.1) — the numpy matmul
+    is milliseconds. Exactness is engine-portable either way: the
+    quantized vectors and integer hyperplanes make every dot product a
+    sum of integer-valued float64 products bounded far below 2^53, so
+    the result is EXACT (order-independent) and the DuckDB oracle
+    reproduces the identical sign bits from inlined literals."""
+    import numpy as np
+    import pandas as pd
+
+    if len(hyperplanes) != bits * bands:
+        raise ValueError(f"need {bits * bands} hyperplanes, got {len(hyperplanes)}")
+    hp = np.array(hyperplanes, dtype=np.float64)  # (bits*bands, dim)
+    powers = 1 << np.arange(bits, dtype=np.int64)
+    scale = SRP_QUANT_SCALE
+
+    def codes(v):
+        m = np.asarray(v.tolist(), dtype=np.float64)  # (n, dim)
+        # HALF_UP rounding (away from zero) to match Spark/DuckDB round()
+        x = m * scale
+        q = np.sign(x) * np.floor(np.abs(x) + 0.5)
+        d = q @ hp.T  # exact: integer-valued float64, |d| « 2^53
+        b = (d > 0).astype(np.int64).reshape(len(m), bands, bits)
+        out = (b @ powers).astype(np.int32)
+        return pd.Series(list(out))
+
+    # no type hints: the module's postponed annotations (PEP 563) are
+    # strings pyspark's hint inference can't resolve; explicit Series
+    # eval type via the legacy (function, returnType) form
+    return F.pandas_udf(codes, "array<int>")(vec)
 
 
 def sign_bucket(vec: Column, bits: int = 3) -> Column:
@@ -269,48 +338,73 @@ def embedding_near_dups(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
-    bits: int = 3,
+    bits: int = 8,
+    bands: int = 6,
+    seed: int = 42,
+    max_bucket: int = 1000,
+    dim: int | None = None,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs via sign-bucket blocking:
-    pairs within the same bucket with cosine ≥ threshold. (Exact
-    near-dups by cosine almost always share leading sign bits; raise
-    recall by lowering `bits`.)
+    """Embedding-cosine near-duplicate pairs via seeded random-
+    hyperplane (SRP) LSH banding: a pair is a candidate when it shares
+    all `bits` projection signs in at least one of `bands` bands —
+    P(candidate) = 1 - (1 - p^bits)^bands with p = 1 - θ/π, so high-
+    cosine pairs survive (cos ≥ 0.95 → ~0.97 at 8×6) while the bucket
+    count per band is 2^bits (256), keeping in-bucket pair work
+    ~bands/2^bits of the all-pairs product. Buckets larger than
+    `max_bucket` are dropped — the same quadratic-blowup guard as
+    MinHash banding (`dedup.py` minhash_candidate_pairs). Sign bits
+    use integer-quantized vectors × integer hyperplanes: exact
+    arithmetic, reproducible in any engine (the oracle inlines the
+    same constants).
 
     Scale design (the 10x key-shifted stress exposed this): real
     corpora are dominated by EXACT duplicates, which make the in-bucket
     pair count quadratic in the duplication factor. So the pair join
     runs over DISTINCT vectors only (groupBy the vector, min id as
     representative), and member ids are expanded back afterwards —
-    pair work shrinks by the square of the duplication factor. Output
-    is identical to the naive all-rows join: identical vectors share
-    bucket/norm/dot by construction, intra-group sims use the same
-    dot(v,v)/(n*n) expression the naive path would, and norms are
-    hoisted per vector (bit-identical: sqrt(dot(v,v)) sees the same
-    input either way)."""
+    pair work shrinks by the square of the duplication factor. The
+    banding melt carries only (rep_id, band_idx, code); vectors join
+    back on the scalar rep_id. Exact-duplicate (intra-group) pairs are
+    emitted unconditionally — identical vectors are near-dups by
+    definition and must not depend on bucket caps."""
     base = df.select(F.col(id_col).alias("_id"), as_double_array(vec_col).alias("v"))
+    if dim is None:
+        dim = df.select(F.size(vec_col)).first()[0]
     reps = (
         base.groupBy("v")
         .agg(F.min("_id").alias("rep_id"), F.collect_list("_id").alias("members"))
-        .withColumn("_bkt", sign_bucket(F.col("v"), bits))
         .withColumn("_nrm", norm(F.col("v")))
     )
+    hp = srp_hyperplanes(dim, bits * bands, seed)
+    coded = reps.select(
+        "rep_id", srp_band_codes(F.col("v"), hp, bits, bands).alias("_codes")
+    )
+    melted = coded.select("rep_id", F.posexplode("_codes").alias("band_idx", "_code"))
+    buckets = (
+        melted.groupBy("band_idx", "_code")
+        .agg(F.sort_array(F.collect_list("rep_id")).alias("_ids"))
+        .where((F.size("_ids") >= 2) & (F.size("_ids") <= max_bucket))
+    )
+    cand = (
+        buckets.select(F.explode(bucket_member_pairs(F.col("_ids"))).alias("p"))
+        .select(F.col("p.a_id").alias("ra"), F.col("p.b_id").alias("rb"))
+        .distinct()
+    )
     a = reps.select(
-        "_bkt",
         F.col("rep_id").alias("ra"),
         F.col("members").alias("ma"),
         F.col("v").alias("va"),
         F.col("_nrm").alias("na"),
     )
     b = reps.select(
-        "_bkt",
         F.col("rep_id").alias("rb"),
         F.col("members").alias("mb"),
         F.col("v").alias("vb"),
         F.col("_nrm").alias("nb"),
     )
     inter = (
-        a.join(b, "_bkt")
-        .where(F.col("ra") < F.col("rb"))
+        cand.join(a, "ra")
+        .join(b, "rb")
         .withColumn(
             "sim",
             F.round(dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6),

@@ -2289,29 +2289,96 @@ def q_embedding_ann_lsh(spark, sf_dir):
     return bucketed_ann_topk(q, c, k=3, bits=3)
 
 
+def _srp_pairs_oracle(
+    threshold: float,
+    *,
+    dim: int = 64,
+    bits: int = 8,
+    bands: int = 6,
+    seed: int = 42,
+    max_bucket: int = 1000,
+) -> str:
+    """DuckDB replay of `embedding_near_dups`' SRP-LSH blocking: the
+    SAME LCG hyperplane constants are inlined as literals, vectors are
+    integer-quantized identically (round(x*1000) — exact arithmetic,
+    so the sign bits cannot diverge between engines), and the
+    max_bucket guard counts distinct vectors per (band, code) exactly
+    as the Spark side does."""
+    from featurestore_spark.operators.similarity import srp_hyperplanes
+
+    hp = srp_hyperplanes(dim, bits * bands, seed)
+
+    def band_code(b: int) -> str:
+        terms = []
+        for j in range(bits):
+            arr = "[" + ", ".join(f"{w}.0" for w in hp[b * bits + j]) + "]"
+            terms.append(f"(list_dot_product(q, {arr}) > 0)::INT * {1 << j}")
+        return " + ".join(terms)
+
+    codes_union = "\n      UNION ALL\n      ".join(
+        f"SELECT rep_id, {b} AS band_idx, {band_code(b)} AS code FROM reps_q"
+        for b in range(bands)
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    reps AS (SELECT v, min(vec_id) AS rep_id, list_sort(list(vec_id)) AS members,
+                    sqrt(list_dot_product(v, v)) AS nrm
+             FROM e GROUP BY v),
+    reps_q AS (SELECT rep_id, list_transform(v, x -> round(x * 1000)) AS q
+               FROM reps),
+    codes AS (
+      {codes_union}),
+    sizes AS (SELECT band_idx, code, count(*) AS n FROM codes
+              GROUP BY band_idx, code),
+    cand AS (SELECT DISTINCT a.rep_id AS ra, b.rep_id AS rb
+             FROM codes a
+             JOIN codes b ON a.band_idx = b.band_idx AND a.code = b.code
+                          AND a.rep_id < b.rep_id
+             JOIN sizes s ON s.band_idx = a.band_idx AND s.code = a.code
+             WHERE s.n >= 2 AND s.n <= {max_bucket}),
+    inter_hits AS (SELECT pa.members AS ma, pb.members AS mb,
+                          round(list_dot_product(pa.v, pb.v)
+                                / (pa.nrm * pb.nrm), 6) AS sim
+                   FROM cand
+                   JOIN reps pa ON pa.rep_id = cand.ra
+                   JOIN reps pb ON pb.rep_id = cand.rb
+                   WHERE round(list_dot_product(pa.v, pb.v)
+                               / (pa.nrm * pb.nrm), 6) >= {threshold}),
+    inter_pairs AS (
+      SELECT least(xa, xb) AS a_id, greatest(xa, xb) AS b_id, sim
+      FROM (SELECT xa, unnest(mb) AS xb, sim
+            FROM (SELECT unnest(ma) AS xa, mb, sim FROM inter_hits))),
+    intra_hits AS (SELECT members,
+                          round(list_dot_product(v, v) / (nrm * nrm), 6) AS sim
+                   FROM reps
+                   WHERE len(members) > 1
+                     AND round(list_dot_product(v, v) / (nrm * nrm), 6)
+                         >= {threshold}),
+    intra_pairs AS (
+      SELECT xa AS a_id, xb AS b_id, sim
+      FROM (SELECT xa, unnest(members) AS xb, sim
+            FROM (SELECT unnest(members) AS xa, members, sim FROM intra_hits))
+      WHERE xa < xb)
+    SELECT a_id, b_id, sim FROM inter_pairs
+    UNION ALL
+    SELECT a_id, b_id, sim FROM intra_pairs
+    """
+
+
 @_register(
     "q_embedding_near_dups",
-    """
-    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-    b AS (SELECT vec_id, v,
-                 ((v[1] > 0)::INT * 4 + (v[2] > 0)::INT * 2 + (v[3] > 0)::INT) AS bkt
-          FROM e),
-    p AS (SELECT a.vec_id AS a_id, b2.vec_id AS b_id,
-                 round(list_dot_product(a.v, b2.v)
-                       / (sqrt(list_dot_product(a.v, a.v))
-                          * sqrt(list_dot_product(b2.v, b2.v))), 6) AS sim
-          FROM b a JOIN b b2 ON a.bkt = b2.bkt AND a.vec_id < b2.vec_id)
-    SELECT a_id, b_id, sim FROM p WHERE sim >= 0.35
-    """,
-    "Embedding-cosine near-dup pairs: sign-bucket blocking turns the "
-    "all-pairs product into an equi-join; threshold on the rounded sim "
-    "so the compare is engine-exact",
+    _srp_pairs_oracle(0.35),
+    "Embedding-cosine near-dup pairs via seeded random-hyperplane "
+    "SRP-LSH banding (8 bits x 6 bands, max_bucket guard) over "
+    "distinct vectors — corpus-scale blocking, not the 8-bucket "
+    "leading-sign join; the oracle replays the identical hyperplanes "
+    "and integer-quantized sign bits.",
 )
 def q_embedding_near_dups(spark, sf_dir):
     from featurestore_spark.operators.similarity import embedding_near_dups
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return embedding_near_dups(emb, threshold=0.35, bits=3)
+    return embedding_near_dups(emb, threshold=0.35, dim=64)
 
 
 # ---------------------------------------------------------------------------
@@ -2983,16 +3050,8 @@ def q_token_budget_sample(spark, sf_dir):
 
 @_register(
     "q_embedding_clusters",
-    """
-    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-    b AS (SELECT vec_id, v,
-                 ((v[1] > 0)::INT * 4 + (v[2] > 0)::INT * 2 + (v[3] > 0)::INT) AS bkt
-          FROM e),
-    p AS (SELECT a.vec_id AS a_id, b2.vec_id AS b_id
-          FROM b a JOIN b b2 ON a.bkt = b2.bkt AND a.vec_id < b2.vec_id
-          WHERE round(list_dot_product(a.v, b2.v)
-                      / (sqrt(list_dot_product(a.v, a.v))
-                         * sqrt(list_dot_product(b2.v, b2.v))), 6) >= 0.35),
+    f"""
+    WITH p AS ({_srp_pairs_oracle(0.35)}),
     edges AS (SELECT a_id AS a, b_id AS b FROM p
               UNION SELECT b_id, a_id FROM p)
     SELECT id AS vec_id, min(lab) AS canonical_id
@@ -3003,7 +3062,7 @@ def q_token_budget_sample(spark, sf_dir):
           SELECT id, lab FROM r)
     GROUP BY id
     """,
-    "Embedding near-dup CLUSTERS: sign-bucket cosine pairs contracted "
+    "Embedding near-dup CLUSTERS: SRP-LSH cosine pairs contracted "
     "to connected components (min-vec_id canonical) — semantic dedup "
     "keeps one vector per near-dup family, not pairwise keep-lists. "
     "Same materialized-edge label propagation as q_dedup_clusters.",
@@ -3013,7 +3072,7 @@ def q_embedding_clusters(spark, sf_dir):
     from featurestore_spark.operators.similarity import embedding_near_dups
 
     emb = load_table(spark, sf_dir, "embeddings")
-    pairs = embedding_near_dups(emb, threshold=0.35, bits=3).select("a_id", "b_id")
+    pairs = embedding_near_dups(emb, threshold=0.35, dim=64).select("a_id", "b_id")
     comp = connected_components(pairs, src_col="a_id", dst_col="b_id")
     return comp.select(
         F.col("id").alias("vec_id"), F.col("component").alias("canonical_id")
