@@ -1,20 +1,24 @@
 """Multimodal column plumbing: image/audio/video as opaque `binary`
 columns with typed metadata, processed via Arrow-batched mapInPandas.
 
-The Spark-side design is real and tested — schemas, batch iteration,
-partition sizing — while the actual media decode is stubbed (the
-image/audio libraries are not in this container): `decode_images`
-raises NotImplementedError unless `fake=True`, which substitutes a
-deterministic metadata-only "decode" so the pipeline shape is
-exercisable end-to-end.
+`decode_images` is a REAL header decoder (stdlib-only, no imaging
+libraries): it parses PNG IHDR, JPEG SOFn marker segments, and GIF
+logical-screen descriptors from the binary prefix to produce
+(format, width, height, channels); unrecognized or truncated payloads
+yield nulls instead of failing the job. Pixel-level decode (resize,
+feature extraction) would slot into the same mapInPandas shape but
+needs an imaging library — `sample_frames` remains the deterministic
+stand-in for the video path.
 
 Scale notes: binary payloads dominate row size; `repartition_for_media`
 targets a bytes-per-partition budget so a 100 TB media table produces
 sane task sizes. Decode runs inside mapInPandas (Arrow transfer, one
-Python worker per core, no shuffle).
+Python worker per core, no shuffle) and touches only header bytes.
 """
 
 from __future__ import annotations
+
+import struct
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -36,11 +40,57 @@ MEDIA_META_SCHEMA = StructType(
 
 IMAGE_DECODE_SCHEMA = StructType(
     [
+        StructField("format", StringType()),
         StructField("width", IntegerType()),
         StructField("height", IntegerType()),
         StructField("channels", IntegerType()),
     ]
 )
+
+# PNG color type -> sample channels (palette counts as 3: it indexes RGB)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 3, 4: 2, 6: 4}
+# JPEG SOFn markers carrying frame dimensions (C4/C8/CC are not SOFs)
+_JPEG_SOF = frozenset(
+    [0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF]
+)
+
+
+def parse_image_header(payload: bytes | None):
+    """(format, width, height, channels) from the byte prefix of a
+    PNG / JPEG / GIF payload; (None, None, None, None) when the bytes
+    are not a recognizable image (robustness contract: corrupt rows in
+    a 100 TB media table must become nulls, not task failures)."""
+    if not payload or len(payload) < 10:
+        return (None, None, None, None)
+    b = bytes(payload)
+    try:
+        if b[:8] == b"\x89PNG\r\n\x1a\n" and len(b) >= 26 and b[12:16] == b"IHDR":
+            w, h = struct.unpack(">II", b[16:24])
+            color_type = b[25]
+            return ("png", w, h, _PNG_CHANNELS.get(color_type))
+        if b[:6] in (b"GIF87a", b"GIF89a"):
+            w, h = struct.unpack("<HH", b[6:10])  # GIF is little-endian
+            return ("gif", w, h, 3)
+        if b[:2] == b"\xff\xd8":  # JPEG SOI; walk marker segments to a SOFn
+            i = 2
+            while i + 4 <= len(b):
+                if b[i] != 0xFF:
+                    break
+                marker = b[i + 1]
+                if marker == 0xD8 or 0xD0 <= marker <= 0xD7:  # standalone
+                    i += 2
+                    continue
+                seg_len = struct.unpack(">H", b[i + 2 : i + 4])[0]
+                if marker in _JPEG_SOF:
+                    if i + 9 > len(b):
+                        break
+                    h, w = struct.unpack(">HH", b[i + 5 : i + 9])
+                    ncomp = b[i + 9] if i + 9 < len(b) else None
+                    return ("jpeg", w, h, ncomp)
+                i += 2 + seg_len
+    except (struct.error, IndexError):
+        pass
+    return (None, None, None, None)
 
 
 def attach_binary_metadata(
@@ -63,40 +113,61 @@ def text_as_binary(df: DataFrame, text_col: str = "text", out_col: str = "conten
 def decode_images(
     df: DataFrame,
     binary_col: str = "content",
-    *,
-    fake: bool = False,
-    batch_note: str = "image decode",
 ) -> DataFrame:
-    """Append (width, height, channels) by decoding the binary column.
-
-    Real decode requires an imaging library (not in this container) —
-    STUB: raises NotImplementedError unless `fake=True`, which derives
-    deterministic pseudo-dimensions from the payload bytes so tests
-    exercise the exact mapInPandas plumbing a real decoder would use.
-    """
+    """Append (format, width, height, channels) by parsing image
+    headers from the binary column — real stdlib decode (PNG IHDR /
+    JPEG SOFn / GIF screen descriptor via `parse_image_header`);
+    unrecognized payloads yield nulls. Arrow-batched mapInPandas, no
+    shuffle, header-bytes-only access."""
     out_schema = StructType(list(df.schema.fields) + list(IMAGE_DECODE_SCHEMA.fields))
-    if not fake:
-        raise NotImplementedError(
-            f"{batch_note}: no imaging library in this environment; "
-            "pass fake=True for the deterministic stub"
-        )
 
     def batches(it):
-        import hashlib
-
         for pdf in it:
-            widths, heights, channels = [], [], []
-            for payload in pdf[binary_col]:
-                if payload is None:
-                    widths.append(None); heights.append(None); channels.append(None)
-                    continue
-                digest = hashlib.md5(bytes(payload)).digest()
-                widths.append(64 + digest[0] % 192)      # deterministic fake dims
-                heights.append(64 + digest[1] % 192)
-                channels.append(1 + digest[2] % 4)
-            yield pdf.assign(width=widths, height=heights, channels=channels)
+            parsed = [parse_image_header(p) for p in pdf[binary_col]]
+            yield pdf.assign(
+                format=[p[0] for p in parsed],
+                width=[p[1] for p in parsed],
+                height=[p[2] for p in parsed],
+                channels=[p[3] for p in parsed],
+            )
 
     return df.mapInPandas(batches, schema=out_schema)
+
+
+def build_image(fmt: str, width: int, height: int, channels: int = 3) -> bytes:
+    """Minimal VALID image payload of the given format/dims — the
+    fixture side of the decode round-trip (tests + q_image_meta build
+    payloads with this, `parse_image_header` must read them back).
+    Headers are spec-correct (PNG CRC included); pixel data is empty
+    or minimal since only headers are decoded."""
+    if fmt == "png":
+        import zlib
+
+        color_type = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
+        ihdr = struct.pack(">II", width, height) + bytes([8, color_type, 0, 0, 0])
+        chunk = b"IHDR" + ihdr
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + struct.pack(">I", 13)
+            + chunk
+            + struct.pack(">I", zlib.crc32(chunk) & 0xFFFFFFFF)
+        )
+    if fmt == "jpeg":
+        # APP0 length 16 = 2 (len) + "JFIF\0" (5) + version (2) + units (1)
+        # + density (4) + thumbnail dims (2)
+        app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x02" + bytes(7)
+        sof0 = (
+            b"\xff\xc0"
+            + struct.pack(">H", 8 + 3 * channels)
+            + bytes([8])
+            + struct.pack(">HH", height, width)
+            + bytes([channels])
+            + bytes(3 * channels)
+        )
+        return b"\xff\xd8" + app0 + sof0
+    if fmt == "gif":
+        return b"GIF89a" + struct.pack("<HH", width, height) + bytes(3)
+    raise ValueError(f"unsupported fixture format {fmt!r}")
 
 
 def sample_frames(

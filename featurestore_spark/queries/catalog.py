@@ -2192,6 +2192,62 @@ def q_binary_meta(spark, sf_dir):
 
 
 @_register(
+    "q_image_meta",
+    """
+    SELECT doc_id,
+           CASE WHEN doc_id % 31 = 0 THEN NULL
+                WHEN doc_id % 3 = 0 THEN 'png'
+                WHEN doc_id % 3 = 1 THEN 'jpeg'
+                ELSE 'gif' END AS format,
+           CASE WHEN doc_id % 31 = 0 THEN NULL
+                ELSE CAST(16 + (doc_id * 7) % 240 AS INTEGER) END AS width,
+           CASE WHEN doc_id % 31 = 0 THEN NULL
+                ELSE CAST(16 + (doc_id * 13) % 240 AS INTEGER) END AS height,
+           CASE WHEN doc_id % 31 = 0 THEN NULL
+                WHEN doc_id % 3 = 0 THEN CAST(3 + doc_id % 2 AS INTEGER)
+                WHEN doc_id % 3 = 1 THEN
+                     CAST(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 3 END AS INTEGER)
+                ELSE 3 END AS channels
+    FROM documents
+    """,
+    "REAL image header decode round-trip: spec-correct PNG/JPEG/GIF "
+    "payloads synthesized per doc_id (every 31st doc corrupt on "
+    "purpose), then parsed back by the stdlib header decoder inside "
+    "mapInPandas — the oracle recomputes the expected dims "
+    "arithmetically, so any parse drift (endianness, marker walk, "
+    "channel mapping, null contract) hash-mismatches.",
+)
+def q_image_meta(spark, sf_dir):
+    from featurestore_spark.operators.multimodal import build_image, decode_images
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(it):
+        for pdf in it:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                if did % 31 == 0:
+                    payloads.append(b"\x00corrupt-payload")
+                    continue
+                fmt = ("png", "jpeg", "gif")[did % 3]
+                w, h = 16 + (did * 7) % 240, 16 + (did * 13) % 240
+                if fmt == "png":
+                    c = 3 + did % 2
+                elif fmt == "jpeg":
+                    c = 1 if did % 5 == 0 else 3
+                else:
+                    c = 3
+                payloads.append(build_image(fmt, w, h, c))
+            yield pdf.assign(content=payloads)
+
+    with_img = docs.mapInPandas(synth, schema="doc_id long, content binary")
+    return decode_images(with_img, "content").select(
+        "doc_id", "format", "width", "height", "channels"
+    )
+
+
+@_register(
     "q_embedding_topk",
     """
     WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 3),

@@ -193,19 +193,39 @@ def test_multimodal_plumbing(docs):
     meta = attach_binary_metadata(with_bin)
     row = meta.where("doc_id = 0").first()
     assert row["n_bytes"] == len(row["text"].encode())
-    # decode stub: NotImplementedError unless fake=True
-    with pytest.raises(NotImplementedError):
-        decode_images(with_bin)
-    decoded = decode_images(with_bin, fake=True)
-    r = decoded.where("doc_id = 0").first()
-    assert 64 <= r["width"] < 256 and 1 <= r["channels"] <= 4
-    # deterministic across runs
-    r2 = decode_images(with_bin, fake=True).where("doc_id = 0").first()
-    assert (r["width"], r["height"]) == (r2["width"], r2["height"])
+    # text payloads are not images -> nulls, never task failures
+    r = decode_images(with_bin).where("doc_id = 0").first()
+    assert r["format"] is None and r["width"] is None and r["channels"] is None
 
     frames = sample_frames(with_bin, every_n_bytes=16, max_frames=4)
     per_doc = frames.groupBy("doc_id").count().collect()
     assert all(1 <= row["count"] <= 4 for row in per_doc)
+
+
+def test_decode_images_round_trip(spark):
+    """Real header decode: spec-correct PNG/JPEG/GIF payloads built by
+    `build_image` parse back to their exact dimensions (VERDICT r2 #5)."""
+    from featurestore_spark.operators.multimodal import build_image, parse_image_header
+
+    cases = [
+        (1, "png", 640, 480, 3),
+        (2, "png", 17, 9000, 4),
+        (3, "jpeg", 1920, 1080, 3),
+        (4, "jpeg", 28, 28, 1),
+        (5, "gif", 320, 200, 3),
+    ]
+    rows = [(i, bytearray(build_image(f, w, h, c))) for i, f, w, h, c in cases]
+    rows.append((6, bytearray(b"\x00garbage-not-an-image-at-all")))
+    df = spark.createDataFrame(rows, "id long, content binary")
+    got = {r["id"]: r for r in decode_images(df).collect()}
+    for i, f, w, h, c in cases:
+        r = got[i]
+        assert (r["format"], r["width"], r["height"], r["channels"]) == (f, w, h, c)
+    assert got[6]["format"] is None
+    # driver-side parser agrees (same function the UDF runs)
+    assert parse_image_header(build_image("gif", 7, 8)) == ("gif", 7, 8, 3)
+    assert parse_image_header(None) == (None, None, None, None)
+    assert parse_image_header(b"\xff\xd8\xff") == (None, None, None, None)
 
 
 def test_ivf_topk_recall(spark):
