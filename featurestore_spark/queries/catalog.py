@@ -3070,6 +3070,67 @@ def q_chunk_documents(spark, sf_dir):
 
 
 @_register(
+    "q_pack_chunks",
+    r"""
+    WITH RECURSIVE toked AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+      FROM documents),
+    chunks AS (
+      SELECT doc_id, toks,
+             unnest(generate_series(0,
+               greatest(CAST(ceil(len(toks) / 32.0) AS INTEGER), 1) - 1))
+               AS chunk_idx
+      FROM toked),
+    sized AS (
+      SELECT CAST(doc_id % 8 AS INTEGER) AS pack_group, doc_id,
+             CAST(chunk_idx AS INTEGER) AS chunk_idx,
+             CAST(len(toks[chunk_idx * 32 + 1 : chunk_idx * 32 + 32])
+                  AS INTEGER) AS n_chunk_tokens
+      FROM chunks),
+    ordered AS (
+      SELECT *, row_number() OVER (PARTITION BY pack_group
+                                   ORDER BY doc_id, chunk_idx) AS rn
+      FROM sized),
+    walk AS (
+      SELECT pack_group, rn, doc_id, chunk_idx, n_chunk_tokens,
+             CAST(0 AS BIGINT) AS bin_id,
+             CAST(n_chunk_tokens AS BIGINT) AS bin_fill
+      FROM ordered WHERE rn = 1
+      UNION ALL
+      SELECT o.pack_group, o.rn, o.doc_id, o.chunk_idx, o.n_chunk_tokens,
+             CASE WHEN w.bin_fill > 0 AND w.bin_fill + o.n_chunk_tokens > 128
+                  THEN w.bin_id + 1 ELSE w.bin_id END,
+             CASE WHEN w.bin_fill > 0 AND w.bin_fill + o.n_chunk_tokens > 128
+                  THEN CAST(o.n_chunk_tokens AS BIGINT)
+                  ELSE w.bin_fill + o.n_chunk_tokens END
+      FROM walk w
+      JOIN ordered o ON o.pack_group = w.pack_group AND o.rn = w.rn + 1)
+    SELECT pack_group, doc_id, chunk_idx, n_chunk_tokens, bin_id, bin_fill
+    FROM walk
+    """,
+    "Greedy next-fit sequence packing into 128-token bins per pack "
+    "group (doc_id % 8), chunks taken in (doc_id, chunk_idx) order — "
+    "the packing loop is inherently sequential, so the oracle replays "
+    "it as a recursive CTE walking each group row by row (the "
+    "previously pytest-only LLM op, now driver-checkable).",
+)
+def q_pack_chunks(spark, sf_dir):
+    from featurestore_spark.operators.curation import chunk_documents, pack_chunks
+
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = chunk_documents(docs, window=32).withColumn(
+        "pack_group", (F.col("doc_id") % 8).cast("int")
+    )
+    packed = pack_chunks(
+        chunks.select("pack_group", "doc_id", "chunk_idx", "n_chunk_tokens"),
+        budget=128,
+    )
+    return packed.select(
+        "pack_group", "doc_id", "chunk_idx", "n_chunk_tokens", "bin_id", "bin_fill"
+    )
+
+
+@_register(
     "q_token_budget_sample",
     r"""
     WITH t AS (
