@@ -347,6 +347,50 @@ class VaultLoader:
 
     # -- hub (M1) -----------------------------------------------------------
 
+    def register_customers(
+        self,
+        df: DataFrame,
+        *,
+        id_field: str,
+        id_type: str,
+        table: str = "customer_hub",
+        **kwargs,
+    ) -> "LoadResult":
+        """M7 wrapper (DataLoader.scala:153-164): register customer
+        ids into the customer hub — `load_hub` with entity_type pinned
+        to 'customer' and the id column conformed to `customer_id`."""
+        return self.load_hub(
+            df,
+            table=table,
+            entity_type="customer",
+            id_fields=["customer_id"],
+            id_type=id_type,
+            new_names={id_field: "customer_id"},
+            **kwargs,
+        )
+
+    def register_services(
+        self,
+        df: DataFrame,
+        *,
+        id_field: str,
+        id_type: str,
+        table: str = "service_hub",
+        **kwargs,
+    ) -> "LoadResult":
+        """M7 wrapper (DataLoader.scala:166-177): register service ids
+        into the service hub — `load_hub` with entity_type pinned to
+        'service' and the id column conformed to `service_id`."""
+        return self.load_hub(
+            df,
+            table=table,
+            entity_type="service",
+            id_fields=["service_id"],
+            id_type=id_type,
+            new_names={id_field: "service_id"},
+            **kwargs,
+        )
+
     def load_hub(
         self,
         df: DataFrame,

@@ -56,6 +56,47 @@ def test_hub_md5_key_and_delta(spark, loader):
     assert loader.read_history("customer_hub").count() == 110
 
 
+def test_register_customers_services_wrappers(spark, loader, tmp_path):
+    """M7 wrappers (DataLoader.scala:153-177) == load_hub with pinned
+    entity_type/conformed id column."""
+    res = loader.register_customers(
+        _customers(spark, range(10)),
+        id_field="cust_id",
+        id_type="crm",
+        process_time=T0,
+    )
+    assert res.inserts == 10
+    cur = loader.read_current("customer_hub")
+    row = cur.where(F.col("natural_key") == "7").first()
+    assert row["entity_type"] == "customer"
+    assert row["entity_id"] == hashlib.md5(b"crm7").hexdigest()
+
+    # equivalent explicit load_hub into a second loader matches exactly
+    other = VaultLoader(spark, str(tmp_path / "explicit"), fingerprint_method="md5")
+    other.load_hub(
+        _customers(spark, range(10)),
+        table="customer_hub",
+        entity_type="customer",
+        id_fields=["customer_id"],
+        id_type="crm",
+        new_names={"cust_id": "customer_id"},
+        process_time=T0,
+    )
+    a = {tuple(r) for r in cur.drop("process_id").collect()}
+    b = {tuple(r) for r in other.read_current("customer_hub").drop("process_id").collect()}
+    assert a == b
+
+    res2 = loader.register_services(
+        spark.createDataFrame([("s1",), ("s2",)], ["svc"]),
+        id_field="svc",
+        id_type="svc_code",
+        process_time=T0,
+    )
+    assert res2.inserts == 2
+    svc = loader.read_current("service_hub").first()
+    assert svc["entity_type"] == "service"
+
+
 def test_hub_full_refresh_deletes(spark, loader):
     loader.load_hub(
         _customers(spark, range(20)),
