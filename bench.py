@@ -92,8 +92,16 @@ def main():
     from featurestore_spark.queries import QUERIES
     from featurestore_spark.session import get_spark
 
+    # In local mode the driver JVM hosts every executor thread; the 1g
+    # default heap forced MemoryManager >95% warnings and parquet
+    # row-group scaling during the r2 62-query run, inflating timings.
+    # Size the heap to the machine (env-overridable for smaller hosts).
+    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g")
     spark = get_spark(
-        "featurestore-bench", master=f"local[{cpus}]", shuffle_partitions=int(cpus)
+        "featurestore-bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=int(cpus),
+        extra_conf={"spark.driver.memory": driver_mem},
     )
     # Warm the JVM + parquet footers once (excluded from timings).
     QUERIES["q_tpch_q1"].spark(spark, sf_dir).write.format("noop").mode("overwrite").save()

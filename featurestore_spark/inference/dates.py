@@ -61,6 +61,32 @@ _FORMATS: list[tuple[str, str]] = [
 # somewhere; avoids 36 strptime exception rounds for plain words
 _PLAUSIBLE = re.compile(r"\d.*[-/:,.' ]|[-/:,.' ].*\d")
 
+# strptime is lenient where java.time is strict: %f takes 1-6 fraction
+# digits ('.SSSSSS' would "match" '.123' and then null out under
+# Spark's parser), and %z takes '+01:00', '+0100', and 'Z' alike
+# (Joda 'Z' = RFC822 '+0100' only; 'XXX' = ISO '+01:00'/'Z'). After a
+# hit, conform the reported Joda pattern to the value's actual shape
+# so spark_read_options() round-trips.
+_FRACTION = re.compile(r"\.(\d+)(?=$|[+\- ]|Z$)")
+_OFFSET = re.compile(r"(Z|[+-]\d{2}:?\d{2})$")
+_S_RUN = re.compile(r"S+")
+
+
+def _conform(pattern: str, value: str) -> str:
+    if "S" in pattern:
+        m = _FRACTION.search(value)
+        if m:  # exact-width fraction: java.time 'S' = one digit each
+            pattern = _S_RUN.sub("S" * len(m.group(1)), pattern, count=1)
+    if pattern.endswith(("Z", "XXX")) and "'" not in pattern[-4:]:
+        m = _OFFSET.search(value)
+        if m:
+            iso = m.group(1) == "Z" or ":" in m.group(1)
+            joda = "XXX" if iso else "Z"
+            pattern = (
+                pattern[: -3 if pattern.endswith("XXX") else -1] + joda
+            )
+    return pattern
+
 
 class ParsedDate(NamedTuple):
     value: datetime
@@ -91,5 +117,5 @@ class DateParser:
                 continue
             if i:  # move-to-front
                 self.formats.insert(0, self.formats.pop(i))
-            return ParsedDate(dt, pattern)
+            return ParsedDate(dt, _conform(pattern, x))
         return None

@@ -210,6 +210,48 @@ def test_date_parser_36_formats_and_move_to_front():
     assert p.parse("") is None and p.parse(None) is None
 
 
+def test_date_parser_conforms_fraction_and_offset_width():
+    """strptime %f/%z leniency must not leak into the reported Joda
+    pattern: 3-digit millis report .SSS (not the lenient .SSSSSS
+    entry), ISO '+01:00'/'Z' offsets report XXX (not RFC822 Z), so
+    spark_read_options() round-trips under java.time's strict parser."""
+    from featurestore_spark.inference import DateParser
+
+    cases = {
+        "2024-01-01 12:00:00.123": "yyyy-MM-dd HH:mm:ss.SSS",
+        "2024-01-01T12:00:00.123": "yyyy-MM-dd'T'HH:mm:ss.SSS",
+        "2024-01-01 12:00:00.123456": "yyyy-MM-dd HH:mm:ss.SSSSSS",
+        "2024-01-01T12:00:00.123+01:00": "yyyy-MM-dd'T'HH:mm:ss.SSSXXX",
+        "2024-01-01T12:00:00.123-0700": "yyyy-MM-dd'T'HH:mm:ss.SSSZ",
+        "2024-01-01T12:00:00.123Z": "yyyy-MM-dd'T'HH:mm:ss.SSSXXX",
+        "2024-01-01 12:00:00.12": "yyyy-MM-dd HH:mm:ss.SS",
+    }
+    for value, want in cases.items():
+        got = DateParser().parse(value)
+        assert got is not None and got.pattern == want, value
+
+
+def test_sniffed_millis_timestamp_round_trips_through_spark(spark, tmp_path):
+    """The ADVICE repro: a .123-millis column sniffed then read back
+    with the advertised options must not null out."""
+    fp = tmp_path / "millis.csv"
+    fp.write_text(
+        "id,stamp\n"
+        "1,2024-01-01 12:00:00.123\n"
+        "2,2024-01-02 01:02:03.456\n"
+    )
+    from featurestore_spark.inference import sniff_file
+
+    md = sniff_file(str(fp))
+    assert md.timestamp_format == "yyyy-MM-dd HH:mm:ss.SSS"
+    df = spark.read.options(**md.spark_read_options()).csv(
+        str(fp), schema="id bigint, stamp timestamp"
+    )
+    rows = {r["id"]: r["stamp"] for r in df.collect()}
+    assert rows[1] is not None and rows[1].microsecond == 123000
+    assert rows[2] is not None and rows[2].microsecond == 456000
+
+
 def test_sniff_harvests_date_formats(tmp_path):
     fp = tmp_path / "dated.csv"
     fp.write_text(
