@@ -17,6 +17,8 @@ the exponentially growing lineage.
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -28,9 +30,23 @@ def connected_components(
     dst_col: str = "dst",
     max_iterations: int = 20,
     checkpoint_every: int = 1,
+    probe_every: int = 2,
 ) -> DataFrame:
     """(id, component) — component = min id reachable (label
-    propagation / "small-star" style contraction)."""
+    propagation / "small-star" style contraction).
+
+    `probe_every`: run the convergence-probe job only every k rounds.
+    Labels are monotone non-increasing under min-propagation, so
+    "unchanged since the last probe" ⇔ "no round in between changed
+    anything" — probing across k rounds is exact, not a heuristic.
+    Each skipped probe saves one Spark job; rounds still checkpoint
+    every `checkpoint_every` so lineage stays flat either way.
+
+    Warns if `max_iterations` is exhausted while labels were still
+    changing (component diameter > max_iterations): the returned
+    labels are then PARTIAL — ids in one component may carry
+    different labels. Raise `max_iterations` for deep graphs.
+    """
     # undirected: symmetrize once, then MATERIALIZE — every iteration
     # (and every convergence probe) joins against the edge list, and an
     # unmaterialized lineage would re-run the whole upstream pipeline
@@ -50,6 +66,8 @@ def connected_components(
         .distinct()
         .withColumn("component", F.col("id"))
     )
+    last_probed = labels  # labels as of the most recent probe
+    converged = False
     for i in range(max_iterations):
         # each node adopts the min component among itself + neighbors
         neighbor_labels = (
@@ -65,20 +83,32 @@ def connected_components(
         # measured SLOWER here: the unmaterialized self-join computes
         # each round twice, costing more than the rounds it saves on
         # the short chains these near-dup graphs produce.)
-        # materialize BEFORE the convergence probe so the probe job
-        # reads this round's result instead of recomputing the join
+        # materialize BEFORE any probe so the probe job reads this
+        # round's result instead of recomputing the join
         if (i + 1) % checkpoint_every == 0:
             new_labels = new_labels.localCheckpoint(eager=True)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .where(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
         labels = new_labels
-        if changed == 0:
-            break
+        if (i + 1) % probe_every == 0 or i + 1 == max_iterations:
+            changed = (
+                labels.alias("n")
+                .join(last_probed.alias("o"), "id")
+                .where(F.col("n.component") != F.col("o.component"))
+                .limit(1)
+                .count()
+            )
+            last_probed = labels
+            if changed == 0:
+                converged = True
+                break
+    if not converged:
+        warnings.warn(
+            f"connected_components: max_iterations={max_iterations} "
+            "exhausted before convergence — returned labels are partial "
+            "(some components carry multiple labels); raise "
+            "max_iterations for graphs with larger diameter",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels
 
 
