@@ -128,29 +128,46 @@ def token_budget_sample(
     Scale shape (two-phase distributed prefix sum — a pretraining
     mixture has ~5-20 sources with "web" holding most of the corpus,
     so a per-source running sum must never run in one window task):
-      1. split each source into `n_buckets` CONTIGUOUS hash-range
-         buckets (bucket order == hash order, so the global per-source
-         order is preserved);
+      1. project a SLIM per-row frame (source, key, token count, hash
+         bucket, contiguous hash-range bucket) — text dropped — and
+         materialize it, so the scan + tokenize pass over the corpus
+         runs exactly ONCE no matter how many branches read it (the
+         unmaterialized version re-ran scan+tokenize three times:
+         offsets, full buckets, straddling bucket — the r3 8x bench
+         regression). The slim frame is a few scalars per row, tiny
+         relative to the corpus at any scale;
       2. aggregate per-bucket token totals (tiny: sources x buckets
          rows) and window THAT frame into cumulative bucket offsets;
-      3. broadcast the offsets back: buckets entirely under the budget
-         keep every row with no window at all, buckets entirely past
-         it are filtered out at the scan, and only the single
-         straddling bucket per source (~1/n_buckets of the source)
-         pays a windowed prefix sum."""
+      3. broadcast the offsets back onto the slim frame: buckets
+         entirely under the budget keep every row with no window at
+         all, buckets entirely past it are filtered out, and only the
+         single straddling bucket per source (~1/n_buckets of the
+         source) pays a windowed prefix sum;
+      4. semi-join the kept (source, key) decisions back to the input
+         to restore the full rows — one shuffle of the kept subset,
+         instead of tokenizing the corpus again."""
     from pyspark.sql import Window
 
     from featurestore_spark.operators.text import token_count
 
     nt = token_count(text_col) if token_col is None else F.col(token_col)
     keyc = F.col(key) if isinstance(key, str) else key
+    reserved = {"_tbs_key", "_nt", "_hb", "_pf", "_bt", "_off", "_cum"}
+    clash = reserved & set(df.columns)
+    if clash:
+        raise ValueError(f"input columns collide with internals: {clash}")
     width = max(1, HASH_BUCKETS // n_buckets)
-    out = (
-        df.withColumn("_nt", nt)
-        .withColumn("_hb", hash_bucket(keyc))
+    slim = (
+        df.select(
+            F.col(source_col),
+            keyc.alias("_tbs_key"),
+            nt.alias("_nt"),
+        )
+        .withColumn("_hb", hash_bucket(F.col("_tbs_key")))
         .withColumn("_pf", F.floor(F.col("_hb") / width).cast("int"))
+        .localCheckpoint(eager=True)
     )
-    totals = out.groupBy(source_col, "_pf").agg(F.sum("_nt").alias("_bt"))
+    totals = slim.groupBy(source_col, "_pf").agg(F.sum("_nt").alias("_bt"))
     wb = (
         Window.partitionBy(source_col)
         .orderBy("_pf")
@@ -159,24 +176,30 @@ def token_budget_sample(
     offsets = totals.withColumn(
         "_off", F.coalesce(F.sum("_bt").over(wb), F.lit(0)).cast("long")
     )
-    joined = out.join(F.broadcast(offsets), [source_col, "_pf"])
-    helper = ["_hb", "_pf", "_bt", "_off"]
+    joined = slim.join(F.broadcast(offsets), [source_col, "_pf"])
     # whole buckets below the budget: every row starts < _off + _bt <= budget
-    full = joined.where(F.col("_off") + F.col("_bt") <= budget_tokens).drop(*helper)
+    full = joined.where(F.col("_off") + F.col("_bt") <= budget_tokens)
     # the one straddling bucket per source pays the window; explicit
     # ROWS frame so tied orderings never share a cumulative value
     win = (
         Window.partitionBy(source_col, "_pf")
-        .orderBy(F.col("_hb"), keyc)
+        .orderBy(F.col("_hb"), F.col("_tbs_key"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     straddle = joined.where(
         (F.col("_off") < budget_tokens)
         & (F.col("_off") + F.col("_bt") > budget_tokens)
     )
-    straddle_kept = (
-        straddle.withColumn("_cum", F.col("_off") + F.sum("_nt").over(win))
-        .where(F.col("_cum") - F.col("_nt") < budget_tokens)
-        .drop("_cum", *helper)
+    straddle_kept = straddle.withColumn(
+        "_cum", F.col("_off") + F.sum("_nt").over(win)
+    ).where(F.col("_cum") - F.col("_nt") < budget_tokens)
+    kept = full.unionByName(straddle_kept, allowMissingColumns=True).select(
+        source_col, "_tbs_key", "_nt"
     )
-    return full.unionByName(straddle_kept)
+    # restore the original rows (keys are unique per source, so this
+    # inner join is 1:1 and re-attaches _nt without re-tokenizing)
+    return (
+        df.withColumn("_tbs_key", keyc)
+        .join(kept, [source_col, "_tbs_key"])
+        .drop("_tbs_key")
+    )
