@@ -370,9 +370,41 @@ def embedding_near_dups(
     base = df.select(F.col(id_col).alias("_id"), as_double_array(vec_col).alias("v"))
     if dim is None:
         dim = df.select(F.size(vec_col)).first()[0]
+    # Exact-dup collapse keyed by a 128-bit scalar hash of the vector
+    # (two independently-seeded xxhash64 longs) instead of the full
+    # array: the exchange and hash-agg comparisons carry two longs,
+    # not an arbitrary-width array, while map-side partial aggregation
+    # still collapses duplicates before the shuffle. A cross-vector
+    # collision needs both 64-bit hashes to agree (~n^2/2^129 — never
+    # at any corpus size) and is still VERIFIED inside each group
+    # (min==max over the orderable array) — a violation raises rather
+    # than silently merging distinct vectors.
+    hashed = base.select(
+        "_id",
+        "v",
+        F.xxhash64("v").alias("_h1"),
+        F.xxhash64(F.lit(0x9E3779B9), F.col("v")).alias("_h2"),
+    )
     reps = (
-        base.groupBy("v")
-        .agg(F.min("_id").alias("rep_id"), F.collect_list("_id").alias("members"))
+        hashed.groupBy("_h1", "_h2")
+        .agg(
+            F.min("_id").alias("rep_id"),
+            F.collect_list("_id").alias("members"),
+            F.min("v").alias("v"),
+            F.max("v").alias("_vmax"),
+        )
+        .withColumn(
+            "v",
+            F.when(F.col("v") == F.col("_vmax"), F.col("v")).otherwise(
+                F.raise_error(
+                    F.lit(
+                        "embedding_near_dups: 128-bit vector-hash collision "
+                        "on distinct vectors"
+                    )
+                )
+            ),
+        )
+        .drop("_h1", "_h2", "_vmax")
         .withColumn("_nrm", norm(F.col("v")))
     )
     hp = srp_hyperplanes(dim, bits * bands, seed)
