@@ -16,8 +16,25 @@ the job for hours and uniform completion.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+
+def _salt_column(df: DataFrame, salt: int) -> Column:
+    """Uniform salt in [0, salt): hash of (row position, row content).
+
+    `monotonically_increasing_id` = (partition id << 33) | row index —
+    per-row entropy that differs even across identical duplicate rows,
+    and is replayed identically when a task retries (unlike `rand()`).
+    Content columns are mixed in so the salt stays well-spread even
+    under single-partition inputs."""
+    return F.pmod(
+        F.xxhash64(
+            F.monotonically_increasing_id(),
+            *[F.col(c) for c in df.columns],
+        ),
+        F.lit(salt),
+    ).cast("int")
 
 
 def salted_join(
@@ -38,18 +55,23 @@ def salted_join(
     UNMATCHED small row salt× (every replica survives), so those modes
     are rejected rather than silently wrong (ADVICE r1).
 
-    The salt is derived from the big row's content (hash of all
-    columns, never `rand()`): deterministic under task retry, and a
-    hot key still scatters because its rows differ in other columns.
+    The salt mixes the row's physical position (partition id + row
+    index via `monotonically_increasing_id`) with its content — never
+    `rand()`. Position-derived salt is still deterministic under task
+    retry (a recomputed split replays the same ids, so no
+    SPARK-23207-style retry corruption), and — unlike a pure
+    content hash — it scatters a hot key even when its rows are
+    IDENTICAL duplicates, the dominant shape in dedup-bound corpora
+    (a content-only salt sent all copies to one reducer, silently
+    disabling the mitigation). Which salt a row draws never affects
+    results: every small-side key exists at every salt value.
     """
     if how not in ("inner", "left", "left_outer", "left_semi"):
         raise ValueError(
             f"salted_join supports inner/left/left_semi, not {how!r}: "
             "outer-replicated small rows would duplicate"
         )
-    salted_big = big.withColumn(
-        "_salt", F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(salt)).cast("int")
-    )
+    salted_big = big.withColumn("_salt", _salt_column(big, salt))
     salted_small = small.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
     )
@@ -69,10 +91,7 @@ def salted_count(
     shuffle. Spark's hash aggregate already does map-side partials;
     salting additionally splits the REDUCE side of a hot key."""
     partial = (
-        df.withColumn(
-            "_salt",
-            F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(salt)).cast("int"),
-        )
+        df.withColumn("_salt", _salt_column(df, salt))
         .groupBy(*keys, "_salt")
         .agg(F.count(F.lit(1)).alias("_pc"))
     )

@@ -71,6 +71,28 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
 
 
+def test_identical_duplicate_hot_key_scatters_over_salts(spark):
+    """ADVICE r3: a hot key whose rows are IDENTICAL duplicates (the
+    dominant case in dedup-bound corpora) must still spread over
+    multiple salt buckets — a content-only salt hashed every copy to
+    the same value and silently disabled the mitigation."""
+    from featurestore_spark.operators.skew import _salt_column
+
+    dup = (
+        spark.range(1000)
+        .select(F.lit("HOT").alias("k"), F.lit("same-payload").alias("v"))
+        .repartition(8)
+    )
+    n_salts = dup.select(_salt_column(dup, 16).alias("s")).distinct().count()
+    assert n_salts > 1, "identical duplicates all landed on one salt"
+    # and the salted aggregate still counts them correctly
+    out = {r["k"]: r["n"] for r in salted_count(dup, ["k"], salt=16).collect()}
+    assert out == {"HOT": 1000}
+    # salted join: each duplicate row matches its dim row exactly once
+    dim = spark.createDataFrame([("HOT", "d")], ["k", "label"])
+    assert salted_join(dup, dim, "k", salt=16).count() == 1000
+
+
 def test_salted_join_rejects_outer_and_is_deterministic(spark, skewed):
     dim = spark.createDataFrame(
         [("HOT", "hot-dim")] + [(f"k{i}", f"d{i}") for i in range(50)], ["k", "label"]
