@@ -45,8 +45,18 @@ def connected_components(
     Warns if `max_iterations` is exhausted while labels were still
     changing (component diameter > max_iterations): the returned
     labels are then PARTIAL — ids in one component may carry
-    different labels. Raise `max_iterations` for deep graphs.
+    different labels. Raise `max_iterations` for deep graphs. The
+    exhaustion probe compares the LAST round against the round before
+    it (an iteration with no change is a fixed point), so a graph that
+    converges exactly on the final round is not misreported as partial
+    even when the change landed mid-probe-window (ADVICE r3).
     """
+    if probe_every < 1:
+        raise ValueError(f"probe_every must be >= 1, got {probe_every}")
+    if checkpoint_every < 1:
+        raise ValueError(
+            f"checkpoint_every must be >= 1, got {checkpoint_every}"
+        )
     # undirected: symmetrize once, then MATERIALIZE — every iteration
     # (and every convergence probe) joins against the edge list, and an
     # unmaterialized lineage would re-run the whole upstream pipeline
@@ -83,15 +93,26 @@ def connected_components(
         # measured SLOWER here: the unmaterialized self-join computes
         # each round twice, costing more than the rounds it saves on
         # the short chains these near-dup graphs produce.)
+        final = i + 1 == max_iterations
+        probing = (i + 1) % probe_every == 0 or final
         # materialize BEFORE any probe so the probe job reads this
-        # round's result instead of recomputing the join
-        if (i + 1) % checkpoint_every == 0:
+        # round's result instead of recomputing the join — and ON
+        # probe rounds too, so the NEXT probe's baseline is a
+        # materialized frame rather than up to checkpoint_every
+        # rounds of unmaterialized joins (ADVICE r3)
+        if (i + 1) % checkpoint_every == 0 or probing:
             new_labels = new_labels.localCheckpoint(eager=True)
+        prev_labels = labels  # last round's labels (for the final probe)
         labels = new_labels
-        if (i + 1) % probe_every == 0 or i + 1 == max_iterations:
+        if probing:
+            # mid-run probes may span several rounds (exact under
+            # monotone min-propagation); the FINAL probe uses the
+            # one-round delta so convergence on the last round isn't
+            # misreported as exhaustion
+            baseline = prev_labels if final else last_probed
             changed = (
                 labels.alias("n")
-                .join(last_probed.alias("o"), "id")
+                .join(baseline.alias("o"), "id")
                 .where(F.col("n.component") != F.col("o.component"))
                 .limit(1)
                 .count()

@@ -120,6 +120,66 @@ def test_connected_components_and_resolution(spark):
     assert "c3" not in rmap  # low-confidence edge dropped
 
 
+def test_connected_components_exhaustion_warns_partial(spark):
+    """Contract check (VERDICT r3 #10): a chain graph with diameter >
+    max_iterations must fire the partial-labels warning, and the
+    returned labels must indeed be partial (the far end of the chain
+    has not yet received the minimum label)."""
+    import warnings as w
+
+    n = 12  # chain 0-1-2-...-12, diameter 12
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], ["src", "dst"]
+    )
+    with w.catch_warnings(record=True) as caught:
+        w.simplefilter("always")
+        comp = connected_components(edges, max_iterations=3)
+        labels = {r["id"]: r["component"] for r in comp.collect()}
+    assert any(
+        "max_iterations" in str(c.message) for c in caught
+    ), "exhaustion warning did not fire"
+    assert len(set(labels.values())) > 1, "labels unexpectedly converged"
+    # with enough rounds the same graph fully converges, no warning
+    with w.catch_warnings(record=True) as caught:
+        w.simplefilter("always")
+        comp = connected_components(edges, max_iterations=n + 1)
+        labels = {r["id"]: r["component"] for r in comp.collect()}
+    assert not any("max_iterations" in str(c.message) for c in caught)
+    assert set(labels.values()) == {0}
+
+
+def test_connected_components_final_round_convergence_not_misreported(spark):
+    """ADVICE r3: convergence landing exactly on the last allowed round
+    (with the change mid-probe-window) must NOT warn — the final probe
+    compares one-round delta, not delta-since-last-probe."""
+    import warnings as w
+
+    # chain 0-1-2-3: last label change happens in round 3, round 4 is
+    # a no-op; old code probed round 4 against the round-0 baseline
+    # and falsely warned partial
+    edges = spark.createDataFrame([(0, 1), (1, 2), (2, 3)], ["src", "dst"])
+    with w.catch_warnings(record=True) as caught:
+        w.simplefilter("always")
+        comp = connected_components(
+            edges, max_iterations=4, probe_every=5
+        )
+        labels = {r["id"]: r["component"] for r in comp.collect()}
+    assert not any(
+        "max_iterations" in str(c.message) for c in caught
+    ), [str(c.message) for c in caught]
+    assert set(labels.values()) == {0}
+
+
+def test_connected_components_validates_probe_and_checkpoint(spark):
+    edges = spark.createDataFrame([(0, 1)], ["src", "dst"])
+    import pytest
+
+    with pytest.raises(ValueError):
+        connected_components(edges, probe_every=0)
+    with pytest.raises(ValueError):
+        connected_components(edges, checkpoint_every=0)
+
+
 def test_stateful_sessionize_matches_batch_across_batches(spark, tmp_path):
     """Custom applyInPandasWithState session numbering: two time-ordered
     files processed as separate micro-batches must produce exactly the
