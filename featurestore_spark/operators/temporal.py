@@ -64,6 +64,14 @@ def asof_join(
         raise ValueError(f"left/key columns collide with internals: {clash}")
     if "_ts_us" in right_cols:
         raise ValueError("right column '_ts_us' collides with internals")
+    prefixed = {f"{prefix}{c}" for c in [right_ts, *right_cols]}
+    out_clash = prefixed & set(left.columns)
+    if out_clash:
+        raise ValueError(
+            f"prefixed right columns collide with left columns: "
+            f"{sorted(out_clash)} — pass a different prefix= or rename "
+            "the left columns"
+        )
 
     # the whole candidate right row as one struct: (_ts_us, values...)
     r_struct = F.struct(
@@ -141,6 +149,13 @@ def interval_join(
     keys = [on] if isinstance(on, str) else list(on)
     if "_bin" in set(points.columns) | set(intervals.columns):
         raise ValueError("column '_bin' collides with internals")
+    shared = (set(points.columns) & set(intervals.columns)) - set(keys)
+    if shared:
+        raise ValueError(
+            f"points and intervals share non-key columns {sorted(shared)} "
+            "— the join would emit ambiguous duplicate names; rename or "
+            "drop them on one side first"
+        )
     bw = F.lit(int(bin_width_s) * 1_000_000)
 
     iv = intervals.select(

@@ -164,3 +164,43 @@ def test_asof_reserved_name_guard(spark, quotes, trades):
     bad = trades.withColumnRenamed("tid", "_ts")
     with _pytest.raises(ValueError, match="collide"):
         asof_join(bad, quotes, on="sym", right_cols=["px"])
+
+
+def test_asof_prefixed_output_collision_guard(spark, quotes, trades):
+    """ADVICE r3: a left column named prefix+<right col> would silently
+    produce duplicate output names — reject with a clear message."""
+    import pytest as _pytest
+
+    bad = trades.withColumnRenamed("tid", "r_px")
+    with _pytest.raises(ValueError, match="prefix"):
+        asof_join(bad, quotes, on="sym", right_cols=["px"])
+    # a different prefix resolves it
+    out = asof_join(bad, quotes, on="sym", right_cols=["px"], prefix="q_")
+    assert "q_px" in out.columns and len(set(out.columns)) == len(out.columns)
+
+
+def test_interval_join_shared_column_guard(spark):
+    import pytest as _pytest
+
+    from featurestore_spark.operators.temporal import interval_join
+
+    pts = _ts(
+        spark.createDataFrame(
+            [("A", "2024-01-01 10:00:00", 1)], ["k", "ts", "v"]
+        ),
+        "ts",
+    )
+    iv = _ts(
+        _ts(
+            spark.createDataFrame(
+                [("A", "2024-01-01 09:00:00", "2024-01-01 11:00:00", 2)],
+                ["k", "start_ts", "end_ts", "v"],  # 'v' collides
+            ),
+            "start_ts",
+        ),
+        "end_ts",
+    )
+    with _pytest.raises(ValueError, match="share non-key"):
+        interval_join(pts, iv, on="k")
+    ok = interval_join(pts, iv.withColumnRenamed("v", "iv_v"), on="k")
+    assert ok.count() == 1
