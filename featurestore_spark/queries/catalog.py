@@ -3210,60 +3210,64 @@ def q_embedding_clusters(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 _DRIVER_PRIORITY = [
-    # Never driver-verified (r2 slots 51-83): LLM-pipeline surface + q21.
-    "q_doc_fingerprint",
-    "q_dedup_exact",
-    "q_token_count",
-    "q_text_quality",
-    "q_lang_id",
-    "q_minhash_bands",
-    "q_minhash_pairs",
-    "q_dedup_clusters",
-    "q_ngram_jaccard",
-    "q_dedup_pipeline",
-    "q_simhash_near_dups",
-    "q_binary_meta",
-    "q_embedding_topk",
-    "q_embedding_ann_lsh",
-    "q_embedding_near_dups",
-    "q_embedding_clusters",
-    "q_repetition",
-    "q_decontaminate",
-    "q_redact_pii",
-    "q_quality_filter",
-    "q_asof_purchase",
-    "q_interval_join",
-    "q_time_rollup",
-    "q_attribution",
-    "q_ivf_assign",
-    "q_boilerplate",
-    "q_corpus_stats",
-    "q_vocab_topk",
-    "q_mixture_sample",
-    "q_quality_buckets",
-    "q_chunk_documents",
-    "q_token_budget_sample",
-    "q_tpch_q21",
-    # New this round — must also land inside the 50-query window.
-    "q_pack_chunks",
-    "q_image_meta",
-    # One representative per remaining operator family (already double-green,
-    # kept inside the window to retain at least one fresh row per family).
+    # Round-4 rotation (VERDICT r3 #9): the r3 window verified the whole
+    # LLM-pipeline surface, leaving the event/TPC-H block with only r1/r2
+    # driver rows + the judge's rerun.  Swap: the 35 queries absent from
+    # CORRECTNESS_r03.json now occupy the window...
+    "q_session_stats",
+    "q_event_count_window",
+    "q_event_distinct_window",
+    "q_event_sum_window",
+    "q_days_since_latest",
+    "q_days_since_earliest",
+    "q_previous_interactions",
+    "q_chords",
+    "q_chord_path",
+    "q_chord_path_all",
+    "q_unique_path",
+    "q_pivot_chord",
+    "q_full_paths",
+    "q_collapse_runs",
+    "q_top_customers",
+    "q_tpch_q2",
+    "q_tpch_q3",
+    "q_tpch_q4",
+    "q_tpch_q5",
+    "q_tpch_q6",
+    "q_tpch_q7",
+    "q_tpch_q8",
+    "q_tpch_q9",
+    "q_tpch_q10",
+    "q_tpch_q11",
+    "q_tpch_q12",
+    "q_tpch_q13",
+    "q_tpch_q14",
+    "q_tpch_q15",
+    "q_tpch_q16",
+    "q_tpch_q17",
+    "q_tpch_q18",
+    "q_tpch_q19",
+    "q_tpch_q20",
+    "q_tpch_q22",
+    # ...plus every query whose code path CHANGED this round (must be
+    # re-proven by the driver, not carried on stale evidence):
+    "q_token_budget_sample",   # sampling.py slim-frame rewrite
+    "q_embedding_near_dups",   # similarity.py scalar-hash collapse
+    "q_embedding_clusters",    # similarity.py + resolve.py probing
+    "q_dedup_clusters",        # resolve.py probing changes
+    "q_entity_resolution",     # resolve.py probing changes
+    # ...plus one representative per remaining family so each keeps a
+    # fresh row (all double-green in r3: driver artifact + judge rerun).
     "q_vault_full_cycle",
-    "q_satellite_classify",
     "q_hub_customer",
-    "q_link_customer_order",
-    "q_star_dim_order_priority",
     "q_star_fact_order_counts",
     "q_sessionize",
-    "q_current_events",
     "q_pivot_snapshot",
-    "q_pivot_registry",
     "q_sniff_csv",
     "q_hash_split",
     "q_dq_assertion",
-    "q_entity_resolution",
-    "q_tpch_q1",
+    "q_pack_chunks",
+    "q_image_meta",
 ]
 
 _ordered = {n: QUERIES[n] for n in _DRIVER_PRIORITY if n in QUERIES}
