@@ -206,6 +206,78 @@ def minhash_candidate_pairs(
     )
 
 
+def minhash_dedup_edges(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    n: int = 3,
+    k: int = 16,
+    bands: int = 4,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Connectivity edge set for transitive near-dup CLUSTERING, with
+    exact-duplicate collapse — the 100-TB shape: real corpora are
+    dominated by exact replicas, which make raw in-bucket pair work
+    quadratic in the duplication factor.
+
+    Returns (a_id, b_id) edges whose connected components equal the
+    raw LSH pair graph's clusters:
+      1. collapse exact-duplicate texts (grouped by a 128-bit scalar
+         hash — two seeded xxhash64 longs, ties verified, exactly as
+         in similarity.embedding_near_dups) to one representative;
+      2. LSH candidate pairs over DISTINCT texts only — pair work
+         shrinks by the SQUARE of the duplication factor, and
+         `max_bucket` caps distinct-text buckets (better recall than
+         capping replica-inflated raw buckets);
+      3. each duplicate group contributes LINEAR (rep -> member) star
+         edges instead of quadratic all-pairs — identical
+         connectivity, O(corpus) instead of O(dup_factor^2).
+    Use `minhash_candidate_pairs` when the pair LIST itself is the
+    product; use this when the product is the component labeling
+    (dedup clusters)."""
+    base = df.select(
+        F.col(id_col).alias("_id"), F.col(text_col).alias("_text")
+    )
+    hashed = base.select(
+        "_id",
+        "_text",
+        F.xxhash64("_text").alias("_h1"),
+        F.xxhash64(F.lit(0x9E3779B9), F.col("_text")).alias("_h2"),
+    )
+    groups = (
+        hashed.groupBy("_h1", "_h2")
+        .agg(
+            F.min("_id").alias("rep_id"),
+            F.collect_list("_id").alias("members"),
+            F.min("_text").alias("_text"),
+            F.max("_text").alias("_tmax"),
+        )
+        .withColumn(
+            "_text",
+            F.when(F.col("_text") == F.col("_tmax"), F.col("_text")).otherwise(
+                F.raise_error(
+                    F.lit(
+                        "minhash_dedup_edges: 128-bit text-hash collision "
+                        "on distinct texts"
+                    )
+                )
+            ),
+        )
+        .drop("_h1", "_h2", "_tmax")
+    )
+    reps = groups.select(
+        F.col("rep_id").alias(id_col), F.col("_text").alias(text_col)
+    )
+    rep_pairs = minhash_candidate_pairs(
+        reps, text_col, id_col, n=n, k=k, bands=bands, max_bucket=max_bucket
+    )
+    star = groups.select(
+        F.col("rep_id").alias("a_id"), F.explode("members").alias("b_id")
+    ).where(F.col("a_id") != F.col("b_id"))
+    return rep_pairs.unionByName(star)
+
+
 def bucket_member_pairs(ids: Column) -> Column:
     """All ordered (a_id, b_id) pairs within a sorted bucket-member
     array: for each position i, pair ids[i] with every later element —

@@ -1922,10 +1922,9 @@ def q_lang_id(spark, sf_dir):
 
 _MH_K, _MH_BANDS, _MH_N = 16, 4, 3
 
-_DUCK_SHINGLES = r"""
-    WITH toked AS (
+_DUCK_SHINGLES_BODY = r"""toked AS (
       SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
-      FROM documents),
+      FROM {src}),
     shingled AS (
       SELECT doc_id,
              list_distinct(CASE WHEN len(toks) >= {n}
@@ -1933,10 +1932,17 @@ _DUCK_SHINGLES = r"""
                                    i -> array_to_string(toks[i:i+{nm1}], ' '))
                ELSE [array_to_string(toks, ' ')] END) AS sh
       FROM toked)
-""".format(n=_MH_N, nm1=_MH_N - 1)
+"""
+
+_DUCK_SHINGLES = "\n    WITH " + _DUCK_SHINGLES_BODY.format(
+    src="documents", n=_MH_N, nm1=_MH_N - 1
+)
 
 
-def _duck_minhash_bands() -> str:
+def _duck_minhash_bands(src: str = "documents", prelude: str = "") -> str:
+    """Shingle→signature→band CTE chain over `src` (any CTE or table
+    with doc_id + text). `prelude` = extra CTEs injected right after
+    WITH (so callers can define `src` itself)."""
     from featurestore_spark.operators.dedup import MINHASH_A, MINHASH_B, MINHASH_P
 
     # Same affine family as operators.dedup: h = first 7 md5 hex digits,
@@ -1957,8 +1963,11 @@ def _duck_minhash_bands() -> str:
         + f") AS band_{b}"
         for b in range(_MH_BANDS)
     )
+    shingles = "\n    WITH " + (f"{prelude},\n    " if prelude else "") + (
+        _DUCK_SHINGLES_BODY.format(src=src, n=_MH_N, nm1=_MH_N - 1)
+    )
     return (
-        f"{_DUCK_SHINGLES}, hashed AS (SELECT doc_id, {hs} AS hs FROM shingled),"
+        f"{shingles}, hashed AS (SELECT doc_id, {hs} AS hs FROM shingled),"
         f" sigs AS (SELECT doc_id, {sigs} FROM hashed),"
         f" bands AS (SELECT doc_id, {bands} FROM sigs)"
     )
@@ -2009,7 +2018,12 @@ def q_minhash_pairs(spark, sf_dir):
 
 @_register(
     "q_dedup_clusters",
-    _duck_minhash_bands()
+    _duck_minhash_bands(
+        src="rep_docs",
+        prelude="""grp AS (
+      SELECT text, min(doc_id) AS rep_id FROM documents GROUP BY text),
+    rep_docs AS (SELECT rep_id AS doc_id, text FROM grp)""",
+    )
     + ",\n melted AS ("
     + " UNION ALL ".join(
         f"SELECT doc_id, {i} AS band_idx, band_{i} AS band_hash FROM bands"
@@ -2024,8 +2038,14 @@ def q_minhash_pairs(spark, sf_dir):
       FROM melted a JOIN melted b USING (band_idx, band_hash)
       JOIN kept USING (band_idx, band_hash)
       WHERE a.doc_id < b.doc_id),
+    star AS (
+      SELECT g.rep_id AS a_id, d.doc_id AS b_id
+      FROM documents d JOIN grp g USING (text)
+      WHERE d.doc_id <> g.rep_id),
     edges AS (SELECT a_id AS a, b_id AS b FROM pairs
-              UNION SELECT b_id, a_id FROM pairs)
+              UNION SELECT b_id, a_id FROM pairs
+              UNION SELECT a_id, b_id FROM star
+              UNION SELECT b_id, a_id FROM star)
     SELECT id AS doc_id, min(lab) AS canonical_id
     FROM (WITH RECURSIVE r(id, lab) AS (
             SELECT DISTINCT a, a FROM edges
@@ -2034,24 +2054,29 @@ def q_minhash_pairs(spark, sf_dir):
           SELECT id, lab FROM r)
     GROUP BY id
     """,
-    "Transitive dedup clustering: LSH candidate pairs -> connected "
-    "components (min-doc_id label) -> one canonical id per near-dup "
-    "cluster. Oracle walks the same graph with a recursive CTE.",
+    "Transitive dedup clustering with exact-duplicate collapse: LSH "
+    "candidate pairs over DISTINCT texts + linear rep->member star "
+    "edges -> connected components (min-doc_id label). Oracle walks "
+    "the same collapsed graph with a recursive CTE.",
 )
 def q_dedup_clusters(spark, sf_dir):
     """Near-dup CLUSTERS, not just pairs: LSH pair graph contracted to
     components so a whole family of mutual near-dups keeps exactly one
     canonical doc (pairwise keep-lists over-delete on chains A-B, B-C).
-    Label propagation is iterative DataFrame joins
-    (operators/resolve.py) — shuffles on uniformly-hashed doc ids."""
-    from featurestore_spark.operators.dedup import minhash_candidate_pairs
+    Exact-duplicate texts are collapsed BEFORE the pair join (pair
+    work shrinks by the square of the duplication factor; each group
+    re-attaches via linear star edges — see
+    dedup.minhash_dedup_edges). Label propagation is iterative
+    DataFrame joins (operators/resolve.py) — shuffles on
+    uniformly-hashed doc ids."""
+    from featurestore_spark.operators.dedup import minhash_dedup_edges
     from featurestore_spark.operators.resolve import connected_components
 
     docs = load_table(spark, sf_dir, "documents")
-    cand = minhash_candidate_pairs(
+    edges = minhash_dedup_edges(
         docs, n=_MH_N, k=_MH_K, bands=_MH_BANDS, max_bucket=_MH_MAX_BUCKET
     )
-    comp = connected_components(cand, src_col="a_id", dst_col="b_id")
+    comp = connected_components(edges, src_col="a_id", dst_col="b_id")
     return comp.select(
         F.col("id").alias("doc_id"), F.col("component").alias("canonical_id")
     )

@@ -64,6 +64,41 @@ def test_minhash_near_dups_found(docs):
     assert 0.5 < j[(0, 2)] < 1.0
 
 
+def test_minhash_dedup_edges_components_match_raw_pairs(spark, docs):
+    """minhash_dedup_edges collapses exact duplicates before the LSH
+    pair join and re-attaches them via linear star edges — the
+    connected components must equal those of the raw all-pairs graph
+    (when no bucket cap binds). Extra replicas must not change the
+    clustering, only the work."""
+    from pyspark.sql import functions as F
+
+    from featurestore_spark.operators.dedup import minhash_dedup_edges
+    from featurestore_spark.operators.resolve import connected_components
+
+    # add more exact replicas to make collapse do real work
+    extra = spark.createDataFrame(
+        [(10, "the quick brown fox jumps over the lazy dog again and again today"),
+         (11, "the quick brown fox jumps over the lazy dog again and again today"),
+         (12, "el perro y la casa que los una con para nada el dia")],
+        ["doc_id", "text"],
+    )
+    d = docs.unionByName(extra)
+
+    def clusters(edges):
+        comp = connected_components(edges, src_col="a_id", dst_col="b_id")
+        rows = comp.collect()
+        by_label = {}
+        for r in rows:
+            by_label.setdefault(r["component"], set()).add(r["id"])
+        return {frozenset(v) for v in by_label.values()}
+
+    raw = clusters(minhash_candidate_pairs(d, k=16, bands=8))
+    collapsed = clusters(minhash_dedup_edges(d, k=16, bands=8))
+    assert collapsed == raw
+    # replicas 10/11 must sit in doc 0's cluster either way
+    assert any({0, 1, 10, 11} <= c for c in collapsed)
+
+
 def test_minhash_bands_deterministic(docs):
     b1 = minhash_bands(docs).orderBy("doc_id").collect()
     b2 = minhash_bands(docs).orderBy("doc_id").collect()
