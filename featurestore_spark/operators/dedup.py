@@ -265,6 +265,12 @@ def minhash_dedup_edges(
             ),
         )
         .drop("_h1", "_h2", "_tmax")
+        # groups feeds both the rep banding pipeline and the star-edge
+        # expansion; no exchange reuse fires between them, so
+        # materialize the collapse once (sf0.1: 3.8s -> 3.3s; the
+        # operator becomes eager at construction, like
+        # similarity.embedding_near_dups' reps frame).
+        .localCheckpoint(eager=True)
     )
     reps = groups.select(
         F.col("rep_id").alias(id_col), F.col("_text").alias(text_col)

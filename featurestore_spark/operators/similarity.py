@@ -360,7 +360,8 @@ def embedding_near_dups(
     Scale design (the 10x key-shifted stress exposed this): real
     corpora are dominated by EXACT duplicates, which make the in-bucket
     pair count quadratic in the duplication factor. So the pair join
-    runs over DISTINCT vectors only (groupBy the vector, min id as
+    runs over DISTINCT vectors only (grouped by a 128-bit scalar hash
+    of the vector — ties verified in-group, min id as
     representative), and member ids are expanded back afterwards —
     pair work shrinks by the square of the duplication factor. The
     banding melt carries only (rep_id, band_idx, code); vectors join
@@ -406,6 +407,14 @@ def embedding_near_dups(
         )
         .drop("_h1", "_h2", "_vmax")
         .withColumn("_nrm", norm(F.col("v")))
+        # reps feeds FOUR consumers (band coding, both pair-join sides,
+        # intra-group pairs) and the executed plan shows no exchange
+        # reuse across them — materialize once instead of recomputing
+        # the scan+hash+collapse per consumer. Measured at sf0.1:
+        # near_dups 2.15s -> 1.36s, clusters 4.19s -> 3.42s. Makes the
+        # operator eager at construction (same pattern as
+        # sampling.token_budget_sample's slim frame).
+        .localCheckpoint(eager=True)
     )
     hp = srp_hyperplanes(dim, bits * bands, seed)
     coded = reps.select(
