@@ -103,6 +103,86 @@ def mixture_sample(
     return df.where(hash_bucket(key) < thr)
 
 
+def global_ntile(
+    df: DataFrame,
+    order_cols: Sequence[str | Column],
+    n_buckets: int,
+    *,
+    bucket_col: str = "bucket",
+) -> DataFrame:
+    """Exact `NTILE(n) OVER (ORDER BY order_cols)` without the
+    single-task global sort (curriculum bucketing: quality quartiles,
+    difficulty deciles over a whole corpus).
+
+    A bare `Window.orderBy` funnels every row through ONE task — the
+    classic 100-TB scale-killer. Instead:
+      1. `repartitionByRange` on the order columns — a total order
+         ACROSS partitions, each sorted locally (Spark's own global
+         sort machinery, all partitions work);
+      2. per-partition row counts -> cumulative offsets, collected to
+         the driver (≤ one row per partition — tiny at any scale);
+      3. global rank = local row index + partition offset (local index
+         via `monotonically_increasing_id`, which is consecutive
+         within a partition), then the exact NTILE bucket formula.
+
+    Order must be TOTAL (tie-break with a unique key column) or bucket
+    assignment at boundaries is nondeterministic. Result matches
+    `F.ntile(n).over(Window.orderBy(*order_cols))` row for row.
+    Eager at construction (materializes the ranked frame once)."""
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    reserved = {"_mid", "_pid", "_m0", "_off", "_rank"}
+    clash = reserved & set(df.columns)
+    if clash:
+        raise ValueError(f"input columns collide with internals: {clash}")
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    withids = (
+        df.repartitionByRange(*cols)
+        .sortWithinPartitions(*cols)
+        .withColumn("_mid", F.monotonically_increasing_id())
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    stats = sorted(
+        withids.groupBy("_pid")
+        .agg(F.min("_mid").alias("_m0"), F.count(F.lit(1)).alias("_c"))
+        .collect(),
+        key=lambda r: r["_pid"],
+    )
+    total = sum(r["_c"] for r in stats)
+    acc = 0
+    rows = []
+    for r in stats:
+        rows.append((int(r["_pid"]), int(r["_m0"]), acc))
+        acc += int(r["_c"])
+    spark = df.sparkSession
+    offsets = F.broadcast(
+        spark.createDataFrame(rows, "_pid int, _m0 long, _off long")
+    )
+    ranked = withids.join(offsets, "_pid").withColumn(
+        "_rank", F.col("_mid") - F.col("_m0") + F.col("_off") + F.lit(1)
+    )
+    # NTILE(n) over N rows: q, r = divmod(N, n); buckets 1..r hold q+1
+    # rows, the rest hold q
+    q, r = divmod(total, n_buckets)
+    cut = r * (q + 1)
+    bucket = (
+        F.when(
+            F.col("_rank") <= cut,
+            F.floor((F.col("_rank") - 1) / F.lit(q + 1)) + 1,
+        )
+        .otherwise(
+            F.lit(r)
+            + F.floor((F.col("_rank") - cut - 1) / F.lit(max(q, 1)))
+            + 1
+        )
+        .cast("int")
+    )
+    return ranked.withColumn(bucket_col, bucket).drop(
+        "_mid", "_pid", "_m0", "_off", "_rank"
+    )
+
+
 def token_budget_sample(
     df: DataFrame,
     budget_tokens: int,

@@ -3047,14 +3047,20 @@ def q_mixture_sample(spark, sf_dir):
     "pre-aggregated histogram replaces the sort.",
 )
 def q_quality_buckets(spark, sf_dir):
+    """Curriculum quartiles over the whole corpus. A bare
+    `Window.orderBy` ntile funnels 100 TB through ONE task; the
+    distributed `global_ntile` (range partition + per-partition
+    offsets) produces the identical bucket assignment with every
+    partition working."""
+    from featurestore_spark.operators.sampling import global_ntile
     from featurestore_spark.operators.text import quality_metrics
 
     docs = load_table(spark, sf_dir, "documents")
-    w = Window.orderBy("alpha_ratio", "doc_id")
-    return (
-        quality_metrics(docs)
-        .select("doc_id", "alpha_ratio")
-        .withColumn("quality_bucket", F.ntile(4).over(w))
+    return global_ntile(
+        quality_metrics(docs).select("doc_id", "alpha_ratio"),
+        ["alpha_ratio", "doc_id"],
+        4,
+        bucket_col="quality_bucket",
     )
 
 

@@ -451,3 +451,39 @@ def test_token_budget_sample_two_phase(spark):
     for line in plan.splitlines():
         if "Window" in line and "windowspecdefinition(source" in line:
             assert "_pf" in line, f"window partitions on source alone: {line}"
+
+
+def test_global_ntile_matches_window_ntile(spark):
+    """global_ntile must equal F.ntile over a single global window,
+    row for row, including the uneven-remainder sizes — without the
+    single-task sort."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from featurestore_spark.operators.sampling import global_ntile
+
+    # 1003 rows: 1003 = 4*250 + 3 -> buckets sized 251,251,251,250
+    df = spark.range(1003).select(
+        F.col("id"), (F.col("id") * 37 % 1000).alias("score")
+    )
+    w = Window.orderBy("score", "id")
+    want = {
+        r["id"]: r["b"]
+        for r in df.withColumn("b", F.ntile(4).over(w)).collect()
+    }
+    got = {
+        r["id"]: r["b"]
+        for r in global_ntile(df, ["score", "id"], 4, bucket_col="b").collect()
+    }
+    assert got == want
+    # more buckets than rows: each row its own bucket (ntile semantics)
+    small = spark.range(3).select(F.col("id"), F.col("id").alias("score"))
+    got = {
+        r["id"]: r["b"]
+        for r in global_ntile(small, ["score", "id"], 7, bucket_col="b").collect()
+    }
+    assert got == {0: 1, 1: 2, 2: 3}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        global_ntile(small, ["score"], 0)
