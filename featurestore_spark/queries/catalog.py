@@ -897,6 +897,9 @@ def q_star_dim_order_priority(spark, sf_dir):
     orders = load_table(spark, sf_dir, "orders")
     from pyspark.sql import Window
 
+    # global window is safe HERE: it runs over the post-distinct dim
+    # values (5 rows; low-cardinality by definition of a dimension).
+    # Large dims take the bucketed surrogate-id path in star/loader.py.
     w = Window.orderBy("o_orderpriority")
     return (
         orders.select("o_orderpriority")
@@ -1389,12 +1392,14 @@ def q_tpch_q15(spark, sf_dir):
         .groupBy("l_suppkey")
         .agg(F.sum(cents).cast("bigint").alias("revenue_cents"))
     )
-    w = Window.orderBy(F.col("revenue_cents").desc())
-    top = (
-        rev.withColumn("_rk", F.rank().over(w))
-        .where(F.col("_rk") == 1)
-        .drop("_rk")
-    )
+    # max-then-filter instead of rank() over a bare global window: the
+    # window would sort every supplier's aggregate through ONE task;
+    # the scalar max broadcasts and the filter stays distributed
+    # (ties preserved either way — TPC-H Q15's revenue = max formulation)
+    mx = rev.agg(F.max("revenue_cents").alias("_mx"))
+    top = rev.join(
+        F.broadcast(mx), F.col("revenue_cents") == F.col("_mx")
+    ).drop("_mx")
     return top.join(
         F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey")
     ).select("s_suppkey", "s_name", "revenue_cents")
