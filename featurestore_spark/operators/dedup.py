@@ -412,17 +412,60 @@ def simhash_near_dups(
     `max_bucket` (optional) drops degenerate candidate buckets larger
     than the limit (e.g. the all-zeros block of empty documents) at a
     documented recall cost — the 100 TB skew guard, mirroring
-    minhash_candidate_pairs.
+    minhash_candidate_pairs. The cap applies to DISTINCT-text blocks;
+    exact-duplicate (intra-group) pairs are emitted unconditionally —
+    identical texts are near-dups by definition and must not depend on
+    bucket caps (same contract as similarity.embedding_near_dups).
+
+    Scale shape: exact-duplicate texts are collapsed (128-bit scalar
+    hash, ties verified) BEFORE signatures and blocking — the SimHash
+    UDF runs once per distinct text, the block self-join is quadratic
+    only in distinct-text bucket sizes (raw in-bucket pair work grew
+    with the SQUARE of the duplication factor: 7s -> 105s at a 10x
+    replication stress before this), and duplicate groups re-expand at
+    the end by array combinatorics, linear in the output.
     """
     nb = max_hamming + 1
-    base, rem = divmod(64, nb)
-    widths = [base + (1 if i < rem else 0) for i in range(nb)]
+    bw, rem = divmod(64, nb)
+    widths = [bw + (1 if i < rem else 0) for i in range(nb)]
     offsets = [sum(widths[:i]) for i in range(nb)]
 
-    sig = with_simhash(df, text_col).select(F.col(id_col), F.col("simhash"))
+    base = df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_text"))
+    groups = (
+        base.select(
+            "_id",
+            "_text",
+            F.xxhash64("_text").alias("_h1"),
+            F.xxhash64(F.lit(0x9E3779B9), F.col("_text")).alias("_h2"),
+        )
+        .groupBy("_h1", "_h2")
+        .agg(
+            F.min("_id").alias("rep_id"),
+            F.sort_array(F.collect_list("_id")).alias("members"),
+            F.min("_text").alias("_text"),
+            F.max("_text").alias("_tmax"),
+        )
+        .withColumn(
+            "_text",
+            F.when(F.col("_text") == F.col("_tmax"), F.col("_text")).otherwise(
+                F.raise_error(
+                    F.lit(
+                        "simhash_near_dups: 128-bit text-hash collision "
+                        "on distinct texts"
+                    )
+                )
+            ),
+        )
+        .drop("_h1", "_h2", "_tmax")
+        # feeds the signature pipeline AND both expansion branches
+        .localCheckpoint(eager=True)
+    )
+    sig = with_simhash(
+        groups.select("rep_id", F.col("_text").alias(text_col)), text_col
+    ).select("rep_id", "simhash")
     blocks = sig.select(
-        F.col(id_col),
-        F.col("simhash"),
+        "rep_id",
+        "simhash",
         F.posexplode(
             F.array(
                 *[
@@ -443,18 +486,43 @@ def simhash_near_dups(
         )
         blocks = blocks.join(big, ["_bi", "_bv"], "left_anti")
     a = blocks.select(
-        "_bi", "_bv", F.col(id_col).alias("a_id"), F.col("simhash").alias("sh_a")
+        "_bi", "_bv", F.col("rep_id").alias("ra"), F.col("simhash").alias("sh_a")
     )
     b = blocks.select(
-        "_bi", "_bv", F.col(id_col).alias("b_id"), F.col("simhash").alias("sh_b")
+        "_bi", "_bv", F.col("rep_id").alias("rb"), F.col("simhash").alias("sh_b")
     )
-    return (
+    rep_pairs = (
         a.join(b, ["_bi", "_bv"])
-        .where(F.col("a_id") < F.col("b_id"))
-        .select("a_id", "b_id", "sh_a", "sh_b")
+        .where(F.col("ra") < F.col("rb"))
+        .select("ra", "rb", "sh_a", "sh_b")
         .distinct()  # a pair may agree on several blocks
         .select(
-            "a_id", "b_id", hamming64(F.col("sh_a"), F.col("sh_b")).alias("hamming")
+            "ra", "rb", hamming64(F.col("sh_a"), F.col("sh_b")).alias("hamming")
         )
         .where(F.col("hamming") <= max_hamming)
     )
+    # cross-group expansion: every member pair inherits its reps'
+    # distance (signatures depend only on the text)
+    cross = (
+        rep_pairs.join(groups.select(F.col("rep_id").alias("ra"),
+                                     F.col("members").alias("ma")), "ra")
+        .join(groups.select(F.col("rep_id").alias("rb"),
+                            F.col("members").alias("mb")), "rb")
+        .select(F.explode("ma").alias("xa"), "mb", "hamming")
+        .select("xa", F.explode("mb").alias("xb"), "hamming")
+        .select(
+            F.least("xa", "xb").alias("a_id"),
+            F.greatest("xa", "xb").alias("b_id"),
+            "hamming",
+        )
+    )
+    intra = (
+        groups.where(F.size("members") > 1)
+        .select(F.explode(bucket_member_pairs(F.col("members"))).alias("p"))
+        .select(
+            F.col("p.a_id"),
+            F.col("p.b_id"),
+            F.lit(0).cast("int").alias("hamming"),
+        )
+    )
+    return cross.unionByName(intra)

@@ -122,8 +122,13 @@ def test_simhash_blocking(docs):
 
 
 def test_simhash_max_bucket_guard(docs):
-    # bucket cap small enough to drop every block -> zero candidates
-    assert simhash_near_dups(docs, max_hamming=10, max_bucket=0).count() == 0
+    # bucket cap small enough to drop every block -> no cross-text
+    # candidates; the exact-duplicate pair (0,1) survives regardless
+    # (intra-group pairs are emitted unconditionally, same contract as
+    # embedding_near_dups)
+    out = simhash_near_dups(docs, max_hamming=10, max_bucket=0)
+    rows = {(r["a_id"], r["b_id"]): r["hamming"] for r in out.collect()}
+    assert rows == {(0, 1): 0}
 
 
 def test_hamming_expr(spark):
