@@ -82,6 +82,8 @@ HEADLINE = [
     "q_embedding_clusters",
     "q_pack_chunks",
     "q_image_meta",
+    "q_simhash_near_dups",
+    "q_dedup_pipeline",
     "q_top_customers",
     "q_vault_full_cycle",  # write-path throughput (real loader)
 ]

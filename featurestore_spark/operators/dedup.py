@@ -284,6 +284,92 @@ def minhash_dedup_edges(
     return rep_pairs.unionByName(star)
 
 
+def dedup_keep_docs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    n: int = 3,
+    k: int = 16,
+    bands: int = 4,
+    max_bucket: int = 1000,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """The classic LSH → Jaccard-verify → drop-the-later-doc dedup
+    pipeline, with exact-duplicate collapse. Returns the KEPT rows of
+    `df` (all columns).
+
+    Drop rule (identical to running the raw pipeline over every
+    document): a doc is dropped iff some verified near-dup with a
+    smaller id exists. Since shingles — and therefore candidate bands
+    and Jaccard — depend only on the text, the rule factors through
+    exact-duplicate groups:
+      - intra-group: every member but the group minimum drops
+        (Jaccard 1 always passes `threshold`);
+      - for a verified rep pair (A, B): members of B greater than
+        min(A) drop, and members of A greater than min(B) drop.
+    So candidate generation + verification run over DISTINCT texts
+    only (pair work down by the square of the duplication factor, the
+    shingle arrays in the verify join built once per distinct text)
+    and the drop set expands linearly via the member lists."""
+    base = df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_text"))
+    groups = (
+        base.select(
+            "_id",
+            "_text",
+            F.xxhash64("_text").alias("_h1"),
+            F.xxhash64(F.lit(0x9E3779B9), F.col("_text")).alias("_h2"),
+        )
+        .groupBy("_h1", "_h2")
+        .agg(
+            F.min("_id").alias("rep_id"),
+            F.collect_list("_id").alias("members"),
+            F.min("_text").alias("_text"),
+            F.max("_text").alias("_tmax"),
+        )
+        .withColumn(
+            "_text",
+            F.when(F.col("_text") == F.col("_tmax"), F.col("_text")).otherwise(
+                F.raise_error(
+                    F.lit(
+                        "dedup_keep_docs: 128-bit text-hash collision "
+                        "on distinct texts"
+                    )
+                )
+            ),
+        )
+        .drop("_h1", "_h2", "_tmax")
+        .localCheckpoint(eager=True)
+    )
+    reps = groups.select(
+        F.col("rep_id").alias(id_col), F.col("_text").alias(text_col)
+    )
+    cand = minhash_candidate_pairs(
+        reps, text_col, id_col, n=n, k=k, bands=bands, max_bucket=max_bucket
+    )
+    verified = jaccard_pairs(reps, cand, text_col=text_col, id_col=id_col, n=n).where(
+        F.col("jaccard") >= threshold
+    )
+    ga = groups.select(F.col("rep_id").alias("a_id"), F.col("members").alias("ma"))
+    gb = groups.select(F.col("rep_id").alias("b_id"), F.col("members").alias("mb"))
+    vj = verified.join(ga, "a_id").join(gb, "b_id")
+    # rep_id IS each group's minimum id
+    drops_b = vj.select(
+        F.explode("mb").alias("_d"), F.col("a_id").alias("_min_other")
+    ).where(F.col("_d") > F.col("_min_other"))
+    drops_a = vj.select(
+        F.explode("ma").alias("_d"), F.col("b_id").alias("_min_other")
+    ).where(F.col("_d") > F.col("_min_other"))
+    drops = drops_a.select("_d").unionByName(drops_b.select("_d"))
+    if threshold <= 1.0:
+        intra = groups.select(
+            F.explode("members").alias("_d"), F.col("rep_id")
+        ).where(F.col("_d") > F.col("rep_id"))
+        drops = drops.unionByName(intra.select("_d"))
+    drops = drops.distinct().withColumnRenamed("_d", id_col)
+    return df.join(drops, id_col, "left_anti")
+
+
 def bucket_member_pairs(ids: Column) -> Column:
     """All ordered (a_id, b_id) pairs within a sorted bucket-member
     array: for each position i, pair ids[i] with every later element —

@@ -2112,7 +2112,12 @@ def q_ngram_jaccard(spark, sf_dir):
 
 @_register(
     "q_dedup_pipeline",
-    _duck_minhash_bands()
+    _duck_minhash_bands(
+        src="rep_docs",
+        prelude="""grp AS (
+      SELECT text, min(doc_id) AS rep_id FROM documents GROUP BY text),
+    rep_docs AS (SELECT rep_id AS doc_id, text FROM grp)""",
+    )
     + ",\n melted AS ("
     + " UNION ALL ".join(
         f"SELECT doc_id, {i} AS band_idx, band_{i} AS band_hash FROM bands"
@@ -2133,27 +2138,40 @@ def q_ngram_jaccard(spark, sf_dir):
                   JOIN shingled sb ON sb.doc_id = c.b_id
       WHERE round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
             / len(list_distinct(list_concat(sa.sh, sb.sh))), 4) >= 0.8),
-    drops AS (SELECT DISTINCT b_id FROM verified)
+    drops AS (
+      -- B-side members greater than min(A) (= A's rep id)
+      SELECT db.doc_id AS d FROM verified v
+        JOIN grp gb ON gb.rep_id = v.b_id
+        JOIN documents db ON db.text = gb.text
+      WHERE db.doc_id > v.a_id
+      UNION
+      -- A-side members greater than min(B)
+      SELECT da.doc_id FROM verified v
+        JOIN grp ga ON ga.rep_id = v.a_id
+        JOIN documents da ON da.text = ga.text
+      WHERE da.doc_id > v.b_id
+      UNION
+      -- intra-group: every exact duplicate but the group minimum
+      SELECT d.doc_id FROM documents d
+        JOIN grp g ON g.text = d.text
+      WHERE d.doc_id > g.rep_id)
     SELECT d.doc_id FROM documents d
-    LEFT JOIN drops ON d.doc_id = drops.b_id
-    WHERE drops.b_id IS NULL
+    LEFT JOIN drops ON d.doc_id = drops.d
+    WHERE drops.d IS NULL
     """,
-    "End-to-end dedup pipeline: LSH candidates -> Jaccard>=0.8 verify "
-    "-> keep-list (drop later near-duplicates)",
+    "End-to-end dedup pipeline with exact-duplicate collapse: LSH "
+    "candidates over DISTINCT texts -> Jaccard>=0.8 verify -> drop "
+    "set expanded linearly through duplicate groups (identical "
+    "keep-set to the raw pipeline: bands and Jaccard depend only on "
+    "the text)",
 )
 def q_dedup_pipeline(spark, sf_dir):
-    from featurestore_spark.operators.dedup import (
-        jaccard_pairs,
-        minhash_candidate_pairs,
-    )
+    from featurestore_spark.operators.dedup import dedup_keep_docs
 
     docs = load_table(spark, sf_dir, "documents")
-    cand = minhash_candidate_pairs(
+    return dedup_keep_docs(
         docs, n=_MH_N, k=_MH_K, bands=_MH_BANDS, max_bucket=_MH_MAX_BUCKET
-    )
-    dups = jaccard_pairs(docs, cand, n=_MH_N).where(F.col("jaccard") >= 0.8)
-    drops = dups.select(F.col("b_id").alias("doc_id")).distinct()
-    return docs.join(drops, "doc_id", "left_anti").select("doc_id")
+    ).select("doc_id")
 
 
 @_register(

@@ -492,3 +492,32 @@ def test_global_ntile_matches_window_ntile(spark):
 
     with _pytest.raises(ValueError):
         global_ntile(small, ["score"], 0)
+
+
+def test_dedup_keep_docs_matches_raw_pipeline(spark, docs):
+    """The collapsed keep-set must equal the raw LSH->verify->drop
+    pipeline run over every document (bands and Jaccard depend only
+    on the text, so the drop rule factors through duplicate groups)."""
+    from featurestore_spark.operators.dedup import (
+        dedup_keep_docs,
+        jaccard_pairs,
+        minhash_candidate_pairs,
+    )
+
+    extra = spark.createDataFrame(
+        [(10, "the quick brown fox jumps over the lazy dog again and again today"),
+         (11, "the quick brown fox jumps over the lazy dog again and again tomorrow"),
+         (12, "el perro y la casa que los una con para nada el dia")],
+        ["doc_id", "text"],
+    )
+    d = docs.unionByName(extra)
+    cand = minhash_candidate_pairs(d, k=16, bands=8)
+    dups = jaccard_pairs(d, cand).where(F.col("jaccard") >= 0.8)
+    raw_drop = {r["b_id"] for r in dups.select("b_id").distinct().collect()}
+    raw_keep = {r["doc_id"] for r in d.select("doc_id").collect()} - raw_drop
+    got = {
+        r["doc_id"]
+        for r in dedup_keep_docs(d, k=16, bands=8).select("doc_id").collect()
+    }
+    assert got == raw_keep
+    assert 0 in got and 1 not in got  # exact replica of 0 dropped
