@@ -2979,6 +2979,10 @@ def q_corpus_stats(spark, sf_dir):
     from featurestore_spark.operators.text import token_count
 
     docs = load_table(spark, sf_dir, "documents")
+    # exact percentile() is safe at scale HERE because nt is a small
+    # integer: the aggregation buffer is a value->count map (merged
+    # map-side), O(distinct token counts) = O(max doc length), not
+    # O(rows). For unbounded-cardinality columns use approx_percentile.
     return docs.select(token_count("text").alias("nt")).agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("nt").cast("bigint").alias("total_tokens"),
