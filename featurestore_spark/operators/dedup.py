@@ -19,6 +19,14 @@ Scale design:
   engine (the DuckDB oracles compute the identical signatures).
 - **SimHash**: 64-bit signature from per-token md5 nibbles,
   bit-majority aggregated; Hamming distance ≤ k gives near-dups.
+- **Replication invariance**: every quadratic stage (in-bucket pair
+  joins, verify joins, block self-joins) runs over DISTINCT texts —
+  exact duplicates are collapsed first behind a 128-bit scalar hash
+  (ties verified) and re-expanded linearly afterwards, so work does
+  not grow with the square of the duplication factor. Real pretraining
+  corpora are dominated by exact replicas; measured at a 10x
+  replication stress this is the difference between flat wall and
+  15x blowup.
 """
 
 from __future__ import annotations
