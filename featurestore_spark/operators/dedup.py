@@ -58,6 +58,48 @@ def exact_dedup(
 _SLICE_REST = 10_000_000  # "rest of array" length bound for F.slice
 
 
+def _collapse_exact_texts(
+    df: DataFrame, text_col: str, id_col: str, op_name: str
+) -> DataFrame:
+    """(rep_id, members, _text) — one row per DISTINCT text, keyed by
+    a 128-bit scalar hash (two seeded xxhash64 longs; the exchange
+    carries two longs, map-side combine collapses duplicates before
+    the shuffle). rep_id is each group's MINIMUM id; `members` is
+    sorted. Ties are verified in-group (min==max over the text) and a
+    collision — ~n^2/2^129, never in practice — raises rather than
+    silently merging distinct texts. Materialized eagerly: every
+    caller fans the frame out to 2+ consumers and exchange reuse does
+    not fire across them."""
+    return (
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.col(text_col).alias("_text"),
+            F.xxhash64(text_col).alias("_h1"),
+            F.xxhash64(F.lit(0x9E3779B9), F.col(text_col)).alias("_h2"),
+        )
+        .groupBy("_h1", "_h2")
+        .agg(
+            F.min("_id").alias("rep_id"),
+            F.sort_array(F.collect_list("_id")).alias("members"),
+            F.min("_text").alias("_text"),
+            F.max("_text").alias("_tmax"),
+        )
+        .withColumn(
+            "_text",
+            F.when(F.col("_text") == F.col("_tmax"), F.col("_text")).otherwise(
+                F.raise_error(
+                    F.lit(
+                        f"{op_name}: 128-bit text-hash collision on "
+                        "distinct texts"
+                    )
+                )
+            ),
+        )
+        .drop("_h1", "_h2", "_tmax")
+        .localCheckpoint(eager=True)
+    )
+
+
 def zipped_ngrams(toks: Column, n: int) -> Column:
     """Space-joined word n-grams of a token array, built by zipping the
     array with its own shifted slices (n-1 zips) rather than
@@ -183,6 +225,7 @@ def minhash_candidate_pairs(
     k: int = 16,
     bands: int = 4,
     max_bucket: int = 1000,
+    collapse_exact: bool = False,
 ) -> DataFrame:
     """Near-duplicate candidate pairs: documents sharing ≥1 band hash.
 
@@ -194,7 +237,46 @@ def minhash_candidate_pairs(
     `max_bucket` (boilerplate) are dropped to bound the quadratic
     blowup — exactly what the windowed guard did, now free with the
     same groupBy.
+
+    `collapse_exact=True` collapses exact-duplicate texts first and
+    re-expands member pairs afterwards: the same pair set, but
+    in-bucket pair work is quadratic only in DISTINCT-text bucket
+    sizes (raw buckets grow with the duplication factor and the pair
+    work with its square). `max_bucket` then caps distinct-text
+    buckets, and intra-group (exact-duplicate) pairs are emitted
+    unconditionally — identical texts are near-dups by definition.
+    Use it when `df` may carry replicas; the collapsed callers
+    (`minhash_dedup_edges`, `dedup_keep_docs`) pass distinct texts
+    already.
     """
+    if collapse_exact:
+        groups = _collapse_exact_texts(
+            df, text_col, id_col, "minhash_candidate_pairs"
+        )
+        reps = groups.select(
+            F.col("rep_id").alias(id_col), F.col("_text").alias(text_col)
+        )
+        rep_pairs = minhash_candidate_pairs(
+            reps, text_col, id_col, n=n, k=k, bands=bands, max_bucket=max_bucket
+        )
+        ga = groups.select(F.col("rep_id").alias("a_id"), F.col("members").alias("ma"))
+        gb = groups.select(F.col("rep_id").alias("b_id"), F.col("members").alias("mb"))
+        cross = (
+            rep_pairs.join(ga, "a_id")
+            .join(gb, "b_id")
+            .select(F.explode("ma").alias("xa"), "mb")
+            .select("xa", F.explode("mb").alias("xb"))
+            .select(
+                F.least("xa", "xb").alias("a_id"),
+                F.greatest("xa", "xb").alias("b_id"),
+            )
+        )
+        intra = (
+            groups.where(F.size("members") > 1)
+            .select(F.explode(bucket_member_pairs(F.col("members"))).alias("p"))
+            .select(F.col("p.a_id"), F.col("p.b_id"))
+        )
+        return cross.unionByName(intra)
     b = minhash_bands(df, text_col, id_col, n=n, k=k, bands=bands)
     melted = b.selectExpr(
         id_col,
@@ -244,42 +326,7 @@ def minhash_dedup_edges(
     Use `minhash_candidate_pairs` when the pair LIST itself is the
     product; use this when the product is the component labeling
     (dedup clusters)."""
-    base = df.select(
-        F.col(id_col).alias("_id"), F.col(text_col).alias("_text")
-    )
-    hashed = base.select(
-        "_id",
-        "_text",
-        F.xxhash64("_text").alias("_h1"),
-        F.xxhash64(F.lit(0x9E3779B9), F.col("_text")).alias("_h2"),
-    )
-    groups = (
-        hashed.groupBy("_h1", "_h2")
-        .agg(
-            F.min("_id").alias("rep_id"),
-            F.collect_list("_id").alias("members"),
-            F.min("_text").alias("_text"),
-            F.max("_text").alias("_tmax"),
-        )
-        .withColumn(
-            "_text",
-            F.when(F.col("_text") == F.col("_tmax"), F.col("_text")).otherwise(
-                F.raise_error(
-                    F.lit(
-                        "minhash_dedup_edges: 128-bit text-hash collision "
-                        "on distinct texts"
-                    )
-                )
-            ),
-        )
-        .drop("_h1", "_h2", "_tmax")
-        # groups feeds both the rep banding pipeline and the star-edge
-        # expansion; no exchange reuse fires between them, so
-        # materialize the collapse once (sf0.1: 3.8s -> 3.3s; the
-        # operator becomes eager at construction, like
-        # similarity.embedding_near_dups' reps frame).
-        .localCheckpoint(eager=True)
-    )
+    groups = _collapse_exact_texts(df, text_col, id_col, "minhash_dedup_edges")
     reps = groups.select(
         F.col("rep_id").alias(id_col), F.col("_text").alias(text_col)
     )
@@ -320,35 +367,7 @@ def dedup_keep_docs(
     only (pair work down by the square of the duplication factor, the
     shingle arrays in the verify join built once per distinct text)
     and the drop set expands linearly via the member lists."""
-    base = df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_text"))
-    groups = (
-        base.select(
-            "_id",
-            "_text",
-            F.xxhash64("_text").alias("_h1"),
-            F.xxhash64(F.lit(0x9E3779B9), F.col("_text")).alias("_h2"),
-        )
-        .groupBy("_h1", "_h2")
-        .agg(
-            F.min("_id").alias("rep_id"),
-            F.collect_list("_id").alias("members"),
-            F.min("_text").alias("_text"),
-            F.max("_text").alias("_tmax"),
-        )
-        .withColumn(
-            "_text",
-            F.when(F.col("_text") == F.col("_tmax"), F.col("_text")).otherwise(
-                F.raise_error(
-                    F.lit(
-                        "dedup_keep_docs: 128-bit text-hash collision "
-                        "on distinct texts"
-                    )
-                )
-            ),
-        )
-        .drop("_h1", "_h2", "_tmax")
-        .localCheckpoint(eager=True)
-    )
+    groups = _collapse_exact_texts(df, text_col, id_col, "dedup_keep_docs")
     reps = groups.select(
         F.col("rep_id").alias(id_col), F.col("_text").alias(text_col)
     )
@@ -524,36 +543,7 @@ def simhash_near_dups(
     widths = [bw + (1 if i < rem else 0) for i in range(nb)]
     offsets = [sum(widths[:i]) for i in range(nb)]
 
-    base = df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_text"))
-    groups = (
-        base.select(
-            "_id",
-            "_text",
-            F.xxhash64("_text").alias("_h1"),
-            F.xxhash64(F.lit(0x9E3779B9), F.col("_text")).alias("_h2"),
-        )
-        .groupBy("_h1", "_h2")
-        .agg(
-            F.min("_id").alias("rep_id"),
-            F.sort_array(F.collect_list("_id")).alias("members"),
-            F.min("_text").alias("_text"),
-            F.max("_text").alias("_tmax"),
-        )
-        .withColumn(
-            "_text",
-            F.when(F.col("_text") == F.col("_tmax"), F.col("_text")).otherwise(
-                F.raise_error(
-                    F.lit(
-                        "simhash_near_dups: 128-bit text-hash collision "
-                        "on distinct texts"
-                    )
-                )
-            ),
-        )
-        .drop("_h1", "_h2", "_tmax")
-        # feeds the signature pipeline AND both expansion branches
-        .localCheckpoint(eager=True)
-    )
+    groups = _collapse_exact_texts(df, text_col, id_col, "simhash_near_dups")
     sig = with_simhash(
         groups.select("rep_id", F.col("_text").alias(text_col)), text_col
     ).select("rep_id", "simhash")

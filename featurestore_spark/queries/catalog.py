@@ -1995,29 +1995,55 @@ _MH_MAX_BUCKET = 1000  # production skew guard, modeled on BOTH sides
 
 @_register(
     "q_minhash_pairs",
-    _duck_minhash_bands()
+    _duck_minhash_bands(
+        src="rep_docs",
+        prelude="""grp AS (
+      SELECT text, min(doc_id) AS rep_id FROM documents GROUP BY text),
+    rep_docs AS (SELECT rep_id AS doc_id, text FROM grp)""",
+    )
     + ",\n melted AS ("
     + " UNION ALL ".join(
         f"SELECT doc_id, {i} AS band_idx, band_{i} AS band_hash FROM bands"
         for i in range(_MH_BANDS)
     )
     + f"""),
-    kept AS (  -- the operator's max_bucket guard, mirrored
+    kept AS (  -- max_bucket guard over DISTINCT-text buckets, mirrored
       SELECT band_idx, band_hash FROM melted
-      GROUP BY band_idx, band_hash HAVING count(*) <= {_MH_MAX_BUCKET})
-    SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-    FROM melted a JOIN melted b USING (band_idx, band_hash)
-    JOIN kept USING (band_idx, band_hash)
-    WHERE a.doc_id < b.doc_id
+      GROUP BY band_idx, band_hash HAVING count(*) <= {_MH_MAX_BUCKET}),
+    rep_pairs AS (
+      SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+      FROM melted a JOIN melted b USING (band_idx, band_hash)
+      JOIN kept USING (band_idx, band_hash)
+      WHERE a.doc_id < b.doc_id)
+    -- rep pairs expanded through exact-duplicate groups...
+    SELECT DISTINCT least(da.doc_id, db.doc_id) AS a_id,
+           greatest(da.doc_id, db.doc_id) AS b_id
+    FROM rep_pairs p
+      JOIN grp ga ON ga.rep_id = p.a_id
+      JOIN documents da ON da.text = ga.text
+      JOIN grp gb ON gb.rep_id = p.b_id
+      JOIN documents db ON db.text = gb.text
+    UNION
+    -- ...plus unconditional intra-group (exact duplicate) pairs
+    SELECT a.doc_id, b.doc_id
+    FROM documents a JOIN documents b
+      ON a.text = b.text AND a.doc_id < b.doc_id
     """,
-    "MinHash LSH near-dup candidate pairs (band bucket join, guarded)",
+    "MinHash LSH near-dup candidate pairs with exact-duplicate "
+    "collapse (band bucket join over distinct texts, guarded; member "
+    "pairs re-expanded)",
 )
 def q_minhash_pairs(spark, sf_dir):
     from featurestore_spark.operators.dedup import minhash_candidate_pairs
 
     docs = load_table(spark, sf_dir, "documents")
     return minhash_candidate_pairs(
-        docs, n=_MH_N, k=_MH_K, bands=_MH_BANDS, max_bucket=_MH_MAX_BUCKET
+        docs,
+        n=_MH_N,
+        k=_MH_K,
+        bands=_MH_BANDS,
+        max_bucket=_MH_MAX_BUCKET,
+        collapse_exact=True,
     )
 
 

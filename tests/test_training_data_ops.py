@@ -521,3 +521,27 @@ def test_dedup_keep_docs_matches_raw_pipeline(spark, docs):
     }
     assert got == raw_keep
     assert 0 in got and 1 not in got  # exact replica of 0 dropped
+
+
+def test_minhash_pairs_collapse_exact_matches_raw(spark, docs):
+    """collapse_exact=True must emit exactly the raw pair set when no
+    bucket cap binds (bands depend only on the text, so member pairs
+    inherit their reps' collisions)."""
+    extra = spark.createDataFrame(
+        [(10, "the quick brown fox jumps over the lazy dog again and again today"),
+         (11, "the quick brown fox jumps over the lazy dog again and again today")],
+        ["doc_id", "text"],
+    )
+    d = docs.unionByName(extra)
+    raw = {
+        (r["a_id"], r["b_id"])
+        for r in minhash_candidate_pairs(d, k=16, bands=8).collect()
+    }
+    collapsed = {
+        (r["a_id"], r["b_id"])
+        for r in minhash_candidate_pairs(
+            d, k=16, bands=8, collapse_exact=True
+        ).collect()
+    }
+    assert collapsed == raw
+    assert (0, 10) in collapsed and (10, 11) in collapsed
