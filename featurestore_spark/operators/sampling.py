@@ -10,10 +10,13 @@ engine (the DuckDB oracle replays it exactly).
 
 from __future__ import annotations
 
+import functools
 from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+from featurestore_spark.operators.materialize import materialize
 
 HASH_BUCKETS = 1_000_000
 
@@ -125,26 +128,37 @@ def global_ntile(
          via `monotonically_increasing_id`, which is consecutive
          within a partition), then the exact NTILE bucket formula.
 
-    Order must be TOTAL (tie-break with a unique key column) or bucket
-    assignment at boundaries is nondeterministic. Result matches
+    Only a SLIM projection of the order columns is materialized —
+    never the full rows, so a wide corpus (the text column!) is not
+    copied into executor/checkpoint storage; bucket assignments join
+    back onto `df` by the order key (one extra shuffle of slim
+    columns, the 100-TB trade; VERDICT r4 #2).
+
+    Order must be TOTAL — `order_cols` must uniquely identify rows
+    (tie-break with a unique key column). Otherwise bucket assignment
+    at boundaries is nondeterministic AND the join-back multiplies
+    duplicate-key rows. Result matches
     `F.ntile(n).over(Window.orderBy(*order_cols))` row for row.
-    Eager at construction (materializes the ranked frame once)."""
+    Eager at construction (materializes the slim ranked frame once)."""
     if n_buckets < 1:
         raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
-    reserved = {"_mid", "_pid", "_m0", "_off", "_rank"}
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    reserved = {"_mid", "_pid", "_m0", "_off", "_rank", bucket_col} | {
+        f"_oc{i}" for i in range(len(cols))
+    }
     clash = reserved & set(df.columns)
     if clash:
         raise ValueError(f"input columns collide with internals: {clash}")
-    cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
-    withids = (
-        df.repartitionByRange(*cols)
-        .sortWithinPartitions(*cols)
+    ocs = [F.col(f"_oc{i}") for i in range(len(cols))]
+    slim = materialize(
+        df.select(*[c.alias(f"_oc{i}") for i, c in enumerate(cols)])
+        .repartitionByRange(*ocs)
+        .sortWithinPartitions(*ocs)
         .withColumn("_mid", F.monotonically_increasing_id())
         .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
     )
     stats = sorted(
-        withids.groupBy("_pid")
+        slim.groupBy("_pid")
         .agg(F.min("_mid").alias("_m0"), F.count(F.lit(1)).alias("_c"))
         .collect(),
         key=lambda r: r["_pid"],
@@ -159,7 +173,7 @@ def global_ntile(
     offsets = F.broadcast(
         spark.createDataFrame(rows, "_pid int, _m0 long, _off long")
     )
-    ranked = withids.join(offsets, "_pid").withColumn(
+    ranked = slim.join(offsets, "_pid").withColumn(
         "_rank", F.col("_mid") - F.col("_m0") + F.col("_off") + F.lit(1)
     )
     # NTILE(n) over N rows: q, r = divmod(N, n); buckets 1..r hold q+1
@@ -178,9 +192,14 @@ def global_ntile(
         )
         .cast("int")
     )
-    return ranked.withColumn(bucket_col, bucket).drop(
-        "_mid", "_pid", "_m0", "_off", "_rank"
+    bucketed = ranked.withColumn(bucket_col, bucket).select(*ocs, bucket_col)
+    # join the slim assignment back onto the full rows by the (unique)
+    # order key — null-safe so null-ordered rows still match
+    cond = functools.reduce(
+        lambda x, y: x & y,
+        [c.eqNullSafe(F.col(f"_oc{i}")) for i, c in enumerate(cols)],
     )
+    return df.join(bucketed, cond).drop(*[f"_oc{i}" for i in range(len(cols))])
 
 
 def token_budget_sample(
@@ -203,7 +222,9 @@ def token_budget_sample(
     duplicate keys make the boundary-bucket row order, and therefore
     which duplicate crosses the budget, nondeterministic.
 
-    Appends nothing; returns the kept rows plus `_nt` (token count).
+    Returns the kept rows plus `n_tokens` (each row's token count,
+    already computed for the fill — re-tokenizing downstream would
+    re-scan the corpus).
 
     Scale shape (two-phase distributed prefix sum — a pretraining
     mixture has ~5-20 sources with "web" holding most of the corpus,
@@ -232,12 +253,12 @@ def token_budget_sample(
 
     nt = token_count(text_col) if token_col is None else F.col(token_col)
     keyc = F.col(key) if isinstance(key, str) else key
-    reserved = {"_tbs_key", "_nt", "_hb", "_pf", "_bt", "_off", "_cum"}
+    reserved = {"_tbs_key", "_nt", "_hb", "_pf", "_bt", "_off", "_cum", "n_tokens"}
     clash = reserved & set(df.columns)
     if clash:
         raise ValueError(f"input columns collide with internals: {clash}")
     width = max(1, HASH_BUCKETS // n_buckets)
-    slim = (
+    slim = materialize(
         df.select(
             F.col(source_col),
             keyc.alias("_tbs_key"),
@@ -245,7 +266,6 @@ def token_budget_sample(
         )
         .withColumn("_hb", hash_bucket(F.col("_tbs_key")))
         .withColumn("_pf", F.floor(F.col("_hb") / width).cast("int"))
-        .localCheckpoint(eager=True)
     )
     totals = slim.groupBy(source_col, "_pf").agg(F.sum("_nt").alias("_bt"))
     wb = (
@@ -274,10 +294,10 @@ def token_budget_sample(
         "_cum", F.col("_off") + F.sum("_nt").over(win)
     ).where(F.col("_cum") - F.col("_nt") < budget_tokens)
     kept = full.unionByName(straddle_kept, allowMissingColumns=True).select(
-        source_col, "_tbs_key", "_nt"
+        source_col, "_tbs_key", F.col("_nt").alias("n_tokens")
     )
     # restore the original rows (keys are unique per source, so this
-    # inner join is 1:1 and re-attaches _nt without re-tokenizing)
+    # inner join is 1:1 and re-attaches n_tokens without re-tokenizing)
     return (
         df.withColumn("_tbs_key", keyc)
         .join(kept, [source_col, "_tbs_key"])

@@ -26,7 +26,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from featurestore_spark.operators.dedup import bucket_member_pairs
+from featurestore_spark.operators.dedup import _member_side, bucket_member_pairs
+from featurestore_spark.operators.materialize import materialize
 
 
 def as_double_array(col: str | Column) -> Column:
@@ -368,9 +369,14 @@ def embedding_near_dups(
     back on the scalar rep_id. Exact-duplicate (intra-group) pairs are
     emitted unconditionally — identical vectors are near-dups by
     definition and must not depend on bucket caps."""
-    base = df.select(F.col(id_col).alias("_id"), as_double_array(vec_col).alias("v"))
+    # null vectors have no similarity to anything — drop them up front
+    # (they would otherwise reach the SRP UDF and crash batch-wide)
+    base = df.where(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("member_id"), as_double_array(vec_col).alias("v")
+    )
     if dim is None:
-        dim = df.select(F.size(vec_col)).first()[0]
+        row = base.select(F.size("v")).first()
+        dim = row[0] if row is not None else 1  # empty corpus: any dim
     # Exact-dup collapse keyed by a 128-bit scalar hash of the vector
     # (two independently-seeded xxhash64 longs) instead of the full
     # array: the exchange and hash-agg comparisons carry two longs,
@@ -378,25 +384,35 @@ def embedding_near_dups(
     # still collapses duplicates before the shuffle. A cross-vector
     # collision needs both 64-bit hashes to agree (~n^2/2^129 — never
     # at any corpus size) and is still VERIFIED inside each group
-    # (min==max over the orderable array) — a violation raises rather
-    # than silently merging distinct vectors.
+    # (min ⇔ max over the orderable array, null-safe) — a violation
+    # raises rather than silently merging distinct vectors. Membership
+    # is a (rep_id, member_id) FRAME, not a per-group collect_list
+    # array (VERDICT r4 #1): a corpus with 10^6+ copies of one vector
+    # would otherwise put the whole group into a single aggregation
+    # row; as a frame it streams through joins.
     hashed = base.select(
-        "_id",
+        "member_id",
         "v",
         F.xxhash64("v").alias("_h1"),
         F.xxhash64(F.lit(0x9E3779B9), F.col("v")).alias("_h2"),
     )
-    reps = (
+    # reps feeds FOUR consumers (band coding, both pair-join sides,
+    # intra-group pairs) and the executed plan shows no exchange
+    # reuse across them — materialize once instead of recomputing
+    # the scan+hash+collapse per consumer. Measured at sf0.1:
+    # near_dups 2.15s -> 1.36s, clusters 4.19s -> 3.42s. Makes the
+    # operator eager at construction (same pattern as
+    # sampling.token_budget_sample's slim frame).
+    reps = materialize(
         hashed.groupBy("_h1", "_h2")
         .agg(
-            F.min("_id").alias("rep_id"),
-            F.collect_list("_id").alias("members"),
+            F.min("member_id").alias("rep_id"),
             F.min("v").alias("v"),
             F.max("v").alias("_vmax"),
         )
         .withColumn(
             "v",
-            F.when(F.col("v") == F.col("_vmax"), F.col("v")).otherwise(
+            F.when(F.col("v").eqNullSafe(F.col("_vmax")), F.col("v")).otherwise(
                 F.raise_error(
                     F.lit(
                         "embedding_near_dups: 128-bit vector-hash collision "
@@ -405,17 +421,15 @@ def embedding_near_dups(
                 )
             ),
         )
-        .drop("_h1", "_h2", "_vmax")
+        .drop("_vmax")
         .withColumn("_nrm", norm(F.col("v")))
-        # reps feeds FOUR consumers (band coding, both pair-join sides,
-        # intra-group pairs) and the executed plan shows no exchange
-        # reuse across them — materialize once instead of recomputing
-        # the scan+hash+collapse per consumer. Measured at sf0.1:
-        # near_dups 2.15s -> 1.36s, clusters 4.19s -> 3.42s. Makes the
-        # operator eager at construction (same pattern as
-        # sampling.token_budget_sample's slim frame).
-        .localCheckpoint(eager=True)
     )
+    members = materialize(
+        hashed.select("member_id", "_h1", "_h2")
+        .join(reps.select("_h1", "_h2", "rep_id"), ["_h1", "_h2"])
+        .select("rep_id", "member_id")
+    )
+    reps = reps.drop("_h1", "_h2")
     hp = srp_hyperplanes(dim, bits * bands, seed)
     coded = reps.select(
         "rep_id", srp_band_codes(F.col("v"), hp, bits, bands).alias("_codes")
@@ -433,13 +447,11 @@ def embedding_near_dups(
     )
     a = reps.select(
         F.col("rep_id").alias("ra"),
-        F.col("members").alias("ma"),
         F.col("v").alias("va"),
         F.col("_nrm").alias("na"),
     )
     b = reps.select(
         F.col("rep_id").alias("rb"),
-        F.col("members").alias("mb"),
         F.col("v").alias("vb"),
         F.col("_nrm").alias("nb"),
     )
@@ -451,12 +463,9 @@ def embedding_near_dups(
             F.round(dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6),
         )
         .where(F.col("sim") >= threshold)
-        .select(
-            F.explode("ma").alias("xa"), F.col("mb"), F.col("sim")
-        )
-        .select(
-            F.col("xa"), F.explode("mb").alias("xb"), F.col("sim")
-        )
+        .select("ra", "rb", "sim")
+        .join(_member_side(members, "ra", "xa"), "ra")
+        .join(_member_side(members, "rb", "xb"), "rb")
         .select(
             F.least("xa", "xb").alias("a_id"),
             F.greatest("xa", "xb").alias("b_id"),
@@ -464,16 +473,16 @@ def embedding_near_dups(
         )
     )
     # pairs WITHIN an exact-duplicate group: same expression the naive
-    # join would evaluate for two identical vectors (≈1.0, NaN-safe)
+    # join would evaluate for two identical vectors (≈1.0, NaN-safe);
+    # expanded by a membership self-join, never a per-group array
+    intra_sims = reps.withColumn(
+        "sim",
+        F.round(dot(F.col("v"), F.col("v")) / (F.col("_nrm") * F.col("_nrm")), 6),
+    ).where(F.col("sim") >= threshold)
     intra = (
-        reps.where(F.size("members") > 1)
-        .withColumn(
-            "sim",
-            F.round(dot(F.col("v"), F.col("v")) / (F.col("_nrm") * F.col("_nrm")), 6),
-        )
-        .where(F.col("sim") >= threshold)
-        .select(F.explode("members").alias("xa"), F.col("members"), F.col("sim"))
-        .select("xa", F.explode("members").alias("xb"), "sim")
+        _member_side(members, "rep_id", "xa")
+        .join(intra_sims.select("rep_id", "sim"), "rep_id")
+        .join(_member_side(members, "rep_id", "xb"), "rep_id")
         .where(F.col("xa") < F.col("xb"))
         .select(F.col("xa").alias("a_id"), F.col("xb").alias("b_id"), "sim")
     )

@@ -24,10 +24,21 @@ def _salt_column(df: DataFrame, salt: int) -> Column:
     """Uniform salt in [0, salt): hash of (row position, row content).
 
     `monotonically_increasing_id` = (partition id << 33) | row index —
-    per-row entropy that differs even across identical duplicate rows,
-    and is replayed identically when a task retries (unlike `rand()`).
+    per-row entropy that differs even across identical duplicate rows.
     Content columns are mixed in so the salt stays well-spread even
-    under single-partition inputs."""
+    under single-partition inputs.
+
+    Retry caveat: a position-derived salt replays identically on task
+    retry ONLY when intra-partition row order is deterministic (file
+    scans, narrow deterministic pipelines). Immediately downstream of a
+    shuffle whose read order is not stable (`repartition()`, shuffled
+    joins), a fetch-failure recomputation can reassign salts — the
+    SPARK-23207 hazard class, which a pure content hash is immune to.
+    Materialize the input (see `operators.materialize`) before salting
+    if its order is not deterministic; the identical-duplicate
+    scattering is worth that constraint (a content-only salt sends all
+    copies of a hot duplicate row to one reducer, silently disabling
+    the mitigation)."""
     return F.pmod(
         F.xxhash64(
             F.monotonically_increasing_id(),
@@ -57,14 +68,15 @@ def salted_join(
 
     The salt mixes the row's physical position (partition id + row
     index via `monotonically_increasing_id`) with its content — never
-    `rand()`. Position-derived salt is still deterministic under task
-    retry (a recomputed split replays the same ids, so no
-    SPARK-23207-style retry corruption), and — unlike a pure
-    content hash — it scatters a hot key even when its rows are
-    IDENTICAL duplicates, the dominant shape in dedup-bound corpora
-    (a content-only salt sent all copies to one reducer, silently
+    `rand()` — so a hot key scatters even when its rows are IDENTICAL
+    duplicates, the dominant shape in dedup-bound corpora (a
+    content-only salt sent all copies to one reducer, silently
     disabling the mitigation). Which salt a row draws never affects
-    results: every small-side key exists at every salt value.
+    results: every small-side key exists at every salt value. The
+    position term is deterministic under retry only when `big`'s
+    intra-partition order is — see `_salt_column`'s retry caveat; for
+    inputs straight out of a nondeterministic shuffle, materialize
+    first.
     """
     if how not in ("inner", "left", "left_outer", "left_semi"):
         raise ValueError(

@@ -3245,7 +3245,7 @@ def q_token_budget_sample(spark, sf_dir):
     kept = token_budget_sample(docs, 1000)
     return kept.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs_kept"),
-        F.sum("_nt").cast("bigint").alias("n_tokens_kept"),
+        F.sum("n_tokens").cast("bigint").alias("n_tokens_kept"),
     )
 
 
@@ -3298,56 +3298,59 @@ def q_embedding_clusters(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 _DRIVER_PRIORITY = [
-    # Round-4 rotation (VERDICT r3 #9): the r3 window verified the whole
-    # LLM-pipeline surface, leaving the event/TPC-H block with only r1/r2
-    # driver rows + the judge's rerun.  Swap: the 35 queries absent from
-    # CORRECTNESS_r03.json now occupy the window...
-    "q_session_stats",
-    "q_event_count_window",
-    "q_event_distinct_window",
-    "q_event_sum_window",
-    "q_days_since_latest",
-    "q_days_since_earliest",
-    "q_previous_interactions",
-    "q_chords",
-    "q_chord_path",
-    "q_chord_path_all",
-    "q_unique_path",
-    "q_pivot_chord",
-    "q_full_paths",
-    "q_collapse_runs",
-    "q_top_customers",
-    "q_tpch_q2",
-    "q_tpch_q3",
-    "q_tpch_q4",
-    "q_tpch_q5",
-    "q_tpch_q6",
-    "q_tpch_q7",
-    "q_tpch_q8",
-    "q_tpch_q9",
-    "q_tpch_q10",
-    "q_tpch_q11",
-    "q_tpch_q12",
-    "q_tpch_q13",
-    "q_tpch_q14",
-    "q_tpch_q15",
-    "q_tpch_q16",
-    "q_tpch_q17",
-    "q_tpch_q18",
-    "q_tpch_q19",
-    "q_tpch_q20",
-    "q_tpch_q22",
-    # ...plus every query whose code path CHANGED this round (must be
-    # re-proven by the driver, not carried on stale evidence):
-    "q_token_budget_sample",   # sampling.py slim-frame rewrite
-    "q_embedding_near_dups",   # similarity.py scalar-hash collapse
-    "q_embedding_clusters",    # similarity.py + resolve.py probing
-    "q_dedup_clusters",        # resolve.py probing changes
-    "q_entity_resolution",     # resolve.py probing changes
+    # Round-5 rotation: the 35 queries absent from CORRECTNESS_r04.json
+    # (the LLM-pipeline surface, last driver-verified in r3) take the
+    # window back.  Four of them ALSO changed this round (q_minhash_pairs,
+    # q_dedup_pipeline, q_simhash_near_dups via the membership-frame
+    # collapse; q_quality_buckets via the slim global_ntile), so they are
+    # double-motivated.
+    "q_current_events",
+    "q_link_customer_order",
+    "q_satellite_classify",
+    "q_tpch_q1",
+    "q_star_dim_order_priority",
+    "q_pivot_registry",
+    "q_tpch_q21",
+    "q_doc_fingerprint",
+    "q_dedup_exact",
+    "q_token_count",
+    "q_text_quality",
+    "q_lang_id",
+    "q_minhash_bands",
+    "q_minhash_pairs",
+    "q_ngram_jaccard",
+    "q_dedup_pipeline",
+    "q_simhash_near_dups",
+    "q_binary_meta",
+    "q_embedding_topk",
+    "q_embedding_ann_lsh",
+    "q_repetition",
+    "q_decontaminate",
+    "q_redact_pii",
+    "q_quality_filter",
+    "q_asof_purchase",
+    "q_interval_join",
+    "q_time_rollup",
+    "q_attribution",
+    "q_ivf_assign",
+    "q_boilerplate",
+    "q_corpus_stats",
+    "q_vocab_topk",
+    "q_mixture_sample",
+    "q_quality_buckets",
+    "q_chunk_documents",
+    # ...plus every other query whose code path CHANGED this round
+    # (membership-frame collapse in dedup/similarity, materialize()
+    # knob in resolve/sampling, n_tokens rename) — re-proven by the
+    # driver, not carried on stale evidence:
+    "q_token_budget_sample",   # n_tokens rename + materialize knob
+    "q_embedding_near_dups",   # membership-frame collapse + null filter
+    "q_embedding_clusters",    # similarity collapse + resolve materialize
+    "q_dedup_clusters",        # minhash_dedup_edges star via members frame
+    "q_entity_resolution",     # resolve.py materialize switch
     # ...plus one representative per remaining family so each keeps a
-    # fresh row (all double-green in r3: driver artifact + judge rerun).
+    # fresh row (all green in r4's driver artifact).
     "q_vault_full_cycle",
-    "q_hub_customer",
     "q_star_fact_order_counts",
     "q_sessionize",
     "q_pivot_snapshot",
@@ -3356,6 +3359,7 @@ _DRIVER_PRIORITY = [
     "q_dq_assertion",
     "q_pack_chunks",
     "q_image_meta",
+    "q_top_customers",
 ]
 
 _ordered = {n: QUERIES[n] for n in _DRIVER_PRIORITY if n in QUERIES}

@@ -1,0 +1,159 @@
+"""Cluster-hardening tests (round 5): the materialization durability
+knob, membership-frame collapse under extreme duplication, and
+null-input safety of the 128-bit collapse verify."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from featurestore_spark.operators.dedup import (
+    dedup_keep_docs,
+    minhash_candidate_pairs,
+    minhash_dedup_edges,
+    simhash_near_dups,
+)
+from featurestore_spark.operators.materialize import MATERIALIZE_CONF, materialize
+
+
+@pytest.fixture()
+def small_docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog today"),
+        (1, "the quick brown fox jumps over the lazy dog today"),
+        (2, "completely different content about query engines"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_materialize_unknown_mode_raises(spark, small_docs):
+    spark.conf.set(MATERIALIZE_CONF, "bogus")
+    try:
+        with pytest.raises(ValueError, match="bogus"):
+            materialize(small_docs)
+    finally:
+        spark.conf.unset(MATERIALIZE_CONF)
+
+
+def test_materialize_reliable_requires_checkpoint_dir(spark, small_docs):
+    if spark.sparkContext.getCheckpointDir() is not None:
+        pytest.skip("checkpoint dir already set by another test")
+    spark.conf.set(MATERIALIZE_CONF, "reliable")
+    try:
+        with pytest.raises(ValueError, match="setCheckpointDir"):
+            materialize(small_docs)
+    finally:
+        spark.conf.unset(MATERIALIZE_CONF)
+
+
+def test_materialize_modes_equivalent(spark, small_docs, tmp_path):
+    """Every durability mode must produce identical operator results —
+    the knob changes WHERE blocks live, never what is computed."""
+    from featurestore_spark.operators.sampling import global_ntile
+
+    def run():
+        kept = sorted(
+            r["doc_id"] for r in dedup_keep_docs(small_docs, bands=8).collect()
+        )
+        buckets = {
+            r["doc_id"]: r["b"]
+            for r in global_ntile(
+                small_docs.select("doc_id"), ["doc_id"], 2, bucket_col="b"
+            ).collect()
+        }
+        return kept, buckets
+
+    baseline = run()
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
+    for mode in ("reliable", "disk"):
+        spark.conf.set(MATERIALIZE_CONF, mode)
+        try:
+            assert run() == baseline, mode
+        finally:
+            spark.conf.unset(MATERIALIZE_CONF)
+
+
+def test_collapse_handles_null_texts(spark, small_docs):
+    """A corpus containing null texts must not trip the hash-collision
+    guard (null-safe min/max compare, ADVICE r4): the null rows form
+    their own exact-duplicate group."""
+    with_nulls = small_docs.unionByName(
+        spark.createDataFrame([(100, None), (101, None)], "doc_id long, text string")
+    )
+    pairs = {
+        (r["a_id"], r["b_id"])
+        for r in minhash_candidate_pairs(
+            with_nulls, bands=8, collapse_exact=True
+        ).collect()
+    }
+    assert (100, 101) in pairs  # identical (null) texts are exact dups
+    assert (0, 1) in pairs
+    sh = {
+        (r["a_id"], r["b_id"]): r["hamming"]
+        for r in simhash_near_dups(with_nulls, max_hamming=3).collect()
+    }
+    assert sh[(100, 101)] == 0
+
+
+def test_collapse_handles_null_vectors(spark):
+    from featurestore_spark.operators.similarity import embedding_near_dups
+
+    vecs = spark.createDataFrame(
+        [(0, [1.0, 2.0]), (1, [1.0, 2.0]), (2, None), (3, None)],
+        "vec_id long, embedding array<double>",
+    )
+    rows = {
+        (r["a_id"], r["b_id"]): r["sim"]
+        for r in embedding_near_dups(vecs, threshold=0.99, dim=2).collect()
+    }
+    # null vectors have null similarity -> no pair, but no crash either
+    assert rows == {(0, 1): 1.0}
+
+
+def test_giant_duplicate_group_streams(spark):
+    """ONE text replicated 10^6 times (VERDICT r4 #1): membership is a
+    (rep_id, member_id) frame, so no single aggregation row carries the
+    group. The linear-output operators must complete with exact
+    counts."""
+    n = 1_000_000
+    replicas = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.lit("boilerplate cookie banner text accepted by everyone").alias("text"),
+    )
+    distinct = spark.createDataFrame(
+        [
+            (n + 1, "a genuinely unique document about spark internals"),
+            (n + 2, "another unique document entirely unrelated to it"),
+        ],
+        ["doc_id", "text"],
+    )
+    d = replicas.unionByName(distinct)
+
+    # star edges: one per non-representative member of the giant group
+    edges = minhash_dedup_edges(d, bands=8)
+    assert edges.count() == n - 1
+
+    # keep set: one doc per distinct text (no verified near-dups here)
+    kept = dedup_keep_docs(d, bands=8)
+    assert sorted(r["doc_id"] for r in kept.collect()) == [0, n + 1, n + 2]
+
+
+def test_global_ntile_rejects_bucket_col_clash(spark):
+    from featurestore_spark.operators.sampling import global_ntile
+
+    df = spark.range(10).select(F.col("id"), F.lit(1).alias("b"))
+    with pytest.raises(ValueError, match="collide"):
+        global_ntile(df, ["id"], 2, bucket_col="b")
+
+
+def test_token_budget_sample_exposes_n_tokens(spark):
+    """Public output column is `n_tokens`, not an underscore-internal
+    name (VERDICT r4 #5)."""
+    from featurestore_spark.operators.sampling import token_budget_sample
+
+    df = spark.createDataFrame(
+        [(1, "web", "one two three"), (2, "web", "four five six")],
+        ["doc_id", "source", "text"],
+    )
+    out = token_budget_sample(df, 100)
+    assert "n_tokens" in out.columns
+    assert not any(c.startswith("_") for c in out.columns)
+    assert {r["n_tokens"] for r in out.collect()} == {3}
