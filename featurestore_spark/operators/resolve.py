@@ -34,6 +34,7 @@ def connected_components(
     max_iterations: int = 20,
     checkpoint_every: int = 1,
     probe_every: int = 2,
+    shortcut_after: int = 5,
 ) -> DataFrame:
     """(id, component) — component = min id reachable (label
     propagation / "small-star" style contraction).
@@ -44,6 +45,23 @@ def connected_components(
     anything" — probing across k rounds is exact, not a heuristic.
     Each skipped probe saves one Spark job; rounds still checkpoint
     every `checkpoint_every` so lineage stays flat either way.
+
+    `shortcut_after`: plain min-propagation advances labels ONE hop
+    per round — a path of diameter D needs D rounds (measured: a
+    10^4-node chain would run for hours; PLANS.md r5). From round
+    `shortcut_after` onward each round adds a pointer-jumping step,
+    comp(u) ← comp(comp(u)) — one extra self-join on the slim label
+    frame that HALVES the remaining depth, so convergence is
+    O(shortcut_after + log D). The threshold exists because the
+    near-dup/crosswalk graphs this serves have tiny diameters and
+    converge in 2-4 rounds — they never pay for the extra join
+    (path-halving from round 0 was measured slower on exactly those
+    graphs) — while anything still unconverged after `shortcut_after`
+    rounds is deep and needs the logarithmic gear. 0 = always jump;
+    a value ≥ max_iterations restores pure one-hop propagation.
+    Jumps keep labels within the component and monotone
+    non-increasing, so convergence probes and the fixed point are
+    unchanged.
 
     Warns if `max_iterations` is exhausted while labels were still
     changing (component diameter > max_iterations): the returned
@@ -92,10 +110,21 @@ def connected_components(
             .groupBy("id")
             .agg(F.min("component").alias("component"))
         )
-        # (path-halving via a propagated⋈propagated self-join was
-        # measured SLOWER here: the unmaterialized self-join computes
-        # each round twice, costing more than the rounds it saves on
-        # the short chains these near-dup graphs produce.)
+        if i >= shortcut_after:
+            # pointer jump: comp(u) ← comp(comp(u)). Every label value
+            # is itself a node id with a label row, so the mapping
+            # join is total; the jump target is in u's component and
+            # ≤ the current label (monotone). Halves remaining depth.
+            new_labels = (
+                new_labels.join(
+                    new_labels.select(
+                        F.col("id").alias("component"),
+                        F.col("component").alias("_jump"),
+                    ),
+                    "component",
+                )
+                .select("id", F.col("_jump").alias("component"))
+            )
         final = i + 1 == max_iterations
         probing = (i + 1) % probe_every == 0 or final
         # materialize BEFORE any probe so the probe job reads this

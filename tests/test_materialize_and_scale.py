@@ -136,6 +136,32 @@ def test_giant_duplicate_group_streams(spark):
     assert sorted(r["doc_id"] for r in kept.collect()) == [0, n + 1, n + 2]
 
 
+def test_global_ntile_joinback_with_payload_columns(spark):
+    """When df carries columns beyond the order key (the wide-corpus
+    case), only the slim order-key frame materializes and buckets join
+    back — result must still equal window ntile row for row, payload
+    intact."""
+    from pyspark.sql import Window
+
+    from featurestore_spark.operators.sampling import global_ntile
+
+    df = spark.range(997).select(
+        F.col("id"),
+        (F.col("id") * 13 % 100).alias("score"),
+        F.concat(F.lit("payload-"), F.col("id")).alias("text"),
+    )
+    w = Window.orderBy("score", "id")
+    want = {
+        (r["id"], r["text"]): r["b"]
+        for r in df.withColumn("b", F.ntile(5).over(w)).collect()
+    }
+    got = {
+        (r["id"], r["text"]): r["b"]
+        for r in global_ntile(df, ["score", "id"], 5, bucket_col="b").collect()
+    }
+    assert got == want
+
+
 def test_global_ntile_rejects_bucket_col_clash(spark):
     from featurestore_spark.operators.sampling import global_ntile
 

@@ -170,6 +170,51 @@ def test_connected_components_final_round_convergence_not_misreported(spark):
     assert set(labels.values()) == {0}
 
 
+def test_connected_components_shortcut_converges_deep_chain(spark):
+    """A 200-node chain (diameter 200) must converge within the DEFAULT
+    max_iterations=20: pointer jumping kicks in after `shortcut_after`
+    rounds and halves the remaining depth each round (round 5 measured
+    on a 10^4 chain: 11s vs an extrapolated ~33min one-hop; PLANS.md).
+    Pure one-hop propagation on the same graph must exhaust."""
+    import warnings as w
+
+    n = 200
+    edges = spark.createDataFrame([(i, i + 1) for i in range(n - 1)], ["src", "dst"])
+    with w.catch_warnings(record=True) as caught:
+        w.simplefilter("always")
+        comp = connected_components(edges)  # defaults: 20 rounds, jump@5
+        labels = {r["id"]: r["component"] for r in comp.collect()}
+    assert not any("max_iterations" in str(c.message) for c in caught)
+    assert set(labels.values()) == {0} and len(labels) == n
+    # disabling the shortcut restores pure one-hop: 20 rounds < 199 hops
+    with w.catch_warnings(record=True) as caught:
+        w.simplefilter("always")
+        partial = connected_components(edges, shortcut_after=10**9)
+        plabels = {r["id"]: r["component"] for r in partial.collect()}
+    assert any("max_iterations" in str(c.message) for c in caught)
+    assert len(set(plabels.values())) > 1
+
+
+def test_connected_components_shortcut_equals_one_hop(spark):
+    """Jumping must not change the fixed point: same labels as pure
+    one-hop propagation on a multi-component random graph."""
+    import random
+
+    rng = random.Random(13)
+    edges = [(rng.randrange(60), rng.randrange(60)) for _ in range(80)]
+    e = spark.createDataFrame(edges, ["src", "dst"])
+    jump = {
+        r["id"]: r["component"]
+        for r in connected_components(e, shortcut_after=0).collect()
+    }
+    onehop = {
+        r["id"]: r["component"]
+        for r in connected_components(e, max_iterations=70,
+                                      shortcut_after=10**9).collect()
+    }
+    assert jump == onehop
+
+
 def test_connected_components_validates_probe_and_checkpoint(spark):
     edges = spark.createDataFrame([(0, 1)], ["src", "dst"])
     import pytest
