@@ -134,9 +134,9 @@ def _intra_group_pairs(members: DataFrame) -> DataFrame:
     """(a_id, b_id) for every pair WITHIN a duplicate group: a self-
     equi-join on rep_id with a<b. Output is inherently quadratic in
     the dup factor (the pair list is the product), but it streams
-    through the join — no row ever carries a whole group (the
-    `bucket_member_pairs`-over-members form built all O(g^2) structs
-    inside one row before its explode, ADVICE r4)."""
+    through the join — no row ever carries a whole group (the prior
+    in-row pair-array form built all O(g^2) structs inside one row
+    before its explode, ADVICE r4)."""
     return (
         _member_side(members, "rep_id", "xa")
         .join(_member_side(members, "rep_id", "xb"), "rep_id")
@@ -320,14 +320,28 @@ def minhash_candidate_pairs(
             bands, ", ".join(f"'{i}', band_{i}" for i in range(bands))
         ),
     )
-    buckets = (
-        melted.groupBy("band_idx", "band_hash")
-        .agg(F.sort_array(F.collect_list(id_col)).alias("_ids"))
-        .where((F.size("_ids") >= 2) & (F.size("_ids") <= max_bucket))
+    # Bucket sizing via a window COUNT (never a collect_list array: a
+    # degenerate band bucket with 10^7 members would build the whole
+    # array in one aggregation buffer BEFORE the size filter could
+    # drop it — the same single-row bound the membership-frame rewrite
+    # removed elsewhere); oversized buckets cost a spilled single-key
+    # sort, not executor memory. The filtered slim frame is
+    # materialized so the shingle→signature pass runs ONCE — Spark's
+    # ReuseExchange does not fire across the self-join's two sides
+    # (verified on the executed plan), so without the barrier each
+    # side would recompute the signatures.
+    w = Window.partitionBy("band_idx", "band_hash")
+    inb = materialize(
+        melted.withColumn("_bn", F.count(F.lit(1)).over(w)).where(
+            (F.col("_bn") >= 2) & (F.col("_bn") <= max_bucket)
+        )
     )
+    pa = inb.select("band_idx", "band_hash", F.col(id_col).alias("a_id"))
+    pb = inb.select("band_idx", "band_hash", F.col(id_col).alias("b_id"))
     return (
-        buckets.select(F.explode(bucket_member_pairs(F.col("_ids"))).alias("p"))
-        .select(F.col("p.a_id"), F.col("p.b_id"))
+        pa.join(pb, ["band_idx", "band_hash"])
+        .where(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
         .distinct()
     )
 
@@ -439,22 +453,6 @@ def dedup_keep_docs(
         drops = drops.unionByName(intra.select("member_id"))
     drops = drops.distinct().withColumnRenamed("member_id", id_col)
     return df.join(drops, id_col, "left_anti")
-
-
-def bucket_member_pairs(ids: Column) -> Column:
-    """All ordered (a_id, b_id) pairs within a sorted bucket-member
-    array: for each position i, pair ids[i] with every later element —
-    pure array combinatorics, expanded with one explode by the caller
-    (shared by MinHash banding and embedding SRP blocking)."""
-    return F.flatten(
-        F.transform(
-            ids,
-            lambda a, i: F.transform(
-                F.slice(ids, i + 2, _SLICE_REST),
-                lambda bb: F.struct(a.alias("a_id"), bb.alias("b_id")),
-            ),
-        )
-    )
 
 
 # -- n-gram Jaccard -----------------------------------------------------------

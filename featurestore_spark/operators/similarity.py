@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from featurestore_spark.operators.dedup import _member_side, bucket_member_pairs
+from featurestore_spark.operators.dedup import _member_side
 from featurestore_spark.operators.materialize import materialize
 
 
@@ -435,14 +435,22 @@ def embedding_near_dups(
         "rep_id", srp_band_codes(F.col("v"), hp, bits, bands).alias("_codes")
     )
     melted = coded.select("rep_id", F.posexplode("_codes").alias("band_idx", "_code"))
-    buckets = (
-        melted.groupBy("band_idx", "_code")
-        .agg(F.sort_array(F.collect_list("rep_id")).alias("_ids"))
-        .where((F.size("_ids") >= 2) & (F.size("_ids") <= max_bucket))
+    # window COUNT + self-join, never a collect_list bucket array (see
+    # minhash_candidate_pairs: the array would materialize in one row
+    # BEFORE the size filter); materialized so the SRP UDF runs once —
+    # ReuseExchange does not fire across the self-join's sides.
+    wb = Window.partitionBy("band_idx", "_code")
+    inb = materialize(
+        melted.withColumn("_bn", F.count(F.lit(1)).over(wb)).where(
+            (F.col("_bn") >= 2) & (F.col("_bn") <= max_bucket)
+        )
     )
     cand = (
-        buckets.select(F.explode(bucket_member_pairs(F.col("_ids"))).alias("p"))
-        .select(F.col("p.a_id").alias("ra"), F.col("p.b_id").alias("rb"))
+        inb.select("band_idx", "_code", F.col("rep_id").alias("ra"))
+        .join(inb.select("band_idx", "_code", F.col("rep_id").alias("rb")),
+              ["band_idx", "_code"])
+        .where(F.col("ra") < F.col("rb"))
+        .select("ra", "rb")
         .distinct()
     )
     a = reps.select(
