@@ -395,7 +395,13 @@ def paths(
     """Per-entity event path: event types joined in time order
     (eventFunctions.scala:338-343). `concat_ws` over an ordered
     collect — sort happens inside the per-entity group (array_sort on
-    (ts, type) structs keeps it deterministic), not a global sort."""
+    (ts, type) structs keeps it deterministic), not a global sort.
+
+    The per-group collect is inherent here — the OUTPUT row is the
+    whole path string, so its size equals the group's; unlike the
+    dedup membership arrays there is no smaller representation. Bound
+    pathological entities upstream (e.g. sessionize + per-session
+    paths) if per-entity event counts are unbounded."""
     struct_cols = [F.col(ts_col)] + [F.col(c) for c in tiebreak_cols] + [F.col(type_col)]
     ordered = F.array_sort(F.collect_list(F.struct(*struct_cols)))
     if not ascending:
