@@ -173,6 +173,7 @@ def resolve_entities(
     confidence_col: str | None = "confidence",
     min_confidence: float = 0.0,
     max_iterations: int = 20,
+    shortcut_after: int = 5,
 ) -> DataFrame:
     """Canonical entity per id across mapping tables: edges above the
     confidence floor, components labeled by min entity id.
@@ -180,13 +181,15 @@ def resolve_entities(
     Returns (entity_id, canonical_id) for every id seen in a mapping
     (CustomerResolver intent: find the target id of type X reachable
     with confidence ≥ c; here: canonical representative + join back).
+    `shortcut_after` forwards to `connected_components` (pointer
+    jumping for deep crosswalk chains).
     """
     edges = mappings
     if confidence_col is not None and confidence_col in mappings.columns:
         edges = edges.where(F.col(confidence_col) >= min_confidence)
     comp = connected_components(
         edges.select(src_col, dst_col), src_col=src_col, dst_col=dst_col,
-        max_iterations=max_iterations,
+        max_iterations=max_iterations, shortcut_after=shortcut_after,
     )
     return comp.select(
         F.col("id").alias("entity_id"), F.col("component").alias("canonical_id")

@@ -1,0 +1,66 @@
+#!/usr/bin/env python3
+"""Standalone per-query micro-benchmark: warm medians in ONE JVM.
+
+The whole-bench harness (bench.py) measures every query in one long
+process; on this host its per-query numbers carry documented run-to-run
+variance (PLANS.md "bench methodology"), so apparent regressions must
+be cross-checked standalone before acting. This tool is that check:
+
+  python3 tools/micro_bench.py q_minhash_pairs q_dedup_clusters
+  python3 tools/micro_bench.py --sf /tmp/sf1_derived --repeats 5 q_simhash_near_dups
+
+Prints per-query run lists + the median (first run includes JIT/scan
+warmup — judge by the median, or pass --drop-first).
+"""
+
+from __future__ import annotations
+
+import argparse
+import statistics
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("queries", nargs="+")
+    ap.add_argument("--sf", default="/root/testdata/sf0.1")
+    ap.add_argument("--cpus", type=int, default=32)
+    ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--drop-first", action="store_true",
+                    help="exclude run 1 (warmup) from the median")
+    args = ap.parse_args()
+
+    from featurestore_spark.queries.catalog import QUERIES
+    from featurestore_spark.session import get_spark
+
+    unknown = [q for q in args.queries if q not in QUERIES]
+    if unknown:
+        print(f"unknown queries: {unknown}", file=sys.stderr)
+        return 2
+    spark = get_spark(
+        "micro_bench", master=f"local[{args.cpus}]",
+        shuffle_partitions=args.cpus,
+    )
+    for name in args.queries:
+        runs = []
+        for _ in range(args.repeats):
+            t0 = time.time()
+            QUERIES[name].spark(spark, args.sf).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            runs.append(time.time() - t0)
+            spark.sparkContext._jvm.System.gc()
+        scored = runs[1:] if args.drop_first and len(runs) > 1 else runs
+        print(
+            f"{name:30s} median {statistics.median(scored):6.2f}s  "
+            f"runs={[round(r, 2) for r in runs]}",
+            flush=True,
+        )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
