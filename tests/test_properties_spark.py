@@ -119,3 +119,57 @@ def test_repetition_metrics_match_counter(spark, docs_tokens):
         want = _rep_reference(toks)
         for field, expect in want.items():
             assert out[i][field] == expect, (i, field, toks)
+
+
+# -- exact-dup collapse: property equality vs the raw formulation ------------
+
+# Small text alphabet so random corpora contain many exact duplicates
+# (the regime the collapse machinery targets) AND near-dups (shared
+# words). Non-trivial token counts keep shingling meaningful.
+_words = st.sampled_from(["alpha", "beta", "gamma", "delta"])
+_texts = st.lists(_words, min_size=3, max_size=6).map(" ".join)
+corpus_rows = st.lists(_texts, min_size=2, max_size=18)
+
+
+@given(corpus_rows)
+@settings(**SPARK_SETTINGS)
+def test_collapse_pair_set_equals_raw_property(spark, texts):
+    """minhash_candidate_pairs(collapse_exact=True) == raw pair set on
+    random duplicate-heavy corpora (no bucket cap binding)."""
+    from featurestore_spark.operators.dedup import minhash_candidate_pairs
+
+    d = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    raw = {
+        (r["a_id"], r["b_id"])
+        for r in minhash_candidate_pairs(d, k=8, bands=4).collect()
+    }
+    collapsed = {
+        (r["a_id"], r["b_id"])
+        for r in minhash_candidate_pairs(
+            d, k=8, bands=4, collapse_exact=True
+        ).collect()
+    }
+    assert collapsed == raw
+
+
+@given(corpus_rows)
+@settings(**SPARK_SETTINGS)
+def test_dedup_keep_docs_equals_raw_property(spark, texts):
+    """dedup_keep_docs keep-set == raw LSH->verify->drop pipeline on
+    random duplicate-heavy corpora (no bucket cap binding)."""
+    from featurestore_spark.operators.dedup import (
+        dedup_keep_docs,
+        jaccard_pairs,
+        minhash_candidate_pairs,
+    )
+
+    d = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    cand = minhash_candidate_pairs(d, k=8, bands=4)
+    dups = jaccard_pairs(d, cand).where(F.col("jaccard") >= 0.8)
+    raw_drop = {r["b_id"] for r in dups.select("b_id").distinct().collect()}
+    raw_keep = set(range(len(texts))) - raw_drop
+    got = {
+        r["doc_id"]
+        for r in dedup_keep_docs(d, k=8, bands=4).select("doc_id").collect()
+    }
+    assert got == raw_keep
