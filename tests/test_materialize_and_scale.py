@@ -71,6 +71,34 @@ def test_materialize_modes_equivalent(spark, small_docs, tmp_path):
             spark.conf.unset(MATERIALIZE_CONF)
 
 
+def test_connected_components_reliable_mode(spark, tmp_path):
+    """The iterative CC loop materializes per round — in `reliable`
+    mode every round checkpoints to the checkpoint dir and the labels
+    must be identical to local mode (the 100-TB long-job shape)."""
+    from featurestore_spark.operators.resolve import connected_components
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (3, 4), (5, 5), (6, 7), (7, 8), (8, 9)],
+        ["src", "dst"],
+    )
+    want = {
+        r["id"]: r["component"] for r in connected_components(edges).collect()
+    }
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "cc_ckpt"))
+    spark.conf.set(MATERIALIZE_CONF, "reliable")
+    try:
+        got = {
+            r["id"]: r["component"]
+            for r in connected_components(edges).collect()
+        }
+    finally:
+        spark.conf.unset(MATERIALIZE_CONF)
+    assert got == want
+    # the reliable run actually wrote checkpoint data
+    ckpts = list((tmp_path / "cc_ckpt").rglob("*"))
+    assert ckpts, "no reliable checkpoint files written"
+
+
 def test_collapse_handles_null_texts(spark, small_docs):
     """A corpus containing null texts must not trip the hash-collision
     guard (null-safe min/max compare, ADVICE r4): the null rows form
