@@ -507,6 +507,13 @@ def with_simhash(
     """
     from pyspark.sql.functions import pandas_udf
 
+    # Worker-persistent token-hash cache: md5 is the per-row cost, and
+    # natural-language corpora reuse a small vocabulary — each executor
+    # python worker hashes a distinct token ONCE across all its
+    # batches. Bounded (cleared at 2^20 entries) so a high-cardinality
+    # token stream (random ids) cannot grow it without limit.
+    _TOKEN_CACHE_MAX = 1 << 20
+
     @pandas_udf("long")
     def _simhash(texts):
         import hashlib
@@ -514,19 +521,23 @@ def with_simhash(
         import numpy as np
         import pandas as pd
 
+        cache = _simhash_token_cache
         out = []
         for text in texts:
             toks = (text or "").lower().split()
             if not toks:
                 out.append(0)
                 continue
-            hashes = np.array(
-                [
-                    int(hashlib.md5(t.encode("utf-8")).hexdigest()[:16], 16)
-                    for t in toks
-                ],
-                dtype=np.uint64,
-            )
+            if len(cache) > _TOKEN_CACHE_MAX:
+                cache.clear()
+            vals = []
+            for t in toks:
+                h = cache.get(t)
+                if h is None:
+                    h = int(hashlib.md5(t.encode("utf-8")).hexdigest()[:16], 16)
+                    cache[t] = h
+                vals.append(h)
+            hashes = np.array(vals, dtype=np.uint64)
             bits = (hashes[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
             majority = bits.sum(axis=0) * 2 >= len(toks)
             val = 0
@@ -536,6 +547,11 @@ def with_simhash(
         return pd.Series(out)
 
     return df.withColumn(out_col, _simhash(F.col(text_col)))
+
+
+# module-level so every batch handled by one executor python worker
+# shares it (serialized into the UDF closure by reference)
+_simhash_token_cache: dict[str, int] = {}
 
 
 def hamming64(a: Column, b: Column) -> Column:

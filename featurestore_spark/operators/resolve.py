@@ -32,7 +32,7 @@ def connected_components(
     src_col: str = "src",
     dst_col: str = "dst",
     max_iterations: int = 20,
-    checkpoint_every: int = 1,
+    checkpoint_every: int = 2,
     probe_every: int = 2,
     shortcut_after: int = 5,
 ) -> DataFrame:
@@ -43,8 +43,12 @@ def connected_components(
     Labels are monotone non-increasing under min-propagation, so
     "unchanged since the last probe" ⇔ "no round in between changed
     anything" — probing across k rounds is exact, not a heuristic.
-    Each skipped probe saves one Spark job; rounds still checkpoint
-    every `checkpoint_every` so lineage stays flat either way.
+    Each skipped probe saves one Spark job; rounds still materialize
+    every `checkpoint_every` so lineage stays flat either way. The
+    default (2, matching probe_every) materializes exactly on probe
+    rounds: per-round materialization was measured pure overhead
+    (q_dedup_clusters 4.4s -> 3.6s at sf0.1), and the un-materialized
+    lineage between probes is bounded at checkpoint_every rounds.
 
     `shortcut_after`: plain min-propagation advances labels ONE hop
     per round — a path of diameter D needs D rounds (measured: a
