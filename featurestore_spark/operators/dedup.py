@@ -123,14 +123,14 @@ def _collapse_exact_texts(
     return groups.drop("_h1", "_h2"), members
 
 
-def _member_side(members: DataFrame, rep_as: str, member_as: str) -> DataFrame:
+def member_side(members: DataFrame, rep_as: str, member_as: str) -> DataFrame:
     """Rename helper for joining the membership frame onto pair lists."""
     return members.select(
         F.col("rep_id").alias(rep_as), F.col("member_id").alias(member_as)
     )
 
 
-def _intra_group_pairs(members: DataFrame) -> DataFrame:
+def intra_group_pairs(members: DataFrame) -> DataFrame:
     """(a_id, b_id) for every pair WITHIN a duplicate group: a self-
     equi-join on rep_id with a<b. Output is inherently quadratic in
     the dup factor (the pair list is the product), but it streams
@@ -138,8 +138,8 @@ def _intra_group_pairs(members: DataFrame) -> DataFrame:
     in-row pair-array form built all O(g^2) structs inside one row
     before its explode, ADVICE r4)."""
     return (
-        _member_side(members, "rep_id", "xa")
-        .join(_member_side(members, "rep_id", "xb"), "rep_id")
+        member_side(members, "rep_id", "xa")
+        .join(member_side(members, "rep_id", "xb"), "rep_id")
         .where(F.col("xa") < F.col("xb"))
         .select(F.col("xa").alias("a_id"), F.col("xb").alias("b_id"))
     )
@@ -274,14 +274,16 @@ def minhash_candidate_pairs(
 ) -> DataFrame:
     """Near-duplicate candidate pairs: documents sharing ≥1 band hash.
 
-    Shuffle pattern: melt to (band_idx, band_hash, id) → ONE groupBy
-    on the bucket key collecting member ids → in-bucket pair expansion
-    with array combinatorics (flatten of sliced transforms) → distinct
-    across bands. One wide shuffle instead of the window-count +
-    self-join formulation (3 shuffles). Buckets larger than
-    `max_bucket` (boilerplate) are dropped to bound the quadratic
-    blowup — exactly what the windowed guard did, now free with the
-    same groupBy.
+    Shuffle pattern: melt to (band_idx, band_hash, id) → window COUNT
+    over the bucket key (sizes without ever building a bucket array —
+    a collect_list would materialize a degenerate 10^7-member bucket
+    in ONE aggregation row before any size filter could drop it) →
+    materialize the filtered slim frame (signature pass runs once;
+    ReuseExchange does not fire across a self-join's sides) →
+    in-bucket self-equi-join with a<b → distinct across bands.
+    Buckets larger than `max_bucket` (boilerplate) are dropped to
+    bound the quadratic blowup; oversized buckets cost a spilled
+    single-key window sort, never executor memory.
 
     `collapse_exact=True` collapses exact-duplicate texts first and
     re-expands member pairs afterwards: the same pair set, but
@@ -305,14 +307,14 @@ def minhash_candidate_pairs(
             reps, text_col, id_col, n=n, k=k, bands=bands, max_bucket=max_bucket
         )
         cross = (
-            rep_pairs.join(_member_side(members, "a_id", "xa"), "a_id")
-            .join(_member_side(members, "b_id", "xb"), "b_id")
+            rep_pairs.join(member_side(members, "a_id", "xa"), "a_id")
+            .join(member_side(members, "b_id", "xb"), "b_id")
             .select(
                 F.least("xa", "xb").alias("a_id"),
                 F.greatest("xa", "xb").alias("b_id"),
             )
         )
-        return cross.unionByName(_intra_group_pairs(members))
+        return cross.unionByName(intra_group_pairs(members))
     b = minhash_bands(df, text_col, id_col, n=n, k=k, bands=bands)
     melted = b.selectExpr(
         id_col,
@@ -507,11 +509,15 @@ def with_simhash(
     """
     from pyspark.sql.functions import pandas_udf
 
-    # Worker-persistent token-hash cache: md5 is the per-row cost, and
-    # natural-language corpora reuse a small vocabulary — each executor
-    # python worker hashes a distinct token ONCE across all its
-    # batches. Bounded (cleared at 2^20 entries) so a high-cardinality
-    # token stream (random ids) cannot grow it without limit.
+    # Token-hash cache: md5 is the per-row cost, and natural-language
+    # corpora reuse a small vocabulary — hash each distinct token once
+    # per worker process. The cache is looked up on the WORKER by
+    # importing this module there (cloudpickle pickles the nested UDF
+    # by value, so a direct global reference would snapshot an empty
+    # dict per payload; the import resolves to the worker-process
+    # module instance, shared across tasks for the worker's lifetime).
+    # Bounded (cleared at 2^20 entries) so a high-cardinality token
+    # stream (random ids) cannot grow it without limit.
     _TOKEN_CACHE_MAX = 1 << 20
 
     @pandas_udf("long")
@@ -521,7 +527,12 @@ def with_simhash(
         import numpy as np
         import pandas as pd
 
-        cache = _simhash_token_cache
+        try:
+            from featurestore_spark.operators import dedup as _mod
+
+            cache = _mod._simhash_token_cache
+        except Exception:  # package not shipped to workers: per-task dict
+            cache = {}
         out = []
         for text in texts:
             toks = (text or "").lower().split()
@@ -549,8 +560,8 @@ def with_simhash(
     return df.withColumn(out_col, _simhash(F.col(text_col)))
 
 
-# module-level so every batch handled by one executor python worker
-# shares it (serialized into the UDF closure by reference)
+# worker-process-level cache: resolved by import INSIDE the UDF so
+# every task on a worker shares one dict (see with_simhash)
 _simhash_token_cache: dict[str, int] = {}
 
 
@@ -603,9 +614,16 @@ def simhash_near_dups(
     offsets = [sum(widths[:i]) for i in range(nb)]
 
     groups, members = _collapse_exact_texts(df, text_col, id_col, "simhash_near_dups")
-    sig = with_simhash(
-        groups.select("rep_id", F.col("_text").alias(text_col)), text_col
-    ).select("rep_id", "simhash")
+    # materialized: sig feeds both self-join sides (and the bucket
+    # census when max_bucket is set), ReuseExchange does not fire
+    # across them, and the SimHash UDF is the expensive stage — the
+    # barrier is what makes "the UDF runs once per distinct text"
+    # true (two longs per distinct text; review r5)
+    sig = materialize(
+        with_simhash(
+            groups.select("rep_id", F.col("_text").alias(text_col)), text_col
+        ).select("rep_id", "simhash")
+    )
     blocks = sig.select(
         "rep_id",
         "simhash",
@@ -647,15 +665,15 @@ def simhash_near_dups(
     # cross-group expansion: every member pair inherits its reps'
     # distance (signatures depend only on the text)
     cross = (
-        rep_pairs.join(_member_side(members, "ra", "xa"), "ra")
-        .join(_member_side(members, "rb", "xb"), "rb")
+        rep_pairs.join(member_side(members, "ra", "xa"), "ra")
+        .join(member_side(members, "rb", "xb"), "rb")
         .select(
             F.least("xa", "xb").alias("a_id"),
             F.greatest("xa", "xb").alias("b_id"),
             "hamming",
         )
     )
-    intra = _intra_group_pairs(members).withColumn(
+    intra = intra_group_pairs(members).withColumn(
         "hamming", F.lit(0).cast("int")
     )
     return cross.unionByName(intra)

@@ -9,21 +9,25 @@ jobs. `materialize()` is the single switch point for HOW that happens,
 selected by the Spark conf `spark.featurestore.materialize`:
 
 - ``local`` (default): `localCheckpoint(eager=True)`. Fastest — blocks
-  live in executor storage — but NON-REPLICATED and lineage-truncating:
-  on a real cluster, losing one executor mid-operator makes the blocks
-  unrecoverable and fails the job. The right default for local[*]
-  testing and short-lived jobs.
+  live in executor storage — but NON-REPLICATED: on a real cluster,
+  losing one executor mid-operator makes the blocks unrecoverable and
+  fails the job. The right default for local[*] testing and
+  short-lived jobs.
 - ``reliable``: `checkpoint(eager=True)` to the SparkContext checkpoint
   directory (call `sc.setCheckpointDir("hdfs://...")` first). Survives
   any executor loss; costs a write to distributed storage. The right
   mode for 100-TB runs where an operator holds materialized state for
   minutes-to-hours.
-- ``disk``: `persist(StorageLevel.DISK_ONLY_2)` + a forcing count.
-  Two on-cluster replicas AND intact lineage — a lost block is served
-  from the replica or recomputed — with no external storage dependency.
-  Note lineage is NOT truncated, so iterative callers (connected
-  components) re-analyze a growing plan each round; fine for the
-  bounded round counts used here.
+
+Both modes TRUNCATE lineage — a requirement, not an optimization:
+iterative consumers (connected components, whose pointer-jumping
+rounds self-join the label frame) grow the logical plan geometrically
+when lineage survives the barrier. A `persist(DISK_ONLY_2)`-based
+mode was tried and removed for exactly that reason: persist keeps the
+full logical plan, and a 30-round CC run OOMed the DRIVER during
+analysis (exponential tree) while also leaking CacheManager entries.
+Durability without external storage is not achievable with a
+lineage-truncating barrier, so there is no third mode.
 
 Set once on the session::
 
@@ -39,7 +43,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 MATERIALIZE_CONF = "spark.featurestore.materialize"
-_MODES = ("local", "reliable", "disk")
+_MODES = ("local", "reliable")
 
 
 def materialize(df: DataFrame) -> DataFrame:
@@ -55,12 +59,6 @@ def materialize(df: DataFrame) -> DataFrame:
                 "SparkContext.setCheckpointDir(...) to be set"
             )
         return df.checkpoint(eager=True)
-    if mode == "disk":
-        from pyspark import StorageLevel
-
-        persisted = df.persist(StorageLevel.DISK_ONLY_2)
-        persisted.count()  # force the blocks to exist now
-        return persisted
     raise ValueError(
         f"unknown {MATERIALIZE_CONF}={mode!r}; expected one of {_MODES}"
     )

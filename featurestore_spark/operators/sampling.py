@@ -138,14 +138,31 @@ def global_ntile(
     the join-back is skipped.
 
     Order must be TOTAL — `order_cols` must uniquely identify rows
-    (tie-break with a unique key column). Otherwise bucket assignment
-    at boundaries is nondeterministic AND the join-back multiplies
-    duplicate-key rows. Result matches
+    (tie-break with a unique key column); duplicate order keys raise
+    on the join-back path (a silent boundary nondeterminism before,
+    a row-multiplying join now — so it fails fast instead). Ascending
+    plain columns/expressions only: sort-order expressions
+    (`.desc()`/`.asc()`) cannot ride through the slim projection —
+    pass a precomputed inverse sort key (e.g. `-score`) for
+    descending buckets. Result matches
     `F.ntile(n).over(Window.orderBy(*order_cols))` row for row.
     Eager at construction (materializes the slim ranked frame once)."""
+    import re as _re
+
     if n_buckets < 1:
         raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
     cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    for c in cols:
+        # a SortOrder expression crashes codegen inside a projection
+        # (Spark 4 exposes no public way to decompose it) — reject it
+        # with guidance instead of an INTERNAL_ERROR at execution
+        if _re.search(r" (ASC|DESC) NULLS (FIRST|LAST)'?>?$", str(c)):
+            raise ValueError(
+                "global_ntile order_cols must be plain columns/"
+                f"expressions, not sort orders ({c}); for descending "
+                "order pass an inverse sort key (e.g. F.col('score') "
+                "* -1)"
+            )
     reserved = {"_mid", "_pid", "_m0", "_off", "_rank", bucket_col} | {
         f"_oc{i}" for i in range(len(cols))
     }
@@ -204,6 +221,23 @@ def global_ntile(
         return bucketed.select(
             *[F.col(f"_oc{idx[name]}").alias(name) for name in df.columns],
             bucket_col,
+        )
+    # join-back path: duplicate order keys would silently multiply
+    # rows — fail fast (one cheap aggregation on the materialized
+    # slim frame; the fast path above never joins, so ties there
+    # remain the documented boundary nondeterminism only)
+    dup = (
+        slim.groupBy(*ocs)
+        .count()
+        .where(F.col("count") > 1)
+        .limit(1)
+        .count()
+    )
+    if dup:
+        raise ValueError(
+            "global_ntile: order_cols do not uniquely identify rows — "
+            "the bucket join-back would duplicate rows; add a unique "
+            "tie-break column"
         )
     # join the slim assignment back onto the full rows by the (unique)
     # order key — null-safe so null-ordered rows still match

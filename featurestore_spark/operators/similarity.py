@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from featurestore_spark.operators.dedup import _member_side
+from featurestore_spark.operators.dedup import member_side
 from featurestore_spark.operators.materialize import materialize
 
 
@@ -472,8 +472,8 @@ def embedding_near_dups(
         )
         .where(F.col("sim") >= threshold)
         .select("ra", "rb", "sim")
-        .join(_member_side(members, "ra", "xa"), "ra")
-        .join(_member_side(members, "rb", "xb"), "rb")
+        .join(member_side(members, "ra", "xa"), "ra")
+        .join(member_side(members, "rb", "xb"), "rb")
         .select(
             F.least("xa", "xb").alias("a_id"),
             F.greatest("xa", "xb").alias("b_id"),
@@ -488,9 +488,9 @@ def embedding_near_dups(
         F.round(dot(F.col("v"), F.col("v")) / (F.col("_nrm") * F.col("_nrm")), 6),
     ).where(F.col("sim") >= threshold)
     intra = (
-        _member_side(members, "rep_id", "xa")
+        member_side(members, "rep_id", "xa")
         .join(intra_sims.select("rep_id", "sim"), "rep_id")
-        .join(_member_side(members, "rep_id", "xb"), "rep_id")
+        .join(member_side(members, "rep_id", "xb"), "rep_id")
         .where(F.col("xa") < F.col("xb"))
         .select(F.col("xa").alias("a_id"), F.col("xb").alias("b_id"), "sim")
     )

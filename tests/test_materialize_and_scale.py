@@ -63,12 +63,11 @@ def test_materialize_modes_equivalent(spark, small_docs, tmp_path):
 
     baseline = run()
     spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
-    for mode in ("reliable", "disk"):
-        spark.conf.set(MATERIALIZE_CONF, mode)
-        try:
-            assert run() == baseline, mode
-        finally:
-            spark.conf.unset(MATERIALIZE_CONF)
+    spark.conf.set(MATERIALIZE_CONF, "reliable")
+    try:
+        assert run() == baseline
+    finally:
+        spark.conf.unset(MATERIALIZE_CONF)
 
 
 def test_connected_components_reliable_mode(spark, tmp_path):
@@ -97,6 +96,25 @@ def test_connected_components_reliable_mode(spark, tmp_path):
     # the reliable run actually wrote checkpoint data
     ckpts = list((tmp_path / "cc_ckpt").rglob("*"))
     assert ckpts, "no reliable checkpoint files written"
+
+
+def test_materialize_truncates_lineage_for_iteration(spark):
+    """Both modes must TRUNCATE lineage: an iterative consumer whose
+    rounds self-join (CC pointer jumping) grows the logical plan
+    geometrically otherwise — a persist()-based mode OOMed the driver
+    during analysis on exactly this shape (review r5). A 30-round
+    chain must keep the final plan tiny."""
+    from featurestore_spark.operators.resolve import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)], ["src", "dst"]
+    )
+    out = connected_components(edges, max_iterations=40)
+    assert {r["component"] for r in out.collect()} == {0}
+    # post-materialization plan is rooted at the checkpoint, not the
+    # 30-round join tree
+    n_lines = len(out._jdf.queryExecution().analyzed().toString().splitlines())
+    assert n_lines < 20, n_lines
 
 
 def test_collapse_handles_null_texts(spark, small_docs):
@@ -211,3 +229,42 @@ def test_token_budget_sample_exposes_n_tokens(spark):
     assert "n_tokens" in out.columns
     assert not any(c.startswith("_") for c in out.columns)
     assert {r["n_tokens"] for r in out.collect()} == {3}
+
+
+def test_global_ntile_rejects_sort_order_expressions(spark):
+    """F.col(...).desc() crashes codegen inside the slim projection
+    (Spark 4 cannot decompose SortOrder) — reject with guidance
+    instead of an INTERNAL_ERROR at execution (review r5)."""
+    from featurestore_spark.operators.sampling import global_ntile
+
+    df = spark.range(10).select(F.col("id"), (F.col("id") % 3).alias("score"))
+    with pytest.raises(ValueError, match="sort order"):
+        global_ntile(df, [F.col("score").desc(), "id"], 2)
+    # the documented workaround: inverse sort key
+    from pyspark.sql import Window
+
+    want = {
+        r["id"]: r["b"]
+        for r in df.withColumn(
+            "b", F.ntile(2).over(Window.orderBy(F.col("score").desc(), "id"))
+        ).collect()
+    }
+    inv = df.withColumn("_negscore", F.col("score") * -1)
+    got = {
+        r["id"]: r["b"]
+        for r in global_ntile(inv, ["_negscore", "id"], 2, bucket_col="b")
+        .collect()
+    }
+    assert got == want
+
+
+def test_global_ntile_joinback_rejects_duplicate_keys(spark):
+    """Duplicate order keys would silently multiply rows through the
+    join-back — must raise instead (review r5)."""
+    from featurestore_spark.operators.sampling import global_ntile
+
+    df = spark.createDataFrame(
+        [(1, 5, "a"), (2, 5, "b"), (3, 6, "c")], ["id", "score", "payload"]
+    )
+    with pytest.raises(ValueError, match="uniquely"):
+        global_ntile(df, ["score"], 2)
