@@ -84,6 +84,7 @@ HEADLINE = [
     "q_image_meta",
     "q_simhash_near_dups",
     "q_dedup_pipeline",
+    "q_incremental_dedup",
     "q_top_customers",
     "q_vault_full_cycle",  # write-path throughput (real loader)
 ]

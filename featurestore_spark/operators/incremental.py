@@ -1,0 +1,221 @@
+"""Incremental corpus deduplication — dedup a NEW ingestion batch
+against a persisted MinHash signature index of the already-accepted
+corpus, without re-reading the corpus.
+
+This is the rolling-ingestion shape of the LSH dedup pipeline
+(`operators/dedup.py`): a 100-TB pretraining corpus is not deduped in
+one shot — batches arrive continuously, and re-running the full
+pairwise pipeline over corpus ∪ batch would re-shingle and re-shuffle
+the whole corpus per batch. Instead:
+
+1. `minhash_band_index(corpus)` is computed ONCE and persisted
+   (parquet, ideally bucketed by `band_hash`): one melted row
+   (doc_id, band_idx, band_hash) per band per DISTINCT corpus text —
+   ~bands × 40 bytes per distinct document, independent of document
+   length. At 10^10 docs × 4 bands that's ~2 TB — 2 % of the corpus,
+   and the only thing a batch ever joins against.
+2. `dedup_against_index(batch, index, base=…, threshold=…)` drops
+   batch docs that are near-dups of indexed texts. The batch is
+   exact-collapsed first (`_collapse_exact_texts`), so all band and
+   verify work is per DISTINCT batch text; the corpus is touched only
+   by the verify join, and only for the candidate rep ids — a
+   semi-join that prunes to a tiny fraction of the corpus (predicate
+   pushdown on the corpus table's id column).
+3. `extend_index(index, kept)` appends the accepted batch's bands so
+   the next batch dedups against corpus + this batch.
+
+Within-batch duplicates are deliberately out of scope — compose
+`dedup.dedup_keep_docs(batch)` BEFORE the against-index step (tested
+equivalence: index-dedup ∘ within-batch-dedup == restricting the
+full-corpus pipeline's keep set to the batch, when base ids precede
+batch ids and no `max_bucket` cap binds).
+
+The reference has no incremental surface (batch-only, SURVEY.md §2);
+this is net-new scale scope alongside the dedup family.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from featurestore_spark.operators.dedup import (
+    _collapse_exact_texts,
+    jaccard_pairs,
+    minhash_bands,
+)
+
+
+def _melt_bands(bands_df: DataFrame, id_col: str, bands: int) -> DataFrame:
+    """(id, band_0..band_{b-1}) → (id, band_idx, band_hash)."""
+    return bands_df.selectExpr(
+        id_col,
+        "stack({}, {}) as (band_idx, band_hash)".format(
+            bands, ", ".join(f"'{i}', band_{i}" for i in range(bands))
+        ),
+    )
+
+
+def minhash_band_index(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    n: int = 3,
+    k: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Melted band index over DISTINCT texts: (doc_id, band_idx,
+    band_hash), where doc_id is each exact-duplicate group's minimum
+    id. Persist this (parquet; bucket by band_hash for co-located
+    batch joins) — it is the only corpus-derived state a future batch
+    needs.
+
+    Lazy on purpose (unlike the dedup operators' eager collapse): the
+    index is built to be WRITTEN, a single linear consumer, so no
+    materialization barrier is needed. Exact-duplicate groups are
+    collapsed with the same verified 128-bit scalar hash as
+    `dedup._collapse_exact_texts` (two seeded xxhash64 longs, ties
+    checked, collision raises), inlined here without the eager
+    members frame."""
+    hashed = df.select(
+        F.col(id_col).alias("member_id"),
+        F.col(text_col).alias("_text"),
+        F.xxhash64(text_col).alias("_h1"),
+        F.xxhash64(F.lit(0x9E3779B9), F.col(text_col)).alias("_h2"),
+    )
+    reps = (
+        hashed.groupBy("_h1", "_h2")
+        .agg(
+            F.min("member_id").alias(id_col),
+            F.min("_text").alias("_text"),
+            F.max("_text").alias("_tmax"),
+        )
+        .withColumn(
+            "_text",
+            F.when(
+                F.col("_text").eqNullSafe(F.col("_tmax")), F.col("_text")
+            ).otherwise(
+                F.raise_error(
+                    F.lit(
+                        "minhash_band_index: 128-bit text-hash collision "
+                        "on distinct texts"
+                    )
+                )
+            ),
+        )
+        .select(id_col, F.col("_text").alias(text_col))
+    )
+    b = minhash_bands(reps, text_col, id_col, n=n, k=k, bands=bands)
+    return _melt_bands(b, id_col, bands)
+
+
+def dedup_against_index(
+    batch: DataFrame,
+    index: DataFrame,
+    *,
+    base: DataFrame | None = None,
+    threshold: float | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    k: int = 16,
+    bands: int = 4,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Drop batch docs that are near-duplicates of the indexed corpus;
+    returns the KEPT batch rows (all columns).
+
+    Two modes:
+    - **band-only** (`threshold=None`): a batch doc drops iff its text
+      shares ≥1 band hash with the index — the cheap high-recall mode
+      (LSH false positives drop too; acceptable when the corpus is
+      authoritative and the batch expendable).
+    - **verified** (`threshold` + `base`): band collisions are
+      verified with exact n-gram Jaccard against the colliding base
+      documents; a batch doc drops iff some verified near-dup
+      (jaccard ≥ threshold) exists. Only candidate rep ids' texts are
+      read from `base` — at scale an id-pushdown semi-join, not a
+      corpus scan. Exact duplicates of indexed texts drop in both
+      modes (identical text ⇒ identical bands, jaccard 1).
+
+    Shuffle pattern: exact-collapse the batch (all band/verify work per
+    DISTINCT batch text) → melt reps' bands → equi-join against the
+    index on (band_idx, band_hash) → [verify join] → expand dropped
+    reps to members via the membership frame (linear joins, never a
+    per-group array). Degenerate index buckets larger than
+    `max_bucket` (boilerplate band hashes shared by >1000 distinct
+    corpus texts) are dropped via a window COUNT before the join —
+    the same quadratic-blowup guard as `minhash_candidate_pairs`,
+    sized on the index side where the skew lives."""
+    if threshold is not None and base is None:
+        raise ValueError(
+            "dedup_against_index: verified mode (threshold set) requires "
+            "`base` (the corpus docs) for the Jaccard verify join"
+        )
+    groups, members = _collapse_exact_texts(
+        batch, text_col, id_col, "dedup_against_index"
+    )
+    reps = groups.select(F.col("rep_id").alias(id_col), F.col("_text").alias(text_col))
+    melt_q = _melt_bands(
+        minhash_bands(reps, text_col, id_col, n=n, k=k, bands=bands), id_col, bands
+    )
+    w = Window.partitionBy("band_idx", "band_hash")
+    idx = (
+        index.withColumn("_bn", F.count(F.lit(1)).over(w))
+        .where(F.col("_bn") <= max_bucket)
+        .select(F.col(id_col).alias("_base_id"), "band_idx", "band_hash")
+    )
+    cand = melt_q.join(idx, ["band_idx", "band_hash"]).select(
+        F.col(id_col).alias("_q_id"), "_base_id"
+    )
+    if threshold is None:
+        dropped_reps = cand.select(F.col("_q_id").alias("rep_id")).distinct()
+    else:
+        pairs = cand.distinct()
+        # Verify join reads only the candidate base ids' texts — keep
+        # the base scan slim (id + text) so column pruning reaches the
+        # corpus parquet.
+        both = reps.unionByName(
+            base.select(
+                F.col(id_col),
+                F.col(text_col),
+            ).join(
+                pairs.select(F.col("_base_id").alias(id_col)).distinct(), id_col
+            )
+        )
+        verified = jaccard_pairs(
+            both,
+            pairs.withColumnsRenamed({"_q_id": "a_id", "_base_id": "b_id"}),
+            text_col=text_col,
+            id_col=id_col,
+            n=n,
+        ).where(F.col("jaccard") >= threshold)
+        dropped_reps = verified.select(F.col("a_id").alias("rep_id")).distinct()
+    drops = (
+        members.join(dropped_reps, "rep_id")
+        .select(F.col("member_id").alias(id_col))
+        .distinct()
+    )
+    return batch.join(drops, id_col, "left_anti")
+
+
+def extend_index(
+    index: DataFrame,
+    kept: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    n: int = 3,
+    k: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Append the accepted batch's band rows to the index so the next
+    batch dedups against corpus + this batch. Returns the unioned
+    index frame; the caller persists it (append-mode parquet write of
+    just the new rows in production — the union here is for in-session
+    chaining and tests)."""
+    new_rows = minhash_band_index(
+        kept, text_col, id_col, n=n, k=k, bands=bands
+    )
+    return index.unionByName(new_rows)

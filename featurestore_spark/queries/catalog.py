@@ -1927,27 +1927,32 @@ def q_lang_id(spark, sf_dir):
 
 _MH_K, _MH_BANDS, _MH_N = 16, 4, 3
 
-_DUCK_SHINGLES_BODY = r"""toked AS (
+_DUCK_SHINGLES_BODY = r"""toked{sfx} AS (
       SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
       FROM {src}),
-    shingled AS (
+    shingled{sfx} AS (
       SELECT doc_id,
              list_distinct(CASE WHEN len(toks) >= {n}
                THEN list_transform(generate_series(1, len(toks) - {nm1}),
                                    i -> array_to_string(toks[i:i+{nm1}], ' '))
                ELSE [array_to_string(toks, ' ')] END) AS sh
-      FROM toked)
+      FROM toked{sfx})
 """
 
 _DUCK_SHINGLES = "\n    WITH " + _DUCK_SHINGLES_BODY.format(
-    src="documents", n=_MH_N, nm1=_MH_N - 1
+    src="documents", n=_MH_N, nm1=_MH_N - 1, sfx=""
 )
 
 
-def _duck_minhash_bands(src: str = "documents", prelude: str = "") -> str:
+def _duck_minhash_bands(
+    src: str = "documents", prelude: str = "", sfx: str = "", lead: bool = True
+) -> str:
     """Shingle→signature→band CTE chain over `src` (any CTE or table
     with doc_id + text). `prelude` = extra CTEs injected right after
-    WITH (so callers can define `src` itself)."""
+    WITH (so callers can define `src` itself). `sfx` suffixes every
+    CTE name so two chains (e.g. base corpus + incoming batch) can
+    share one WITH clause; `lead=False` emits a continuation (no WITH
+    keyword) for the second chain."""
     from featurestore_spark.operators.dedup import MINHASH_A, MINHASH_B, MINHASH_P
 
     # Same affine family as operators.dedup: h = first 7 md5 hex digits,
@@ -1968,13 +1973,15 @@ def _duck_minhash_bands(src: str = "documents", prelude: str = "") -> str:
         + f") AS band_{b}"
         for b in range(_MH_BANDS)
     )
-    shingles = "\n    WITH " + (f"{prelude},\n    " if prelude else "") + (
-        _DUCK_SHINGLES_BODY.format(src=src, n=_MH_N, nm1=_MH_N - 1)
+    shingles = (
+        ("\n    WITH " if lead else "\n    ")
+        + (f"{prelude},\n    " if prelude else "")
+        + _DUCK_SHINGLES_BODY.format(src=src, n=_MH_N, nm1=_MH_N - 1, sfx=sfx)
     )
     return (
-        f"{shingles}, hashed AS (SELECT doc_id, {hs} AS hs FROM shingled),"
-        f" sigs AS (SELECT doc_id, {sigs} FROM hashed),"
-        f" bands AS (SELECT doc_id, {bands} FROM sigs)"
+        f"{shingles}, hashed{sfx} AS (SELECT doc_id, {hs} AS hs FROM shingled{sfx}),"
+        f" sigs{sfx} AS (SELECT doc_id, {sigs} FROM hashed{sfx}),"
+        f" bands{sfx} AS (SELECT doc_id, {bands} FROM sigs{sfx})"
     )
 
 
@@ -2197,6 +2204,91 @@ def q_dedup_pipeline(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     return dedup_keep_docs(
         docs, n=_MH_N, k=_MH_K, bands=_MH_BANDS, max_bucket=_MH_MAX_BUCKET
+    ).select("doc_id")
+
+
+def _melt_cte(name: str, bands_cte: str) -> str:
+    return (
+        f"\n {name} AS ("
+        + " UNION ALL ".join(
+            f"SELECT doc_id, {i} AS band_idx, band_{i} AS band_hash"
+            f" FROM {bands_cte}"
+            for i in range(_MH_BANDS)
+        )
+        + ")"
+    )
+
+
+@_register(
+    "q_incremental_dedup",
+    _duck_minhash_bands(
+        src="base_docs",
+        prelude="""grpb AS (
+      SELECT text, min(doc_id) AS rep_id FROM documents
+      WHERE doc_id % 3 <> 0 GROUP BY text),
+    base_docs AS (SELECT rep_id AS doc_id, text FROM grpb)""",
+        sfx="_b",
+    )
+    + ","
+    + _duck_minhash_bands(
+        src="batch_docs",
+        prelude="""grpq AS (
+      SELECT text, min(doc_id) AS rep_id FROM documents
+      WHERE doc_id % 3 = 0 GROUP BY text),
+    batch_docs AS (SELECT rep_id AS doc_id, text FROM grpq)""",
+        sfx="_q",
+        lead=False,
+    )
+    + ","
+    + _melt_cte("melt_b", "bands_b")
+    + ","
+    + _melt_cte("melt_q", "bands_q")
+    + f""",
+    kept_k AS (
+      SELECT band_idx, band_hash FROM melt_b
+      GROUP BY band_idx, band_hash HAVING count(*) <= {_MH_MAX_BUCKET}),
+    cand AS (
+      SELECT DISTINCT q.doc_id AS q_id, b.doc_id AS b_id
+      FROM melt_q q JOIN melt_b b USING (band_idx, band_hash)
+      JOIN kept_k USING (band_idx, band_hash)),
+    verified AS (
+      SELECT DISTINCT c.q_id FROM cand c
+        JOIN shingled_q sq ON sq.doc_id = c.q_id
+        JOIN shingled_b sb ON sb.doc_id = c.b_id
+      WHERE round(CAST(len(list_intersect(sq.sh, sb.sh)) AS DOUBLE)
+            / len(list_distinct(list_concat(sq.sh, sb.sh))), 4) >= 0.8),
+    drops AS (
+      SELECT d.doc_id AS d FROM documents d
+        JOIN grpq g ON g.text = d.text
+      WHERE d.doc_id % 3 = 0 AND g.rep_id IN (SELECT q_id FROM verified))
+    SELECT d.doc_id FROM documents d LEFT JOIN drops ON d.doc_id = drops.d
+    WHERE d.doc_id % 3 = 0 AND drops.d IS NULL
+    """,
+    "Incremental dedup: the incoming batch (doc_id % 3 = 0) deduped "
+    "against a persisted MinHash band index of the accepted corpus "
+    "(doc_id % 3 <> 0) without re-reading the corpus — band collide, "
+    "Jaccard>=0.8 verify against only the candidate corpus reps, drop "
+    "set expanded through the batch's exact-duplicate groups",
+)
+def q_incremental_dedup(spark, sf_dir):
+    from featurestore_spark.operators.incremental import (
+        dedup_against_index,
+        minhash_band_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.where(F.col("doc_id") % 3 != 0)
+    batch = docs.where(F.col("doc_id") % 3 == 0)
+    idx = minhash_band_index(base, n=_MH_N, k=_MH_K, bands=_MH_BANDS)
+    return dedup_against_index(
+        batch,
+        idx,
+        base=base,
+        threshold=0.8,
+        n=_MH_N,
+        k=_MH_K,
+        bands=_MH_BANDS,
+        max_bucket=_MH_MAX_BUCKET,
     ).select("doc_id")
 
 
@@ -3343,6 +3435,7 @@ _DRIVER_PRIORITY = [
     # (membership-frame collapse in dedup/similarity, materialize()
     # knob in resolve/sampling, n_tokens rename) — re-proven by the
     # driver, not carried on stale evidence:
+    "q_incremental_dedup",     # NEW this round (against-index dedup)
     "q_token_budget_sample",   # n_tokens rename + materialize knob
     "q_embedding_near_dups",   # membership-frame collapse + null filter
     "q_embedding_clusters",    # similarity collapse + resolve materialize

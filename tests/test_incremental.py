@@ -1,0 +1,155 @@
+"""Tests for incremental (against-index) corpus deduplication."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from featurestore_spark.operators.dedup import dedup_keep_docs
+from featurestore_spark.operators.incremental import (
+    dedup_against_index,
+    extend_index,
+    minhash_band_index,
+)
+
+BASE_TXT = "the quick brown fox jumps over the lazy dog again and again today"
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        (0, BASE_TXT),
+        (1, BASE_TXT),  # exact dup inside the corpus (collapses in the index)
+        (2, "der hund und die katze sind nicht das problem ein und aus"),
+        (3, "completely different content about spark query engines and shuffles"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+@pytest.fixture(scope="module")
+def batch(spark):
+    rows = [
+        (10, BASE_TXT),  # exact dup of indexed text -> drops in both modes
+        (11, BASE_TXT),  # second copy -> whole group drops
+        (12, BASE_TXT.replace("today", "tomorrow")),  # near dup of corpus
+        (13, "el perro y la casa que los una con para nada el dia"),  # novel
+        (14, "numbers and tables and charts with entirely novel token streams"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_index_collapses_exact_dups(corpus):
+    idx = minhash_band_index(corpus, k=16, bands=8)
+    ids = {r["doc_id"] for r in idx.select("doc_id").distinct().collect()}
+    assert ids == {0, 2, 3}  # doc 1 collapsed into rep 0
+    assert idx.count() == 3 * 8  # one melted row per band per distinct text
+
+
+def test_band_only_drops_collisions(corpus, batch):
+    idx = minhash_band_index(corpus, k=16, bands=8)
+    kept = dedup_against_index(batch, idx, k=16, bands=8)
+    ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    # exact dups (10, 11) always collide; near dup 12 collides with
+    # high probability at bands=8/r=2 (Jaccard ~0.77 -> ~0.97)
+    assert ids == {13, 14}
+
+
+def test_verified_mode_drops_only_above_threshold(corpus, batch):
+    idx = minhash_band_index(corpus, k=16, bands=8)
+    # doc 12's one-token tail change gives jaccard 10/12 = 0.8333 vs
+    # doc 0: it drops at threshold 0.8 but SURVIVES at 0.9 (where
+    # band-only would still have dropped it)
+    kept08 = dedup_against_index(
+        batch, idx, base=corpus, threshold=0.8, k=16, bands=8
+    )
+    assert {r["doc_id"] for r in kept08.select("doc_id").collect()} == {13, 14}
+    kept09 = dedup_against_index(
+        batch, idx, base=corpus, threshold=0.9, k=16, bands=8
+    )
+    ids = {r["doc_id"] for r in kept09.select("doc_id").collect()}
+    assert ids == {12, 13, 14}
+    # verified keep-set is a superset of band-only's
+    band_only = {
+        r["doc_id"]
+        for r in dedup_against_index(batch, idx, k=16, bands=8)
+        .select("doc_id")
+        .collect()
+    }
+    assert band_only <= ids
+
+
+def test_verified_requires_base(corpus, batch):
+    idx = minhash_band_index(corpus, k=16, bands=8)
+    with pytest.raises(ValueError, match="requires"):
+        dedup_against_index(batch, idx, threshold=0.8)
+
+
+def test_composition_equals_full_pipeline(spark, corpus, batch):
+    """within-batch dedup + against-index == the full-corpus LSH
+    pipeline's keep set restricted to the batch, when base ids precede
+    batch ids and no bucket cap binds (the drop rule 'some verified
+    near-dup with a smaller id exists' splits by whether the earlier
+    doc is in the base or the batch)."""
+    threshold, kw = 0.8, dict(k=16, bands=8)
+    full = dedup_keep_docs(
+        corpus.unionByName(batch), threshold=threshold, **kw
+    )
+    expect = {
+        r["doc_id"] for r in full.select("doc_id").collect() if r["doc_id"] >= 10
+    }
+    idx = minhash_band_index(corpus, **kw)
+    within = dedup_keep_docs(batch, threshold=threshold, **kw)
+    got = {
+        r["doc_id"]
+        for r in dedup_against_index(
+            within, idx, base=corpus, threshold=threshold, **kw
+        )
+        .select("doc_id")
+        .collect()
+    }
+    assert got == expect
+
+
+def test_extend_index_chains_batches(spark, corpus, batch):
+    kw = dict(k=16, bands=8)
+    idx = minhash_band_index(corpus, **kw)
+    kept1 = dedup_against_index(batch, idx, base=corpus, threshold=0.8, **kw)
+    idx2 = extend_index(idx, kept1, **kw)
+    # batch 2 repeats a batch-1 survivor verbatim -> caught by idx2
+    batch2 = spark.createDataFrame(
+        [(20, "el perro y la casa que los una con para nada el dia"),
+         (21, "and now for something completely different a walk in the park")],
+        ["doc_id", "text"],
+    )
+    kept2 = dedup_against_index(
+        batch2, idx2, base=corpus.unionByName(kept1), threshold=0.8, **kw
+    )
+    ids = {r["doc_id"] for r in kept2.select("doc_id").collect()}
+    assert ids == {21}
+    # against the ORIGINAL index both batch-2 docs survive
+    ids0 = {
+        r["doc_id"]
+        for r in dedup_against_index(
+            batch2, idx, base=corpus, threshold=0.8, **kw
+        )
+        .select("doc_id")
+        .collect()
+    }
+    assert ids0 == {20, 21}
+
+
+def test_max_bucket_guards_degenerate_index_buckets(spark, corpus, batch):
+    """An index band bucket larger than max_bucket is dropped before
+    the join: batch docs colliding ONLY in that bucket survive."""
+    kw = dict(k=16, bands=8)
+    # 3 distinct corpus texts all near-identical -> their band rows
+    # share buckets; max_bucket=2 drops any bucket with all 3
+    boiler = [
+        (100 + i, BASE_TXT + f" filler{i}") for i in range(3)
+    ]
+    big = corpus.unionByName(spark.createDataFrame(boiler, ["doc_id", "text"]))
+    idx = minhash_band_index(big, **kw)
+    kept_cap = dedup_against_index(batch, idx, max_bucket=2, **kw)
+    kept_nocap = dedup_against_index(batch, idx, **kw)
+    # with the cap, keep-set can only GROW
+    cap_ids = {r["doc_id"] for r in kept_cap.select("doc_id").collect()}
+    nocap_ids = {r["doc_id"] for r in kept_nocap.select("doc_id").collect()}
+    assert nocap_ids <= cap_ids
