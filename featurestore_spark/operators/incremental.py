@@ -44,6 +44,7 @@ from featurestore_spark.operators.dedup import (
     jaccard_pairs,
     minhash_bands,
 )
+from featurestore_spark.operators.materialize import materialize
 
 
 def _melt_bands(bands_df: DataFrame, id_col: str, bands: int) -> DataFrame:
@@ -172,7 +173,10 @@ def dedup_against_index(
     if threshold is None:
         dropped_reps = cand.select(F.col("_q_id").alias("rep_id")).distinct()
     else:
-        pairs = cand.distinct()
+        # Materialized: the pair list feeds BOTH the base semi-join and
+        # the verify join — without the barrier the batch-bands ×
+        # index join (the expensive subtree) runs once per consumer.
+        pairs = materialize(cand.distinct())
         # Verify join reads only the candidate base ids' texts — keep
         # the base scan slim (id + text) so column pruning reaches the
         # corpus parquet.
@@ -198,6 +202,97 @@ def dedup_against_index(
         .distinct()
     )
     return batch.join(drops, id_col, "left_anti")
+
+
+def dedup_stream_against_index(
+    index_path: str,
+    kept_path: str,
+    *,
+    base_path: str | None = None,
+    threshold: float | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    k: int = 16,
+    bands: int = 4,
+    max_bucket: int = 1000,
+):
+    """`foreachBatch` callback for streaming ingestion dedup: each
+    micro-batch is deduped against the persisted band index, and the
+    survivors' bands are added so batch N+1 dedups against everything
+    accepted through batch N.
+
+    Layout: every path is a directory of `batch=<id>` subdirectories —
+    standard Hive-style partitioning, read back as one frame via
+    partition discovery. Each micro-batch OVERWRITES its own
+    `batch=<id>` subdir and the reads EXCLUDE the current batch id —
+    so a foreachBatch retry (micro-batches carry at-least-once
+    semantics; only the sink write must be idempotent) neither appends
+    duplicates nor sees the failed attempt's own writes, making the
+    pipeline exactly-once.
+
+    - `index_path`: band index root. Seed it with
+      `minhash_band_index(corpus).write.parquet(f"{index_path}/batch=seed")`.
+    - `kept_path`: accepted (deduped) docs, the pipeline's output.
+    - `base_path` (verified mode): (id, text) corpus lookup for the
+      Jaccard verify join — seed with the corpus's id/text columns;
+      each batch's survivors are appended (their own `batch=` subdir)
+      so later batches verify against them too.
+
+    Usage::
+
+        cb = dedup_stream_against_index("/idx", "/kept",
+                                        base_path="/base", threshold=0.8)
+        stream.writeStream.foreachBatch(cb).option(
+            "checkpointLocation", "/chk").start()
+    """
+    if threshold is not None and base_path is None:
+        raise ValueError(
+            "dedup_stream_against_index: verified mode requires base_path"
+        )
+
+    def _load(spark, root, exclude_batch):
+        # Partition discovery surfaces `batch` as a column; the CURRENT
+        # batch id is excluded so a foreachBatch RETRY does not see the
+        # failed attempt's own writes (survivors would collide with
+        # themselves in the index and be dropped — breaking the
+        # overwrite-idempotency this layout exists for).
+        df = spark.read.parquet(root)
+        return df.where(
+            F.col("batch").cast("string") != str(exclude_batch)
+        ).drop("batch")
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        idx = _load(spark, index_path, batch_id)
+        base = (
+            _load(spark, base_path, batch_id).select(id_col, text_col)
+            if base_path is not None
+            else None
+        )
+        kept = dedup_against_index(
+            batch_df,
+            idx,
+            base=base,
+            threshold=threshold,
+            text_col=text_col,
+            id_col=id_col,
+            n=n,
+            k=k,
+            bands=bands,
+            max_bucket=max_bucket,
+        )
+        kept = materialize(kept)  # one pass; fans out to 2-3 writes below
+        kept.write.mode("overwrite").parquet(f"{kept_path}/batch={batch_id}")
+        minhash_band_index(
+            kept, text_col, id_col, n=n, k=k, bands=bands
+        ).write.mode("overwrite").parquet(f"{index_path}/batch={batch_id}")
+        if base_path is not None:
+            kept.select(id_col, text_col).write.mode("overwrite").parquet(
+                f"{base_path}/batch={batch_id}"
+            )
+
+    return process
 
 
 def extend_index(

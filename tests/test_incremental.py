@@ -153,3 +153,77 @@ def test_max_bucket_guards_degenerate_index_buckets(spark, corpus, batch):
     cap_ids = {r["doc_id"] for r in kept_cap.select("doc_id").collect()}
     nocap_ids = {r["doc_id"] for r in kept_nocap.select("doc_id").collect()}
     assert nocap_ids <= cap_ids
+
+
+def _seed(corpus, tmp, kw):
+    idx_root = str(tmp / "idx")
+    base_root = str(tmp / "base")
+    kept_root = str(tmp / "kept")
+    minhash_band_index(corpus, **kw).write.parquet(f"{idx_root}/batch=seed")
+    corpus.select("doc_id", "text").write.parquet(f"{base_root}/batch=seed")
+    return idx_root, base_root, kept_root
+
+
+def test_foreach_batch_callback_chains_and_is_idempotent(
+    spark, tmp_path, corpus, batch
+):
+    from featurestore_spark.operators.incremental import (
+        dedup_stream_against_index,
+    )
+
+    kw = dict(k=16, bands=8)
+    idx_root, base_root, kept_root = _seed(corpus, tmp_path, kw)
+    cb = dedup_stream_against_index(
+        idx_root, kept_root, base_path=base_root, threshold=0.8, **kw
+    )
+    cb(batch, 1)
+    kept1 = spark.read.option("recursiveFileLookup", "true").parquet(kept_root)
+    ids1 = {r["doc_id"] for r in kept1.select("doc_id").collect()}
+    assert ids1 == {13, 14}  # same keep set as dedup_against_index @0.8
+    # batch 2 repeats a batch-1 survivor -> dropped against the grown index
+    batch2 = spark.createDataFrame(
+        [(20, "el perro y la casa que los una con para nada el dia"),
+         (21, "and now for something completely different a walk in the park")],
+        ["doc_id", "text"],
+    )
+    cb(batch2, 2)
+    kept = spark.read.option("recursiveFileLookup", "true").parquet(kept_root)
+    assert {r["doc_id"] for r in kept.select("doc_id").collect()} == {13, 14, 21}
+    # retry of batch 2 overwrites its own subdir: no duplicates anywhere
+    cb(batch2, 2)
+    kept = spark.read.option("recursiveFileLookup", "true").parquet(kept_root)
+    assert kept.count() == 3
+    idx = spark.read.option("recursiveFileLookup", "true").parquet(idx_root)
+    assert idx.count() == idx.distinct().count()
+
+
+def test_foreach_batch_real_stream(spark, tmp_path, corpus):
+    """End-to-end through a real file-source stream: two parquet drops,
+    availableNow trigger, foreachBatch callback."""
+    from featurestore_spark.operators.incremental import (
+        dedup_stream_against_index,
+    )
+
+    kw = dict(k=16, bands=8)
+    idx_root, base_root, kept_root = _seed(corpus, tmp_path, kw)
+    src = str(tmp_path / "incoming")
+    spark.createDataFrame(
+        [(10, BASE_TXT),  # exact dup of corpus -> dropped
+         (13, "el perro y la casa que los una con para nada el dia")],
+        ["doc_id", "text"],
+    ).write.parquet(src)
+    cb = dedup_stream_against_index(
+        idx_root, kept_root, base_path=base_root, threshold=0.8, **kw
+    )
+    schema = "doc_id bigint, text string"
+    q = (
+        spark.readStream.schema(schema)
+        .parquet(src)
+        .writeStream.foreachBatch(cb)
+        .option("checkpointLocation", str(tmp_path / "chk"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    kept = spark.read.option("recursiveFileLookup", "true").parquet(kept_root)
+    assert {r["doc_id"] for r in kept.select("doc_id").collect()} == {13}
