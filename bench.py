@@ -85,6 +85,7 @@ HEADLINE = [
     "q_simhash_near_dups",
     "q_dedup_pipeline",
     "q_incremental_dedup",
+    "q_incremental_embedding_dedup",
     "q_top_customers",
     "q_vault_full_cycle",  # write-path throughput (real loader)
 ]

@@ -204,6 +204,194 @@ def dedup_against_index(
     return batch.join(drops, id_col, "left_anti")
 
 
+# -- embedding side (SRP-LSH) -----------------------------------------------
+
+
+def _vector_frames(df: DataFrame, id_col: str, vec_col: str):
+    """(member_id, v, _h1, _h2) over non-null vectors — the shared
+    front of the vector collapse (same scalar-hash scheme as
+    `similarity.embedding_near_dups`)."""
+    base = df.where(F.col(vec_col).isNotNull())
+    from featurestore_spark.operators.similarity import as_double_array
+
+    return base.select(
+        F.col(id_col).alias("member_id"),
+        as_double_array(vec_col).alias("v"),
+    ).select(
+        "member_id",
+        "v",
+        F.xxhash64("v").alias("_h1"),
+        F.xxhash64(F.lit(0x9E3779B9), F.col("v")).alias("_h2"),
+    )
+
+
+def _collapse_vectors(hashed: DataFrame, id_col: str, op_name: str) -> DataFrame:
+    """(id_col, v) one row per DISTINCT vector; min id as rep; in-group
+    collision verify identical to `similarity.embedding_near_dups`."""
+    return (
+        hashed.groupBy("_h1", "_h2")
+        .agg(
+            F.min("member_id").alias(id_col),
+            F.min("v").alias("v"),
+            F.max("v").alias("_vmax"),
+        )
+        .withColumn(
+            "v",
+            F.when(F.col("v").eqNullSafe(F.col("_vmax")), F.col("v")).otherwise(
+                F.raise_error(
+                    F.lit(f"{op_name}: 128-bit vector-hash collision")
+                )
+            ),
+        )
+        .select(id_col, "v", "_h1", "_h2")
+    )
+
+
+def srp_code_index(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    *,
+    bits: int = 8,
+    bands: int = 6,
+    seed: int = 42,
+    dim: int | None = None,
+) -> DataFrame:
+    """Melted SRP band-code index over DISTINCT vectors: (vec_id,
+    band_idx, code) — the embedding-side analog of
+    `minhash_band_index`. ~bands × 16 bytes per distinct vector,
+    independent of embedding width; persist it (bucket by code) and
+    incremental batches dedup against it without re-reading the
+    corpus's embeddings. Codes use the seeded integer-hyperplane SRP
+    family of `similarity.srp_band_codes` (exact arithmetic,
+    engine-reproducible)."""
+    from featurestore_spark.operators.similarity import (
+        srp_band_codes,
+        srp_hyperplanes,
+    )
+
+    hashed = _vector_frames(df, id_col, vec_col)
+    if dim is None:
+        row = hashed.select(F.size("v")).first()
+        dim = row[0] if row is not None else 1
+    reps = _collapse_vectors(hashed, id_col, "srp_code_index").drop("_h1", "_h2")
+    hp = srp_hyperplanes(dim, bits * bands, seed)
+    coded = reps.select(
+        id_col, srp_band_codes(F.col("v"), hp, bits, bands).alias("_codes")
+    )
+    return coded.select(id_col, F.posexplode("_codes").alias("band_idx", "code"))
+
+
+def dedup_embeddings_against_index(
+    batch: DataFrame,
+    index: DataFrame,
+    *,
+    base: DataFrame | None = None,
+    threshold: float | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int = 8,
+    bands: int = 6,
+    seed: int = 42,
+    dim: int | None = None,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Drop batch rows whose embedding is a near-duplicate (cosine ≥
+    threshold) of an indexed corpus vector; returns the KEPT batch
+    rows. Embedding-side analog of `dedup_against_index`:
+
+    - band-only (`threshold=None`): any shared (band_idx, code) with
+      the index drops the batch vector — cheap, high recall;
+    - verified (`threshold` + `base`): code collisions are verified
+      with exact cosine against only the candidate corpus ids'
+      vectors (id-pushdown semi-join on `base`).
+
+    Same scale shape as the text side: batch collapsed to DISTINCT
+    vectors first (code/verify work is replication-invariant),
+    degenerate index code buckets beyond `max_bucket` dropped via a
+    window COUNT, drops expanded through the membership frame. Rows
+    with NULL embeddings are always kept (no similarity to anything —
+    the `embedding_near_dups` contract)."""
+    from featurestore_spark.operators.similarity import (
+        dot,
+        norm,
+        srp_band_codes,
+        srp_hyperplanes,
+    )
+
+    if threshold is not None and base is None:
+        raise ValueError(
+            "dedup_embeddings_against_index: verified mode (threshold set) "
+            "requires `base` (the corpus embeddings) for the cosine verify"
+        )
+    hashed = _vector_frames(batch, id_col, vec_col)
+    if dim is None:
+        row = hashed.select(F.size("v")).first()
+        if row is None:
+            return batch  # empty/all-null batch: nothing can collide
+        dim = row[0]
+    reps = materialize(_collapse_vectors(hashed, id_col, "dedup_embeddings"))
+    members = materialize(
+        hashed.select("member_id", "_h1", "_h2")
+        .join(reps.select("_h1", "_h2", F.col(id_col).alias("rep_id")),
+              ["_h1", "_h2"])
+        .select("rep_id", "member_id")
+    )
+    reps = reps.drop("_h1", "_h2")
+    hp = srp_hyperplanes(dim, bits * bands, seed)
+    melt_q = reps.select(
+        id_col, srp_band_codes(F.col("v"), hp, bits, bands).alias("_codes")
+    ).select(id_col, F.posexplode("_codes").alias("band_idx", "code"))
+    w = Window.partitionBy("band_idx", "code")
+    idx = (
+        index.withColumn("_bn", F.count(F.lit(1)).over(w))
+        .where(F.col("_bn") <= max_bucket)
+        .select(F.col(id_col).alias("_base_id"), "band_idx", "code")
+    )
+    cand = melt_q.join(idx, ["band_idx", "code"]).select(
+        F.col(id_col).alias("_q_id"), "_base_id"
+    )
+    if threshold is None:
+        dropped_reps = cand.select(F.col("_q_id").alias("rep_id")).distinct()
+    else:
+        from featurestore_spark.operators.similarity import as_double_array
+
+        pairs = materialize(cand.distinct())
+        bvec = (
+            base.select(
+                F.col(id_col).alias("_base_id"),
+                as_double_array(vec_col).alias("bv"),
+            )
+            .join(pairs.select("_base_id").distinct(), "_base_id")
+            .withColumn("_bn2", norm(F.col("bv")))
+        )
+        qvec = reps.select(
+            F.col(id_col).alias("_q_id"),
+            F.col("v").alias("qv"),
+            norm(F.col("v")).alias("_qn"),
+        )
+        verified = (
+            pairs.join(qvec, "_q_id")
+            .join(bvec, "_base_id")
+            .withColumn(
+                "sim",
+                F.round(
+                    dot(F.col("qv"), F.col("bv"))
+                    / (F.col("_qn") * F.col("_bn2")),
+                    6,
+                ),
+            )
+            .where(F.col("sim") >= threshold)
+        )
+        dropped_reps = verified.select(F.col("_q_id").alias("rep_id")).distinct()
+    drops = (
+        members.join(dropped_reps, "rep_id")
+        .select(F.col("member_id").alias(id_col))
+        .distinct()
+    )
+    return batch.join(drops, id_col, "left_anti")
+
+
 def dedup_stream_against_index(
     index_path: str,
     kept_path: str,

@@ -2603,6 +2603,103 @@ def q_embedding_near_dups(spark, sf_dir):
     return embedding_near_dups(emb, threshold=0.35, dim=64)
 
 
+def _srp_incremental_oracle(
+    threshold: float,
+    *,
+    dim: int = 64,
+    bits: int = 8,
+    bands: int = 6,
+    seed: int = 42,
+    max_bucket: int = 1000,
+) -> str:
+    """Two-corpus replay of `incremental.dedup_embeddings_against_index`:
+    SRP band codes (same inlined hyperplanes as `_srp_pairs_oracle`)
+    for base (vec_id % 3 <> 0) and batch (vec_id % 3 = 0) distinct
+    vectors, code-collision candidates capped on the index side,
+    cosine verify, drops expanded through the batch's exact-duplicate
+    vector groups."""
+    from featurestore_spark.operators.similarity import srp_hyperplanes
+
+    hp = srp_hyperplanes(dim, bits * bands, seed)
+
+    def band_code(b: int) -> str:
+        terms = []
+        for j in range(bits):
+            arr = "[" + ", ".join(f"{w}.0" for w in hp[b * bits + j]) + "]"
+            terms.append(f"(list_dot_product(q, {arr}) > 0)::INT * {1 << j}")
+        return " + ".join(terms)
+
+    def codes_union(src: str) -> str:
+        return "\n      UNION ALL\n      ".join(
+            f"SELECT rep_id, {b} AS band_idx, {band_code(b)} AS code FROM {src}"
+            for b in range(bands)
+        )
+
+    return f"""
+    WITH eb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+                WHERE vec_id % 3 <> 0),
+    reps_b AS (SELECT v, min(vec_id) AS rep_id,
+                      sqrt(list_dot_product(v, v)) AS nrm
+               FROM eb GROUP BY v),
+    repsq_b AS (SELECT rep_id, list_transform(v, x -> round(x * 1000)) AS q
+                FROM reps_b),
+    codes_b AS (
+      {codes_union("repsq_b")}),
+    eq AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+           WHERE vec_id % 3 = 0),
+    grp_q AS (SELECT v, min(vec_id) AS rep_id FROM eq GROUP BY v),
+    repsq_q AS (SELECT rep_id, list_transform(v, x -> round(x * 1000)) AS q
+                FROM grp_q),
+    codes_q AS (
+      {codes_union("repsq_q")}),
+    sizes AS (SELECT band_idx, code, count(*) AS n FROM codes_b
+              GROUP BY band_idx, code),
+    cand AS (SELECT DISTINCT cq.rep_id AS q_id, cb.rep_id AS b_id
+             FROM codes_q cq
+             JOIN codes_b cb ON cq.band_idx = cb.band_idx
+                            AND cq.code = cb.code
+             JOIN sizes s ON s.band_idx = cq.band_idx AND s.code = cq.code
+             WHERE s.n <= {max_bucket}),
+    verified AS (SELECT DISTINCT c.q_id
+                 FROM cand c
+                 JOIN grp_q gq ON gq.rep_id = c.q_id
+                 JOIN reps_b rb ON rb.rep_id = c.b_id
+                 WHERE round(list_dot_product(gq.v, rb.v)
+                       / (sqrt(list_dot_product(gq.v, gq.v)) * rb.nrm), 6)
+                       >= {threshold}),
+    drops AS (SELECT e.vec_id AS d FROM eq e
+              JOIN grp_q g ON g.v = e.v
+              WHERE g.rep_id IN (SELECT q_id FROM verified))
+    SELECT e.vec_id FROM embeddings e
+    LEFT JOIN drops ON e.vec_id = drops.d
+    WHERE e.vec_id % 3 = 0 AND drops.d IS NULL
+    """
+
+
+@_register(
+    "q_incremental_embedding_dedup",
+    _srp_incremental_oracle(0.35),
+    "Incremental embedding dedup: the incoming batch (vec_id % 3 = 0) "
+    "deduped against a persisted SRP band-code index of the accepted "
+    "corpus (vec_id % 3 <> 0) — code collide, cosine>=0.35 verify "
+    "against only the candidate corpus reps, drops expanded through "
+    "the batch's exact-duplicate vector groups",
+)
+def q_incremental_embedding_dedup(spark, sf_dir):
+    from featurestore_spark.operators.incremental import (
+        dedup_embeddings_against_index,
+        srp_code_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.where(F.col("vec_id") % 3 != 0)
+    batch = emb.where(F.col("vec_id") % 3 == 0)
+    idx = srp_code_index(base, dim=64)
+    return dedup_embeddings_against_index(
+        batch, idx, base=base, threshold=0.35, dim=64
+    ).select("vec_id")
+
+
 # ---------------------------------------------------------------------------
 # Corpus curation (beyond-the-reference: repetition, decontamination, PII)
 # ---------------------------------------------------------------------------
@@ -3436,6 +3533,7 @@ _DRIVER_PRIORITY = [
     # knob in resolve/sampling, n_tokens rename) — re-proven by the
     # driver, not carried on stale evidence:
     "q_incremental_dedup",     # NEW this round (against-index dedup)
+    "q_incremental_embedding_dedup",  # NEW this round (SRP against-index)
     "q_token_budget_sample",   # n_tokens rename + materialize knob
     "q_embedding_near_dups",   # membership-frame collapse + null filter
     "q_embedding_clusters",    # similarity collapse + resolve materialize

@@ -227,3 +227,94 @@ def test_foreach_batch_real_stream(spark, tmp_path, corpus):
     q.awaitTermination(120)
     kept = spark.read.option("recursiveFileLookup", "true").parquet(kept_root)
     assert {r["doc_id"] for r in kept.select("doc_id").collect()} == {13}
+
+
+# -- embedding side ----------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def vec_corpus(spark):
+    rows = [
+        (0, [1.0, 2.0, 3.0, 4.0]),
+        (1, [1.0, 2.0, 3.0, 4.0]),   # exact dup inside corpus
+        (2, [-1.0, -2.0, 3.0, 1.0]),
+        (3, [5.0, -1.0, 0.5, -2.0]),
+    ]
+    return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+
+@pytest.fixture(scope="module")
+def vec_batch(spark):
+    rows = [
+        (10, [1.0, 2.0, 3.0, 4.0]),       # exact dup of corpus -> drops
+        (11, [1.001, 2.0, 3.0, 4.0]),     # near dup (cos ~1.0) -> drops verified
+        (12, [4.0, -3.0, -2.0, 1.0]),     # novel
+        (13, None),                        # null embedding -> always kept
+    ]
+    return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+
+def test_srp_index_collapses_and_melts(vec_corpus):
+    from featurestore_spark.operators.incremental import srp_code_index
+
+    idx = srp_code_index(vec_corpus, bits=8, bands=6, dim=4)
+    ids = {r["vec_id"] for r in idx.select("vec_id").distinct().collect()}
+    assert ids == {0, 2, 3}
+    assert idx.count() == 3 * 6
+
+
+def test_embeddings_against_index_verified(spark, vec_corpus, vec_batch):
+    from featurestore_spark.operators.incremental import (
+        dedup_embeddings_against_index,
+        srp_code_index,
+    )
+
+    kw = dict(bits=8, bands=6, dim=4)
+    idx = srp_code_index(vec_corpus, **kw)
+    kept = dedup_embeddings_against_index(
+        vec_batch, idx, base=vec_corpus, threshold=0.99, **kw
+    )
+    ids = {r["vec_id"] for r in kept.select("vec_id").collect()}
+    assert ids == {12, 13}
+    # band-only drops at least the verified set's complement
+    band_only = dedup_embeddings_against_index(vec_batch, idx, **kw)
+    bids = {r["vec_id"] for r in band_only.select("vec_id").collect()}
+    assert bids <= ids
+    assert 13 in bids  # null embedding never collides
+    with pytest.raises(ValueError, match="requires"):
+        dedup_embeddings_against_index(vec_batch, idx, threshold=0.9, **kw)
+
+
+def test_embeddings_against_index_matches_near_dups(spark, vec_corpus, vec_batch):
+    """Keep set == batch minus {batch vec with a cross-corpus
+    embedding_near_dups pair}: the against-index formulation must drop
+    exactly the batch side of the full near-dup pair set (restricted
+    to cross pairs, no within-batch dedup here)."""
+    from featurestore_spark.operators.incremental import (
+        dedup_embeddings_against_index,
+        srp_code_index,
+    )
+    from featurestore_spark.operators.similarity import embedding_near_dups
+
+    kw = dict(bits=8, bands=6, dim=4)
+    thr = 0.99
+    pairs = embedding_near_dups(
+        vec_corpus.unionByName(vec_batch), threshold=thr, dim=4
+    )
+    cross_drop = {
+        r["b_id"]
+        for r in pairs.collect()
+        if r["a_id"] < 10 and r["b_id"] >= 10
+    }
+    batch_ids = {10, 11, 12, 13}
+    expect = batch_ids - cross_drop
+    idx = srp_code_index(vec_corpus, **kw)
+    got = {
+        r["vec_id"]
+        for r in dedup_embeddings_against_index(
+            vec_batch, idx, base=vec_corpus, threshold=thr, **kw
+        )
+        .select("vec_id")
+        .collect()
+    }
+    assert got == expect
