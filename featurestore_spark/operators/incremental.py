@@ -148,7 +148,12 @@ def dedup_against_index(
     `max_bucket` (boilerplate band hashes shared by >1000 distinct
     corpus texts) are dropped via a window COUNT before the join —
     the same quadratic-blowup guard as `minhash_candidate_pairs`,
-    sized on the index side where the skew lives."""
+    sized on the index side where the skew lives.
+
+    Contract: `id_col` must be unique ACROSS base and batch (the
+    verify join unions both sides' (id, text) rows; an id collision
+    would cross-wire the shingle lookup). Any ingestion pipeline
+    assigning monotone batch ids satisfies this."""
     if threshold is not None and base is None:
         raise ValueError(
             "dedup_against_index: verified mode (threshold set) requires "
