@@ -1,6 +1,6 @@
 """Incremental corpus deduplication — dedup a NEW ingestion batch
-against a persisted MinHash signature index of the already-accepted
-corpus, without re-reading the corpus.
+against a persisted signature index of the already-accepted corpus,
+without re-reading the corpus.
 
 This is the rolling-ingestion shape of the LSH dedup pipeline
 (`operators/dedup.py`): a 100-TB pretraining corpus is not deduped in
@@ -10,10 +10,12 @@ the whole corpus per batch. Instead:
 
 1. `minhash_band_index(corpus)` is computed ONCE and persisted
    (parquet, ideally bucketed by `band_hash`): one melted row
-   (doc_id, band_idx, band_hash) per band per DISTINCT corpus text —
-   ~bands × 40 bytes per distinct document, independent of document
-   length. At 10^10 docs × 4 bands that's ~2 TB — 2 % of the corpus,
-   and the only thing a batch ever joins against.
+   (doc_id, band_idx, band_hash, text_h1, text_h2) per band per
+   DISTINCT corpus text — ~bands × 56 bytes per distinct document,
+   independent of document length. At 10^10 docs × 4 bands that's
+   ~2 TB — 2 % of the corpus, and the only thing a batch ever joins
+   against. The `text_h1/text_h2` columns carry the 128-bit exact
+   hash so verbatim duplicates drop INDEPENDENTLY of any bucket cap.
 2. `dedup_against_index(batch, index, base=…, threshold=…)` drops
    batch docs that are near-dups of indexed texts. The batch is
    exact-collapsed first (`_collapse_exact_texts`), so all band and
@@ -36,15 +38,19 @@ this is net-new scale scope alongside the dedup family.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.errors import AnalysisException
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from featurestore_spark.operators.dedup import (
     _collapse_exact_texts,
-    jaccard_pairs,
     minhash_bands,
+    ngram_jaccard,
+    shingles,
 )
 from featurestore_spark.operators.materialize import materialize
+
+_H2_SEED = 0x9E3779B9
 
 
 def _melt_bands(bands_df: DataFrame, id_col: str, bands: int) -> DataFrame:
@@ -57,6 +63,29 @@ def _melt_bands(bands_df: DataFrame, id_col: str, bands: int) -> DataFrame:
     )
 
 
+def _drop_oversized_buckets(
+    index: DataFrame, keys: list[str], max_bucket: int | None
+) -> DataFrame:
+    """Drop index rows in degenerate buckets (> max_bucket rows per
+    bucket key) — the quadratic-blowup guard, sized on the index side
+    where the skew lives. A hash AGGREGATE + anti-join, not a window:
+    the window formulation sorts the ENTIRE index per batch; the
+    aggregate shuffles only map-side-combined partial counts and the
+    over-cap key set is tiny (broadcast anti-join). `max_bucket=None`
+    skips the pass entirely — pass that when the persisted index is
+    already pruned (the counts are static per index version, so prune
+    once at build/extend time and save the per-batch aggregation)."""
+    if max_bucket is None:
+        return index
+    over = (
+        index.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("_bn"))
+        .where(F.col("_bn") > max_bucket)
+        .select(*keys)
+    )
+    return index.join(over, keys, "left_anti")
+
+
 def minhash_band_index(
     df: DataFrame,
     text_col: str = "text",
@@ -67,26 +96,26 @@ def minhash_band_index(
     bands: int = 4,
 ) -> DataFrame:
     """Melted band index over DISTINCT texts: (doc_id, band_idx,
-    band_hash), where doc_id is each exact-duplicate group's minimum
-    id. Persist this (parquet; bucket by band_hash for co-located
-    batch joins) — it is the only corpus-derived state a future batch
-    needs.
+    band_hash, text_h1, text_h2), where doc_id is each exact-duplicate
+    group's minimum id and text_h1/text_h2 the group's verified
+    128-bit scalar text hash (two seeded xxhash64 longs — the same
+    scheme as `dedup._collapse_exact_texts`). Persist this (parquet;
+    bucket by band_hash for co-located batch joins) — it is the only
+    corpus-derived state a future batch needs. The hash columns let
+    `dedup_against_index` drop verbatim duplicates of indexed texts
+    unconditionally, independent of the LSH bucket cap.
 
     Lazy on purpose (unlike the dedup operators' eager collapse): the
     index is built to be WRITTEN, a single linear consumer, so no
-    materialization barrier is needed. Exact-duplicate groups are
-    collapsed with the same verified 128-bit scalar hash as
-    `dedup._collapse_exact_texts` (two seeded xxhash64 longs, ties
-    checked, collision raises), inlined here without the eager
-    members frame."""
+    materialization barrier is needed."""
     hashed = df.select(
         F.col(id_col).alias("member_id"),
         F.col(text_col).alias("_text"),
-        F.xxhash64(text_col).alias("_h1"),
-        F.xxhash64(F.lit(0x9E3779B9), F.col(text_col)).alias("_h2"),
+        F.xxhash64(text_col).alias("text_h1"),
+        F.xxhash64(F.lit(_H2_SEED), F.col(text_col)).alias("text_h2"),
     )
     reps = (
-        hashed.groupBy("_h1", "_h2")
+        hashed.groupBy("text_h1", "text_h2")
         .agg(
             F.min("member_id").alias(id_col),
             F.min("_text").alias("_text"),
@@ -105,10 +134,14 @@ def minhash_band_index(
                 )
             ),
         )
-        .select(id_col, F.col("_text").alias(text_col))
+        .select(id_col, F.col("_text").alias(text_col), "text_h1", "text_h2")
     )
-    b = minhash_bands(reps, text_col, id_col, n=n, k=k, bands=bands)
-    return _melt_bands(b, id_col, bands)
+    b = minhash_bands(
+        reps.select(id_col, text_col), text_col, id_col, n=n, k=k, bands=bands
+    )
+    return _melt_bands(b, id_col, bands).join(
+        reps.select(id_col, "text_h1", "text_h2"), id_col
+    )
 
 
 def dedup_against_index(
@@ -122,7 +155,7 @@ def dedup_against_index(
     n: int = 3,
     k: int = 16,
     bands: int = 4,
-    max_bucket: int = 1000,
+    max_bucket: int | None = 1000,
 ) -> DataFrame:
     """Drop batch docs that are near-duplicates of the indexed corpus;
     returns the KEPT batch rows (all columns).
@@ -137,22 +170,30 @@ def dedup_against_index(
       documents; a batch doc drops iff some verified near-dup
       (jaccard ≥ threshold) exists. Only candidate rep ids' texts are
       read from `base` — at scale an id-pushdown semi-join, not a
-      corpus scan. Exact duplicates of indexed texts drop in both
-      modes (identical text ⇒ identical bands, jaccard 1).
+      corpus scan. If the index names a candidate id that `base` does
+      not contain (index/base drift — e.g. the index grew under
+      band-only mode without base upkeep), the verify job RAISES
+      rather than silently keeping a near-duplicate.
 
-    Shuffle pattern: exact-collapse the batch (all band/verify work per
-    DISTINCT batch text) → melt reps' bands → equi-join against the
-    index on (band_idx, band_hash) → [verify join] → expand dropped
-    reps to members via the membership frame (linear joins, never a
-    per-group array). Degenerate index buckets larger than
-    `max_bucket` (boilerplate band hashes shared by >1000 distinct
-    corpus texts) are dropped via a window COUNT before the join —
-    the same quadratic-blowup guard as `minhash_candidate_pairs`,
-    sized on the index side where the skew lives.
+    In BOTH modes, verbatim duplicates of indexed texts drop
+    unconditionally via the index's `text_h1/text_h2` exact-hash
+    columns — independent of `max_bucket` (the dedup family's
+    invariant: exact-duplicate drops never depend on bucket caps). An
+    index persisted without those columns (foreign producer) skips
+    the exact stage; exact dups then drop via band collision only,
+    which a binding cap can defeat.
+
+    Shuffle pattern: exact-collapse the batch (all band/verify work
+    per DISTINCT batch text) → melt reps' bands → equi-join against
+    the index on (band_idx, band_hash) → [verify join] → expand
+    dropped reps to members via the membership frame (linear joins,
+    never a per-group array). Degenerate index buckets larger than
+    `max_bucket` are dropped via a hash aggregate + anti-join (see
+    `_drop_oversized_buckets`; pass `max_bucket=None` for a
+    pre-pruned index).
 
     Contract: `id_col` must be unique ACROSS base and batch (the
-    verify join unions both sides' (id, text) rows; an id collision
-    would cross-wire the shingle lookup). Any ingestion pipeline
+    verify join looks texts up by id). Any ingestion pipeline
     assigning monotone batch ids satisfies this."""
     if threshold is not None and base is None:
         raise ValueError(
@@ -166,12 +207,9 @@ def dedup_against_index(
     melt_q = _melt_bands(
         minhash_bands(reps, text_col, id_col, n=n, k=k, bands=bands), id_col, bands
     )
-    w = Window.partitionBy("band_idx", "band_hash")
-    idx = (
-        index.withColumn("_bn", F.count(F.lit(1)).over(w))
-        .where(F.col("_bn") <= max_bucket)
-        .select(F.col(id_col).alias("_base_id"), "band_idx", "band_hash")
-    )
+    idx = _drop_oversized_buckets(
+        index, ["band_idx", "band_hash"], max_bucket
+    ).select(F.col(id_col).alias("_base_id"), "band_idx", "band_hash")
     cand = melt_q.join(idx, ["band_idx", "band_hash"]).select(
         F.col(id_col).alias("_q_id"), "_base_id"
     )
@@ -184,23 +222,48 @@ def dedup_against_index(
         pairs = materialize(cand.distinct())
         # Verify join reads only the candidate base ids' texts — keep
         # the base scan slim (id + text) so column pruning reaches the
-        # corpus parquet.
-        both = reps.unionByName(
-            base.select(
-                F.col(id_col),
-                F.col(text_col),
-            ).join(
-                pairs.select(F.col("_base_id").alias(id_col)).distinct(), id_col
+        # corpus parquet. `_present` marks rows actually found in
+        # `base`; its absence after the LEFT join means the index
+        # names an id the corpus lookup no longer has — an
+        # index/base consistency bug that must fail, not quietly
+        # keep the near-duplicate.
+        sh_q = reps.select(
+            F.col(id_col).alias("_q_id"), shingles(text_col, n).alias("_sh_q")
+        )
+        sh_b = base.select(
+            F.col(id_col).alias("_base_id"), shingles(text_col, n).alias("_sh_b")
+        ).join(pairs.select("_base_id").distinct(), "_base_id").withColumn(
+            "_present", F.lit(True)
+        )
+        jac = F.when(
+            F.col("_present").isNotNull(),
+            ngram_jaccard(F.col("_sh_q"), F.col("_sh_b")),
+        ).otherwise(
+            F.raise_error(
+                F.lit(
+                    "dedup_against_index: index names a candidate id "
+                    "missing from `base` — index and base are out of sync"
+                )
             )
         )
-        verified = jaccard_pairs(
-            both,
-            pairs.withColumnsRenamed({"_q_id": "a_id", "_base_id": "b_id"}),
-            text_col=text_col,
-            id_col=id_col,
-            n=n,
-        ).where(F.col("jaccard") >= threshold)
-        dropped_reps = verified.select(F.col("a_id").alias("rep_id")).distinct()
+        verified = (
+            pairs.join(sh_q, "_q_id")
+            .join(sh_b, "_base_id", "left")
+            .where(jac >= threshold)
+        )
+        dropped_reps = verified.select(F.col("_q_id").alias("rep_id")).distinct()
+    if {"text_h1", "text_h2"} <= set(index.columns):
+        rep_h = reps.select(
+            F.col(id_col).alias("rep_id"),
+            F.xxhash64(text_col).alias("text_h1"),
+            F.xxhash64(F.lit(_H2_SEED), F.col(text_col)).alias("text_h2"),
+        )
+        exact_reps = rep_h.join(
+            index.select("text_h1", "text_h2"),
+            ["text_h1", "text_h2"],
+            "left_semi",
+        ).select("rep_id")
+        dropped_reps = dropped_reps.unionByName(exact_reps).distinct()
     drops = (
         members.join(dropped_reps, "rep_id")
         .select(F.col("member_id").alias(id_col))
@@ -210,46 +273,6 @@ def dedup_against_index(
 
 
 # -- embedding side (SRP-LSH) -----------------------------------------------
-
-
-def _vector_frames(df: DataFrame, id_col: str, vec_col: str):
-    """(member_id, v, _h1, _h2) over non-null vectors — the shared
-    front of the vector collapse (same scalar-hash scheme as
-    `similarity.embedding_near_dups`)."""
-    base = df.where(F.col(vec_col).isNotNull())
-    from featurestore_spark.operators.similarity import as_double_array
-
-    return base.select(
-        F.col(id_col).alias("member_id"),
-        as_double_array(vec_col).alias("v"),
-    ).select(
-        "member_id",
-        "v",
-        F.xxhash64("v").alias("_h1"),
-        F.xxhash64(F.lit(0x9E3779B9), F.col("v")).alias("_h2"),
-    )
-
-
-def _collapse_vectors(hashed: DataFrame, id_col: str, op_name: str) -> DataFrame:
-    """(id_col, v) one row per DISTINCT vector; min id as rep; in-group
-    collision verify identical to `similarity.embedding_near_dups`."""
-    return (
-        hashed.groupBy("_h1", "_h2")
-        .agg(
-            F.min("member_id").alias(id_col),
-            F.min("v").alias("v"),
-            F.max("v").alias("_vmax"),
-        )
-        .withColumn(
-            "v",
-            F.when(F.col("v").eqNullSafe(F.col("_vmax")), F.col("v")).otherwise(
-                F.raise_error(
-                    F.lit(f"{op_name}: 128-bit vector-hash collision")
-                )
-            ),
-        )
-        .select(id_col, "v", "_h1", "_h2")
-    )
 
 
 def srp_code_index(
@@ -263,28 +286,42 @@ def srp_code_index(
     dim: int | None = None,
 ) -> DataFrame:
     """Melted SRP band-code index over DISTINCT vectors: (vec_id,
-    band_idx, code) — the embedding-side analog of
-    `minhash_band_index`. ~bands × 16 bytes per distinct vector,
-    independent of embedding width; persist it (bucket by code) and
-    incremental batches dedup against it without re-reading the
-    corpus's embeddings. Codes use the seeded integer-hyperplane SRP
-    family of `similarity.srp_band_codes` (exact arithmetic,
-    engine-reproducible)."""
+    band_idx, code, vec_h1, vec_h2) — the embedding-side analog of
+    `minhash_band_index`, with the verified 128-bit vector hash
+    carried for cap-independent exact-duplicate drops. ~bands × 32
+    bytes per distinct vector, independent of embedding width;
+    persist it (bucket by code) and incremental batches dedup against
+    it without re-reading the corpus's embeddings. Codes use the
+    seeded integer-hyperplane SRP family of
+    `similarity.srp_band_codes` (exact arithmetic,
+    engine-reproducible); the collapse is
+    `similarity.collapse_exact_vectors` — one shared implementation
+    across the near-dup and incremental operators."""
     from featurestore_spark.operators.similarity import (
+        collapse_exact_vectors,
         srp_band_codes,
         srp_hyperplanes,
+        vector_hash_frames,
     )
 
-    hashed = _vector_frames(df, id_col, vec_col)
+    hashed = vector_hash_frames(df, id_col, vec_col)
     if dim is None:
         row = hashed.select(F.size("v")).first()
         dim = row[0] if row is not None else 1
-    reps = _collapse_vectors(hashed, id_col, "srp_code_index").drop("_h1", "_h2")
+    reps = collapse_exact_vectors(hashed, "srp_code_index", rep_col=id_col)
     hp = srp_hyperplanes(dim, bits * bands, seed)
     coded = reps.select(
-        id_col, srp_band_codes(F.col("v"), hp, bits, bands).alias("_codes")
+        id_col,
+        F.col("_h1").alias("vec_h1"),
+        F.col("_h2").alias("vec_h2"),
+        srp_band_codes(F.col("v"), hp, bits, bands).alias("_codes"),
     )
-    return coded.select(id_col, F.posexplode("_codes").alias("band_idx", "code"))
+    return coded.select(
+        id_col,
+        "vec_h1",
+        "vec_h2",
+        F.posexplode("_codes").alias("band_idx", "code"),
+    ).select(id_col, "band_idx", "code", "vec_h1", "vec_h2")
 
 
 def dedup_embeddings_against_index(
@@ -299,7 +336,7 @@ def dedup_embeddings_against_index(
     bands: int = 6,
     seed: int = 42,
     dim: int | None = None,
-    max_bucket: int = 1000,
+    max_bucket: int | None = 1000,
 ) -> DataFrame:
     """Drop batch rows whose embedding is a near-duplicate (cosine ≥
     threshold) of an indexed corpus vector; returns the KEPT batch
@@ -309,19 +346,27 @@ def dedup_embeddings_against_index(
       the index drops the batch vector — cheap, high recall;
     - verified (`threshold` + `base`): code collisions are verified
       with exact cosine against only the candidate corpus ids'
-      vectors (id-pushdown semi-join on `base`).
+      vectors (id-pushdown semi-join on `base`); a candidate id
+      missing from `base` RAISES (index/base drift must fail loudly).
 
-    Same scale shape as the text side: batch collapsed to DISTINCT
-    vectors first (code/verify work is replication-invariant),
-    degenerate index code buckets beyond `max_bucket` dropped via a
-    window COUNT, drops expanded through the membership frame. Rows
-    with NULL embeddings are always kept (no similarity to anything —
-    the `embedding_near_dups` contract)."""
+    In both modes, vectors identical to an indexed vector drop
+    unconditionally via the index's `vec_h1/vec_h2` columns,
+    independent of `max_bucket` (skipped if a foreign index lacks
+    them). Same scale shape as the text side: batch collapsed to
+    DISTINCT vectors first (`similarity.collapse_exact_vectors`),
+    degenerate index code buckets dropped by a hash aggregate +
+    anti-join (`max_bucket=None` for a pre-pruned index), drops
+    expanded through the membership frame. Rows with NULL embeddings
+    are always kept (no similarity to anything — the
+    `embedding_near_dups` contract)."""
     from featurestore_spark.operators.similarity import (
+        as_double_array,
+        collapse_exact_vectors,
         dot,
         norm,
         srp_band_codes,
         srp_hyperplanes,
+        vector_hash_frames,
     )
 
     if threshold is not None and base is None:
@@ -329,29 +374,34 @@ def dedup_embeddings_against_index(
             "dedup_embeddings_against_index: verified mode (threshold set) "
             "requires `base` (the corpus embeddings) for the cosine verify"
         )
-    hashed = _vector_frames(batch, id_col, vec_col)
+    hashed = vector_hash_frames(batch, id_col, vec_col)
     if dim is None:
         row = hashed.select(F.size("v")).first()
         if row is None:
             return batch  # empty/all-null batch: nothing can collide
         dim = row[0]
-    reps = materialize(_collapse_vectors(hashed, id_col, "dedup_embeddings"))
+    reps = materialize(
+        collapse_exact_vectors(hashed, "dedup_embeddings_against_index",
+                               rep_col=id_col)
+    )
     members = materialize(
         hashed.select("member_id", "_h1", "_h2")
         .join(reps.select("_h1", "_h2", F.col(id_col).alias("rep_id")),
               ["_h1", "_h2"])
         .select("rep_id", "member_id")
     )
+    rep_h = reps.select(
+        F.col(id_col).alias("rep_id"),
+        F.col("_h1").alias("vec_h1"),
+        F.col("_h2").alias("vec_h2"),
+    )
     reps = reps.drop("_h1", "_h2")
     hp = srp_hyperplanes(dim, bits * bands, seed)
     melt_q = reps.select(
         id_col, srp_band_codes(F.col("v"), hp, bits, bands).alias("_codes")
     ).select(id_col, F.posexplode("_codes").alias("band_idx", "code"))
-    w = Window.partitionBy("band_idx", "code")
-    idx = (
-        index.withColumn("_bn", F.count(F.lit(1)).over(w))
-        .where(F.col("_bn") <= max_bucket)
-        .select(F.col(id_col).alias("_base_id"), "band_idx", "code")
+    idx = _drop_oversized_buckets(index, ["band_idx", "code"], max_bucket).select(
+        F.col(id_col).alias("_base_id"), "band_idx", "code"
     )
     cand = melt_q.join(idx, ["band_idx", "code"]).select(
         F.col(id_col).alias("_q_id"), "_base_id"
@@ -359,8 +409,6 @@ def dedup_embeddings_against_index(
     if threshold is None:
         dropped_reps = cand.select(F.col("_q_id").alias("rep_id")).distinct()
     else:
-        from featurestore_spark.operators.similarity import as_double_array
-
         pairs = materialize(cand.distinct())
         bvec = (
             base.select(
@@ -368,27 +416,41 @@ def dedup_embeddings_against_index(
                 as_double_array(vec_col).alias("bv"),
             )
             .join(pairs.select("_base_id").distinct(), "_base_id")
-            .withColumn("_bn2", norm(F.col("bv")))
+            .withColumn("_bnorm", norm(F.col("bv")))
+            .withColumn("_present", F.lit(True))
         )
         qvec = reps.select(
             F.col(id_col).alias("_q_id"),
             F.col("v").alias("qv"),
             norm(F.col("v")).alias("_qn"),
         )
+        sim = F.when(
+            F.col("_present").isNotNull(),
+            F.round(
+                dot(F.col("qv"), F.col("bv")) / (F.col("_qn") * F.col("_bnorm")),
+                6,
+            ),
+        ).otherwise(
+            F.raise_error(
+                F.lit(
+                    "dedup_embeddings_against_index: index names a candidate "
+                    "id missing from `base` — index and base are out of sync"
+                )
+            )
+        )
         verified = (
             pairs.join(qvec, "_q_id")
-            .join(bvec, "_base_id")
-            .withColumn(
-                "sim",
-                F.round(
-                    dot(F.col("qv"), F.col("bv"))
-                    / (F.col("_qn") * F.col("_bn2")),
-                    6,
-                ),
-            )
-            .where(F.col("sim") >= threshold)
+            .join(bvec, "_base_id", "left")
+            .where(sim >= threshold)
         )
         dropped_reps = verified.select(F.col("_q_id").alias("rep_id")).distinct()
+    if {"vec_h1", "vec_h2"} <= set(index.columns):
+        exact_reps = rep_h.join(
+            index.select("vec_h1", "vec_h2"),
+            ["vec_h1", "vec_h2"],
+            "left_semi",
+        ).select("rep_id")
+        dropped_reps = dropped_reps.unionByName(exact_reps).distinct()
     drops = (
         members.join(dropped_reps, "rep_id")
         .select(F.col("member_id").alias(id_col))
@@ -408,7 +470,7 @@ def dedup_stream_against_index(
     n: int = 3,
     k: int = 16,
     bands: int = 4,
-    max_bucket: int = 1000,
+    max_bucket: int | None = 1000,
 ):
     """`foreachBatch` callback for streaming ingestion dedup: each
     micro-batch is deduped against the persisted band index, and the
@@ -422,7 +484,18 @@ def dedup_stream_against_index(
     so a foreachBatch retry (micro-batches carry at-least-once
     semantics; only the sink write must be idempotent) neither appends
     duplicates nor sees the failed attempt's own writes, making the
-    pipeline exactly-once.
+    pipeline exactly-once WITHIN one checkpoint lineage.
+
+    The state roots are bound to that lineage: Structured Streaming
+    numbers batches per checkpoint, so a stream restarted with a
+    FRESH checkpointLocation would re-issue batch ids 0, 1, … and its
+    overwrites would silently replace earlier accepted batches. The
+    callback guards this — if the kept root already contains a batch
+    id HIGHER than the current one, it raises instead of overwriting
+    (a genuine retry only ever re-runs the highest id). To resume an
+    interrupted pipeline, reuse the original checkpointLocation; to
+    start a new lineage, point at fresh state roots (or re-seed from
+    the old ones).
 
     - `index_path`: band index root. Seed it with
       `minhash_band_index(corpus).write.parquet(f"{index_path}/batch=seed")`.
@@ -457,6 +530,25 @@ def dedup_stream_against_index(
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        # Restart-with-fresh-checkpoint guard (see docstring): batch
+        # ids only ever replay at the TOP of the sequence.
+        try:
+            existing = spark.read.parquet(kept_path).select("batch").distinct()
+            ids = [
+                int(v)
+                for (v,) in existing.collect()
+                if str(v).lstrip("-").isdigit()
+            ]
+        except AnalysisException:
+            ids = []  # kept root does not exist yet (first batch)
+        if ids and max(ids) > batch_id:
+            raise RuntimeError(
+                f"dedup_stream_against_index: kept root {kept_path!r} already "
+                f"contains batch={max(ids)} > current batch_id={batch_id} — "
+                "the stream was restarted with a fresh checkpoint against "
+                "existing state roots; reuse the original checkpointLocation "
+                "or point at fresh state roots"
+            )
         idx = _load(spark, index_path, batch_id)
         base = (
             _load(spark, base_path, batch_id).select(id_col, text_col)
@@ -475,7 +567,11 @@ def dedup_stream_against_index(
             bands=bands,
             max_bucket=max_bucket,
         )
-        kept = materialize(kept)  # one pass; fans out to 2-3 writes below
+        # One pass, fanned out to the 2-3 writes below — and the
+        # read/write barrier: the index is both read and re-written
+        # inside this callback, so the writes must not start until the
+        # reads have fully materialized.
+        kept = materialize(kept)
         kept.write.mode("overwrite").parquet(f"{kept_path}/batch={batch_id}")
         minhash_band_index(
             kept, text_col, id_col, n=n, k=k, bands=bands

@@ -333,6 +333,59 @@ def ivf_topk(
     )
 
 
+def vector_hash_frames(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """(member_id, v, _h1, _h2) over non-null vectors — the shared
+    front of the exact-vector collapse (two seeded xxhash64 longs over
+    the double array; the exchange carries two longs, not the array).
+    Null vectors are dropped: they have no similarity to anything."""
+    return (
+        df.where(F.col(vec_col).isNotNull())
+        .select(
+            F.col(id_col).alias("member_id"),
+            as_double_array(vec_col).alias("v"),
+        )
+        .select(
+            "member_id",
+            "v",
+            F.xxhash64("v").alias("_h1"),
+            F.xxhash64(F.lit(0x9E3779B9), F.col("v")).alias("_h2"),
+        )
+    )
+
+
+def collapse_exact_vectors(
+    hashed: DataFrame, op_name: str, *, rep_col: str = "rep_id"
+) -> DataFrame:
+    """(rep_col, v, _h1, _h2): one row per DISTINCT vector, minimum
+    member id as representative. The 128-bit scalar-hash group is
+    VERIFIED in-group (min ⇔ max over the orderable array, null-safe);
+    a cross-vector collision — ~n²/2^129, never in practice — raises
+    rather than silently merging distinct vectors. Shared by
+    `embedding_near_dups` and the incremental against-index operators
+    (`operators/incremental.py`) so the hash scheme cannot drift
+    between them."""
+    return (
+        hashed.groupBy("_h1", "_h2")
+        .agg(
+            F.min("member_id").alias(rep_col),
+            F.min("v").alias("v"),
+            F.max("v").alias("_vmax"),
+        )
+        .withColumn(
+            "v",
+            F.when(F.col("v").eqNullSafe(F.col("_vmax")), F.col("v")).otherwise(
+                F.raise_error(
+                    F.lit(
+                        f"{op_name}: 128-bit vector-hash collision "
+                        "on distinct vectors"
+                    )
+                )
+            ),
+        )
+        .drop("_vmax")
+    )
+
+
 def embedding_near_dups(
     df: DataFrame,
     *,
@@ -404,25 +457,9 @@ def embedding_near_dups(
     # operator eager at construction (same pattern as
     # sampling.token_budget_sample's slim frame).
     reps = materialize(
-        hashed.groupBy("_h1", "_h2")
-        .agg(
-            F.min("member_id").alias("rep_id"),
-            F.min("v").alias("v"),
-            F.max("v").alias("_vmax"),
+        collapse_exact_vectors(hashed, "embedding_near_dups").withColumn(
+            "_nrm", norm(F.col("v"))
         )
-        .withColumn(
-            "v",
-            F.when(F.col("v").eqNullSafe(F.col("_vmax")), F.col("v")).otherwise(
-                F.raise_error(
-                    F.lit(
-                        "embedding_near_dups: 128-bit vector-hash collision "
-                        "on distinct vectors"
-                    )
-                )
-            ),
-        )
-        .drop("_vmax")
-        .withColumn("_nrm", norm(F.col("v")))
     )
     members = materialize(
         hashed.select("member_id", "_h1", "_h2")

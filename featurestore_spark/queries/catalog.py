@@ -2257,10 +2257,18 @@ def _melt_cte(name: str, bands_cte: str) -> str:
         JOIN shingled_b sb ON sb.doc_id = c.b_id
       WHERE round(CAST(len(list_intersect(sq.sh, sb.sh)) AS DOUBLE)
             / len(list_distinct(list_concat(sq.sh, sb.sh))), 4) >= 0.8),
+    -- cap-independent exact stage: batch groups whose text exists
+    -- verbatim in the corpus drop unconditionally (mirrors the
+    -- text_h1/text_h2 semi-join)
+    exact_q AS (
+      SELECT DISTINCT g.rep_id FROM grpq g
+        JOIN grpb b ON b.text IS NOT DISTINCT FROM g.text),
     drops AS (
       SELECT d.doc_id AS d FROM documents d
-        JOIN grpq g ON g.text = d.text
-      WHERE d.doc_id % 3 = 0 AND g.rep_id IN (SELECT q_id FROM verified))
+        JOIN grpq g ON g.text IS NOT DISTINCT FROM d.text
+      WHERE d.doc_id % 3 = 0
+        AND (g.rep_id IN (SELECT q_id FROM verified)
+             OR g.rep_id IN (SELECT rep_id FROM exact_q)))
     SELECT d.doc_id FROM documents d LEFT JOIN drops ON d.doc_id = drops.d
     WHERE d.doc_id % 3 = 0 AND drops.d IS NULL
     """,
@@ -2667,9 +2675,15 @@ def _srp_incremental_oracle(
                  WHERE round(list_dot_product(gq.v, rb.v)
                        / (sqrt(list_dot_product(gq.v, gq.v)) * rb.nrm), 6)
                        >= {threshold}),
+    -- cap-independent exact stage (mirrors the vec_h1/vec_h2
+    -- semi-join; null vectors excluded — they are never hashed)
+    exact_q AS (SELECT DISTINCT gq.rep_id FROM grp_q gq
+                JOIN reps_b rb ON rb.v = gq.v
+                WHERE gq.v IS NOT NULL),
     drops AS (SELECT e.vec_id AS d FROM eq e
               JOIN grp_q g ON g.v = e.v
-              WHERE g.rep_id IN (SELECT q_id FROM verified))
+              WHERE g.rep_id IN (SELECT q_id FROM verified)
+                 OR g.rep_id IN (SELECT rep_id FROM exact_q))
     SELECT e.vec_id FROM embeddings e
     LEFT JOIN drops ON e.vec_id = drops.d
     WHERE e.vec_id % 3 = 0 AND drops.d IS NULL

@@ -138,7 +138,9 @@ def test_extend_index_chains_batches(spark, corpus, batch):
 
 def test_max_bucket_guards_degenerate_index_buckets(spark, corpus, batch):
     """An index band bucket larger than max_bucket is dropped before
-    the join: batch docs colliding ONLY in that bucket survive."""
+    the join: batch docs colliding ONLY in that bucket survive — but
+    EXACT duplicates of indexed texts drop regardless of the cap (the
+    text_h1/text_h2 stage is cap-independent)."""
     kw = dict(k=16, bands=8)
     # 3 distinct corpus texts all near-identical -> their band rows
     # share buckets; max_bucket=2 drops any bucket with all 3
@@ -153,6 +155,55 @@ def test_max_bucket_guards_degenerate_index_buckets(spark, corpus, batch):
     cap_ids = {r["doc_id"] for r in kept_cap.select("doc_id").collect()}
     nocap_ids = {r["doc_id"] for r in kept_nocap.select("doc_id").collect()}
     assert nocap_ids <= cap_ids
+    # max_bucket=0 drops EVERY band bucket -> only the exact stage
+    # remains, which still catches the verbatim duplicates 10/11
+    kept0 = dedup_against_index(batch, idx, max_bucket=0, **kw)
+    assert {r["doc_id"] for r in kept0.select("doc_id").collect()} == {12, 13, 14}
+    # max_bucket=None skips the cap pass entirely (pre-pruned index)
+    kept_none = dedup_against_index(batch, idx, max_bucket=None, **kw)
+    assert {
+        r["doc_id"] for r in kept_none.select("doc_id").collect()
+    } == nocap_ids
+    # an index WITHOUT the hash columns (foreign producer) still works,
+    # minus the cap-independent guarantee
+    legacy = idx.drop("text_h1", "text_h2")
+    kept_legacy = dedup_against_index(batch, legacy, **kw)
+    assert {
+        r["doc_id"] for r in kept_legacy.select("doc_id").collect()
+    } == nocap_ids
+
+
+def test_verified_raises_on_index_base_drift(spark, corpus, batch):
+    """A candidate id present in the index but missing from `base`
+    must fail loudly, not silently keep the near-duplicate."""
+    kw = dict(k=16, bands=8)
+    idx = minhash_band_index(corpus, **kw)
+    broken_base = corpus.where(F.col("doc_id") != 0)  # index still has 0
+    with pytest.raises(Exception, match="out of sync"):
+        dedup_against_index(
+            batch, idx, base=broken_base, threshold=0.8, **kw
+        ).count()
+
+
+def test_stream_restart_guard(spark, tmp_path, corpus, batch):
+    """Restarting with a fresh checkpoint (batch ids reset to 0)
+    against existing state roots must raise, not overwrite accepted
+    batches."""
+    from featurestore_spark.operators.incremental import (
+        dedup_stream_against_index,
+    )
+
+    kw = dict(k=16, bands=8)
+    idx_root, base_root, kept_root = _seed(corpus, tmp_path, kw)
+    cb = dedup_stream_against_index(
+        idx_root, kept_root, base_path=base_root, threshold=0.8, **kw
+    )
+    cb(batch, 5)
+    # retry of the HIGHEST batch id is fine
+    cb(batch, 5)
+    # a lower id means a new checkpoint lineage -> refuse
+    with pytest.raises(RuntimeError, match="fresh checkpoint"):
+        cb(batch, 0)
 
 
 def _seed(corpus, tmp, kw):
