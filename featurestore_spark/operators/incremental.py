@@ -86,6 +86,27 @@ def _drop_oversized_buckets(
     return index.join(over, keys, "left_anti")
 
 
+def prune_index(index: DataFrame, max_bucket: int = 1000) -> DataFrame:
+    """Pre-prune a band/code index: drop rows in degenerate buckets
+    once, at build/extend time, so every subsequent batch can pass
+    `max_bucket=None` and skip the per-batch counting aggregate
+    entirely (bucket counts are static per index version). Detects the
+    text side ((band_idx, band_hash)) vs the embedding side
+    ((band_idx, code)) from the schema. Persist the result as the
+    serving index; keep the unpruned one if you later want a bigger
+    cap."""
+    if "band_hash" in index.columns:
+        keys = ["band_idx", "band_hash"]
+    elif "code" in index.columns:
+        keys = ["band_idx", "code"]
+    else:
+        raise ValueError(
+            "prune_index: expected a minhash_band_index (band_hash) or "
+            f"srp_code_index (code) schema, got {index.columns}"
+        )
+    return _drop_oversized_buckets(index, keys, max_bucket)
+
+
 def minhash_band_index(
     df: DataFrame,
     text_col: str = "text",

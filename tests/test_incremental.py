@@ -369,3 +369,20 @@ def test_embeddings_against_index_matches_near_dups(spark, vec_corpus, vec_batch
         .collect()
     }
     assert got == expect
+
+
+def test_prune_index_equals_per_batch_cap(spark, corpus, batch):
+    from featurestore_spark.operators.incremental import prune_index
+
+    kw = dict(k=16, bands=8)
+    boiler = [(100 + i, BASE_TXT + f" filler{i}") for i in range(3)]
+    big = corpus.unionByName(spark.createDataFrame(boiler, ["doc_id", "text"]))
+    idx = minhash_band_index(big, **kw)
+    pruned = prune_index(idx, max_bucket=2)
+    a = dedup_against_index(batch, pruned, max_bucket=None, **kw)
+    b = dedup_against_index(batch, idx, max_bucket=2, **kw)
+    assert {r["doc_id"] for r in a.select("doc_id").collect()} == {
+        r["doc_id"] for r in b.select("doc_id").collect()
+    }
+    with pytest.raises(ValueError, match="schema"):
+        prune_index(idx.drop("band_hash"))
