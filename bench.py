@@ -86,6 +86,9 @@ HEADLINE = [
     "q_dedup_pipeline",
     "q_incremental_dedup",
     "q_incremental_embedding_dedup",
+    "q_pq_encode",
+    "q_pq_topk",
+    "q_semantic_dedup",
     "q_top_customers",
     "q_vault_full_cycle",  # write-path throughput (real loader)
 ]

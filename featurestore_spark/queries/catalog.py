@@ -3483,6 +3483,157 @@ def q_embedding_clusters(spark, sf_dir):
     )
 
 
+# Shared CTE fragment for the PQ oracles: 8 subspaces × 8 dims over
+# the 64-dim embeddings; codebook = sub-slices of vectors vec_id < 16
+# (fixed data-derived codewords — the oracled path checks the
+# encode/ADC machinery; Lloyd TRAINING determinism is pytest-asserted
+# separately, mirroring the train_centroids/assign_to_centroids split).
+_PQ_SUB_CTES = """
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+          WHERE embedding IS NOT NULL),
+    s AS (SELECT CAST(unnest(generate_series(0, 7)) AS INTEGER) AS sub_id),
+    sub AS (SELECT e.vec_id, s.sub_id,
+                   list_slice(e.v, s.sub_id * 8 + 1, s.sub_id * 8 + 8) AS sv
+            FROM e CROSS JOIN s),
+    cb AS (SELECT sub_id, CAST(vec_id AS INTEGER) AS code_id, sv AS cw
+           FROM sub WHERE vec_id < 16),
+    sd AS (SELECT t.vec_id, t.sub_id, cb.code_id,
+                  round(list_sum(list_transform(generate_series(1, 8),
+                          i -> (t.sv[i] - cb.cw[i]) * (t.sv[i] - cb.cw[i]))), 6)
+                    AS d2
+           FROM sub t JOIN cb USING (sub_id))
+"""
+
+
+@_register(
+    "q_pq_encode",
+    f"""
+    WITH {_PQ_SUB_CTES}
+    SELECT vec_id, sub_id, code_id
+    FROM (SELECT vec_id, sub_id, code_id,
+                 row_number() OVER (PARTITION BY vec_id, sub_id
+                                    ORDER BY d2, code_id) AS rn
+          FROM sd)
+    WHERE rn = 1
+    """,
+    "Product-quantization encode: each 64-dim vector compressed to 8 "
+    "subspace code ids (nearest codeword per sub, rounded-argmin, "
+    "ties on code id). Codebook broadcast; the melt is a projection "
+    "and the only shuffle keys on the scalar (vec_id, sub_id). At "
+    "100 TB this is the one-time compression pass that shrinks the "
+    "corpus ~32x for ADC search.",
+)
+def q_pq_encode(spark, sf_dir):
+    from featurestore_spark.operators.quantize import explode_subvectors, pq_encode
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb = explode_subvectors(emb.where(F.col("vec_id") < 16), 8, dim=64).select(
+        "sub_id",
+        F.col("vec_id").cast("int").alias("code_id"),
+        F.col("sv").alias("codeword"),
+    )
+    enc = pq_encode(emb, cb, dim=64)
+    return enc.select("vec_id", F.posexplode("codes").alias("sub_id", "code_id"))
+
+
+@_register(
+    "q_pq_topk",
+    f"""
+    WITH {_PQ_SUB_CTES},
+    enc AS (SELECT vec_id, sub_id, code_id
+            FROM (SELECT vec_id, sub_id, code_id,
+                         row_number() OVER (PARTITION BY vec_id, sub_id
+                                            ORDER BY d2, code_id) AS rn
+                  FROM sd)
+            WHERE rn = 1),
+    lut AS (SELECT vec_id AS query_id, sub_id, code_id, d2
+            FROM sd WHERE vec_id < 5),
+    dist AS (SELECT l.query_id, e.vec_id AS neighbor_id,
+                    round(list_sum(list(l.d2 ORDER BY l.sub_id)), 6) AS adist
+             FROM enc e JOIN lut l
+               ON e.sub_id = l.sub_id AND e.code_id = l.code_id
+             GROUP BY 1, 2)
+    SELECT query_id, CAST(rnk AS INTEGER) AS rnk, neighbor_id, adist
+    FROM (SELECT query_id, neighbor_id, adist,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY adist, neighbor_id) AS rnk
+          FROM dist)
+    WHERE rnk <= 10
+    """,
+    "PQ asymmetric-distance top-10: per query an 8x16 lookup table of "
+    "rounded subspace distances is precomputed and broadcast; each "
+    "candidate's distance is 8 array lookups summed in sub order "
+    "(zip_with + left fold — engine-exact, so the oracle reproduces "
+    "the ranking). The corpus side streams its codes column; no "
+    "shuffle carries a vector.",
+)
+def q_pq_topk(spark, sf_dir):
+    from featurestore_spark.operators.quantize import (
+        explode_subvectors,
+        pq_adc_topk,
+        pq_encode,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb = explode_subvectors(emb.where(F.col("vec_id") < 16), 8, dim=64).select(
+        "sub_id",
+        F.col("vec_id").cast("int").alias("code_id"),
+        F.col("sv").alias("codeword"),
+    )
+    enc = pq_encode(emb, cb, dim=64)
+    q = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    return pq_adc_topk(q, enc, cb, 10, dim=64)
+
+
+@_register(
+    "q_semantic_dedup",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+               WHERE embedding IS NOT NULL),
+    c AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < 8),
+    a AS (SELECT vec_id, v, centroid_id
+          FROM (SELECT e.vec_id, e.v, c.centroid_id,
+                       row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                         round(list_sum(list_transform(generate_series(1, 64),
+                             i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i]))), 6),
+                         c.centroid_id) AS rn
+                FROM e CROSS JOIN c)
+          WHERE rn = 1),
+    p AS (SELECT x.vec_id, min(y.vec_id) AS smaller_dup
+          FROM a x JOIN a y
+            ON x.centroid_id = y.centroid_id AND y.vec_id < x.vec_id
+          WHERE round(
+                  list_sum(list_transform(generate_series(1, 64),
+                                          i -> x.v[i] * y.v[i])) /
+                  (sqrt(list_sum(list_transform(generate_series(1, 64),
+                                                i -> x.v[i] * x.v[i]))) *
+                   sqrt(list_sum(list_transform(generate_series(1, 64),
+                                                i -> y.v[i] * y.v[i])))), 6)
+                >= 0.3
+          GROUP BY x.vec_id)
+    SELECT a.vec_id, a.centroid_id, (p.smaller_dup IS NULL) AS keep
+    FROM a LEFT JOIN p ON a.vec_id = p.vec_id
+    """,
+    "SemDeDup-style semantic dedup: nearest-centroid clustering, then "
+    "within each cluster drop any vector with a lower-id near-dup "
+    "(rounded cosine >= 0.3). The oracle states the naive member-"
+    "pairwise rule; the Spark plan factors it through the exact-dup "
+    "collapse (pairs over DISTINCT vectors + membership joins) so it "
+    "is replication-invariant — the hash-match proves the factoring "
+    "exact.",
+)
+def q_semantic_dedup(spark, sf_dir):
+    from featurestore_spark.operators.quantize import semantic_dedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("centroid")
+    )
+    return semantic_dedup(emb, cents, threshold=0.3)
+
+
 # ---------------------------------------------------------------------------
 # Driver-gate registration order.
 #
@@ -3548,6 +3699,9 @@ _DRIVER_PRIORITY = [
     # driver, not carried on stale evidence:
     "q_incremental_dedup",     # NEW this round (against-index dedup)
     "q_incremental_embedding_dedup",  # NEW this round (SRP against-index)
+    "q_pq_encode",             # NEW this round (product quantization)
+    "q_pq_topk",               # NEW this round (PQ ADC top-k)
+    "q_semantic_dedup",        # NEW this round (SemDeDup cluster-prune)
     "q_token_budget_sample",   # n_tokens rename + materialize knob
     "q_embedding_near_dups",   # membership-frame collapse + null filter
     "q_embedding_clusters",    # similarity collapse + resolve materialize
