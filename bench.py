@@ -88,6 +88,7 @@ HEADLINE = [
     "q_incremental_embedding_dedup",
     "q_pq_encode",
     "q_pq_topk",
+    "q_ivf_pq_topk",
     "q_semantic_dedup",
     "q_top_customers",
     "q_vault_full_cycle",  # write-path throughput (real loader)

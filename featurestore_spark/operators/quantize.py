@@ -331,6 +331,120 @@ def pq_adc_topk(
     )
 
 
+def ivf_pq_topk(
+    queries: DataFrame,
+    encoded: DataFrame,
+    codebooks: DataFrame,
+    centroids: DataFrame,
+    k: int,
+    *,
+    n_probe: int = 2,
+    query_id: str = "query_id",
+    query_vec: str = "qv",
+    cand_id: str = "vec_id",
+    codes_col: str = "codes",
+    centroid_id_col: str = "centroid_id",
+    centroid_vec_col: str = "centroid",
+    dim: int | None = None,
+    decimals: int = 6,
+) -> DataFrame:
+    """IVF-PQ: the canonical billion-scale ANN composition — candidates
+    pre-assigned to coarse centroids AND PQ-compressed; each query
+    probes only its `n_probe` nearest centroid lists and evaluates ADC
+    distances against the codes in those lists.
+
+    `encoded` must carry (cand_id, codes, centroid_id) — produce it
+    once at ingestion with `pq_encode` + `assign_to_centroids`. At
+    100 TB the encoded table is written bucketed/partitioned by
+    centroid_id, so a probe scans only its lists' files (partition
+    pruning), and each scanned candidate costs m array lookups over a
+    ~32× smaller payload than the raw vectors. The probe/LUT side is
+    a per-query constant broadcast with the query set; the join is an
+    equi-join on centroid_id.
+
+    Same engine-parity discipline as `pq_adc_topk` (rounded LUT
+    entries, sub-order fold, ties on neighbor id); probe selection
+    uses rounded centroid distances with ties on centroid id."""
+    m = codebooks.select(F.countDistinct("sub_id")).first()[0]
+    if not m:
+        raise ValueError("empty codebook")
+    cents = centroids.select(
+        F.col(centroid_id_col),
+        as_double_array(centroid_vec_col).alias("_cv"),
+    )
+    # per-query probe lists: rank broadcast centroids by rounded L2
+    probes = (
+        queries.select(F.col(query_id), as_double_array(query_vec).alias("_qv"))
+        .crossJoin(F.broadcast(cents))
+        .withColumn(
+            "_d2",
+            F.round(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("_qv"), F.col("_cv"), lambda a, b: (a - b) * (a - b)
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+                decimals,
+            ),
+        )
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy(query_id).orderBy("_d2", centroid_id_col)
+            ),
+        )
+        .where(F.col("_rn") <= n_probe)
+        .select(query_id, centroid_id_col)
+    )
+    # per-query LUTs (identical construction to pq_adc_topk)
+    qex = explode_subvectors(
+        queries, m, id_col=query_id, vec_col=query_vec, dim=dim
+    )
+    cb = codebooks.select(
+        "sub_id", "code_id", as_double_array("codeword").alias("_cw")
+    )
+    lut_long = qex.join(F.broadcast(cb), "sub_id").withColumn(
+        "_d2", _sub_d2(F.col("sv"), F.col("_cw"), decimals)
+    )
+    per_sub = lut_long.groupBy(query_id, "sub_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("code_id", "_d2"))),
+            lambda s: s.getField("_d2"),
+        ).alias("_row")
+    )
+    luts = per_sub.groupBy(query_id).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("sub_id", "_row"))),
+            lambda s: s.getField("_row"),
+        ).alias("_lut")
+    )
+    probe_luts = probes.join(luts, query_id)
+    dists = encoded.join(F.broadcast(probe_luts), centroid_id_col).select(
+        query_id,
+        F.col(cand_id).alias("neighbor_id"),
+        F.round(
+            F.aggregate(
+                F.zip_with(
+                    F.col(codes_col),
+                    F.col("_lut"),
+                    lambda c, row: F.element_at(row, c + F.lit(1)),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            decimals,
+        ).alias("adist"),
+    )
+    w = Window.partitionBy(query_id).orderBy("adist", "neighbor_id")
+    return (
+        dists.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select(query_id, "rnk", "neighbor_id", "adist")
+    )
+
+
 def semantic_dedup(
     df: DataFrame,
     centroids: DataFrame,

@@ -3588,6 +3588,83 @@ def q_pq_topk(spark, sf_dir):
 
 
 @_register(
+    "q_ivf_pq_topk",
+    f"""
+    WITH {_PQ_SUB_CTES},
+    c AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < 8),
+    asg AS (SELECT vec_id, centroid_id
+            FROM (SELECT e.vec_id, c.centroid_id,
+                         row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                           round(list_sum(list_transform(generate_series(1, 64),
+                               i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i]))), 6),
+                           c.centroid_id) AS rn
+                  FROM e CROSS JOIN c)
+            WHERE rn = 1),
+    enc AS (SELECT vec_id, sub_id, code_id
+            FROM (SELECT vec_id, sub_id, code_id,
+                         row_number() OVER (PARTITION BY vec_id, sub_id
+                                            ORDER BY d2, code_id) AS rn
+                  FROM sd)
+            WHERE rn = 1),
+    probes AS (SELECT query_id, centroid_id
+               FROM (SELECT e.vec_id AS query_id, c.centroid_id,
+                            row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                              round(list_sum(list_transform(generate_series(1, 64),
+                                  i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i]))), 6),
+                              c.centroid_id) AS rn
+                     FROM e CROSS JOIN c WHERE e.vec_id < 5)
+               WHERE rn <= 2),
+    lut AS (SELECT vec_id AS query_id, sub_id, code_id, d2
+            FROM sd WHERE vec_id < 5),
+    dist AS (SELECT l.query_id, en.vec_id AS neighbor_id,
+                    round(list_sum(list(l.d2 ORDER BY l.sub_id)), 6) AS adist
+             FROM enc en
+             JOIN asg ON asg.vec_id = en.vec_id
+             JOIN probes p ON p.centroid_id = asg.centroid_id
+             JOIN lut l ON l.query_id = p.query_id
+                       AND l.sub_id = en.sub_id AND l.code_id = en.code_id
+             GROUP BY 1, 2)
+    SELECT query_id, CAST(rnk AS INTEGER) AS rnk, neighbor_id, adist
+    FROM (SELECT query_id, neighbor_id, adist,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY adist, neighbor_id) AS rnk
+          FROM dist)
+    WHERE rnk <= 10
+    """,
+    "IVF-PQ top-10: the canonical billion-scale ANN shape — corpus "
+    "pre-assigned to coarse centroids AND PQ-compressed; each query "
+    "probes its 2 nearest lists and evaluates ADC lookups only "
+    "there. At 100 TB the encoded table is partitioned by "
+    "centroid_id so probes prune to their lists' files; the "
+    "probe+LUT side broadcasts with the query set.",
+)
+def q_ivf_pq_topk(spark, sf_dir):
+    from featurestore_spark.operators.quantize import (
+        explode_subvectors,
+        ivf_pq_topk,
+        pq_encode,
+    )
+    from featurestore_spark.operators.similarity import assign_to_centroids
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb = explode_subvectors(emb.where(F.col("vec_id") < 16), 8, dim=64).select(
+        "sub_id",
+        F.col("vec_id").cast("int").alias("code_id"),
+        F.col("sv").alias("codeword"),
+    )
+    cents = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("centroid")
+    )
+    enc = pq_encode(emb, cb, dim=64)
+    asg = assign_to_centroids(emb, cents).select("vec_id", "centroid_id")
+    encoded = enc.join(asg, "vec_id")
+    q = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    return ivf_pq_topk(q, encoded, cb, cents, 10, n_probe=2, dim=64)
+
+
+@_register(
     "q_semantic_dedup",
     """
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
@@ -3701,6 +3778,7 @@ _DRIVER_PRIORITY = [
     "q_incremental_embedding_dedup",  # NEW this round (SRP against-index)
     "q_pq_encode",             # NEW this round (product quantization)
     "q_pq_topk",               # NEW this round (PQ ADC top-k)
+    "q_ivf_pq_topk",           # NEW this round (IVF-PQ composition)
     "q_semantic_dedup",        # NEW this round (SemDeDup cluster-prune)
     "q_token_budget_sample",   # n_tokens rename + materialize knob
     "q_embedding_near_dups",   # membership-frame collapse + null filter

@@ -141,6 +141,38 @@ def test_pq_adc_no_vector_in_shuffle(spark):
     assert "hashpartitioning(sv#" not in plan
 
 
+def test_ivf_pq_probed_lists_only(spark):
+    """IVF-PQ returns neighbors ONLY from probed centroid lists, and
+    with n_probe = all centroids it matches plain ADC over the full
+    corpus (the probe is a pruning, not a rescoring)."""
+    from featurestore_spark.operators.quantize import ivf_pq_topk
+    from featurestore_spark.operators.similarity import assign_to_centroids
+
+    data = _clustered_vecs(n=80, spread=0.4)
+    df = spark.createDataFrame(data, ["vec_id", "embedding"])
+    cb = densify_codebook(pq_train(df, m=4, k=8, iterations=2))
+    enc = pq_encode(df, cb)
+    cents = df.where("vec_id < 4").select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("centroid")
+    )
+    asg = assign_to_centroids(df, cents).select("vec_id", "centroid_id")
+    encoded = enc.join(asg, "vec_id")
+    q = df.where("vec_id < 2").select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    k = 8
+    pruned = ivf_pq_topk(q, encoded, cb, cents, k, n_probe=1)
+    assign = {r["vec_id"]: r["centroid_id"] for r in asg.collect()}
+    for r in pruned.collect():
+        # with clean 4-cluster structure, a query's 1-probe list is its
+        # own cluster; every neighbor must come from it
+        assert assign[r["neighbor_id"]] == assign[r["query_id"]]
+    # probing every list == unpruned ADC
+    full = ivf_pq_topk(q, encoded, cb, cents, k, n_probe=4)
+    adc = pq_adc_topk(q, enc, cb, k)
+    assert sorted(map(tuple, full.collect())) == sorted(map(tuple, adc.collect()))
+
+
 def _naive_semantic_dedup(rows, centroids, threshold):
     """Driver-side statement of the pairwise rule: keep(x) iff no
     y < x in x's cluster with round(cos, 6) >= threshold."""
