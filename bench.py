@@ -90,6 +90,7 @@ HEADLINE = [
     "q_pq_topk",
     "q_ivf_pq_topk",
     "q_semantic_dedup",
+    "q_dedup_lines",
     "q_top_customers",
     "q_vault_full_cycle",  # write-path throughput (real loader)
 ]

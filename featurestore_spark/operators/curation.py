@@ -376,3 +376,147 @@ def pack_chunks(
         return pdf
 
     return chunks.groupBy(group_col).applyInPandas(_pack, out_schema)
+
+
+# -- line-level dedup ---------------------------------------------------------
+
+
+def line_doc_frequency(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    delimiter: str = "\n",
+    normalize: bool = True,
+) -> DataFrame:
+    """Document frequency of every distinct (normalized) line:
+    (line, doc_freq). Diagnostic companion to `dedup_lines` — inspect
+    the boilerplate vocabulary before picking `max_docs`.
+
+    `delimiter` is a Java regex (default literal newline). Empty
+    normalized lines are excluded (they are document structure, not
+    content). Two shuffles, both with map-side partial aggregation:
+    distinct (line, id) pairs, then a count per line.
+    """
+    line = F.explode(F.split(F.col(text_col), delimiter)).alias("line")
+    norm = F.lower(F.trim(F.col("line"))) if normalize else F.col("line")
+    return (
+        df.select(F.col(id_col), line)
+        .select(norm.alias("line"), id_col)
+        .where(F.col("line") != "")
+        .distinct()
+        .groupBy("line")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+    )
+
+
+def dedup_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    max_docs: int = 1,
+    delimiter: str = "\n",
+    output_delimiter: str = "\n",
+    normalize: bool = True,
+) -> DataFrame:
+    """CCNet / RefinedWeb-style line-level dedup: drop every line whose
+    normalized form appears in MORE than `max_docs` distinct documents
+    (navigation menus, cookie banners, licence footers — the dominant
+    boilerplate class in web corpora). Returns the input columns with
+    `text_col` rewritten (kept lines rejoined in original order with
+    `output_delimiter`) plus `n_lines` / `n_lines_kept` counts.
+
+    Empty normalized lines are never counted and never dropped
+    (paragraph structure survives). NULL text passes through with NULL
+    counts. `delimiter` is a Java regex.
+
+    Scale shape (the 100 TB path, where most bytes are line text):
+
+    - **Counting pass carries no line text.** The exploded frame for
+      doc-frequency is (xxhash64(line), id) only — two narrow shuffles
+      (distinct pairs, then count-per-hash), both with map-side partial
+      aggregation, so even a line present in every document reduces to
+      at most one row per upstream partition at the final count.
+    - **Only affected documents are rebuilt.** Docs containing at least
+      one over-frequent line are found with a semi-join on the slim
+      frame; every other document passes through byte-identical with
+      NO explode/regroup of its text. On web corpora the affected
+      fraction is well under 1, and untouched docs skip the one
+      shuffle that carries line strings (the per-doc reassembly
+      groupBy, which is bounded by lines-per-doc, not corpus skew).
+    - The over-frequent line set joins by hash (left_anti), never
+      broadcast unconditionally — on a real web corpus the boilerplate
+      vocabulary can be millions of lines.
+    - EAGER: the frequent-line set and the affected-id set each fan out
+      to two consumers, so both are materialized (see
+      operators/materialize.py and docs/usage.md "Eager operators") —
+      without the barrier Catalyst re-derives the full counting
+      pipeline once per consumer (measured 4 redundant corpus explodes
+      in the unmaterialized plan).
+    """
+    from featurestore_spark.operators.materialize import materialize
+
+    text = F.col(text_col)
+    lid = F.col(id_col)
+    split_lines = F.split(text, delimiter)
+
+    def _norm(c: Column) -> Column:
+        return F.lower(F.trim(c)) if normalize else c
+
+    # slim counting frame: (line-hash, id); empty lines excluded
+    hashed = (
+        df.select(lid, F.explode(split_lines).alias("_line"))
+        .select(lid, _norm(F.col("_line")).alias("_norm"))
+        .where(F.col("_norm") != "")
+        .select(lid, F.xxhash64("_norm").alias("_lh"))
+    )
+    frequent = materialize(
+        hashed.distinct()
+        .groupBy("_lh")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .where(F.col("_df") > max_docs)
+        .select("_lh")
+    )
+    affected = materialize(
+        hashed.join(frequent, "_lh", "left_semi").select(lid).distinct()
+    )
+
+    # rebuild ONLY affected docs; line strings shuffle once (regroup).
+    # A plain left_anti suffices for empty lines too: they are excluded
+    # from counting, so their hash can never be in `frequent`.
+    rebuilt = (
+        df.join(affected, id_col, "left_semi")
+        .select(lid, F.posexplode(split_lines).alias("_pos", "_line"))
+        .withColumn("_lh", F.xxhash64(_norm(F.col("_line"))))
+        .join(frequent, "_lh", "left_anti")
+        .groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("_pos", "_line"))),
+                    lambda s: s["_line"],
+                ),
+                output_delimiter,
+            ).alias("_new_text"),
+            F.count(F.lit(1)).alias("_n_kept"),
+        )
+    )
+
+    # rebuilt has no row for an affected doc whose EVERY line was
+    # dropped (groupBy over zero kept lines) — the _aff flag from the
+    # materialized affected set distinguishes it from an untouched doc.
+    out = df.join(rebuilt, id_col, "left").join(
+        affected.withColumn("_aff", F.lit(True)), id_col, "left"
+    )
+    return out.withColumns(
+        {
+            "n_lines": F.size(split_lines),
+            "n_lines_kept": F.when(F.col("_aff").isNull(), F.size(split_lines))
+            .when(F.col("_n_kept").isNotNull(), F.col("_n_kept"))
+            .otherwise(F.lit(0)),
+            text_col: F.when(F.col("_aff").isNull(), text)
+            .when(F.col("_n_kept").isNotNull(), F.col("_new_text"))
+            .otherwise(F.lit("")),
+        }
+    ).drop("_new_text", "_n_kept", "_aff")

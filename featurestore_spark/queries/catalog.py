@@ -3418,6 +3418,72 @@ def q_pack_chunks(spark, sf_dir):
 
 
 @_register(
+    "q_dedup_lines",
+    r"""
+    WITH toked AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+      FROM documents),
+    chunked AS (
+      SELECT doc_id, toks,
+             unnest(generate_series(0,
+               greatest(CAST(ceil(len(toks) / 5.0) AS INTEGER), 1) - 1)) AS i
+      FROM toked),
+    lines AS (
+      SELECT doc_id, i AS pos,
+             array_to_string(toks[i * 5 + 1 : i * 5 + 5], ' ') AS line
+      FROM chunked),
+    freq AS (
+      SELECT lower(trim(line)) AS norm
+      FROM lines WHERE lower(trim(line)) <> ''
+      GROUP BY 1 HAVING count(DISTINCT doc_id) > 1),
+    kept AS (
+      SELECT l.doc_id, l.pos, l.line FROM lines l
+      LEFT JOIN freq f ON lower(trim(l.line)) = f.norm
+      WHERE f.norm IS NULL),
+    counts AS (SELECT doc_id, count(*) AS n_lines FROM lines GROUP BY doc_id),
+    rebuilt AS (
+      SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text,
+             count(*) AS n_kept
+      FROM kept GROUP BY doc_id)
+    SELECT c.doc_id, md5(coalesce(r.text, '')) AS text_md5,
+           CAST(c.n_lines AS INTEGER) AS n_lines,
+           CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_lines_kept
+    FROM counts c LEFT JOIN rebuilt r USING (doc_id)
+    """,
+    "CCNet/RefinedWeb line-level dedup: documents recast as 5-token "
+    "lines, then every line appearing in >1 distinct docs dropped "
+    "corpus-wide and texts rebuilt in order (md5-compared). The "
+    "counting pass shuffles only (xxhash64, doc_id); only affected "
+    "docs are exploded and rebuilt.",
+)
+def q_dedup_lines(spark, sf_dir):
+    from featurestore_spark.operators.curation import dedup_lines
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    n_chunks = F.greatest(
+        F.ceil(F.size(toks) / F.lit(5.0)).cast("int"), F.lit(1)
+    )
+    built = docs.select(
+        "doc_id",
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - 1),
+                lambda i: F.array_join(F.slice(toks, i * 5 + 1, 5), " "),
+            ),
+            "\n",
+        ).alias("text"),
+    )
+    out = dedup_lines(built, max_docs=1)
+    return out.select(
+        "doc_id",
+        F.md5(F.col("text")).alias("text_md5"),
+        "n_lines",
+        F.col("n_lines_kept").cast("long").alias("n_lines_kept"),
+    )
+
+
+@_register(
     "q_token_budget_sample",
     r"""
     WITH t AS (
@@ -3780,6 +3846,7 @@ _DRIVER_PRIORITY = [
     "q_pq_topk",               # NEW this round (PQ ADC top-k)
     "q_ivf_pq_topk",           # NEW this round (IVF-PQ composition)
     "q_semantic_dedup",        # NEW this round (SemDeDup cluster-prune)
+    "q_dedup_lines",           # NEW this round (CCNet line-level dedup)
     "q_token_budget_sample",   # n_tokens rename + materialize knob
     "q_embedding_near_dups",   # membership-frame collapse + null filter
     "q_embedding_clusters",    # similarity collapse + resolve materialize

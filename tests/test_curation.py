@@ -202,3 +202,73 @@ def test_pack_chunks_validates_inputs(spark):
         ).collect()
     with pytest.raises(Exception, match="not unique"):
         pack_chunks(base, budget=4, order_cols=("doc_id",)).collect()
+
+
+def test_dedup_lines_drops_frequent_and_preserves_structure(spark):
+    from featurestore_spark.operators.curation import (
+        dedup_lines,
+        line_doc_frequency,
+    )
+
+    rows = [
+        (1, "keep me\nCOOKIE banner\nunique one"),
+        (2, "cookie banner\nother text\n\nafter blank"),
+        (3, "cookie banner"),  # every line dropped
+        (4, "untouched  doc   weird   spacing"),  # unaffected passthrough
+        (5, None),
+        (6, "keep me"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in dedup_lines(df, max_docs=1).collect()}
+
+    # 'cookie banner' (3 docs, case-insensitive) and 'keep me' (2 docs)
+    # exceed max_docs=1 and are dropped everywhere
+    assert out[1]["text"] == "unique one"
+    assert (out[1]["n_lines"], out[1]["n_lines_kept"]) == (3, 1)
+    # empty line survives (structure, never counted/dropped)
+    assert out[2]["text"] == "other text\n\nafter blank"
+    assert out[2]["n_lines_kept"] == 3
+    # all lines dropped -> empty text, kept=0
+    assert out[3]["text"] == "" and out[3]["n_lines_kept"] == 0
+    assert out[6]["text"] == "" and out[6]["n_lines_kept"] == 0
+    # unaffected doc is byte-identical (never exploded/rebuilt)
+    assert out[4]["text"] == "untouched  doc   weird   spacing"
+    # null text passes through with null counts
+    assert out[5]["text"] is None and out[5]["n_lines"] is None
+
+    freq = {
+        r["line"]: r["doc_freq"] for r in line_doc_frequency(df).collect()
+    }
+    assert freq["cookie banner"] == 3
+    assert freq["keep me"] == 2
+    assert "" not in freq
+
+
+def test_dedup_lines_max_docs_threshold_and_output_delimiter(spark):
+    from featurestore_spark.operators.curation import dedup_lines
+
+    rows = [(i, "shared line\nown %d" % i) for i in range(1, 4)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # max_docs=3: nothing exceeds the threshold -> all byte-identical
+    same = dedup_lines(df, max_docs=3).collect()
+    assert all(r["text"] == "shared line\nown %d" % r["doc_id"] for r in same)
+    # max_docs=2 with a custom join delimiter
+    out = {
+        r["doc_id"]: r["text"]
+        for r in dedup_lines(df, max_docs=2, output_delimiter=" | ").collect()
+    }
+    assert out[1] == "own 1"
+
+
+def test_dedup_lines_counting_frame_carries_no_text(spark):
+    """The doc-frequency pass must shuffle only (hash, id) — no line
+    strings — so boilerplate counting at corpus scale is a narrow
+    shuffle regardless of line width."""
+    from featurestore_spark.operators.curation import dedup_lines
+
+    df = spark.createDataFrame(
+        [(1, "a\nb"), (2, "a\nc")], "doc_id long, text string"
+    )
+    plan = dedup_lines(df)._jdf.queryExecution().optimizedPlan().toString()
+    # the aggregate feeding the frequent-line filter groups on the hash
+    assert "xxhash64" in plan
