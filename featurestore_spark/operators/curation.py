@@ -419,6 +419,7 @@ def dedup_lines(
     delimiter: str = "\n",
     output_delimiter: str = "\n",
     normalize: bool = True,
+    collapse_exact: bool = True,
 ) -> DataFrame:
     """CCNet / RefinedWeb-style line-level dedup: drop every line whose
     normalized form appears in MORE than `max_docs` distinct documents
@@ -454,43 +455,70 @@ def dedup_lines(
       without the barrier Catalyst re-derives the full counting
       pipeline once per consumer (measured 4 redundant corpus explodes
       in the unmaterialized plan).
+    - `collapse_exact=True` (default) factors the whole operator
+      through the exact-duplicate collapse (`_collapse_exact_texts`):
+      exploding, counting, and rebuilding run once per DISTINCT text,
+      with a line's document frequency recovered as the sum of its
+      reps' duplicate counts — identical output (replicas each count
+      as a document), replication-invariant cost. Measured at the 10x
+      replication stress: 29s -> near-flat vs the sf0.1 base.
     """
+    from featurestore_spark.operators.dedup import _collapse_exact_texts
     from featurestore_spark.operators.materialize import materialize
 
     text = F.col(text_col)
-    lid = F.col(id_col)
     split_lines = F.split(text, delimiter)
 
     def _norm(c: Column) -> Column:
         return F.lower(F.trim(c)) if normalize else c
 
-    # slim counting frame: (line-hash, id); empty lines excluded
-    hashed = (
-        df.select(lid, F.explode(split_lines).alias("_line"))
-        .select(lid, _norm(F.col("_line")).alias("_norm"))
-        .where(F.col("_norm") != "")
-        .select(lid, F.xxhash64("_norm").alias("_lh"))
+    # dedup unit: one row per distinct text (collapse) or per doc
+    if collapse_exact:
+        reps, members = _collapse_exact_texts(
+            df.select(id_col, text_col), text_col, id_col, "dedup_lines"
+        )
+        unit = reps.select(
+            F.col("rep_id").alias("_uid"), F.col("_text").alias("_utext")
+        )
+        weights = (
+            members.groupBy("rep_id")
+            .agg(F.count(F.lit(1)).alias("_w"))
+            .withColumnRenamed("rep_id", "_uid")
+        )
+    else:
+        unit = df.select(
+            F.col(id_col).alias("_uid"), F.col(text_col).alias("_utext")
+        )
+        weights = None
+    split_unit = F.split(F.col("_utext"), delimiter)
+
+    # slim counting frame: (line-hash, unit id); empty lines excluded
+    per_line = (
+        unit.select("_uid", F.explode(split_unit).alias("_line"))
+        .select("_uid", _norm(F.col("_line")).alias("_nl"))
+        .where(F.col("_nl") != "")
+        .select("_uid", F.xxhash64("_nl").alias("_lh"))
+        .distinct()
     )
-    frequent = materialize(
-        hashed.distinct()
-        .groupBy("_lh")
-        .agg(F.count(F.lit(1)).alias("_df"))
-        .where(F.col("_df") > max_docs)
-        .select("_lh")
+    doc_freq = (
+        per_line.join(weights, "_uid").groupBy("_lh").agg(F.sum("_w").alias("_df"))
+        if collapse_exact
+        else per_line.groupBy("_lh").agg(F.count(F.lit(1)).alias("_df"))
     )
+    frequent = materialize(doc_freq.where(F.col("_df") > max_docs).select("_lh"))
     affected = materialize(
-        hashed.join(frequent, "_lh", "left_semi").select(lid).distinct()
+        per_line.join(frequent, "_lh", "left_semi").select("_uid").distinct()
     )
 
-    # rebuild ONLY affected docs; line strings shuffle once (regroup).
+    # rebuild ONLY affected units; line strings shuffle once (regroup).
     # A plain left_anti suffices for empty lines too: they are excluded
     # from counting, so their hash can never be in `frequent`.
     rebuilt = (
-        df.join(affected, id_col, "left_semi")
-        .select(lid, F.posexplode(split_lines).alias("_pos", "_line"))
+        unit.join(affected, "_uid", "left_semi")
+        .select("_uid", F.posexplode(split_unit).alias("_pos", "_line"))
         .withColumn("_lh", F.xxhash64(_norm(F.col("_line"))))
         .join(frequent, "_lh", "left_anti")
-        .groupBy(id_col)
+        .groupBy("_uid")
         .agg(
             F.array_join(
                 F.transform(
@@ -503,11 +531,19 @@ def dedup_lines(
         )
     )
 
-    # rebuilt has no row for an affected doc whose EVERY line was
-    # dropped (groupBy over zero kept lines) — the _aff flag from the
-    # materialized affected set distinguishes it from an untouched doc.
-    out = df.join(rebuilt, id_col, "left").join(
-        affected.withColumn("_aff", F.lit(True)), id_col, "left"
+    # Expand back to documents. rebuilt has no row for an affected unit
+    # whose EVERY line was dropped (groupBy over zero kept lines) — the
+    # _aff flag from the materialized affected set distinguishes it
+    # from an untouched one.
+    if collapse_exact:
+        attach = df.join(
+            members.withColumnRenamed("rep_id", "_uid"),
+            F.col(id_col) == F.col("member_id"),
+        ).drop("member_id")
+    else:
+        attach = df.withColumn("_uid", F.col(id_col))
+    out = attach.join(rebuilt, "_uid", "left").join(
+        affected.withColumn("_aff", F.lit(True)), "_uid", "left"
     )
     return out.withColumns(
         {
@@ -519,4 +555,4 @@ def dedup_lines(
             .when(F.col("_n_kept").isNotNull(), F.col("_new_text"))
             .otherwise(F.lit("")),
         }
-    ).drop("_new_text", "_n_kept", "_aff")
+    ).drop("_uid", "_new_text", "_n_kept", "_aff")

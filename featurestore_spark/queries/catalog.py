@@ -3460,11 +3460,17 @@ def q_dedup_lines(spark, sf_dir):
     from featurestore_spark.operators.curation import dedup_lines
 
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.trim(F.col("text")), r"\s+")
+    # project the token array to an ATTRIBUTE before the per-chunk
+    # transform: an inlined `split(...)` expression re-evaluates the
+    # regex split once per chunk per row (measured 9.5s vs 0.9s for
+    # this construction alone at the 10x stress)
+    toks = F.col("_toks")
     n_chunks = F.greatest(
         F.ceil(F.size(toks) / F.lit(5.0)).cast("int"), F.lit(1)
     )
     built = docs.select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("_toks")
+    ).select(
         "doc_id",
         F.array_join(
             F.transform(

