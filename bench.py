@@ -91,6 +91,7 @@ HEADLINE = [
     "q_ivf_pq_topk",
     "q_semantic_dedup",
     "q_dedup_lines",
+    "q_shared_spans",
     "q_top_customers",
     "q_vault_full_cycle",  # write-path throughput (real loader)
 ]

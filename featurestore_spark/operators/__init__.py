@@ -22,6 +22,7 @@ from featurestore_spark.operators.curation import (  # noqa: F401
     dedup_lines,
     line_doc_frequency,
     redact_pii,
+    remove_shared_spans,
     repetition_metrics,
 )
 from featurestore_spark.operators.temporal import (  # noqa: F401

@@ -556,3 +556,184 @@ def dedup_lines(
             .otherwise(F.lit("")),
         }
     ).drop("_uid", "_new_text", "_n_kept", "_aff")
+
+
+# -- cross-document shared-span removal --------------------------------------
+
+
+def remove_shared_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    n: int = 10,
+    min_df: int = 2,
+    collapse_exact: bool = True,
+) -> DataFrame:
+    """Exact-substring dedup, Spark-native (the RefinedWeb / "Deduplicating
+    Training Data Makes Language Models Better" span-removal step):
+    remove every token span whose length-`n` windows ALL appear in at
+    least `min_df` distinct documents. A verbatim span of L >= n tokens
+    shared between documents contributes L-n+1 over-frequent windows
+    whose coverage union is exactly the span — so shared spans are
+    removed from every copy without any suffix-array build.
+
+    (Approximation note, shared with the reference algorithm's other
+    scalable ports: adjacent windows frequent via DIFFERENT partner
+    docs chain into one removed span even if the full span appears
+    verbatim nowhere — the standard n-gram relaxation. Within-document
+    repetition alone never triggers removal: frequency counts DISTINCT
+    documents. Spans are removed from EVERY copy, like `dedup_lines` —
+    so run `exact_dedup` first: exact-duplicate documents make the
+    whole text a shared span and all copies would be emptied.)
+
+    Returns the input columns with `text_col` rewritten for affected
+    docs (kept tokens space-joined — i.e. re-tokenized: lowercased,
+    whitespace-normalized, same normalization as `text.tokens`) plus
+    `n_tokens`, `n_tokens_removed`, `n_spans`. UNAFFECTED docs pass
+    through byte-identical; NULL text passes through with NULL counts.
+
+    Scale shape:
+
+    - Window doc-frequency shuffles only (xxhash64, unit id) — never
+      gram text; map-side partial aggregation bounds any universal
+      window (same design as `dedup_lines`).
+    - Positional windows come from `zipped_ngrams` (n zips total), not
+      a per-element slice lambda (which re-evaluates the token split
+      per window — the boilerplate_flags trap).
+    - Covered positions are merged into per-doc INTERVALS with one
+      `aggregate` fold over the sorted start set; token filtering is
+      O(tokens x merged-intervals) per doc — a fully-covered doc
+      collapses to ONE interval, so degenerate coverage gets cheaper,
+      not quadratic.
+    - `collapse_exact=True` (default) runs window extraction, counting,
+      and span-merging once per DISTINCT text (a replica counts toward
+      frequency via its rep's duplicate weight) — replication-invariant
+      like the rest of the collapse family.
+    - EAGER: the frequent-window set and per-unit interval frame fan
+      out to multiple consumers and are materialized.
+    """
+    from featurestore_spark.operators.dedup import (
+        _collapse_exact_texts,
+        zipped_ngrams,
+    )
+    from featurestore_spark.operators.materialize import materialize
+    from featurestore_spark.operators.text import tokens
+
+    text = F.col(text_col)
+
+    if collapse_exact:
+        reps, members = _collapse_exact_texts(
+            df.select(id_col, text_col), text_col, id_col, "remove_shared_spans"
+        )
+        unit = reps.select(
+            F.col("rep_id").alias("_uid"), F.col("_text").alias("_utext")
+        )
+        weights = (
+            members.groupBy("rep_id")
+            .agg(F.count(F.lit(1)).alias("_w"))
+            .withColumnRenamed("rep_id", "_uid")
+        )
+    else:
+        unit = df.select(
+            F.col(id_col).alias("_uid"), F.col(text_col).alias("_utext")
+        )
+        weights = None
+
+    # token array as an ATTRIBUTE (not inlined into the window lambda)
+    toked = unit.select("_uid", tokens("_utext").alias("_toks"))
+    grams = toked.select(
+        "_uid",
+        F.posexplode(
+            F.when(F.size("_toks") >= n, zipped_ngrams(F.col("_toks"), n))
+            .otherwise(F.array().cast("array<string>"))
+        ).alias("_pos", "_g"),
+    ).select("_uid", "_pos", F.xxhash64("_g").alias("_gh"))
+
+    per_unit = grams.select("_uid", "_gh").distinct()
+    doc_freq = (
+        per_unit.join(weights, "_uid").groupBy("_gh").agg(F.sum("_w").alias("_df"))
+        if collapse_exact
+        else per_unit.groupBy("_gh").agg(F.count(F.lit(1)).alias("_df"))
+    )
+    frequent = materialize(
+        doc_freq.where(F.col("_df") >= min_df).select("_gh")
+    )
+
+    # merged removal intervals per affected unit: fold the sorted start
+    # positions; [s, e) with e = s + n, overlapping/adjacent-overlap
+    # runs merged
+    iv_type = "array<struct<s:int,e:int>>"
+    zero = F.struct(
+        F.array().cast(iv_type).alias("ivs"),
+        F.lit(None).cast("int").alias("cs"),
+        F.lit(None).cast("int").alias("ce"),
+    )
+
+    def _step(acc, p):
+        fresh = acc["cs"].isNull()
+        extend = p <= acc["ce"]
+        closed = F.concat(
+            acc["ivs"], F.array(F.struct(acc["cs"].alias("s"), acc["ce"].alias("e")))
+        )
+        return F.struct(
+            F.when(fresh | extend, acc["ivs"]).otherwise(closed).alias("ivs"),
+            F.when(extend, acc["cs"]).otherwise(p).alias("cs"),
+            F.when(extend, F.greatest(acc["ce"], p + n))
+            .otherwise(p + n)
+            .alias("ce"),
+        )
+
+    def _finish(acc):
+        return F.when(acc["cs"].isNull(), acc["ivs"]).otherwise(
+            F.concat(
+                acc["ivs"],
+                F.array(F.struct(acc["cs"].alias("s"), acc["ce"].alias("e"))),
+            )
+        )
+
+    spans = materialize(
+        grams.join(frequent, "_gh", "left_semi")
+        .groupBy("_uid")
+        .agg(F.sort_array(F.collect_set("_pos")).alias("_starts"))
+        .select(
+            "_uid",
+            F.aggregate(F.col("_starts"), zero, _step, _finish).alias("_ivs"),
+        )
+    )
+
+    if collapse_exact:
+        attach = df.join(
+            members.withColumnRenamed("rep_id", "_uid"),
+            F.col(id_col) == F.col("member_id"),
+        ).drop("member_id")
+    else:
+        attach = df.withColumn("_uid", F.col(id_col))
+
+    out = attach.join(spans, "_uid", "left").withColumn(
+        "_dtoks", tokens(text_col)
+    )
+    ivs = F.col("_ivs")
+    kept = F.filter(
+        F.col("_dtoks"),
+        lambda t, i: ~F.exists(ivs, lambda iv: (i >= iv["s"]) & (i < iv["e"])),
+    )
+    return out.withColumns(
+        {
+            "n_tokens": F.size("_dtoks"),
+            "n_tokens_removed": F.when(text.isNull(), F.lit(None).cast("int"))
+            .when(
+                ivs.isNotNull(),
+                F.aggregate(
+                    ivs, F.lit(0), lambda a, iv: a + iv["e"] - iv["s"]
+                ),
+            )
+            .otherwise(F.lit(0)),
+            "n_spans": F.when(text.isNull(), F.lit(None).cast("int"))
+            .when(ivs.isNotNull(), F.size(ivs))
+            .otherwise(F.lit(0)),
+            text_col: F.when(ivs.isNull(), text).otherwise(
+                F.array_join(kept, " ")
+            ),
+        }
+    ).drop("_uid", "_ivs", "_dtoks")

@@ -3490,6 +3490,78 @@ def q_dedup_lines(spark, sf_dir):
 
 
 @_register(
+    "q_shared_spans",
+    r"""
+    WITH toked AS (
+      SELECT doc_id, text,
+             regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+      FROM documents),
+    grams AS (
+      SELECT doc_id, i AS pos, array_to_string(toks[i + 1 : i + 5], ' ') AS g
+      FROM (SELECT doc_id, toks,
+                   unnest(generate_series(0, len(toks) - 5)) AS i
+            FROM toked WHERE len(toks) >= 5)),
+    freq AS (
+      SELECT g FROM grams GROUP BY g HAVING count(DISTINCT doc_id) >= 2),
+    starts AS (SELECT DISTINCT doc_id, pos FROM grams JOIN freq USING (g)),
+    isl AS (
+      SELECT doc_id, pos,
+             SUM(CASE WHEN prev_end IS NULL OR pos > prev_end
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos) AS island
+      FROM (SELECT doc_id, pos,
+                   max(pos + 5) OVER (PARTITION BY doc_id ORDER BY pos
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                     AS prev_end
+            FROM starts)),
+    ivs AS (
+      SELECT doc_id, island, min(pos) AS s, max(pos) + 5 AS e
+      FROM isl GROUP BY doc_id, island),
+    agg AS (
+      SELECT doc_id, SUM(e - s) AS removed, count(*) AS nspans
+      FROM ivs GROUP BY doc_id),
+    toks_pos AS (
+      SELECT doc_id, i AS tpos, toks[i + 1] AS tok
+      FROM (SELECT doc_id, toks, unnest(generate_series(0, len(toks) - 1)) AS i
+            FROM toked)),
+    kept AS (
+      SELECT tp.doc_id, tp.tpos, tp.tok FROM toks_pos tp
+      WHERE NOT EXISTS (SELECT 1 FROM ivs v WHERE v.doc_id = tp.doc_id
+                        AND tp.tpos >= v.s AND tp.tpos < v.e)),
+    rebuilt AS (
+      SELECT doc_id, string_agg(tok, ' ' ORDER BY tpos) AS new_text
+      FROM kept GROUP BY doc_id)
+    SELECT t.doc_id,
+           md5(CASE WHEN a.doc_id IS NULL THEN t.text
+                    ELSE coalesce(r.new_text, '') END) AS text_md5,
+           CAST(len(t.toks) AS INTEGER) AS n_tokens,
+           CAST(coalesce(a.removed, 0) AS INTEGER) AS n_tokens_removed,
+           CAST(coalesce(a.nspans, 0) AS INTEGER) AS n_spans
+    FROM toked t
+    LEFT JOIN agg a USING (doc_id)
+    LEFT JOIN rebuilt r USING (doc_id)
+    """,
+    "Exact-substring dedup analog (RefinedWeb span removal): token "
+    "spans whose every 5-token window appears in >=2 distinct docs are "
+    "removed from every copy; per-doc interval merge replayed in SQL "
+    "as gaps-and-islands. Affected docs re-tokenized; unaffected "
+    "byte-identical (md5-compared).",
+)
+def q_shared_spans(spark, sf_dir):
+    from featurestore_spark.operators.curation import remove_shared_spans
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = remove_shared_spans(docs, n=5, min_df=2)
+    return out.select(
+        "doc_id",
+        F.md5(F.col("text")).alias("text_md5"),
+        "n_tokens",
+        "n_tokens_removed",
+        "n_spans",
+    )
+
+
+@_register(
     "q_token_budget_sample",
     r"""
     WITH t AS (
@@ -3853,6 +3925,7 @@ _DRIVER_PRIORITY = [
     "q_ivf_pq_topk",           # NEW this round (IVF-PQ composition)
     "q_semantic_dedup",        # NEW this round (SemDeDup cluster-prune)
     "q_dedup_lines",           # NEW this round (CCNet line-level dedup)
+    "q_shared_spans",          # NEW this round (exact-substring span removal)
     "q_token_budget_sample",   # n_tokens rename + materialize knob
     "q_embedding_near_dups",   # membership-frame collapse + null filter
     "q_embedding_clusters",    # similarity collapse + resolve materialize

@@ -304,3 +304,64 @@ def test_dedup_lines_collapse_equals_raw(spark):
     out = {r["doc_id"]: r["text"] for r in dedup_lines(df).collect()}
     assert out[4] == "" or out[4] == "\n" or out[4] is not None
     assert out[4] == out[14]
+
+
+def test_remove_shared_spans_semantics(spark):
+    from featurestore_spark.operators.curation import remove_shared_spans
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    rows = [
+        (1, f"intro words here {shared} outro tail"),
+        (2, f"{shared} second doc unique content going on"),
+        (3, "totally unique document with no shared content at all"),
+        (4, "rep rep rep rep rep rep rep rep rep rep"),  # within-doc only
+        (5, None),
+        (6, f"intro words here {shared} outro tail"),  # exact dup of 1
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    results = {}
+    for ce in (True, False):
+        out = remove_shared_spans(df, n=5, min_df=2, collapse_exact=ce)
+        results[ce] = {
+            r["doc_id"]: (
+                r["text"],
+                r["n_tokens"],
+                r["n_tokens_removed"],
+                r["n_spans"],
+            )
+            for r in out.collect()
+        }
+    # collapse factoring is output-identical
+    assert results[True] == results[False]
+    out = results[True]
+    # the shared 8-token span is removed from doc 2 as ONE merged span
+    assert out[2] == ("second doc unique content going on", 14, 8, 1)
+    # docs 1 and 6 are exact duplicates: every window shared -> emptied
+    assert out[1] == ("", 13, 13, 1) and out[6] == out[1]
+    # unaffected doc byte-identical; within-doc repetition never triggers
+    assert out[3][0] == "totally unique document with no shared content at all"
+    assert out[4] == ("rep rep rep rep rep rep rep rep rep rep", 10, 0, 0)
+    # null text -> null counts
+    assert out[5] == (None, None, None, None)
+
+
+def test_remove_shared_spans_interval_merge_distinct_partners(spark):
+    """Two overlapping windows frequent via DIFFERENT partner docs
+    chain into one merged span (the documented n-gram relaxation)."""
+    from featurestore_spark.operators.curation import remove_shared_spans
+
+    rows = [
+        (1, "a b c d e f g h tail1 tail2"),
+        (2, "a b c d e other stuff here padding x"),  # shares w[0:5]
+        (3, "junk1 junk2 d e f g h junk3 junk4 junk5"),  # shares w[3:8]
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: (r["text"], r["n_tokens_removed"], r["n_spans"])
+        for r in remove_shared_spans(df, n=5, min_df=2).collect()
+    }
+    # doc 1: windows at pos 0 (with doc2) and pos 3 (with doc3) merge
+    # into one removed span covering tokens 0..8
+    assert out[1] == ("tail1 tail2", 8, 1)
+    assert out[2] == ("other stuff here padding x", 5, 1)
+    assert out[3] == ("junk1 junk2 junk3 junk4 junk5", 5, 1)
