@@ -92,6 +92,7 @@ HEADLINE = [
     "q_semantic_dedup",
     "q_dedup_lines",
     "q_shared_spans",
+    "q_shard_corpus",
     "q_top_customers",
     "q_vault_full_cycle",  # write-path throughput (real loader)
 ]

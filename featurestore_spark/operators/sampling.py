@@ -349,3 +349,64 @@ def token_budget_sample(
         .join(kept, [source_col, "_tbs_key"])
         .drop("_tbs_key")
     )
+
+
+def shard_corpus(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    *,
+    n_shards: int,
+    seed: int = 0,
+    shard_col: str = "shard_id",
+    order_col: str = "shard_order",
+) -> DataFrame:
+    """Deterministic training-export sharding: assign every row a shard
+    in [0, n_shards) and a pseudo-random within-shard sort key, both
+    derived from md5(seed:key) — reproducible across runs, engines,
+    and cluster sizes, and stable per row under data growth.
+
+    This is the global-shuffle step before writing training shards,
+    WITHOUT a global sort: the op itself is a pure projection (zero
+    shuffle, embarrassingly parallel at any scale); ordering is a
+    WRITE-time concern — `write_shards` range-clusters by shard and
+    sorts within partitions, so no single task ever holds a shard's
+    total order in memory and no position column needs a global
+    window. Readers recover the deterministic shuffled order by
+    sorting each shard file on `order_col` (files are already written
+    in that order).
+    """
+    h = F.md5(
+        F.concat_ws(":", F.lit(str(seed)), F.col(key_col).cast("string"))
+    )
+    return df.withColumns(
+        {
+            shard_col: (
+                F.conv(F.substring(h, 1, 7), 16, 10).cast("long") % n_shards
+            ).cast("int"),
+            order_col: h,
+        }
+    )
+
+
+def write_shards(
+    df: DataFrame,
+    path: str,
+    *,
+    shard_col: str = "shard_id",
+    order_col: str = "shard_order",
+    fmt: str = "parquet",
+) -> None:
+    """Write a `shard_corpus` frame as one directory per shard
+    (`shard_id=N/`), each file internally sorted by the shuffle key.
+    `repartition(shard_col)` puts each shard's rows in one write task
+    (hash exchange, no global sort); `sortWithinPartitions` is a
+    per-task spillable sort, so a 100-GB shard sorts out-of-core
+    instead of in one comparator's memory."""
+    (
+        df.repartition(F.col(shard_col))
+        .sortWithinPartitions(shard_col, order_col)
+        .write.partitionBy(shard_col)
+        .mode("overwrite")
+        .format(fmt)
+        .save(path)
+    )

@@ -3562,6 +3562,29 @@ def q_shared_spans(spark, sf_dir):
 
 
 @_register(
+    "q_shard_corpus",
+    """
+    SELECT doc_id,
+           CAST(CAST(('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 7))
+                AS UBIGINT) % 8 AS INTEGER) AS shard_id,
+           md5('42:' || CAST(doc_id AS VARCHAR)) AS shard_order
+    FROM documents
+    """,
+    "Deterministic training-export sharding: md5(seed:key)-derived "
+    "shard in [0,8) + pseudo-random within-shard sort key. Pure "
+    "projection (zero shuffle); ordering is enforced at write time by "
+    "write_shards.",
+)
+def q_shard_corpus(spark, sf_dir):
+    from featurestore_spark.operators.sampling import shard_corpus
+
+    docs = load_table(spark, sf_dir, "documents")
+    return shard_corpus(docs, n_shards=8, seed=42).select(
+        "doc_id", "shard_id", "shard_order"
+    )
+
+
+@_register(
     "q_token_budget_sample",
     r"""
     WITH t AS (
@@ -3926,6 +3949,7 @@ _DRIVER_PRIORITY = [
     "q_semantic_dedup",        # NEW this round (SemDeDup cluster-prune)
     "q_dedup_lines",           # NEW this round (CCNet line-level dedup)
     "q_shared_spans",          # NEW this round (exact-substring span removal)
+    "q_shard_corpus",          # NEW this round (training-export sharding)
     "q_token_budget_sample",   # n_tokens rename + materialize knob
     "q_embedding_near_dups",   # membership-frame collapse + null filter
     "q_embedding_clusters",    # similarity collapse + resolve materialize

@@ -545,3 +545,51 @@ def test_minhash_pairs_collapse_exact_matches_raw(spark, docs):
     }
     assert collapsed == raw
     assert (0, 10) in collapsed and (10, 11) in collapsed
+
+
+def test_shard_corpus_deterministic_and_balanced(spark):
+    from featurestore_spark.operators.sampling import shard_corpus
+
+    df = spark.range(0, 500).withColumnRenamed("id", "doc_id")
+    a = shard_corpus(df, n_shards=8, seed=7)
+    b = shard_corpus(df, n_shards=8, seed=7)
+    rows_a = {r["doc_id"]: (r["shard_id"], r["shard_order"]) for r in a.collect()}
+    rows_b = {r["doc_id"]: (r["shard_id"], r["shard_order"]) for r in b.collect()}
+    assert rows_a == rows_b  # reproducible
+    sizes = [0] * 8
+    for s, _ in rows_a.values():
+        sizes[s] += 1
+    assert all(20 <= n <= 110 for n in sizes)  # roughly uniform
+    # a different seed reshuffles
+    c = {r["doc_id"]: r["shard_id"] for r in
+         shard_corpus(df, n_shards=8, seed=8).collect()}
+    assert any(c[k] != rows_a[k][0] for k in c)
+    # rows keep their shard when the corpus grows (stability)
+    grown = shard_corpus(
+        spark.range(0, 1000).withColumnRenamed("id", "doc_id"),
+        n_shards=8, seed=7,
+    )
+    g = {r["doc_id"]: r["shard_id"] for r in grown.collect()}
+    assert all(g[k] == rows_a[k][0] for k in rows_a)
+
+
+def test_write_shards_layout_and_order(spark, tmp_path):
+    from featurestore_spark.operators.sampling import shard_corpus, write_shards
+
+    df = spark.range(0, 200).withColumnRenamed("id", "doc_id")
+    sharded = shard_corpus(df, n_shards=4, seed=1)
+    out = str(tmp_path / "shards")
+    write_shards(sharded, out)
+    back = spark.read.parquet(out)
+    assert back.count() == 200
+    # each shard directory holds exactly its assigned rows
+    expect = {r["doc_id"]: r["shard_id"] for r in sharded.collect()}
+    got = {r["doc_id"]: r["shard_id"] for r in back.collect()}
+    assert got == expect
+    # files are internally sorted by the shuffle key
+    import pyarrow.parquet as pq
+    import glob as _glob
+
+    for f in _glob.glob(out + "/shard_id=*/*.parquet"):
+        t = pq.read_table(f, columns=["shard_order"]).to_pydict()["shard_order"]
+        assert t == sorted(t)
