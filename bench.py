@@ -93,6 +93,7 @@ HEADLINE = [
     "q_dedup_lines",
     "q_shared_spans",
     "q_shard_corpus",
+    "q_incremental_line_dedup",
     "q_top_customers",
     "q_vault_full_cycle",  # write-path throughput (real loader)
 ]

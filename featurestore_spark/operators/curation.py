@@ -420,6 +420,8 @@ def dedup_lines(
     output_delimiter: str = "\n",
     normalize: bool = True,
     collapse_exact: bool = True,
+    index: DataFrame | None = None,
+    include_batch: bool = True,
 ) -> DataFrame:
     """CCNet / RefinedWeb-style line-level dedup: drop every line whose
     normalized form appears in MORE than `max_docs` distinct documents
@@ -462,6 +464,14 @@ def dedup_lines(
       reps' duplicate counts — identical output (replicas each count
       as a document), replication-invariant cost. Measured at the 10x
       replication stress: 29s -> near-flat vs the sf0.1 base.
+    - `index` (optional): a persisted `(line_hash, doc_freq)` frame
+      from `incremental.line_frequency_index` — the rolling-ingestion
+      shape. A line's effective frequency becomes index + this-batch
+      counts (`include_batch=True`, the corpus-wide CCNet semantic) or
+      index counts alone (`include_batch=False`: within-batch
+      repetition is ignored). The index joins by hash (equi-join,
+      never broadcast unconditionally); only hashes present in the
+      batch are probed.
     """
     from featurestore_spark.operators.dedup import _collapse_exact_texts
     from featurestore_spark.operators.materialize import materialize
@@ -505,6 +515,25 @@ def dedup_lines(
         if collapse_exact
         else per_line.groupBy("_lh").agg(F.count(F.lit(1)).alias("_df"))
     )
+    if index is not None:
+        idx = index.select(
+            F.col("line_hash").alias("_lh"),
+            F.col("doc_freq").cast("long").alias("_idf"),
+        )
+        if include_batch:
+            doc_freq = doc_freq.join(idx, "_lh", "left").select(
+                "_lh",
+                (F.col("_df") + F.coalesce(F.col("_idf"), F.lit(0))).alias(
+                    "_df"
+                ),
+            )
+        else:
+            doc_freq = (
+                per_line.select("_lh")
+                .distinct()
+                .join(idx, "_lh", "left")
+                .select("_lh", F.coalesce(F.col("_idf"), F.lit(0)).alias("_df"))
+            )
     frequent = materialize(doc_freq.where(F.col("_df") > max_docs).select("_lh"))
     affected = materialize(
         per_line.join(frequent, "_lh", "left_semi").select("_uid").distinct()

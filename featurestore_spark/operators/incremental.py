@@ -624,3 +624,102 @@ def extend_index(
         kept, text_col, id_col, n=n, k=k, bands=bands
     )
     return index.unionByName(new_rows)
+
+
+# -- line-frequency index (incremental line-level dedup) ----------------------
+
+
+def line_frequency_index(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    delimiter: str = "\n",
+    normalize: bool = True,
+) -> DataFrame:
+    """Document frequency of every distinct normalized line, keyed by
+    hash: (line_hash, doc_freq) — the only corpus-derived state that
+    incremental line-level dedup needs (16 bytes per distinct line;
+    persist as parquet, ideally bucketed by line_hash so batch joins
+    co-locate). Built once over the accepted corpus, then extended per
+    batch with `extend_line_index` — the corpus text is never re-split.
+
+    Same counting shape as `curation.dedup_lines`: distinct
+    (line-hash, id) pairs then a count per hash, both shuffles narrow
+    (no line text) with map-side partial aggregation. Empty normalized
+    lines are excluded (never counted, never dropped)."""
+    line = F.explode(F.split(F.col(text_col), delimiter)).alias("_line")
+    norm = (
+        F.lower(F.trim(F.col("_line"))) if normalize else F.col("_line")
+    )
+    return (
+        df.select(F.col(id_col), line)
+        .select(F.col(id_col), norm.alias("_nl"))
+        .where(F.col("_nl") != "")
+        .select(F.col(id_col), F.xxhash64("_nl").alias("line_hash"))
+        .distinct()
+        .groupBy("line_hash")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+    )
+
+
+def dedup_lines_against_index(
+    batch: DataFrame,
+    index: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    max_docs: int = 1,
+    include_batch: bool = True,
+    delimiter: str = "\n",
+    output_delimiter: str = "\n",
+    normalize: bool = True,
+    collapse_exact: bool = True,
+) -> DataFrame:
+    """Line-level dedup of an ingestion batch against a persisted
+    `line_frequency_index`, without re-reading the corpus: a line is
+    dropped when its corpus frequency plus this batch's frequency
+    (`include_batch=True`, the corpus-wide CCNet semantic) exceeds
+    `max_docs`. Equals `curation.dedup_lines` over corpus ∪ batch,
+    restricted to the batch rows — test-asserted. Same output schema
+    and scale shape as `dedup_lines` (this is a thin wrapper passing
+    the index through)."""
+    from featurestore_spark.operators.curation import dedup_lines
+
+    return dedup_lines(
+        batch,
+        text_col,
+        id_col,
+        max_docs=max_docs,
+        delimiter=delimiter,
+        output_delimiter=output_delimiter,
+        normalize=normalize,
+        collapse_exact=collapse_exact,
+        index=index,
+        include_batch=include_batch,
+    )
+
+
+def extend_line_index(
+    index: DataFrame,
+    batch: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    delimiter: str = "\n",
+    normalize: bool = True,
+) -> DataFrame:
+    """Merge a batch's line frequencies into the index so the next
+    batch counts against corpus + this batch. Returns the merged
+    (line_hash, doc_freq) frame; the caller persists it. In production
+    prefer writing the batch's delta rows to a `batch=<id>` partition
+    and summing on read (idempotent under retry, no index rewrite) —
+    the eager merge here suits in-session chaining and tests."""
+    delta = line_frequency_index(
+        batch, text_col, id_col, delimiter=delimiter, normalize=normalize
+    )
+    return (
+        index.unionByName(delta)
+        .groupBy("line_hash")
+        .agg(F.sum("doc_freq").alias("doc_freq"))
+    )

@@ -3460,15 +3460,28 @@ def q_dedup_lines(spark, sf_dir):
     from featurestore_spark.operators.curation import dedup_lines
 
     docs = load_table(spark, sf_dir, "documents")
-    # project the token array to an ATTRIBUTE before the per-chunk
-    # transform: an inlined `split(...)` expression re-evaluates the
-    # regex split once per chunk per row (measured 9.5s vs 0.9s for
-    # this construction alone at the 10x stress)
+    built = _built_lines(docs)
+    out = dedup_lines(built, max_docs=1)
+    return out.select(
+        "doc_id",
+        F.md5(F.col("text")).alias("text_md5"),
+        "n_lines",
+        F.col("n_lines_kept").cast("long").alias("n_lines_kept"),
+    )
+
+
+def _built_lines(docs):
+    """Documents recast as 5-token lines joined with newlines (the
+    synthetic corpus has no newlines). The token array is projected to
+    an ATTRIBUTE before the per-chunk transform: an inlined `split`
+    expression re-evaluates the regex split once per chunk per row
+    (measured 9.5s vs 0.9s for this construction alone at the 10x
+    stress)."""
     toks = F.col("_toks")
     n_chunks = F.greatest(
         F.ceil(F.size(toks) / F.lit(5.0)).cast("int"), F.lit(1)
     )
-    built = docs.select(
+    return docs.select(
         "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("_toks")
     ).select(
         "doc_id",
@@ -3480,7 +3493,66 @@ def q_dedup_lines(spark, sf_dir):
             "\n",
         ).alias("text"),
     )
-    out = dedup_lines(built, max_docs=1)
+
+
+@_register(
+    "q_incremental_line_dedup",
+    r"""
+    WITH toked AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+      FROM documents),
+    chunked AS (
+      SELECT doc_id, toks,
+             unnest(generate_series(0,
+               greatest(CAST(ceil(len(toks) / 5.0) AS INTEGER), 1) - 1)) AS i
+      FROM toked),
+    lines AS (
+      SELECT doc_id, i AS pos,
+             array_to_string(toks[i * 5 + 1 : i * 5 + 5], ' ') AS line
+      FROM chunked),
+    norm AS (
+      SELECT doc_id, pos, line, lower(trim(line)) AS nl FROM lines),
+    corpus_freq AS (
+      SELECT nl, count(DISTINCT doc_id) AS cf FROM norm
+      WHERE doc_id % 3 <> 0 AND nl <> '' GROUP BY nl),
+    batch_freq AS (
+      SELECT nl, count(DISTINCT doc_id) AS bf FROM norm
+      WHERE doc_id % 3 = 0 AND nl <> '' GROUP BY nl),
+    freq AS (
+      SELECT b.nl FROM batch_freq b LEFT JOIN corpus_freq c USING (nl)
+      WHERE b.bf + coalesce(c.cf, 0) > 1),
+    kept AS (
+      SELECT n.doc_id, n.pos, n.line FROM norm n
+      LEFT JOIN freq f ON n.nl = f.nl
+      WHERE n.doc_id % 3 = 0 AND f.nl IS NULL),
+    counts AS (
+      SELECT doc_id, count(*) AS n_lines FROM lines
+      WHERE doc_id % 3 = 0 GROUP BY doc_id),
+    rebuilt AS (
+      SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text,
+             count(*) AS n_kept
+      FROM kept GROUP BY doc_id)
+    SELECT c.doc_id, md5(coalesce(r.text, '')) AS text_md5,
+           CAST(c.n_lines AS INTEGER) AS n_lines,
+           CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_lines_kept
+    FROM counts c LEFT JOIN rebuilt r USING (doc_id)
+    """,
+    "Incremental line-level dedup: the batch (doc_id % 3 = 0) deduped "
+    "against a persisted (line_hash, doc_freq) index of the accepted "
+    "corpus (doc_id % 3 <> 0) — corpus text never re-split; a line "
+    "drops when corpus + batch frequency exceeds max_docs.",
+)
+def q_incremental_line_dedup(spark, sf_dir):
+    from featurestore_spark.operators.incremental import (
+        dedup_lines_against_index,
+        line_frequency_index,
+    )
+
+    built = _built_lines(load_table(spark, sf_dir, "documents"))
+    corpus = built.where(F.col("doc_id") % 3 != 0)
+    batch = built.where(F.col("doc_id") % 3 == 0)
+    idx = line_frequency_index(corpus)
+    out = dedup_lines_against_index(batch, idx, max_docs=1)
     return out.select(
         "doc_id",
         F.md5(F.col("text")).alias("text_md5"),
@@ -3950,6 +4022,7 @@ _DRIVER_PRIORITY = [
     "q_dedup_lines",           # NEW this round (CCNet line-level dedup)
     "q_shared_spans",          # NEW this round (exact-substring span removal)
     "q_shard_corpus",          # NEW this round (training-export sharding)
+    "q_incremental_line_dedup",  # NEW this round (line-frequency index)
     "q_token_budget_sample",   # n_tokens rename + materialize knob
     "q_embedding_near_dups",   # membership-frame collapse + null filter
     "q_embedding_clusters",    # similarity collapse + resolve materialize

@@ -386,3 +386,76 @@ def test_prune_index_equals_per_batch_cap(spark, corpus, batch):
     }
     with pytest.raises(ValueError, match="schema"):
         prune_index(idx.drop("band_hash"))
+
+
+def test_line_index_dedup_equals_full_corpus(spark):
+    """Against-index line dedup == full-corpus dedup_lines restricted
+    to the batch rows (include_batch=True, the CCNet semantic)."""
+    from featurestore_spark.operators.curation import dedup_lines
+    from featurestore_spark.operators.incremental import (
+        dedup_lines_against_index,
+        extend_line_index,
+        line_frequency_index,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "cookie banner\ncorpus one"),
+            (2, "cookie banner\ncorpus two"),
+            (3, "rare line\ncorpus three"),
+        ],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, "cookie banner\nbatch fresh"),
+            (11, "rare line\nbatch unique"),
+            (12, "batch shared\nbatch own a"),
+            (13, "batch shared\nbatch own b"),
+            (14, "never seen\nsolo"),
+        ],
+        "doc_id long, text string",
+    )
+    idx = line_frequency_index(corpus)
+    out = {
+        r["doc_id"]: (r["text"], r["n_lines_kept"])
+        for r in dedup_lines_against_index(batch, idx, max_docs=1).collect()
+    }
+    full = dedup_lines(corpus.unionByName(batch), max_docs=1)
+    expect = {
+        r["doc_id"]: (r["text"], r["n_lines_kept"])
+        for r in full.collect()
+        if r["doc_id"] >= 10
+    }
+    assert out == expect
+    # 'rare line' (corpus freq 1) only drops because the batch adds one
+    assert out[11][0] == "batch unique"
+
+    # include_batch=False: corpus counts alone; within-batch repetition
+    # and corpus-freq-1 lines survive
+    corpus_only = {
+        r["doc_id"]: r["text"]
+        for r in dedup_lines_against_index(
+            batch, idx, max_docs=1, include_batch=False
+        ).collect()
+    }
+    assert corpus_only[11] == "rare line\nbatch unique"
+    assert corpus_only[12] == "batch shared\nbatch own a"
+
+    # extend: every non-empty batch line is now indexed, so a replay
+    # with max_docs=0 (drop anything ever seen) empties every doc
+    idx2 = extend_line_index(idx, batch)
+    replay = {
+        r["doc_id"]: r["text"]
+        for r in dedup_lines_against_index(
+            batch, idx2, max_docs=0, include_batch=False
+        ).collect()
+    }
+    assert all(t == "" for t in replay.values())
+    # merged counts: 'cookie banner' seen in 2 corpus + 1 batch docs
+    from pyspark.sql import functions as F
+
+    banner = idx2.where(
+        F.col("line_hash") == F.xxhash64(F.lit("cookie banner"))
+    ).collect()
+    assert banner[0]["doc_freq"] == 3
