@@ -723,3 +723,97 @@ def extend_line_index(
         .groupBy("line_hash")
         .agg(F.sum("doc_freq").alias("doc_freq"))
     )
+
+
+def dedup_lines_stream_against_index(
+    index_path: str,
+    kept_path: str,
+    *,
+    max_docs: int = 1,
+    include_batch: bool = True,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    delimiter: str = "\n",
+    output_delimiter: str = "\n",
+    normalize: bool = True,
+):
+    """`foreachBatch` callback for streaming line-level dedup: each
+    micro-batch's lines are counted against the persisted line
+    frequency accumulated so far, over-frequent lines are dropped, and
+    the batch's OWN line frequencies are recorded so batch N+1 counts
+    against everything seen through batch N.
+
+    Prefix semantics (inherent to streaming): a batch is deduped
+    against counts seen SO FAR — the first `max_docs` sightings of a
+    line survive, later ones drop. The recorded delta is the ORIGINAL
+    batch's frequencies, not the survivors': a line dropped from every
+    doc of its own batch (within-batch frequent) stays on record, so
+    future occurrences keep dropping — matching the corpus-wide
+    semantic rather than resetting.
+
+    Layout and retry discipline mirror `dedup_stream_against_index`:
+    every path is a root of `batch=<id>` subdirs; each micro-batch
+    OVERWRITES its own subdir and index reads EXCLUDE the current
+    batch id (retry-idempotent within one checkpoint lineage), and a
+    restart with a fresh checkpoint against existing state roots
+    raises instead of silently overwriting accepted batches. Reads
+    sum `doc_freq` across batch partitions — the index is a set of
+    per-batch count deltas, never rewritten in place.
+
+    Seed with
+    `line_frequency_index(corpus).write.parquet(f"{index_path}/batch=seed")`.
+    """
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        try:
+            existing = spark.read.parquet(kept_path).select("batch").distinct()
+            ids = [
+                int(v)
+                for (v,) in existing.collect()
+                if str(v).lstrip("-").isdigit()
+            ]
+        except AnalysisException:
+            ids = []
+        if ids and max(ids) > batch_id:
+            raise RuntimeError(
+                f"dedup_lines_stream_against_index: kept root {kept_path!r} "
+                f"already contains batch={max(ids)} > current "
+                f"batch_id={batch_id} — the stream was restarted with a "
+                "fresh checkpoint against existing state roots; reuse the "
+                "original checkpointLocation or point at fresh state roots"
+            )
+        try:
+            idx = (
+                spark.read.parquet(index_path)
+                .where(F.col("batch").cast("string") != str(batch_id))
+                .groupBy("line_hash")
+                .agg(F.sum("doc_freq").alias("doc_freq"))
+            )
+        except AnalysisException:
+            # no index yet: an EMPTY index (not None) so
+            # include_batch=False correctly means "no corpus counts,
+            # nothing drops" rather than falling back to within-batch
+            # counting
+            idx = spark.createDataFrame([], "line_hash long, doc_freq long")
+        from featurestore_spark.operators.curation import dedup_lines
+
+        kept = materialize(
+            dedup_lines(
+                batch_df,
+                text_col,
+                id_col,
+                max_docs=max_docs,
+                delimiter=delimiter,
+                output_delimiter=output_delimiter,
+                normalize=normalize,
+                index=idx,
+                include_batch=include_batch,
+            )
+        )
+        kept.write.mode("overwrite").parquet(f"{kept_path}/batch={batch_id}")
+        line_frequency_index(
+            batch_df, text_col, id_col, delimiter=delimiter, normalize=normalize
+        ).write.mode("overwrite").parquet(f"{index_path}/batch={batch_id}")
+
+    return process

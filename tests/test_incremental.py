@@ -459,3 +459,72 @@ def test_line_index_dedup_equals_full_corpus(spark):
         F.col("line_hash") == F.xxhash64(F.lit("cookie banner"))
     ).collect()
     assert banner[0]["doc_freq"] == 3
+
+
+def test_line_stream_callback_chains_and_is_idempotent(spark, tmp_path):
+    from featurestore_spark.operators.incremental import (
+        dedup_lines_stream_against_index,
+        line_frequency_index,
+    )
+
+    idx_root = str(tmp_path / "lidx")
+    kept_root = str(tmp_path / "lkept")
+    corpus = spark.createDataFrame(
+        [(1, "cookie banner\ncorpus one"), (2, "cookie banner\ncorpus two")],
+        "doc_id long, text string",
+    )
+    line_frequency_index(corpus).write.parquet(f"{idx_root}/batch=seed")
+    cb = dedup_lines_stream_against_index(idx_root, kept_root, max_docs=1)
+
+    b1 = spark.createDataFrame(
+        [(10, "cookie banner\nfresh one"), (11, "new line\nfresh two")],
+        "doc_id long, text string",
+    )
+    cb(b1, 1)
+    kept = spark.read.option("recursiveFileLookup", "true").parquet(kept_root)
+    t = {r["doc_id"]: r["text"] for r in kept.collect()}
+    # 'cookie banner' already at corpus freq 2 -> dropped; batch-unique kept
+    assert t == {10: "fresh one", 11: "new line\nfresh two"}
+
+    # batch 2 repeats a batch-1 line: prefix counts now include batch 1
+    b2 = spark.createDataFrame(
+        [(20, "new line\nown text")], "doc_id long, text string"
+    )
+    cb(b2, 2)
+    kept = spark.read.option("recursiveFileLookup", "true").parquet(kept_root)
+    t = {r["doc_id"]: r["text"] for r in kept.collect()}
+    assert t[20] == "own text"  # 'new line' seen in batch 1 + here = 2 > 1
+
+    # retry of batch 2 is idempotent (overwrites its own partition,
+    # excludes its own failed writes from index reads)
+    cb(b2, 2)
+    kept = spark.read.option("recursiveFileLookup", "true").parquet(kept_root)
+    assert kept.count() == 3
+    assert {
+        r["doc_id"]: r["text"] for r in kept.collect()
+    }[20] == "own text"
+
+    # fresh-checkpoint restart guard
+    with pytest.raises(RuntimeError, match="fresh checkpoint"):
+        cb(b1, 0)
+
+
+def test_line_stream_first_batch_no_index(spark, tmp_path):
+    """Missing index root: include_batch=False must pass everything
+    through (empty index, no corpus counts), not fall back to
+    within-batch counting."""
+    from featurestore_spark.operators.incremental import (
+        dedup_lines_stream_against_index,
+    )
+
+    idx_root = str(tmp_path / "lidx2")
+    kept_root = str(tmp_path / "lkept2")
+    b = spark.createDataFrame(
+        [(1, "same line\na"), (2, "same line\nb")], "doc_id long, text string"
+    )
+    cb = dedup_lines_stream_against_index(
+        idx_root, kept_root, max_docs=1, include_batch=False
+    )
+    cb(b, 0)
+    kept = spark.read.option("recursiveFileLookup", "true").parquet(kept_root)
+    assert {r["text"] for r in kept.collect()} == {"same line\na", "same line\nb"}

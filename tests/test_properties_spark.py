@@ -173,3 +173,117 @@ def test_dedup_keep_docs_equals_raw_property(spark, texts):
         for r in dedup_keep_docs(d, k=8, bands=4).select("doc_id").collect()
     }
     assert got == raw_keep
+
+
+# -- line-level dedup vs a pure-Python reference ------------------------------
+
+_words = st.sampled_from(["aa", "bb", "cc", "dd"])
+_line = st.lists(_words, min_size=0, max_size=3).map(" ".join)
+_doc = st.lists(_line, min_size=1, max_size=5).map("\n".join)
+_docs = st.lists(_doc, min_size=1, max_size=10)
+
+
+def _py_dedup_lines(texts, max_docs):
+    """Independent reference: normalized line -> distinct-doc count;
+    drop non-empty lines with count > max_docs; rejoin in order."""
+    freq = Counter()
+    for t in texts:
+        for ln in {ln.strip().lower() for ln in t.split("\n")}:
+            if ln:
+                freq[ln] += 1
+    out = []
+    for t in texts:
+        lines = t.split("\n")
+        kept = [
+            ln for ln in lines
+            if not ln.strip().lower() or freq[ln.strip().lower()] <= max_docs
+        ]
+        out.append(("\n".join(kept), len(lines), len(kept)))
+    return out
+
+
+@given(_docs, st.integers(1, 3))
+@settings(**SPARK_SETTINGS)
+def test_dedup_lines_matches_python_reference(spark, texts, max_docs):
+    from featurestore_spark.operators.curation import dedup_lines
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["text"], r["n_lines"], r["n_lines_kept"])
+        for r in dedup_lines(df, max_docs=max_docs).collect()
+    }
+    expect = dict(enumerate(_py_dedup_lines(texts, max_docs)))
+    assert got == expect
+
+
+# -- shared-span removal vs a pure-Python reference ---------------------------
+
+_span_doc = st.lists(
+    st.sampled_from(["x1", "x2", "x3", "x4", "y1", "y2"]),
+    min_size=0,
+    max_size=12,
+).map(" ".join)
+
+
+def _py_shared_spans(texts, n, min_df):
+    import re
+
+    grams = []  # per doc: list of (pos, gram)
+    df_count = Counter()
+    for t in texts:
+        # mirror Spark/DuckDB: split(trim(lower(text)), '\s+') yields
+        # [''] for the empty string (one empty token), unlike str.split()
+        toks = re.split(r"\s+", t.strip().lower())
+        g = [
+            (i, " ".join(toks[i : i + n]))
+            for i in range(max(0, len(toks) - n + 1))
+        ] if len(toks) >= n else []
+        grams.append((toks, g))
+        for gram in {x[1] for x in g}:
+            df_count[gram] += 1
+    out = []
+    for toks, g in grams:
+        starts = sorted(i for i, gram in g if df_count[gram] >= min_df)
+        ivs = []
+        for s in starts:
+            if ivs and s <= ivs[-1][1]:
+                ivs[-1][1] = max(ivs[-1][1], s + n)
+            else:
+                ivs.append([s, s + n])
+        covered = set()
+        for s, e in ivs:
+            covered.update(range(s, e))
+        kept = [t for i, t in enumerate(toks) if i not in covered]
+        out.append(
+            (
+                " ".join(kept),
+                len(toks),
+                sum(e - s for s, e in ivs),
+                len(ivs),
+            )
+        )
+    return out
+
+
+@given(st.lists(_span_doc, min_size=1, max_size=8), st.integers(2, 4))
+@settings(**SPARK_SETTINGS)
+def test_remove_shared_spans_matches_python_reference(spark, texts, n):
+    from featurestore_spark.operators.curation import remove_shared_spans
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {}
+    for r in remove_shared_spans(df, n=n, min_df=2).collect():
+        # affected docs are re-tokenized; unaffected pass through raw.
+        # normalize both to token-joined form for comparison
+        got[r["doc_id"]] = (
+            " ".join(r["text"].lower().split()),
+            r["n_tokens"],
+            r["n_tokens_removed"],
+            r["n_spans"],
+        )
+    expect = dict(enumerate(_py_shared_spans(texts, n, 2)))
+    assert got == expect
