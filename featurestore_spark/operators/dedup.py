@@ -64,7 +64,8 @@ def _collapse_exact_texts(
 ) -> tuple[DataFrame, DataFrame]:
     """Collapse exact-duplicate texts. Returns two frames:
 
-    - ``reps``    — (rep_id, _text): one row per DISTINCT text;
+    - ``reps``    — (rep_id, _text, n_members): one row per DISTINCT
+      text, with its duplicate-group size;
     - ``members`` — (rep_id, member_id): one row per INPUT row (the
       representative maps to itself too).
 
@@ -97,6 +98,10 @@ def _collapse_exact_texts(
             F.min("member_id").alias("rep_id"),
             F.min("_text").alias("_text"),
             F.max("_text").alias("_tmax"),
+            # group size, free in this aggregation — consumers that
+            # weight by duplicate count (line/span/boilerplate document
+            # frequency) read it here instead of re-aggregating members
+            F.count(F.lit(1)).alias("n_members"),
         )
         .withColumn(
             "_text",

@@ -365,3 +365,38 @@ def test_remove_shared_spans_interval_merge_distinct_partners(spark):
     assert out[1] == ("tail1 tail2", 8, 1)
     assert out[2] == ("other stuff here padding x", 5, 1)
     assert out[3] == ("junk1 junk2 junk3 junk4 junk5", 5, 1)
+
+
+def test_boilerplate_collapse_equals_raw_under_replication(spark):
+    from featurestore_spark.operators.curation import boilerplate_flags
+
+    base = [
+        (1, "the same header line appears here plus unique alpha"),
+        (2, "the same header line appears here plus unique beta"),
+        (3, "entirely different content with no shared spans at all ok"),
+    ]
+    rows = base + [(11, base[0][1]), (12, base[1][1])]  # exact replicas
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = {
+        r["doc_id"]: (
+            r["n_shingles"],
+            r["n_boilerplate"],
+            r["boilerplate_frac"],
+            r["max_span_df"],
+        )
+        for r in boilerplate_flags(df, n=5, min_df=2).collect()
+    }
+    b = {
+        r["doc_id"]: (
+            r["n_shingles"],
+            r["n_boilerplate"],
+            r["boilerplate_frac"],
+            r["max_span_df"],
+        )
+        for r in boilerplate_flags(df, n=5, min_df=2, collapse_exact=False).collect()
+    }
+    assert a == b
+    # replicas carry the same metrics as their originals
+    assert a[11] == a[1] and a[12] == a[2]
+    # the shared header span has df = 4 (docs 1, 2, 11, 12)
+    assert a[1][3] == 4
