@@ -135,6 +135,7 @@ def decontaminate(
     id_col: str = "doc_id",
     probe_text_col: str = "text",
     probe_id_col: str = "probe_id",
+    collapse_exact: bool = True,
 ) -> DataFrame:
     """Benchmark-overlap detection: flag corpus documents sharing at
     least one word n-gram shingle with any probe (test-set) document —
@@ -144,21 +145,47 @@ def decontaminate(
     docs only. The probe side (benchmark suites: thousands of rows vs
     a 100 TB corpus) is exploded to (shingle, probe_id) and BROADCAST;
     the corpus side streams partition-local against the in-memory map
-    — no corpus shuffle until the tiny per-doc aggregate."""
-    doc_sh = docs.select(
-        F.col(id_col), F.explode(shingles(text_col, n)).alias("_sh")
-    )
+    — no corpus shuffle until the tiny per-doc aggregate.
+
+    `collapse_exact=True` (default) shingles and probes each DISTINCT
+    corpus text once, expanding hits to duplicate documents with a
+    join — identical output (contamination is a property of the text),
+    replication-invariant cost."""
+    if collapse_exact:
+        from featurestore_spark.operators.dedup import _collapse_exact_texts
+
+        reps, members = _collapse_exact_texts(
+            docs.select(id_col, text_col), text_col, id_col, "decontaminate"
+        )
+        doc_sh = reps.select(
+            F.col("rep_id").alias("_uid"),
+            F.explode(shingles(F.col("_text"), n)).alias("_sh"),
+        )
+    else:
+        doc_sh = docs.select(
+            F.col(id_col).alias("_uid"),
+            F.explode(shingles(text_col, n)).alias("_sh"),
+        )
     probe_sh = probes.select(
         F.col(probe_id_col), F.explode(shingles(probe_text_col, n)).alias("_sh")
     )
-    return (
+    per_unit = (
         doc_sh.join(F.broadcast(probe_sh), "_sh")
-        .groupBy(id_col)
+        .groupBy("_uid")
         .agg(
             F.countDistinct(probe_id_col).alias("n_probes_hit"),
             F.countDistinct("_sh").alias("n_shared_shingles"),
         )
     )
+    if collapse_exact:
+        return per_unit.join(
+            members.withColumnRenamed("rep_id", "_uid"), "_uid"
+        ).select(
+            F.col("member_id").alias(id_col),
+            "n_probes_hit",
+            "n_shared_shingles",
+        )
+    return per_unit.withColumnRenamed("_uid", id_col)
 
 
 # -- PII / URL redaction ------------------------------------------------------

@@ -400,3 +400,29 @@ def test_boilerplate_collapse_equals_raw_under_replication(spark):
     assert a[11] == a[1] and a[12] == a[2]
     # the shared header span has df = 4 (docs 1, 2, 11, 12)
     assert a[1][3] == 4
+
+
+def test_decontaminate_collapse_equals_raw_under_replication(spark, docs):
+    from featurestore_spark.operators.curation import decontaminate
+
+    base = [r.asDict() for r in docs.collect()]
+    # replicate one contaminated and one clean doc verbatim
+    extra = [
+        {**base[0], "doc_id": base[0]["doc_id"] + 1000},
+        {**base[-1], "doc_id": base[-1]["doc_id"] + 1000},
+    ]
+    big = spark.createDataFrame(base + extra, docs.schema)
+    probes = spark.createDataFrame(
+        [(1, base[0]["text"])], ["probe_id", "text"]
+    )
+    a = {
+        r["doc_id"]: (r["n_probes_hit"], r["n_shared_shingles"])
+        for r in decontaminate(big, probes).collect()
+    }
+    b = {
+        r["doc_id"]: (r["n_probes_hit"], r["n_shared_shingles"])
+        for r in decontaminate(big, probes, collapse_exact=False).collect()
+    }
+    assert a == b
+    # the replica of the contaminated doc is flagged with identical counts
+    assert a[base[0]["doc_id"] + 1000] == a[base[0]["doc_id"]]
