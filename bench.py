@@ -94,6 +94,7 @@ HEADLINE = [
     "q_shared_spans",
     "q_shard_corpus",
     "q_incremental_line_dedup",
+    "q_decontaminate_spans",
     "q_top_customers",
     "q_vault_full_cycle",  # write-path throughput (real loader)
 ]

@@ -19,6 +19,7 @@ from featurestore_spark.operators.snapshot import latest_per_key  # noqa: F401
 from featurestore_spark.operators.curation import (  # noqa: F401
     boilerplate_flags,
     decontaminate,
+    decontaminate_spans,
     dedup_lines,
     line_doc_frequency,
     redact_pii,

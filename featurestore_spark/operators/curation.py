@@ -29,6 +29,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from featurestore_spark.operators.dedup import shingles, zipped_ngrams
+from featurestore_spark.operators.materialize import materialize
 from featurestore_spark.operators.text import tokens
 
 # -- repetition metrics -------------------------------------------------------
@@ -697,14 +698,7 @@ def remove_shared_spans(
     - EAGER: the frequent-window set and per-unit interval frame fan
       out to multiple consumers and are materialized.
     """
-    from featurestore_spark.operators.dedup import (
-        _collapse_exact_texts,
-        zipped_ngrams,
-    )
-    from featurestore_spark.operators.materialize import materialize
-    from featurestore_spark.operators.text import tokens
-
-    text = F.col(text_col)
+    from featurestore_spark.operators.dedup import _collapse_exact_texts
 
     if collapse_exact:
         reps, members = _collapse_exact_texts(
@@ -721,17 +715,9 @@ def remove_shared_spans(
             F.col(id_col).alias("_uid"), F.col(text_col).alias("_utext")
         )
         weights = None
+        members = None
 
-    # token array as an ATTRIBUTE (not inlined into the window lambda)
-    toked = unit.select("_uid", tokens("_utext").alias("_toks"))
-    grams = toked.select(
-        "_uid",
-        F.posexplode(
-            F.when(F.size("_toks") >= n, zipped_ngrams(F.col("_toks"), n))
-            .otherwise(F.array().cast("array<string>"))
-        ).alias("_pos", "_g"),
-    ).select("_uid", "_pos", F.xxhash64("_g").alias("_gh"))
-
+    grams = _positional_gram_hashes(unit, n)
     per_unit = grams.select("_uid", "_gh").distinct()
     doc_freq = (
         per_unit.join(weights, "_uid").groupBy("_gh").agg(F.sum("_w").alias("_df"))
@@ -741,10 +727,84 @@ def remove_shared_spans(
     frequent = materialize(
         doc_freq.where(F.col("_df") >= min_df).select("_gh")
     )
+    spans = _merged_interval_spans(
+        grams.join(frequent, "_gh", "left_semi"), n
+    )
+    return _apply_span_removal(df, spans, members, text_col, id_col)
 
-    # merged removal intervals per affected unit: fold the sorted start
-    # positions; [s, e) with e = s + n, overlapping/adjacent-overlap
-    # runs merged
+
+def decontaminate_spans(
+    docs: DataFrame,
+    probes: DataFrame,
+    *,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    probe_text_col: str = "text",
+    collapse_exact: bool = True,
+) -> DataFrame:
+    """Surgical decontamination: REMOVE every token span whose
+    length-`n` windows all appear verbatim in the probe (benchmark)
+    set, keeping the rest of the document — the span-level complement
+    of `decontaminate` (which only flags whole documents). Use it when
+    benchmark overlap is embedded in otherwise-good documents.
+
+    Same output contract as `remove_shared_spans` (text rewritten for
+    affected docs, `n_tokens` / `n_tokens_removed` / `n_spans`;
+    unaffected docs byte-identical, NULL text -> NULL counts) and the
+    same interval-merge machinery — the only difference is the
+    frequent-window source: the probe set's positional windows,
+    DISTINCT and BROADCAST (benchmark suites are tiny vs the corpus),
+    so the corpus side never shuffles to discover hits.
+    `collapse_exact=True` (default) runs window extraction and span
+    merging once per DISTINCT corpus text."""
+    from featurestore_spark.operators.dedup import _collapse_exact_texts
+
+    if collapse_exact:
+        reps, members = _collapse_exact_texts(
+            docs.select(id_col, text_col), text_col, id_col, "decontaminate_spans"
+        )
+        unit = reps.select(
+            F.col("rep_id").alias("_uid"), F.col("_text").alias("_utext")
+        )
+    else:
+        unit = docs.select(
+            F.col(id_col).alias("_uid"), F.col(text_col).alias("_utext")
+        )
+        members = None
+
+    grams = _positional_gram_hashes(unit, n)
+    probe_unit = probes.select(
+        F.lit(0).alias("_uid"), F.col(probe_text_col).alias("_utext")
+    )
+    probe_set = _positional_gram_hashes(probe_unit, n).select("_gh").distinct()
+    spans = _merged_interval_spans(
+        grams.join(F.broadcast(probe_set), "_gh", "left_semi"), n
+    )
+    return _apply_span_removal(docs, spans, members, text_col, id_col)
+
+
+def _positional_gram_hashes(unit: DataFrame, n: int) -> DataFrame:
+    """(_uid, _utext) -> (_uid, _pos, _gh): hash of every positional
+    length-n token window. The token array is projected to an
+    ATTRIBUTE first (not inlined into the window lambda — the
+    re-evaluation trap), and windows come from `zipped_ngrams` (n zips
+    total, not a per-element slice)."""
+    toked = unit.select("_uid", tokens("_utext").alias("_toks"))
+    return toked.select(
+        "_uid",
+        F.posexplode(
+            F.when(F.size("_toks") >= n, zipped_ngrams(F.col("_toks"), n))
+            .otherwise(F.array().cast("array<string>"))
+        ).alias("_pos", "_g"),
+    ).select("_uid", "_pos", F.xxhash64("_g").alias("_gh"))
+
+
+def _merged_interval_spans(hits: DataFrame, n: int) -> DataFrame:
+    """Per-unit merged removal intervals from hit windows (_uid, _pos):
+    fold the sorted start set into [s, e) intervals with e = s + n,
+    merging overlapping/touching runs. MATERIALIZED: the span frame
+    fans out to the rebuild join and the affected-flag logic."""
     iv_type = "array<struct<s:int,e:int>>"
     zero = F.struct(
         F.array().cast(iv_type).alias("ivs"),
@@ -774,9 +834,8 @@ def remove_shared_spans(
             )
         )
 
-    spans = materialize(
-        grams.join(frequent, "_gh", "left_semi")
-        .groupBy("_uid")
+    return materialize(
+        hits.groupBy("_uid")
         .agg(F.sort_array(F.collect_set("_pos")).alias("_starts"))
         .select(
             "_uid",
@@ -784,7 +843,19 @@ def remove_shared_spans(
         )
     )
 
-    if collapse_exact:
+
+def _apply_span_removal(
+    df: DataFrame,
+    spans: DataFrame,
+    members: DataFrame | None,
+    text_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Join per-unit intervals back to documents (via the membership
+    frame when exact-collapsed) and rebuild affected texts: token
+    filtering is O(tokens x merged-intervals) per doc."""
+    text = F.col(text_col)
+    if members is not None:
         attach = df.join(
             members.withColumnRenamed("rep_id", "_uid"),
             F.col(id_col) == F.col("member_id"),

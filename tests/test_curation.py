@@ -426,3 +426,38 @@ def test_decontaminate_collapse_equals_raw_under_replication(spark, docs):
     assert a == b
     # the replica of the contaminated doc is flagged with identical counts
     assert a[base[0]["doc_id"] + 1000] == a[base[0]["doc_id"]]
+
+
+def test_decontaminate_spans_removes_probe_overlap(spark):
+    from featurestore_spark.operators.curation import decontaminate_spans
+
+    bench_q = "what is the capital of france paris is the capital"
+    rows = [
+        (1, f"some intro text {bench_q} and a conclusion here"),
+        (2, "completely clean document with no benchmark overlap at all"),
+        (3, None),
+        (4, f"some intro text {bench_q} and a conclusion here"),  # replica
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    probes = spark.createDataFrame([(1, bench_q)], "probe_id long, text string")
+    results = {}
+    for ce in (True, False):
+        results[ce] = {
+            r["doc_id"]: (
+                r["text"],
+                r["n_tokens"],
+                r["n_tokens_removed"],
+                r["n_spans"],
+            )
+            for r in decontaminate_spans(
+                docs, probes, n=5, collapse_exact=ce
+            ).collect()
+        }
+    assert results[True] == results[False]
+    out = results[True]
+    # the embedded 10-token benchmark question is removed as one span
+    assert out[1] == ("some intro text and a conclusion here", 17, 10, 1)
+    assert out[4] == out[1]
+    # clean doc byte-identical; null text -> null counts
+    assert out[2][0] == "completely clean document with no benchmark overlap at all"
+    assert out[3] == (None, None, None, None)
