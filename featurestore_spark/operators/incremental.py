@@ -817,3 +817,128 @@ def dedup_lines_stream_against_index(
         ).write.mode("overwrite").parquet(f"{index_path}/batch={batch_id}")
 
     return process
+
+
+# -- shared-span window index (incremental span removal) ----------------------
+
+
+def span_window_index(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    n: int = 10,
+) -> DataFrame:
+    """Document frequency of every distinct positional length-`n`
+    token window, keyed by hash: (window_hash, doc_freq) — the corpus
+    state incremental span removal needs (16 bytes per distinct
+    window; persist as parquet). Extended per batch with
+    `extend_span_index`; the corpus text is never re-tokenized."""
+    from featurestore_spark.operators.curation import (
+        _positional_gram_hashes,
+    )
+
+    unit = df.select(
+        F.col(id_col).alias("_uid"), F.col(text_col).alias("_utext")
+    )
+    return (
+        _positional_gram_hashes(unit, n)
+        .select("_uid", "_gh")
+        .distinct()
+        .groupBy(F.col("_gh").alias("window_hash"))
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+    )
+
+
+def remove_spans_against_index(
+    batch: DataFrame,
+    index: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    n: int = 10,
+    min_df: int = 2,
+    include_batch: bool = True,
+    collapse_exact: bool = True,
+) -> DataFrame:
+    """Shared-span removal of an ingestion batch against a persisted
+    `span_window_index`: a window is over-frequent when its corpus
+    frequency plus this batch's (`include_batch=True`) reaches
+    `min_df`; covered spans are removed exactly as in
+    `curation.remove_shared_spans` (same output schema and interval
+    machinery). Equals full-corpus `remove_shared_spans` restricted to
+    the batch rows — test-asserted."""
+    from featurestore_spark.operators.curation import (
+        _apply_span_removal,
+        _merged_interval_spans,
+        _positional_gram_hashes,
+    )
+    from featurestore_spark.operators.dedup import _collapse_exact_texts
+
+    if collapse_exact:
+        reps, members = _collapse_exact_texts(
+            batch.select(id_col, text_col),
+            text_col,
+            id_col,
+            "remove_spans_against_index",
+        )
+        unit = reps.select(
+            F.col("rep_id").alias("_uid"), F.col("_text").alias("_utext")
+        )
+        weights = reps.select(
+            F.col("rep_id").alias("_uid"), F.col("n_members").alias("_w")
+        )
+    else:
+        unit = batch.select(
+            F.col(id_col).alias("_uid"), F.col(text_col).alias("_utext")
+        )
+        weights = None
+        members = None
+
+    grams = _positional_gram_hashes(unit, n)
+    per_unit = grams.select("_uid", "_gh").distinct()
+    batch_freq = (
+        per_unit.join(weights, "_uid").groupBy("_gh").agg(F.sum("_w").alias("_bf"))
+        if collapse_exact
+        else per_unit.groupBy("_gh").agg(F.count(F.lit(1)).alias("_bf"))
+    )
+    idx = index.select(
+        F.col("window_hash").alias("_gh"),
+        F.col("doc_freq").cast("long").alias("_if"),
+    )
+    if include_batch:
+        total = batch_freq.join(idx, "_gh", "left").select(
+            "_gh",
+            (F.col("_bf") + F.coalesce(F.col("_if"), F.lit(0))).alias("_df"),
+        )
+    else:
+        total = (
+            per_unit.select("_gh")
+            .distinct()
+            .join(idx, "_gh", "left")
+            .select("_gh", F.coalesce(F.col("_if"), F.lit(0)).alias("_df"))
+        )
+    frequent = materialize(total.where(F.col("_df") >= min_df).select("_gh"))
+    spans = _merged_interval_spans(
+        grams.join(frequent, "_gh", "left_semi"), n
+    )
+    return _apply_span_removal(batch, spans, members, text_col, id_col)
+
+
+def extend_span_index(
+    index: DataFrame,
+    batch: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    n: int = 10,
+) -> DataFrame:
+    """Merge a batch's window frequencies into the index (caller
+    persists; prefer `batch=<id>` delta partitions summed on read in
+    production, as with the other incremental indexes)."""
+    delta = span_window_index(batch, text_col, id_col, n=n)
+    return (
+        index.unionByName(delta)
+        .groupBy("window_hash")
+        .agg(F.sum("doc_freq").alias("doc_freq"))
+    )

@@ -3657,6 +3657,87 @@ def q_shard_corpus(spark, sf_dir):
 
 
 @_register(
+    "q_incremental_spans",
+    r"""
+    WITH toked AS (
+      SELECT doc_id, text,
+             regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+      FROM documents),
+    grams AS (
+      SELECT doc_id, i AS pos, array_to_string(toks[i + 1 : i + 5], ' ') AS g
+      FROM (SELECT doc_id, toks,
+                   unnest(generate_series(0, len(toks) - 5)) AS i
+            FROM toked WHERE len(toks) >= 5)),
+    freq AS (
+      SELECT g FROM grams GROUP BY g HAVING count(DISTINCT doc_id) >= 2),
+    starts AS (
+      SELECT DISTINCT doc_id, pos FROM grams JOIN freq USING (g)
+      WHERE doc_id % 3 = 0),
+    isl AS (
+      SELECT doc_id, pos,
+             SUM(CASE WHEN prev_end IS NULL OR pos > prev_end
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos) AS island
+      FROM (SELECT doc_id, pos,
+                   max(pos + 5) OVER (PARTITION BY doc_id ORDER BY pos
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                     AS prev_end
+            FROM starts)),
+    ivs AS (
+      SELECT doc_id, island, min(pos) AS s, max(pos) + 5 AS e
+      FROM isl GROUP BY doc_id, island),
+    agg AS (
+      SELECT doc_id, SUM(e - s) AS removed, count(*) AS nspans
+      FROM ivs GROUP BY doc_id),
+    toks_pos AS (
+      SELECT doc_id, i AS tpos, toks[i + 1] AS tok
+      FROM (SELECT doc_id, toks, unnest(generate_series(0, len(toks) - 1)) AS i
+            FROM toked WHERE doc_id % 3 = 0)),
+    kept AS (
+      SELECT tp.doc_id, tp.tpos, tp.tok FROM toks_pos tp
+      WHERE NOT EXISTS (SELECT 1 FROM ivs v WHERE v.doc_id = tp.doc_id
+                        AND tp.tpos >= v.s AND tp.tpos < v.e)),
+    rebuilt AS (
+      SELECT doc_id, string_agg(tok, ' ' ORDER BY tpos) AS new_text
+      FROM kept GROUP BY doc_id)
+    SELECT t.doc_id,
+           md5(CASE WHEN a.doc_id IS NULL THEN t.text
+                    ELSE coalesce(r.new_text, '') END) AS text_md5,
+           CAST(len(t.toks) AS INTEGER) AS n_tokens,
+           CAST(coalesce(a.removed, 0) AS INTEGER) AS n_tokens_removed,
+           CAST(coalesce(a.nspans, 0) AS INTEGER) AS n_spans
+    FROM toked t
+    LEFT JOIN agg a USING (doc_id)
+    LEFT JOIN rebuilt r USING (doc_id)
+    WHERE t.doc_id % 3 = 0
+    """,
+    "Incremental span removal: the batch (doc_id % 3 = 0) has shared "
+    "spans removed against a persisted (window_hash, doc_freq) index "
+    "of the corpus (doc_id % 3 <> 0) — window frequency = corpus + "
+    "batch counts, equal to full-corpus remove_shared_spans restricted "
+    "to batch rows (the oracle replays the full-corpus form).",
+)
+def q_incremental_spans(spark, sf_dir):
+    from featurestore_spark.operators.incremental import (
+        remove_spans_against_index,
+        span_window_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") % 3 != 0)
+    batch = docs.where(F.col("doc_id") % 3 == 0)
+    idx = span_window_index(corpus, n=5)
+    out = remove_spans_against_index(batch, idx, n=5, min_df=2)
+    return out.select(
+        "doc_id",
+        F.md5(F.col("text")).alias("text_md5"),
+        "n_tokens",
+        "n_tokens_removed",
+        "n_spans",
+    )
+
+
+@_register(
     "q_decontaminate_spans",
     r"""
     WITH toked AS (
@@ -4102,6 +4183,7 @@ _DRIVER_PRIORITY = [
     "q_shard_corpus",          # NEW this round (training-export sharding)
     "q_incremental_line_dedup",  # NEW this round (line-frequency index)
     "q_decontaminate_spans",   # NEW this round (surgical decontamination)
+    "q_incremental_spans",     # NEW this round (span-window index)
     "q_token_budget_sample",   # n_tokens rename + materialize knob
     "q_embedding_near_dups",   # membership-frame collapse + null filter
     "q_embedding_clusters",    # similarity collapse + resolve materialize

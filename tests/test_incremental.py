@@ -528,3 +528,56 @@ def test_line_stream_first_batch_no_index(spark, tmp_path):
     cb(b, 0)
     kept = spark.read.option("recursiveFileLookup", "true").parquet(kept_root)
     assert {r["text"] for r in kept.collect()} == {"same line\na", "same line\nb"}
+
+
+def test_span_index_removal_equals_full_corpus(spark):
+    from featurestore_spark.operators.curation import remove_shared_spans
+    from featurestore_spark.operators.incremental import (
+        extend_span_index,
+        remove_spans_against_index,
+        span_window_index,
+    )
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"
+    corpus = spark.createDataFrame(
+        [(1, f"intro words here {shared} outro tail"),
+         (2, "corpus only content nothing shared at all here ok")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [(10, f"{shared} fresh batch material going on"),
+         (11, "batch unique doc with its own words entirely"),
+         (12, None)],
+        "doc_id long, text string",
+    )
+    idx = span_window_index(corpus, n=5)
+    for ce in (True, False):
+        out = {
+            r["doc_id"]: (r["text"], r["n_tokens_removed"], r["n_spans"])
+            for r in remove_spans_against_index(
+                batch, idx, n=5, min_df=2, collapse_exact=ce
+            ).collect()
+        }
+        full = remove_shared_spans(
+            corpus.unionByName(batch), n=5, min_df=2
+        )
+        expect = {
+            r["doc_id"]: (r["text"], r["n_tokens_removed"], r["n_spans"])
+            for r in full.collect()
+            if r["doc_id"] >= 10
+        }
+        assert out == expect
+    # the shared span is gone from the batch doc; null passes through
+    assert out[10][0] == "fresh batch material going on"
+    assert out[12] == (None, None, None)
+
+    # extend: a replay of the batch against the merged index with
+    # min_df=1 (anything ever seen) empties every doc's indexed windows
+    idx2 = extend_span_index(idx, batch, n=5)
+    replay = {
+        r["doc_id"]: r["text"]
+        for r in remove_spans_against_index(
+            batch, idx2, n=5, min_df=1, include_batch=False
+        ).collect()
+    }
+    assert replay[10] == "" and replay[11] == ""
