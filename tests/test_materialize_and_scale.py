@@ -268,3 +268,33 @@ def test_global_ntile_joinback_rejects_duplicate_keys(spark):
     )
     with pytest.raises(ValueError, match="uniquely"):
         global_ntile(df, ["score"], 2)
+
+
+def test_universal_line_narrow_counting(spark):
+    """A line present in EVERY document (10^5 docs): line-frequency
+    counting must stay a narrow (hash, id) shuffle with map-side
+    partial aggregation — no single row ever carries the membership —
+    and the collapse keeps rebuild work at distinct-text cardinality.
+    Exact counts asserted."""
+    from featurestore_spark.operators.curation import dedup_lines
+
+    n = 100_000
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("universal cookie banner\nunique payload "),
+            F.col("id").cast("string"),
+        ).alias("text"),
+    )
+    out = dedup_lines(docs, max_docs=10)
+    agg = out.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_lines_kept").alias("kept"),
+        F.sum("n_lines").alias("total"),
+    ).collect()[0]
+    assert agg["n"] == n
+    # the universal line (freq 10^5 > 10) dropped everywhere; each
+    # doc keeps exactly its unique payload line
+    assert agg["total"] == 2 * n and agg["kept"] == n
+    sample = out.where(F.col("doc_id") == 7).collect()[0]
+    assert sample["text"] == "unique payload 7"
