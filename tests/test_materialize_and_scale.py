@@ -50,6 +50,11 @@ def test_materialize_modes_equivalent(spark, small_docs, tmp_path):
     from featurestore_spark.operators.sampling import global_ntile
 
     def run():
+        from featurestore_spark.operators.curation import (
+            dedup_lines,
+            remove_shared_spans,
+        )
+
         kept = sorted(
             r["doc_id"] for r in dedup_keep_docs(small_docs, bands=8).collect()
         )
@@ -59,7 +64,15 @@ def test_materialize_modes_equivalent(spark, small_docs, tmp_path):
                 small_docs.select("doc_id"), ["doc_id"], 2, bucket_col="b"
             ).collect()
         }
-        return kept, buckets
+        lines = {
+            r["doc_id"]: (r["text"], r["n_lines_kept"])
+            for r in dedup_lines(small_docs, max_docs=1).collect()
+        }
+        spans = {
+            r["doc_id"]: (r["text"], r["n_spans"])
+            for r in remove_shared_spans(small_docs, n=5, min_df=2).collect()
+        }
+        return kept, buckets, lines, spans
 
     baseline = run()
     spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
