@@ -96,6 +96,7 @@ HEADLINE = [
     "q_incremental_line_dedup",
     "q_decontaminate_spans",
     "q_incremental_spans",
+    "q_cluster_balance",
     "q_top_customers",
     "q_vault_full_cycle",  # write-path throughput (real loader)
 ]

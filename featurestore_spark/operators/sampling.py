@@ -410,3 +410,72 @@ def write_shards(
         .format(fmt)
         .save(path)
     )
+
+
+def cluster_balance_sample(
+    df: DataFrame,
+    centroids: DataFrame,
+    *,
+    target_per_cluster: int | None = None,
+    rates: dict[int, float] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id_col: str = "centroid_id",
+    centroid_vec_col: str = "centroid",
+    default_rate: float = 1.0,
+) -> DataFrame:
+    """Topic-rebalancing sample over an embedding-clustered corpus:
+    assign every row to its nearest centroid, then keep it with a
+    per-CLUSTER probability — either explicit `rates`
+    ({centroid_id: rate}) or derived from `target_per_cluster`
+    (rate_c = min(1, target/n_c): oversized topic clusters are
+    downsampled toward uniform coverage, small ones kept whole).
+
+    The keep decision is the same stable integer-threshold hash as
+    `mixture_sample` (reproducible across runs/engines; a row keeps
+    its fate as the corpus grows as long as its cluster's rate does
+    not change). Returns the kept rows plus `centroid_id`.
+
+    Scale shape: nearest-centroid assignment broadcasts the codebook
+    and aggregates on the scalar row id (see
+    `similarity.assign_to_centroids`); cluster sizes are one
+    map-side-combined aggregation producing <= k rows, joined back
+    broadcast-sized; the final filter is a projection. Thresholds are
+    computed IN the plan (round(min(1, t/n) * buckets)) — identical
+    IEEE arithmetic in any engine, nothing collected to the driver."""
+    from featurestore_spark.operators.similarity import assign_to_centroids
+
+    if (target_per_cluster is None) == (rates is None):
+        raise ValueError(
+            "cluster_balance_sample: exactly one of target_per_cluster "
+            "or rates is required"
+        )
+    assigned = assign_to_centroids(
+        df,
+        centroids,
+        id_col=id_col,
+        vec_col=vec_col,
+        centroid_id_col=centroid_id_col,
+        centroid_vec_col=centroid_vec_col,
+    ).select(id_col, centroid_id_col)
+    out = df.join(assigned, id_col)
+    if rates is not None:
+        thresholds = {
+            int(c): int(round(r * HASH_BUCKETS)) for c, r in rates.items()
+        }
+        thr: Column = F.lit(int(round(default_rate * HASH_BUCKETS)))
+        for c, t in sorted(thresholds.items()):
+            thr = F.when(F.col(centroid_id_col) == c, F.lit(t)).otherwise(thr)
+    else:
+        sizes = assigned.groupBy(centroid_id_col).agg(
+            F.count(F.lit(1)).alias("_n")
+        )
+        out = out.join(sizes, centroid_id_col)
+        thr = F.round(
+            F.least(
+                F.lit(1.0),
+                F.lit(float(target_per_cluster)) / F.col("_n"),
+            )
+            * HASH_BUCKETS
+        ).cast("long")
+    return out.where(hash_bucket(id_col) < thr).drop("_n")

@@ -3738,6 +3738,51 @@ def q_incremental_spans(spark, sf_dir):
 
 
 @_register(
+    "q_cluster_balance",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    c AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < 8),
+    d AS (SELECT e.vec_id, c.centroid_id,
+                 round(list_sum(list_transform(generate_series(1, len(e.v)),
+                         i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i]))), 6)
+                   AS d2
+          FROM e CROSS JOIN c),
+    assigned AS (
+      SELECT vec_id, centroid_id
+      FROM (SELECT vec_id, centroid_id,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY d2, centroid_id) AS rn
+            FROM d)
+      WHERE rn = 1),
+    sizes AS (SELECT centroid_id, count(*) AS n FROM assigned GROUP BY 1),
+    thr AS (
+      SELECT centroid_id,
+             CAST(round(least(1.0, 40.0 / n) * 1000000) AS BIGINT) AS t
+      FROM sizes)
+    SELECT a.vec_id, a.centroid_id
+    FROM assigned a JOIN thr USING (centroid_id)
+    WHERE CAST(('0x' || substr(md5(CAST(a.vec_id AS VARCHAR)), 1, 7))
+               AS UBIGINT) % 1000000 < t
+    """,
+    "Topic-rebalancing sample: rows assigned to nearest centroid "
+    "(vec_id < 8 as codebook), each cluster downsampled toward "
+    "target_per_cluster=40 by a stable md5 threshold (rate = "
+    "min(1, target/n)); thresholds computed in-plan, nothing "
+    "collected to the driver.",
+)
+def q_cluster_balance(spark, sf_dir):
+    from featurestore_spark.operators.sampling import cluster_balance_sample
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("centroid"),
+    )
+    out = cluster_balance_sample(emb, cents, target_per_cluster=40)
+    return out.select("vec_id", "centroid_id")
+
+
+@_register(
     "q_decontaminate_spans",
     r"""
     WITH toked AS (
@@ -4184,6 +4229,7 @@ _DRIVER_PRIORITY = [
     "q_incremental_line_dedup",  # NEW this round (line-frequency index)
     "q_decontaminate_spans",   # NEW this round (surgical decontamination)
     "q_incremental_spans",     # NEW this round (span-window index)
+    "q_cluster_balance",       # NEW this round (topic-rebalancing sample)
     "q_token_budget_sample",   # n_tokens rename + materialize knob
     "q_embedding_near_dups",   # membership-frame collapse + null filter
     "q_embedding_clusters",    # similarity collapse + resolve materialize

@@ -593,3 +593,44 @@ def test_write_shards_layout_and_order(spark, tmp_path):
     for f in _glob.glob(out + "/shard_id=*/*.parquet"):
         t = pq.read_table(f, columns=["shard_order"]).to_pydict()["shard_order"]
         assert t == sorted(t)
+
+
+def test_cluster_balance_sample(spark):
+    from featurestore_spark.operators.sampling import cluster_balance_sample
+
+    import random
+
+    rnd = random.Random(7)
+    # two tight clusters, one 10x the other
+    rows = [(i, [rnd.gauss(0, 0.1), rnd.gauss(0, 0.1)]) for i in range(200)]
+    rows += [(1000 + i, [5 + rnd.gauss(0, 0.1), 5 + rnd.gauss(0, 0.1)])
+             for i in range(20)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [5.0, 5.0])],
+        "centroid_id int, centroid array<double>",
+    )
+    out = cluster_balance_sample(df, cents, target_per_cluster=20)
+    counts = {
+        r["centroid_id"]: r["n"]
+        for r in out.groupBy("centroid_id").agg(
+            __import__("pyspark.sql.functions", fromlist=["count"]).count("*").alias("n")
+        ).collect()
+    }
+    # big cluster downsampled toward 20 (hash sampling is approximate),
+    # small cluster kept whole
+    assert counts[1] == 20
+    assert 10 <= counts[0] <= 35
+    # deterministic: same call, same rows
+    again = {r["vec_id"] for r in
+             cluster_balance_sample(df, cents, target_per_cluster=20).collect()}
+    assert again == {r["vec_id"] for r in out.collect()}
+    # explicit rates mode: rate 0 empties a cluster, default keeps rest
+    only_small = cluster_balance_sample(df, cents, rates={0: 0.0})
+    ids = {r["vec_id"] for r in only_small.collect()}
+    assert ids == {1000 + i for i in range(20)}
+    # exactly one of the two knobs
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="exactly one"):
+        cluster_balance_sample(df, cents)
