@@ -942,3 +942,160 @@ def extend_span_index(
         .groupBy("window_hash")
         .agg(F.sum("doc_freq").alias("doc_freq"))
     )
+
+
+def _guard_restart(spark, kept_path: str, batch_id: int, op_name: str) -> None:
+    """Fresh-checkpoint restart guard shared by every stream wrapper:
+    Structured Streaming numbers batches per checkpoint lineage, so a
+    stream restarted with a NEW checkpointLocation re-issues ids 0, 1,
+    … and its `batch=<id>` overwrites would silently replace earlier
+    accepted batches. A genuine retry only ever re-runs the HIGHEST
+    id — anything lower means a new lineage against old state roots."""
+    try:
+        existing = spark.read.parquet(kept_path).select("batch").distinct()
+        ids = [
+            int(v) for (v,) in existing.collect()
+            if str(v).lstrip("-").isdigit()
+        ]
+    except AnalysisException:
+        return  # kept root does not exist yet (first batch)
+    if ids and max(ids) > batch_id:
+        raise RuntimeError(
+            f"{op_name}: kept root {kept_path!r} already contains "
+            f"batch={max(ids)} > current batch_id={batch_id} — the stream "
+            "was restarted with a fresh checkpoint against existing state "
+            "roots; reuse the original checkpointLocation or point at "
+            "fresh state roots"
+        )
+
+
+def dedup_embeddings_stream_against_index(
+    index_path: str,
+    kept_path: str,
+    *,
+    base_path: str | None = None,
+    threshold: float | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int = 8,
+    bands: int = 6,
+    seed: int = 42,
+    dim: int | None = None,
+    max_bucket: int | None = 1000,
+):
+    """`foreachBatch` callback for streaming embedding dedup — the
+    vector-side analog of `dedup_stream_against_index`, with the same
+    state layout and retry discipline (`batch=<id>` overwrite
+    partitions, current-batch-excluded reads, fresh-checkpoint guard).
+    Each micro-batch is deduped against the persisted SRP code index;
+    survivors' codes (and, in verified mode, their vectors) are added
+    so batch N+1 dedups against everything accepted through batch N.
+
+    Seed with
+    `srp_code_index(corpus).write.parquet(f"{index_path}/batch=seed")`
+    (and the corpus's (id, vector) columns under `base_path/batch=seed`
+    for verified mode)."""
+    if threshold is not None and base_path is None:
+        raise ValueError(
+            "dedup_embeddings_stream_against_index: verified mode "
+            "requires base_path"
+        )
+
+    def _load(spark, root, exclude_batch):
+        df = spark.read.parquet(root)
+        return df.where(
+            F.col("batch").cast("string") != str(exclude_batch)
+        ).drop("batch")
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        _guard_restart(
+            spark, kept_path, batch_id, "dedup_embeddings_stream_against_index"
+        )
+        idx = _load(spark, index_path, batch_id)
+        base = (
+            _load(spark, base_path, batch_id).select(id_col, vec_col)
+            if base_path is not None
+            else None
+        )
+        kept = materialize(
+            dedup_embeddings_against_index(
+                batch_df,
+                idx,
+                base=base,
+                threshold=threshold,
+                id_col=id_col,
+                vec_col=vec_col,
+                bits=bits,
+                bands=bands,
+                seed=seed,
+                dim=dim,
+                max_bucket=max_bucket,
+            )
+        )
+        kept.write.mode("overwrite").parquet(f"{kept_path}/batch={batch_id}")
+        srp_code_index(
+            kept, id_col, vec_col, bits=bits, bands=bands, seed=seed, dim=dim
+        ).write.mode("overwrite").parquet(f"{index_path}/batch={batch_id}")
+        if base_path is not None:
+            kept.select(id_col, vec_col).write.mode("overwrite").parquet(
+                f"{base_path}/batch={batch_id}"
+            )
+
+    return process
+
+
+def remove_spans_stream_against_index(
+    index_path: str,
+    kept_path: str,
+    *,
+    n: int = 10,
+    min_df: int = 2,
+    include_batch: bool = True,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    collapse_exact: bool = True,
+):
+    """`foreachBatch` callback for streaming span removal — the
+    span-side analog of `dedup_lines_stream_against_index` (per-batch
+    count DELTAS under `batch=<id>`, summed on read; prefix semantics;
+    deltas record the ORIGINAL batch's window frequencies; same retry
+    and restart discipline). Seed with
+    `span_window_index(corpus, n=n).write.parquet(f"{index_path}/batch=seed")`.
+
+    Mind the span-index sizing bound (docs/scale.md): the window index
+    is O(corpus tokens); prefer large `n` and consider cadenced batch
+    reprocessing when the state budget binds."""
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        _guard_restart(
+            spark, kept_path, batch_id, "remove_spans_stream_against_index"
+        )
+        try:
+            idx = (
+                spark.read.parquet(index_path)
+                .where(F.col("batch").cast("string") != str(batch_id))
+                .groupBy("window_hash")
+                .agg(F.sum("doc_freq").alias("doc_freq"))
+            )
+        except AnalysisException:
+            idx = spark.createDataFrame([], "window_hash long, doc_freq long")
+        kept = materialize(
+            remove_spans_against_index(
+                batch_df,
+                idx,
+                text_col,
+                id_col,
+                n=n,
+                min_df=min_df,
+                include_batch=include_batch,
+                collapse_exact=collapse_exact,
+            )
+        )
+        kept.write.mode("overwrite").parquet(f"{kept_path}/batch={batch_id}")
+        span_window_index(
+            batch_df, text_col, id_col, n=n
+        ).write.mode("overwrite").parquet(f"{index_path}/batch={batch_id}")
+
+    return process

@@ -581,3 +581,89 @@ def test_span_index_removal_equals_full_corpus(spark):
         ).collect()
     }
     assert replay[10] == "" and replay[11] == ""
+
+
+def test_embedding_stream_callback_chains(spark, tmp_path):
+    from featurestore_spark.operators.incremental import (
+        dedup_embeddings_stream_against_index,
+        srp_code_index,
+    )
+
+    idx_root = str(tmp_path / "eidx")
+    kept_root = str(tmp_path / "ekept")
+    corpus = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    srp_code_index(corpus, dim=3).write.parquet(f"{idx_root}/batch=seed")
+    cb = dedup_embeddings_stream_against_index(idx_root, kept_root, dim=3)
+
+    b1 = spark.createDataFrame(
+        [(10, [1.0, 0.0, 0.0]),      # exact dup of indexed 0 -> dropped
+         (11, [0.0, 0.0, 1.0])],     # novel direction -> kept
+        "vec_id long, embedding array<double>",
+    )
+    cb(b1, 1)
+    kept = spark.read.option("recursiveFileLookup", "true").parquet(kept_root)
+    assert {r["vec_id"] for r in kept.collect()} == {11}
+
+    # batch 2 repeats batch-1's survivor -> caught by the grown index
+    b2 = spark.createDataFrame(
+        [(20, [0.0, 0.0, 1.0]), (21, [0.5, 0.5, 0.5])],
+        "vec_id long, embedding array<double>",
+    )
+    cb(b2, 2)
+    kept = spark.read.option("recursiveFileLookup", "true").parquet(kept_root)
+    ids = {r["vec_id"] for r in kept.collect()}
+    assert 20 not in ids and 11 in ids
+    # retry idempotent
+    cb(b2, 2)
+    kept = spark.read.option("recursiveFileLookup", "true").parquet(kept_root)
+    assert kept.count() == len(ids)
+    with pytest.raises(RuntimeError, match="fresh checkpoint"):
+        cb(b1, 0)
+
+
+def test_span_stream_callback_chains(spark, tmp_path):
+    from featurestore_spark.operators.incremental import (
+        remove_spans_stream_against_index,
+        span_window_index,
+    )
+
+    idx_root = str(tmp_path / "sidx")
+    kept_root = str(tmp_path / "skept")
+    shared = "alpha beta gamma delta epsilon zeta eta theta"
+    corpus = spark.createDataFrame(
+        [(1, f"intro here {shared} outro")], "doc_id long, text string"
+    )
+    span_window_index(corpus, n=5).write.parquet(f"{idx_root}/batch=seed")
+    cb = remove_spans_stream_against_index(
+        idx_root, kept_root, n=5, min_df=2
+    )
+    b1 = spark.createDataFrame(
+        [(10, f"{shared} fresh batch material going on"),
+         (11, "a batch doc with its own repeated span words here yes")],
+        "doc_id long, text string",
+    )
+    cb(b1, 1)
+    kept = spark.read.option("recursiveFileLookup", "true").parquet(kept_root)
+    t = {r["doc_id"]: r["text"] for r in kept.collect()}
+    # the corpus-shared span is removed; the unique doc untouched
+    assert t[10] == "fresh batch material going on"
+    assert t[11].startswith("a batch doc")
+
+    # batch 2 repeats batch-1's span -> prefix counts catch it
+    b2 = spark.createDataFrame(
+        [(20, "fresh batch material going on plus trailing extra words")],
+        "doc_id long, text string",
+    )
+    cb(b2, 2)
+    kept = spark.read.option("recursiveFileLookup", "true").parquet(kept_root)
+    t = {r["doc_id"]: r["text"] for r in kept.collect()}
+    assert "fresh batch material" not in t[20]
+    # retry idempotent; restart guard
+    cb(b2, 2)
+    kept = spark.read.option("recursiveFileLookup", "true").parquet(kept_root)
+    assert kept.count() == 3
+    with pytest.raises(RuntimeError, match="fresh checkpoint"):
+        cb(b1, 0)
