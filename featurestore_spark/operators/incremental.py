@@ -551,25 +551,7 @@ def dedup_stream_against_index(
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        # Restart-with-fresh-checkpoint guard (see docstring): batch
-        # ids only ever replay at the TOP of the sequence.
-        try:
-            existing = spark.read.parquet(kept_path).select("batch").distinct()
-            ids = [
-                int(v)
-                for (v,) in existing.collect()
-                if str(v).lstrip("-").isdigit()
-            ]
-        except AnalysisException:
-            ids = []  # kept root does not exist yet (first batch)
-        if ids and max(ids) > batch_id:
-            raise RuntimeError(
-                f"dedup_stream_against_index: kept root {kept_path!r} already "
-                f"contains batch={max(ids)} > current batch_id={batch_id} — "
-                "the stream was restarted with a fresh checkpoint against "
-                "existing state roots; reuse the original checkpointLocation "
-                "or point at fresh state roots"
-            )
+        _guard_restart(spark, kept_path, batch_id, "dedup_stream_against_index")
         idx = _load(spark, index_path, batch_id)
         base = (
             _load(spark, base_path, batch_id).select(id_col, text_col)
@@ -766,23 +748,9 @@ def dedup_lines_stream_against_index(
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        try:
-            existing = spark.read.parquet(kept_path).select("batch").distinct()
-            ids = [
-                int(v)
-                for (v,) in existing.collect()
-                if str(v).lstrip("-").isdigit()
-            ]
-        except AnalysisException:
-            ids = []
-        if ids and max(ids) > batch_id:
-            raise RuntimeError(
-                f"dedup_lines_stream_against_index: kept root {kept_path!r} "
-                f"already contains batch={max(ids)} > current "
-                f"batch_id={batch_id} — the stream was restarted with a "
-                "fresh checkpoint against existing state roots; reuse the "
-                "original checkpointLocation or point at fresh state roots"
-            )
+        _guard_restart(
+            spark, kept_path, batch_id, "dedup_lines_stream_against_index"
+        )
         try:
             idx = (
                 spark.read.parquet(index_path)
