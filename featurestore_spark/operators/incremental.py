@@ -626,22 +626,26 @@ def line_frequency_index(
     co-locate). Built once over the accepted corpus, then extended per
     batch with `extend_line_index` — the corpus text is never re-split.
 
-    Same counting shape as `curation.dedup_lines`: distinct
-    (line-hash, id) pairs then a count per hash, both shuffles narrow
-    (no line text) with map-side partial aggregation. Empty normalized
-    lines are excluded (never counted, never dropped)."""
-    line = F.explode(F.split(F.col(text_col), delimiter)).alias("_line")
+    Splitting runs once per DISTINCT text (exact-dup collapse); a
+    line's document frequency is the sum of its reps' duplicate
+    counts. Counting shuffles are narrow (hash + weight, no line
+    text) with map-side partial aggregation. Empty normalized lines
+    are excluded (never counted, never dropped)."""
+    reps, _ = _collapse_exact_texts(
+        df.select(id_col, text_col), text_col, id_col, "line_frequency_index"
+    )
+    line = F.explode(F.split(F.col("_text"), delimiter)).alias("_line")
     norm = (
         F.lower(F.trim(F.col("_line"))) if normalize else F.col("_line")
     )
     return (
-        df.select(F.col(id_col), line)
-        .select(F.col(id_col), norm.alias("_nl"))
+        reps.select(F.col("rep_id"), F.col("n_members").alias("_w"), line)
+        .select("rep_id", "_w", norm.alias("_nl"))
         .where(F.col("_nl") != "")
-        .select(F.col(id_col), F.xxhash64("_nl").alias("line_hash"))
+        .select("rep_id", "_w", F.xxhash64("_nl").alias("line_hash"))
         .distinct()
         .groupBy("line_hash")
-        .agg(F.count(F.lit(1)).alias("doc_freq"))
+        .agg(F.sum("_w").alias("doc_freq"))
     )
 
 
@@ -800,21 +804,31 @@ def span_window_index(
     """Document frequency of every distinct positional length-`n`
     token window, keyed by hash: (window_hash, doc_freq) — the corpus
     state incremental span removal needs (16 bytes per distinct
-    window; persist as parquet). Extended per batch with
-    `extend_span_index`; the corpus text is never re-tokenized."""
+    window; persist as parquet; see docs/scale.md for the O(corpus
+    tokens) sizing bound). Extended per batch with `extend_span_index`;
+    the corpus text is never re-tokenized. Window extraction runs once
+    per DISTINCT text (exact-dup collapse), a window's frequency being
+    the sum of its reps' duplicate counts."""
     from featurestore_spark.operators.curation import (
         _positional_gram_hashes,
     )
 
-    unit = df.select(
-        F.col(id_col).alias("_uid"), F.col(text_col).alias("_utext")
+    reps, _ = _collapse_exact_texts(
+        df.select(id_col, text_col), text_col, id_col, "span_window_index"
+    )
+    unit = reps.select(
+        F.col("rep_id").alias("_uid"), F.col("_text").alias("_utext")
+    )
+    weights = reps.select(
+        F.col("rep_id").alias("_uid"), F.col("n_members").alias("_w")
     )
     return (
         _positional_gram_hashes(unit, n)
         .select("_uid", "_gh")
         .distinct()
+        .join(weights, "_uid")
         .groupBy(F.col("_gh").alias("window_hash"))
-        .agg(F.count(F.lit(1)).alias("doc_freq"))
+        .agg(F.sum("_w").alias("doc_freq"))
     )
 
 
