@@ -97,6 +97,7 @@ HEADLINE = [
     "q_decontaminate_spans",
     "q_incremental_spans",
     "q_cluster_balance",
+    "q_normalize_text",
     "q_top_customers",
     "q_vault_full_cycle",  # write-path throughput (real loader)
 ]

@@ -95,3 +95,54 @@ def rolling_hashes(text_col: str | Column = "text", window: int = 8) -> Column:
     return F.transform(
         idx, lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, window)))
     )
+
+
+def normalize_text(
+    df,
+    text_col: str = "text",
+    *,
+    out_col: str = "text_norm",
+    form: str = "NFC",
+    strip_control: bool = True,
+):
+    """Unicode-normalize a text column (default NFC — the standard
+    ingest cleanup so byte-level dedup hashes agree across sources
+    that encode the same glyphs differently) and optionally strip
+    C0/C1 control characters (except tab/newline/carriage return).
+    Adds `out_col` plus `text_changed` (whether normalization altered
+    the value). NULL stays NULL.
+
+    Spark has no built-in Unicode normalizer, so this is one of the
+    few Arrow-batched pandas UDF paths (vectorized str ops per batch,
+    never per-row Python); control stripping is a plain
+    `regexp_replace` Column and stays JVM-side. The DuckDB oracle
+    replays NFC exactly via `nfc_normalize`.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    if form not in ("NFC", "NFD", "NFKC", "NFKD"):
+        raise ValueError(f"normalize_text: unknown form {form!r}")
+
+    # no type annotations on the UDF: this module uses
+    # `from __future__ import annotations`, which stringifies them and
+    # breaks pandas_udf's signature inference
+    @pandas_udf("string")
+    def _norm(s):
+        import unicodedata
+
+        return s.map(
+            lambda t: unicodedata.normalize(form, t) if t is not None else None
+        )
+
+    out = df.withColumn(out_col, _norm(F.col(text_col)))
+    if strip_control:
+        out = out.withColumn(
+            out_col,
+            F.regexp_replace(
+                F.col(out_col), r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F-\x9F]", ""
+            ),
+        )
+    return out.withColumn(
+        "text_changed", ~F.col(out_col).eqNullSafe(F.col(text_col))
+        & F.col(text_col).isNotNull(),
+    )

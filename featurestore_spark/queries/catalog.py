@@ -3738,6 +3738,54 @@ def q_incremental_spans(spark, sf_dir):
 
 
 @_register(
+    "q_normalize_text",
+    """
+    WITH dirty AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 5 = 0 THEN text || ' cafe' || chr(769)
+                  WHEN doc_id % 7 = 0 THEN text || chr(7) || 'bell'
+                  ELSE text END AS text
+      FROM documents),
+    norm AS (
+      SELECT doc_id, text,
+             regexp_replace(nfc_normalize(text),
+               '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F-\\x9F]', '', 'g')
+               AS text_norm
+      FROM dirty)
+    SELECT doc_id, md5(text_norm) AS norm_md5,
+           (text_norm <> text) AS text_changed
+    FROM norm
+    """,
+    "Unicode NFC normalization + C0/C1 control stripping (ingest "
+    "cleanup so byte-level dedup hashes agree across encodings): "
+    "combining-accent and control-char dirt injected on a doc_id "
+    "schedule, normalized by an Arrow-batched UDF, replayed exactly "
+    "by DuckDB nfc_normalize.",
+)
+def q_normalize_text(spark, sf_dir):
+    from featurestore_spark.operators.text import normalize_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    dirty = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.col("text"), F.lit(" cafe\u0301")),
+        )
+        .when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.col("text"), F.lit("\x07bell")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    out = normalize_text(dirty)
+    return out.select(
+        "doc_id", F.md5(F.col("text_norm")).alias("norm_md5"), "text_changed"
+    )
+
+
+@_register(
     "q_cluster_balance",
     """
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -4230,6 +4278,7 @@ _DRIVER_PRIORITY = [
     "q_decontaminate_spans",   # NEW this round (surgical decontamination)
     "q_incremental_spans",     # NEW this round (span-window index)
     "q_cluster_balance",       # NEW this round (topic-rebalancing sample)
+    "q_normalize_text",        # NEW this round (NFC + control stripping)
     "q_token_budget_sample",   # n_tokens rename + materialize knob
     "q_embedding_near_dups",   # membership-frame collapse + null filter
     "q_embedding_clusters",    # similarity collapse + resolve materialize

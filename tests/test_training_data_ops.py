@@ -634,3 +634,31 @@ def test_cluster_balance_sample(spark):
 
     with _pytest.raises(ValueError, match="exactly one"):
         cluster_balance_sample(df, cents)
+
+
+def test_normalize_text(spark):
+    from featurestore_spark.operators.text import normalize_text
+
+    rows = [
+        (1, "café combining"),      # NFC: e+accent -> precomposed
+        (2, "already clean ascii"),
+        (3, "bell\x07 and null\x00 ctl"),  # C0 controls stripped
+        (4, "tabs\tand\nnewlines stay"),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: (r["text_norm"], r["text_changed"])
+           for r in normalize_text(df).collect()}
+    assert out[1] == ("café combining", True)
+    assert out[2] == ("already clean ascii", False)
+    assert out[3] == ("bell and null ctl", True)
+    assert out[4] == ("tabs\tand\nnewlines stay", False)
+    assert out[5] == (None, False)
+    # NFKD decomposes the precomposed form
+    nfkd = {r["doc_id"]: r["text_norm"]
+            for r in normalize_text(df, form="NFKD").collect()}
+    assert nfkd[1] == "café combining"
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown form"):
+        normalize_text(df, form="NFX")
