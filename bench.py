@@ -98,6 +98,7 @@ HEADLINE = [
     "q_incremental_spans",
     "q_cluster_balance",
     "q_normalize_text",
+    "q_dedup_ladder",
     "q_top_customers",
     "q_vault_full_cycle",  # write-path throughput (real loader)
 ]

@@ -3738,6 +3738,103 @@ def q_incremental_spans(spark, sf_dir):
 
 
 @_register(
+    "q_dedup_ladder",
+    r"""
+    WITH toked0 AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+      FROM documents),
+    chunked AS (
+      SELECT doc_id, toks,
+             unnest(generate_series(0,
+               greatest(CAST(ceil(len(toks) / 5.0) AS INTEGER), 1) - 1)) AS i
+      FROM toked0),
+    lines AS (
+      SELECT doc_id, i AS pos,
+             array_to_string(toks[i * 5 + 1 : i * 5 + 5], ' ') AS line
+      FROM chunked),
+    freq_l AS (
+      SELECT lower(trim(line)) AS norm
+      FROM lines WHERE lower(trim(line)) <> ''
+      GROUP BY 1 HAVING count(DISTINCT doc_id) > 1),
+    kept_l AS (
+      SELECT l.doc_id, l.pos, l.line FROM lines l
+      LEFT JOIN freq_l f ON lower(trim(l.line)) = f.norm
+      WHERE f.norm IS NULL),
+    docs2 AS (
+      SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
+      FROM kept_l GROUP BY doc_id),
+    toked2 AS (
+      SELECT doc_id, text,
+             regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+      FROM docs2),
+    grams2 AS (
+      SELECT doc_id, i AS pos, array_to_string(toks[i + 1 : i + 5], ' ') AS g
+      FROM (SELECT doc_id, toks,
+                   unnest(generate_series(0, len(toks) - 5)) AS i
+            FROM toked2 WHERE len(toks) >= 5)),
+    freq2 AS (
+      SELECT g FROM grams2 GROUP BY g HAVING count(DISTINCT doc_id) >= 2),
+    starts2 AS (SELECT DISTINCT doc_id, pos FROM grams2 JOIN freq2 USING (g)),
+    isl2 AS (
+      SELECT doc_id, pos,
+             SUM(CASE WHEN prev_end IS NULL OR pos > prev_end
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos) AS island
+      FROM (SELECT doc_id, pos,
+                   max(pos + 5) OVER (PARTITION BY doc_id ORDER BY pos
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                     AS prev_end
+            FROM starts2)),
+    ivs2 AS (
+      SELECT doc_id, island, min(pos) AS s, max(pos) + 5 AS e
+      FROM isl2 GROUP BY doc_id, island),
+    agg2 AS (
+      SELECT doc_id, SUM(e - s) AS removed, count(*) AS nspans
+      FROM ivs2 GROUP BY doc_id),
+    toks_pos2 AS (
+      SELECT doc_id, i AS tpos, toks[i + 1] AS tok
+      FROM (SELECT doc_id, toks, unnest(generate_series(0, len(toks) - 1)) AS i
+            FROM toked2)),
+    kept2 AS (
+      SELECT tp.doc_id, tp.tpos, tp.tok FROM toks_pos2 tp
+      WHERE NOT EXISTS (SELECT 1 FROM ivs2 v WHERE v.doc_id = tp.doc_id
+                        AND tp.tpos >= v.s AND tp.tpos < v.e)),
+    rebuilt2 AS (
+      SELECT doc_id, string_agg(tok, ' ' ORDER BY tpos) AS new_text
+      FROM kept2 GROUP BY doc_id)
+    SELECT t.doc_id,
+           md5(CASE WHEN a.doc_id IS NULL THEN t.text
+                    ELSE coalesce(r.new_text, '') END) AS text_md5,
+           CAST(len(t.toks) AS INTEGER) AS n_tokens,
+           CAST(coalesce(a.removed, 0) AS INTEGER) AS n_tokens_removed
+    FROM toked2 t
+    LEFT JOIN agg2 a USING (doc_id)
+    LEFT JOIN rebuilt2 r USING (doc_id)
+    """,
+    "End-to-end dedup ladder (docs/usage.md §11): 5-token line recast "
+    "-> CCNet line dedup (max_docs=1) -> docs with surviving lines -> "
+    "shared-span removal (n=5, min_df=2) over the REBUILT text. Both "
+    "stages chained in one plan; the oracle replays the full "
+    "composition.",
+)
+def q_dedup_ladder(spark, sf_dir):
+    from featurestore_spark.operators.curation import (
+        dedup_lines,
+        remove_shared_spans,
+    )
+
+    built = _built_lines(load_table(spark, sf_dir, "documents"))
+    ld = dedup_lines(built, max_docs=1).where(F.col("n_lines_kept") > 0)
+    sp = remove_shared_spans(ld.select("doc_id", "text"), n=5, min_df=2)
+    return sp.select(
+        "doc_id",
+        F.md5(F.col("text")).alias("text_md5"),
+        "n_tokens",
+        "n_tokens_removed",
+    )
+
+
+@_register(
     "q_normalize_text",
     """
     WITH dirty AS (
@@ -4279,6 +4376,7 @@ _DRIVER_PRIORITY = [
     "q_incremental_spans",     # NEW this round (span-window index)
     "q_cluster_balance",       # NEW this round (topic-rebalancing sample)
     "q_normalize_text",        # NEW this round (NFC + control stripping)
+    "q_dedup_ladder",          # NEW this round (chained line+span capstone)
     "q_token_budget_sample",   # n_tokens rename + materialize knob
     "q_embedding_near_dups",   # membership-frame collapse + null filter
     "q_embedding_clusters",    # similarity collapse + resolve materialize
