@@ -4325,11 +4325,6 @@ _DRIVER_PRIORITY = [
     # double-motivated.
     "q_current_events",
     "q_link_customer_order",
-    "q_satellite_classify",
-    "q_tpch_q1",
-    "q_star_dim_order_priority",
-    "q_pivot_registry",
-    "q_tpch_q21",
     "q_doc_fingerprint",
     "q_dedup_exact",
     "q_token_count",
@@ -4394,6 +4389,14 @@ _DRIVER_PRIORITY = [
     "q_pack_chunks",
     "q_image_meta",
     "q_top_customers",
+    # Displaced from the 50-slot window by this round's 15 new queries:
+    # all five are UNCHANGED since the r4 judge-rerun verified them
+    # green, so they are the least-stale candidates to wait a round.
+    "q_satellite_classify",
+    "q_tpch_q1",
+    "q_star_dim_order_priority",
+    "q_pivot_registry",
+    "q_tpch_q21",
 ]
 
 _ordered = {n: QUERIES[n] for n in _DRIVER_PRIORITY if n in QUERIES}
