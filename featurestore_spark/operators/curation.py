@@ -28,9 +28,43 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from featurestore_spark.operators.dedup import shingles, zipped_ngrams
+from featurestore_spark.operators.dedup import hash128, shingles, zipped_ngrams
 from featurestore_spark.operators.materialize import materialize
 from featurestore_spark.operators.text import tokens
+
+# -- exact-collapse auto probe -------------------------------------------------
+
+
+def _should_collapse(
+    docs: DataFrame, text_col: str, collapse_exact: bool | str
+) -> bool:
+    """Resolve a ``collapse_exact`` of True / False / ``'auto'``.
+
+    The exact-duplicate collapse makes shingle-family operators
+    replication-invariant (a 10x-duplicated corpus costs ~1x), but on
+    a duplicate-free corpus it is pure overhead: an extra hash
+    aggregate + two membership joins bought nothing (measured: the r5
+    collapse-factoring of boilerplate/decontaminate regressed the
+    no-dup sf0.1 fixture 1.28-1.39x while flattening the 10x stress
+    28.6s -> 2.6s).
+
+    ``'auto'`` probes the duplicate factor with ONE map-side-combined
+    aggregate over the text hash (`approx_count_distinct`, default
+    rsd=0.05 — the exchange carries a single HLL sketch per task) and
+    skips the collapse when rows <= 1.1 * distinct-estimate: a no-dup
+    corpus lands under the threshold even at the sketch's worst-case
+    underestimate, while any corpus with >~10% exact duplicates (the
+    regime the collapse exists for) triggers it. NULL texts share one
+    hash and can only push the factor UP — i.e. toward the collapse,
+    never away from correctness (the collapse is an optimization; both
+    paths produce identical output)."""
+    if collapse_exact != "auto":
+        return bool(collapse_exact)
+    n, d = docs.agg(
+        F.count(F.lit(1)), F.approx_count_distinct(F.xxhash64(text_col))
+    ).first()
+    return n > 1.1 * max(d, 1)
+
 
 # -- repetition metrics -------------------------------------------------------
 
@@ -136,7 +170,7 @@ def decontaminate(
     id_col: str = "doc_id",
     probe_text_col: str = "text",
     probe_id_col: str = "probe_id",
-    collapse_exact: bool = True,
+    collapse_exact: bool | str = "auto",
 ) -> DataFrame:
     """Benchmark-overlap detection: flag corpus documents sharing at
     least one word n-gram shingle with any probe (test-set) document —
@@ -148,10 +182,13 @@ def decontaminate(
     the corpus side streams partition-local against the in-memory map
     — no corpus shuffle until the tiny per-doc aggregate.
 
-    `collapse_exact=True` (default) shingles and probes each DISTINCT
-    corpus text once, expanding hits to duplicate documents with a
-    join — identical output (contamination is a property of the text),
-    replication-invariant cost."""
+    `collapse_exact=True` shingles and probes each DISTINCT corpus
+    text once, expanding hits to duplicate documents with a join —
+    identical output (contamination is a property of the text),
+    replication-invariant cost. The `'auto'` default probes the
+    duplicate factor first and skips the collapse on duplicate-free
+    corpora (see `_should_collapse`)."""
+    collapse_exact = _should_collapse(docs, text_col, collapse_exact)
     if collapse_exact:
         from featurestore_spark.operators.dedup import _collapse_exact_texts
 
@@ -242,7 +279,7 @@ def boilerplate_flags(
     min_df: int = 2,
     text_col: str = "text",
     id_col: str = "doc_id",
-    collapse_exact: bool = True,
+    collapse_exact: bool | str = "auto",
 ) -> DataFrame:
     """Cross-document boilerplate: word n-gram spans appearing in at
     least `min_df` DISTINCT documents (headers, footers, licence
@@ -258,14 +295,17 @@ def boilerplate_flags(
     the broadcast variant at sf0.1 (2.5s vs 3.9s) because the span
     aggregate is not a blocking broadcast build.
 
-    `collapse_exact=True` (default) shingles each DISTINCT text once;
-    a shingle's document frequency is the weight-sum of the reps
+    `collapse_exact=True` shingles each DISTINCT text once; a
+    shingle's document frequency is the weight-sum of the reps
     containing it and per-rep metrics expand to members by a join —
     identical output (replicas are distinct documents and count as
     such), replication-invariant cost like the rest of the collapse
     family. Measured: the 10x replication stress dropped 28.6s ->
-    ~flat vs the sf0.1 base.
+    ~flat vs the sf0.1 base. The `'auto'` default probes the duplicate
+    factor first and skips the collapse on duplicate-free corpora (see
+    `_should_collapse`).
     """
+    collapse_exact = _should_collapse(docs, text_col, collapse_exact)
     if collapse_exact:
         from featurestore_spark.operators.dedup import _collapse_exact_texts
 
@@ -495,7 +535,7 @@ def dedup_lines(
     Scale shape (the 100 TB path, where most bytes are line text):
 
     - **Counting pass carries no line text.** The exploded frame for
-      doc-frequency is (xxhash64(line), id) only — two narrow shuffles
+      doc-frequency is (hash128(line), id) only — two narrow shuffles
       (distinct pairs, then count-per-hash), both with map-side partial
       aggregation, so even a line present in every document reduces to
       at most one row per upstream partition at the final count.
@@ -534,6 +574,13 @@ def dedup_lines(
     from featurestore_spark.operators.dedup import _collapse_exact_texts
     from featurestore_spark.operators.materialize import materialize
 
+    if index is None and not include_batch:
+        raise ValueError(
+            "dedup_lines: include_batch=False is only meaningful against "
+            "an index (it means 'count corpus frequencies only'); without "
+            "one there would be NO frequency source at all — pass index= "
+            "or drop include_batch"
+        )
     text = F.col(text_col)
     split_lines = F.split(text, delimiter)
 
@@ -563,7 +610,7 @@ def dedup_lines(
         unit.select("_uid", F.explode(split_unit).alias("_line"))
         .select("_uid", _norm(F.col("_line")).alias("_nl"))
         .where(F.col("_nl") != "")
-        .select("_uid", F.xxhash64("_nl").alias("_lh"))
+        .select("_uid", hash128(F.col("_nl")).alias("_lh"))
         .distinct()
     )
     doc_freq = (
@@ -601,7 +648,7 @@ def dedup_lines(
     rebuilt = (
         unit.join(affected, "_uid", "left_semi")
         .select("_uid", F.posexplode(split_unit).alias("_pos", "_line"))
-        .withColumn("_lh", F.xxhash64(_norm(F.col("_line"))))
+        .withColumn("_lh", hash128(_norm(F.col("_line"))))
         .join(frequent, "_lh", "left_anti")
         .groupBy("_uid")
         .agg(
@@ -680,9 +727,12 @@ def remove_shared_spans(
 
     Scale shape:
 
-    - Window doc-frequency shuffles only (xxhash64, unit id) — never
+    - Window doc-frequency shuffles only (hash128, unit id) — never
       gram text; map-side partial aggregation bounds any universal
-      window (same design as `dedup_lines`).
+      window (same design as `dedup_lines`). The key is the 128-bit
+      two-seeded struct (`dedup.hash128`): at the documented
+      O(corpus-tokens) distinct-window scale, 64-bit collisions are
+      expected and would silently remove unrelated spans.
     - Positional windows come from `zipped_ngrams` (n zips total), not
       a per-element slice lambda (which re-evaluates the token split
       per window — the boilerplate_flags trap).
@@ -785,11 +835,11 @@ def decontaminate_spans(
 
 
 def _positional_gram_hashes(unit: DataFrame, n: int) -> DataFrame:
-    """(_uid, _utext) -> (_uid, _pos, _gh): hash of every positional
-    length-n token window. The token array is projected to an
-    ATTRIBUTE first (not inlined into the window lambda — the
-    re-evaluation trap), and windows come from `zipped_ngrams` (n zips
-    total, not a per-element slice)."""
+    """(_uid, _utext) -> (_uid, _pos, _gh): 128-bit hash struct
+    (`dedup.hash128`) of every positional length-n token window. The
+    token array is projected to an ATTRIBUTE first (not inlined into
+    the window lambda — the re-evaluation trap), and windows come from
+    `zipped_ngrams` (n zips total, not a per-element slice)."""
     toked = unit.select("_uid", tokens("_utext").alias("_toks"))
     return toked.select(
         "_uid",
@@ -797,7 +847,7 @@ def _positional_gram_hashes(unit: DataFrame, n: int) -> DataFrame:
             F.when(F.size("_toks") >= n, zipped_ngrams(F.col("_toks"), n))
             .otherwise(F.array().cast("array<string>"))
         ).alias("_pos", "_g"),
-    ).select("_uid", "_pos", F.xxhash64("_g").alias("_gh"))
+    ).select("_uid", "_pos", hash128(F.col("_g")).alias("_gh"))
 
 
 def _merged_interval_spans(hits: DataFrame, n: int) -> DataFrame:

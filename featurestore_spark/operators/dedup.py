@@ -58,6 +58,26 @@ def exact_dedup(
 
 _SLICE_REST = 10_000_000  # "rest of array" length bound for F.slice
 
+_H2_SEED = 0x9E3779B9  # second xxhash64 seed for 128-bit keys
+
+
+def hash128(c: Column) -> Column:
+    """128-bit grouping key for string content, as a two-field struct
+    of seeded xxhash64 longs — join/groupBy on the single struct column
+    and the exchange carries two longs.
+
+    Why not one xxhash64: at line/window grain a corpus index holds
+    1e10-1e11 distinct keys, where 64-bit birthday collisions are
+    EXPECTED (~n^2/2^65: thousands at 1e11) and a collision silently
+    merges unrelated lines/windows — i.e. false removals. Two
+    independently-seeded 64-bit halves push that to ~n^2/2^129 (never
+    in practice), the same key discipline `_collapse_exact_texts` and
+    the minhash text index already use."""
+    return F.struct(
+        F.xxhash64(c).alias("h1"),
+        F.xxhash64(F.lit(_H2_SEED), c).alias("h2"),
+    )
+
 
 def _collapse_exact_texts(
     df: DataFrame, text_col: str, id_col: str, op_name: str
@@ -90,7 +110,7 @@ def _collapse_exact_texts(
         F.col(id_col).alias("member_id"),
         F.col(text_col).alias("_text"),
         F.xxhash64(text_col).alias("_h1"),
-        F.xxhash64(F.lit(0x9E3779B9), F.col(text_col)).alias("_h2"),
+        F.xxhash64(F.lit(_H2_SEED), F.col(text_col)).alias("_h2"),
     )
     groups = materialize(
         hashed.groupBy("_h1", "_h2")

@@ -43,14 +43,14 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from featurestore_spark.operators.dedup import (
+    _H2_SEED,
     _collapse_exact_texts,
+    hash128,
     minhash_bands,
     ngram_jaccard,
     shingles,
 )
 from featurestore_spark.operators.materialize import materialize
-
-_H2_SEED = 0x9E3779B9
 
 
 def _melt_bands(bands_df: DataFrame, id_col: str, bands: int) -> DataFrame:
@@ -621,10 +621,13 @@ def line_frequency_index(
 ) -> DataFrame:
     """Document frequency of every distinct normalized line, keyed by
     hash: (line_hash, doc_freq) — the only corpus-derived state that
-    incremental line-level dedup needs (16 bytes per distinct line;
+    incremental line-level dedup needs (24 bytes per distinct line;
     persist as parquet, ideally bucketed by line_hash so batch joins
     co-locate). Built once over the accepted corpus, then extended per
     batch with `extend_line_index` — the corpus text is never re-split.
+    `line_hash` is the 128-bit two-seeded struct (`dedup.hash128`): a
+    corpus-scale line index holds enough distinct keys that 64-bit
+    collisions would silently merge unrelated lines into false drops.
 
     Splitting runs once per DISTINCT text (exact-dup collapse); a
     line's document frequency is the sum of its reps' duplicate
@@ -642,7 +645,7 @@ def line_frequency_index(
         reps.select(F.col("rep_id"), F.col("n_members").alias("_w"), line)
         .select("rep_id", "_w", norm.alias("_nl"))
         .where(F.col("_nl") != "")
-        .select("rep_id", "_w", F.xxhash64("_nl").alias("line_hash"))
+        .select("rep_id", "_w", hash128(F.col("_nl")).alias("line_hash"))
         .distinct()
         .groupBy("line_hash")
         .agg(F.sum("_w").alias("doc_freq"))
@@ -767,7 +770,9 @@ def dedup_lines_stream_against_index(
             # include_batch=False correctly means "no corpus counts,
             # nothing drops" rather than falling back to within-batch
             # counting
-            idx = spark.createDataFrame([], "line_hash long, doc_freq long")
+            idx = spark.createDataFrame(
+                [], "line_hash struct<h1:bigint,h2:bigint>, doc_freq long"
+            )
         from featurestore_spark.operators.curation import dedup_lines
 
         kept = materialize(
@@ -803,9 +808,11 @@ def span_window_index(
 ) -> DataFrame:
     """Document frequency of every distinct positional length-`n`
     token window, keyed by hash: (window_hash, doc_freq) — the corpus
-    state incremental span removal needs (16 bytes per distinct
-    window; persist as parquet; see docs/scale.md for the O(corpus
-    tokens) sizing bound). Extended per batch with `extend_span_index`;
+    state incremental span removal needs (24 bytes per distinct
+    window; the 128-bit `dedup.hash128` struct key, since at the
+    documented O(corpus tokens) distinct-window scale 64-bit
+    collisions are expected and silently merge unrelated windows;
+    persist as parquet; see docs/scale.md for the sizing bound). Extended per batch with `extend_span_index`;
     the corpus text is never re-tokenized. Window extraction runs once
     per DISTINCT text (exact-dup collapse), a window's frequency being
     the sum of its reps' duplicate counts."""
@@ -1062,7 +1069,9 @@ def remove_spans_stream_against_index(
                 .agg(F.sum("doc_freq").alias("doc_freq"))
             )
         except AnalysisException:
-            idx = spark.createDataFrame([], "window_hash long, doc_freq long")
+            idx = spark.createDataFrame(
+                [], "window_hash struct<h1:bigint,h2:bigint>, doc_freq long"
+            )
         kept = materialize(
             remove_spans_against_index(
                 batch_df,

@@ -368,12 +368,12 @@ def shard_corpus(
     This is the global-shuffle step before writing training shards,
     WITHOUT a global sort: the op itself is a pure projection (zero
     shuffle, embarrassingly parallel at any scale); ordering is a
-    WRITE-time concern — `write_shards` range-clusters by shard and
-    sorts within partitions, so no single task ever holds a shard's
-    total order in memory and no position column needs a global
-    window. Readers recover the deterministic shuffled order by
-    sorting each shard file on `order_col` (files are already written
-    in that order).
+    WRITE-time concern — `write_shards` range-partitions on
+    (shard, order) and sorts within partitions, so no single task ever
+    holds a shard's total order in memory and no position column needs
+    a global window. Readers recover the deterministic shuffled order
+    by sorting a shard's files on `order_col` (each file is an
+    internally-sorted disjoint range — a merge of sorted runs).
     """
     h = F.md5(
         F.concat_ws(":", F.lit(str(seed)), F.col(key_col).cast("string"))
@@ -395,15 +395,30 @@ def write_shards(
     shard_col: str = "shard_id",
     order_col: str = "shard_order",
     fmt: str = "parquet",
+    num_tasks: int | None = None,
 ) -> None:
     """Write a `shard_corpus` frame as one directory per shard
     (`shard_id=N/`), each file internally sorted by the shuffle key.
-    `repartition(shard_col)` puts each shard's rows in one write task
-    (hash exchange, no global sort); `sortWithinPartitions` is a
-    per-task spillable sort, so a 100-GB shard sorts out-of-core
-    instead of in one comparator's memory."""
+
+    Write parallelism is DECOUPLED from shard count:
+    `repartitionByRange(shard, order)` splits every shard into
+    contiguous order-ranges across `num_tasks` tasks (default
+    `spark.sql.shuffle.partitions`), so a 2-shard 100-TB export still
+    writes with full cluster parallelism — the earlier
+    `repartition(shard_col)` hash exchange bounded it at one task per
+    shard, and hash collisions could stack several whole shards onto
+    one task. A shard directory therefore holds SEVERAL files, each
+    internally sorted over a disjoint `order_col` range; readers
+    recover the shard's deterministic shuffled order by sorting on
+    `order_col` (the documented `shard_corpus` contract — unchanged,
+    and cheaper now: it is a merge of sorted runs). There is still no
+    global sort; `sortWithinPartitions` is a per-task spillable sort.
+    """
+    n = num_tasks or int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
     (
-        df.repartition(F.col(shard_col))
+        df.repartitionByRange(n, F.col(shard_col), F.col(order_col))
         .sortWithinPartitions(shard_col, order_col)
         .write.partitionBy(shard_col)
         .mode("overwrite")

@@ -113,10 +113,18 @@ def normalize_text(
     the value). NULL stays NULL.
 
     Spark has no built-in Unicode normalizer, so this is one of the
-    few Arrow-batched pandas UDF paths (vectorized str ops per batch,
-    never per-row Python); control stripping is a plain
+    few Arrow-batched pandas UDF paths; control stripping is a plain
     `regexp_replace` Column and stays JVM-side. The DuckDB oracle
     replays NFC exactly via `nfc_normalize`.
+
+    Unlike the repo's other Arrow paths, the work INSIDE the batch is
+    per-string Python — no vectorized NFC exists anywhere in the
+    pandas/pyarrow stack (`Series.str.normalize` is itself a
+    per-element `unicodedata.normalize` map). Measured over 200k mixed
+    strings: `Series.map` 0.174s vs `Series.str.normalize` 0.166s vs a
+    list-comp rebuild 0.168s — within noise of each other, so the
+    explicit-null `Series.map` stands and only Arrow transfer +
+    batching are the optimization surface here.
     """
     from pyspark.sql.functions import pandas_udf
 

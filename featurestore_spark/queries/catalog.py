@@ -4317,85 +4317,79 @@ def q_semantic_dedup(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 _DRIVER_PRIORITY = [
-    # Round-5 rotation: the 35 queries absent from CORRECTNESS_r04.json
-    # (the LLM-pipeline surface, last driver-verified in r3) take the
-    # window back.  Four of them ALSO changed this round (q_minhash_pairs,
-    # q_dedup_pipeline, q_simhash_near_dups via the membership-frame
-    # collapse; q_quality_buckets via the slim global_ntile), so they are
-    # double-motivated.
-    "q_current_events",
-    "q_link_customer_order",
-    "q_doc_fingerprint",
-    "q_dedup_exact",
-    "q_token_count",
-    "q_text_quality",
-    "q_lang_id",
-    "q_minhash_bands",
-    "q_minhash_pairs",
-    "q_ngram_jaccard",
-    "q_dedup_pipeline",
-    "q_simhash_near_dups",
-    "q_binary_meta",
-    "q_embedding_topk",
-    "q_embedding_ann_lsh",
-    "q_repetition",
-    "q_decontaminate",
-    "q_redact_pii",
-    "q_quality_filter",
-    "q_asof_purchase",
-    "q_interval_join",
-    "q_time_rollup",
-    "q_attribution",
-    "q_ivf_assign",
-    "q_boilerplate",
-    "q_corpus_stats",
-    "q_vocab_topk",
-    "q_mixture_sample",
-    "q_quality_buckets",
-    "q_chunk_documents",
-    # ...plus every other query whose code path CHANGED this round
-    # (membership-frame collapse in dedup/similarity, materialize()
-    # knob in resolve/sampling, n_tokens rename) — re-proven by the
-    # driver, not carried on stale evidence:
-    "q_incremental_dedup",     # NEW this round (against-index dedup)
-    "q_incremental_embedding_dedup",  # NEW this round (SRP against-index)
-    "q_pq_encode",             # NEW this round (product quantization)
-    "q_pq_topk",               # NEW this round (PQ ADC top-k)
-    "q_ivf_pq_topk",           # NEW this round (IVF-PQ composition)
-    "q_semantic_dedup",        # NEW this round (SemDeDup cluster-prune)
-    "q_dedup_lines",           # NEW this round (CCNet line-level dedup)
-    "q_shared_spans",          # NEW this round (exact-substring span removal)
-    "q_shard_corpus",          # NEW this round (training-export sharding)
-    "q_incremental_line_dedup",  # NEW this round (line-frequency index)
-    "q_decontaminate_spans",   # NEW this round (surgical decontamination)
-    "q_incremental_spans",     # NEW this round (span-window index)
-    "q_cluster_balance",       # NEW this round (topic-rebalancing sample)
-    "q_normalize_text",        # NEW this round (NFC + control stripping)
-    "q_dedup_ladder",          # NEW this round (chained line+span capstone)
-    "q_token_budget_sample",   # n_tokens rename + materialize knob
-    "q_embedding_near_dups",   # membership-frame collapse + null filter
-    "q_embedding_clusters",    # similarity collapse + resolve materialize
-    "q_dedup_clusters",        # minhash_dedup_edges star via members frame
-    "q_entity_resolution",     # resolve.py materialize switch
-    # ...plus one representative per remaining family so each keeps a
-    # fresh row (all green in r4's driver artifact).
-    "q_vault_full_cycle",
-    "q_star_fact_order_counts",
+    # Round-6 rotation (VERDICT r5 #2): the 50 queries OUTSIDE the r5
+    # window (event/TPC-H/vault/star/framework — last driver-verified
+    # in r4, judge-rerun green in r5) take the window back, minus five
+    # slots for this round's changed-path queries.  45 stale-evidence
+    # queries first:
     "q_sessionize",
+    "q_session_stats",
+    "q_event_count_window",
+    "q_event_distinct_window",
+    "q_event_sum_window",
+    "q_days_since_latest",
+    "q_days_since_earliest",
+    "q_previous_interactions",
+    "q_chords",
+    "q_chord_path",
+    "q_chord_path_all",
+    "q_unique_path",
+    "q_full_paths",
+    "q_collapse_runs",
     "q_pivot_snapshot",
+    "q_pivot_chord",
+    "q_pivot_registry",
+    "q_top_customers",
+    "q_hub_customer",
+    "q_satellite_classify",
+    "q_vault_full_cycle",
+    "q_star_dim_order_priority",
+    "q_star_fact_order_counts",
     "q_sniff_csv",
     "q_hash_split",
     "q_dq_assertion",
-    "q_pack_chunks",
     "q_image_meta",
-    "q_top_customers",
-    # Displaced from the 50-slot window by this round's 15 new queries:
-    # all five are UNCHANGED since the r4 judge-rerun verified them
-    # green, so they are the least-stale candidates to wait a round.
-    "q_satellite_classify",
+    "q_pack_chunks",
     "q_tpch_q1",
-    "q_star_dim_order_priority",
-    "q_pivot_registry",
+    "q_tpch_q2",
+    "q_tpch_q3",
+    "q_tpch_q4",
+    "q_tpch_q5",
+    "q_tpch_q6",
+    "q_tpch_q7",
+    "q_tpch_q8",
+    "q_tpch_q9",
+    "q_tpch_q10",
+    "q_tpch_q12",
+    "q_tpch_q13",
+    "q_tpch_q14",
+    "q_tpch_q15",
+    "q_tpch_q18",
+    "q_tpch_q19",
+    "q_tpch_q22",
+    # ...then every query whose code path changed THIS round and
+    # fits the remaining slots: the 128-bit line/window hash key
+    # (hash128 struct — dedup_lines / span machinery) and the
+    # collapse_exact='auto' probe (boilerplate/decontaminate).
+    # q_dedup_ladder chains line+span in one plan, covering both
+    # hash128 consumers end-to-end.
+    "q_dedup_lines",
+    "q_shared_spans",
+    "q_dedup_ladder",
+    "q_boilerplate",
+    "q_decontaminate",
+    # --- driver window ends here (first 50) ---
+    # The remaining three hash128-path queries missed the 45+5 cut but
+    # were check_oracle-verified at BOTH sf0.01 and sf0.1 this round
+    # (PLANS.md r6); they lead the next rotation.
+    "q_decontaminate_spans",
+    "q_incremental_line_dedup",
+    "q_incremental_spans",
+    # Waiting a round (driver-green in r5, unchanged since):
+    "q_tpch_q11",
+    "q_tpch_q16",
+    "q_tpch_q17",
+    "q_tpch_q20",
     "q_tpch_q21",
 ]
 

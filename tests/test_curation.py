@@ -300,9 +300,11 @@ def test_dedup_lines_collapse_equals_raw(spark):
             ).collect()
         }
         assert a == b
-    # replicas made 'solo'/'solo tail' 2-doc lines: dropped at max_docs=1
+    # replicas made 'solo'/'solo tail' 2-doc lines: dropped at max_docs=1,
+    # leaving exactly the kept empty structural line (never counted,
+    # never dropped) — the rejoined text is the empty string
     out = {r["doc_id"]: r["text"] for r in dedup_lines(df).collect()}
-    assert out[4] == "" or out[4] == "\n" or out[4] is not None
+    assert out[4] == ""
     assert out[4] == out[14]
 
 
@@ -461,3 +463,37 @@ def test_decontaminate_spans_removes_probe_overlap(spark):
     # clean doc byte-identical; null text -> null counts
     assert out[2][0] == "completely clean document with no benchmark overlap at all"
     assert out[3] == (None, None, None, None)
+
+
+def test_should_collapse_auto_probe(spark):
+    """'auto' skips the exact-dup collapse on duplicate-free input and
+    triggers it once exact duplicates are material; True/False pass
+    through unprobed."""
+    from featurestore_spark.operators.curation import _should_collapse
+
+    unique = spark.createDataFrame(
+        [(i, f"distinct text number {i}") for i in range(200)],
+        "doc_id long, text string",
+    )
+    duped = spark.createDataFrame(
+        [(i, f"shared text {i % 20}") for i in range(200)],
+        "doc_id long, text string",
+    )
+    assert _should_collapse(unique, "text", "auto") is False
+    assert _should_collapse(duped, "text", "auto") is True
+    # explicit booleans never probe (no job): pass-through semantics
+    assert _should_collapse(unique, "text", True) is True
+    assert _should_collapse(duped, "text", False) is False
+
+
+def test_dedup_lines_include_batch_requires_index(spark):
+    """include_batch=False without an index has no frequency source at
+    all — must raise, not silently fall back to within-batch counting
+    (ADVICE r5)."""
+    import pytest
+
+    from featurestore_spark.operators.curation import dedup_lines
+
+    df = spark.createDataFrame([(1, "a\nb")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="include_batch"):
+        dedup_lines(df, include_batch=False)

@@ -455,8 +455,10 @@ def test_line_index_dedup_equals_full_corpus(spark):
     # merged counts: 'cookie banner' seen in 2 corpus + 1 batch docs
     from pyspark.sql import functions as F
 
+    from featurestore_spark.operators.dedup import hash128
+
     banner = idx2.where(
-        F.col("line_hash") == F.xxhash64(F.lit("cookie banner"))
+        F.col("line_hash") == hash128(F.lit("cookie banner"))
     ).collect()
     assert banner[0]["doc_freq"] == 3
 

@@ -595,6 +595,61 @@ def test_write_shards_layout_and_order(spark, tmp_path):
         assert t == sorted(t)
 
 
+def test_write_shards_parallelism_and_multifile_order_recovery(
+    spark, tmp_path
+):
+    """Write parallelism must exceed shard count (range partitioning,
+    not one-task-per-shard), and a multi-file shard must still recover
+    its deterministic global order: files are disjoint sorted ranges,
+    so sorting the shard directory on order_col == the shard's total
+    order."""
+    from featurestore_spark.operators.sampling import shard_corpus, write_shards
+
+    df = spark.range(0, 400).withColumnRenamed("id", "doc_id")
+    sharded = shard_corpus(df, n_shards=2, seed=3)
+    out = str(tmp_path / "wide_shards")
+    write_shards(sharded, out, num_tasks=8)
+
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    shard_dirs = sorted(_glob.glob(out + "/shard_id=*"))
+    assert len(shard_dirs) == 2
+    # the old repartition(shard_col) wrote exactly ONE file per shard;
+    # range partitioning across 8 tasks must split both shards
+    for d in shard_dirs:
+        files = sorted(_glob.glob(d + "/*.parquet"))
+        assert len(files) > 1, f"{d} written by a single task"
+        # each file internally sorted, files pairwise disjoint ranges
+        ranges = []
+        for f in files:
+            t = pq.read_table(f, columns=["shard_order"]).to_pydict()[
+                "shard_order"
+            ]
+            assert t == sorted(t)
+            if t:
+                ranges.append((t[0], t[-1]))
+        ranges.sort()
+        for (_, hi), (lo, _) in zip(ranges, ranges[1:]):
+            assert hi < lo  # disjoint: concatenation == merge
+        # global order recovery: sorting the whole shard dir on
+        # order_col reproduces the expected total order for that shard
+        sid = int(d.rsplit("=", 1)[1])
+        expect = sorted(
+            (r["shard_order"], r["doc_id"])
+            for r in sharded.where(F.col("shard_id") == sid).collect()
+        )
+        got = [
+            (r["shard_order"], r["doc_id"])
+            for r in spark.read.parquet(out)
+            .where(F.col("shard_id") == sid)
+            .orderBy("shard_order")
+            .collect()
+        ]
+        assert got == expect
+
+
 def test_cluster_balance_sample(spark):
     from featurestore_spark.operators.sampling import cluster_balance_sample
 
