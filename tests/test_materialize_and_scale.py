@@ -311,3 +311,31 @@ def test_universal_line_narrow_counting(spark):
     assert agg["total"] == 2 * n and agg["kept"] == n
     sample = out.where(F.col("doc_id") == 7).collect()[0]
     assert sample["text"] == "unique payload 7"
+
+
+def test_dedup_ladder_pipeline_reliable_mode_end_to_end(spark, tmp_path):
+    """The 100-TB durability story, end-to-end (VERDICT r5 #6): the
+    full q_dedup_ladder pipeline (line dedup chained into span removal
+    over the real sf0.001 parquet — every materialize() site in the
+    collapse/frequent-set/interval machinery engaged) must produce
+    byte-identical output under `reliable` checkpointing vs the
+    `local` default, and must actually write to the checkpoint dir."""
+    from featurestore_spark.queries import QUERIES
+
+    sf_dir = "/root/testdata/sf0.001"
+
+    def run():
+        return sorted(
+            tuple(r) for r in QUERIES["q_dedup_ladder"].spark(spark, sf_dir).collect()
+        )
+
+    baseline = run()
+    assert baseline, "ladder produced no rows at sf0.001"
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "ladder_ckpt"))
+    spark.conf.set(MATERIALIZE_CONF, "reliable")
+    try:
+        assert run() == baseline
+    finally:
+        spark.conf.unset(MATERIALIZE_CONF)
+    ckpts = [p for p in (tmp_path / "ladder_ckpt").rglob("*") if p.is_file()]
+    assert ckpts, "no reliable checkpoint files written"
