@@ -57,7 +57,20 @@ def _should_collapse(
     regime the collapse exists for) triggers it. NULL texts share one
     hash and can only push the factor UP — i.e. toward the collapse,
     never away from correctness (the collapse is an optimization; both
-    paths produce identical output)."""
+    paths produce identical output).
+
+    CHAINED-PIPELINE callers should pass an explicit True instead of
+    'auto': the probe is an ACTION over `docs`, so on an
+    unmaterialized upstream stage it re-executes that stage's whole
+    lineage just to count duplicates, and skipping the collapse also
+    forfeits its second role as the stage boundary's materialization
+    barrier (without it every downstream consumer re-executes the
+    upstream stage). Measured on the sf0.1 line+span ladder
+    (idle host, median-of-5): explicit True/True 4.80s vs auto/auto
+    6.66s. Standalone over a raw scan, 'auto' wins instead
+    (dedup_lines 1.56s vs True 1.73s; boilerplate 2.29s vs 2.78s) —
+    re-scanning parquet is cheaper than materializing a collapse that
+    buys nothing."""
     if collapse_exact != "auto":
         return bool(collapse_exact)
     n, d = docs.agg(
@@ -517,7 +530,7 @@ def dedup_lines(
     delimiter: str = "\n",
     output_delimiter: str = "\n",
     normalize: bool = True,
-    collapse_exact: bool = True,
+    collapse_exact: bool | str = "auto",
     index: DataFrame | None = None,
     include_batch: bool = True,
 ) -> DataFrame:
@@ -555,13 +568,15 @@ def dedup_lines(
       without the barrier Catalyst re-derives the full counting
       pipeline once per consumer (measured 4 redundant corpus explodes
       in the unmaterialized plan).
-    - `collapse_exact=True` (default) factors the whole operator
-      through the exact-duplicate collapse (`_collapse_exact_texts`):
-      exploding, counting, and rebuilding run once per DISTINCT text,
-      with a line's document frequency recovered as the sum of its
-      reps' duplicate counts — identical output (replicas each count
-      as a document), replication-invariant cost. Measured at the 10x
-      replication stress: 29s -> near-flat vs the sf0.1 base.
+    - `collapse_exact=True` factors the whole operator through the
+      exact-duplicate collapse (`_collapse_exact_texts`): exploding,
+      counting, and rebuilding run once per DISTINCT text, with a
+      line's document frequency recovered as the sum of its reps'
+      duplicate counts — identical output (replicas each count as a
+      document), replication-invariant cost. Measured at the 10x
+      replication stress: 29s -> near-flat vs the sf0.1 base. The
+      `'auto'` default probes the duplicate factor first and skips
+      the collapse on duplicate-free corpora (see `_should_collapse`).
     - `index` (optional): a persisted `(line_hash, doc_freq)` frame
       from `incremental.line_frequency_index` — the rolling-ingestion
       shape. A line's effective frequency becomes index + this-batch
@@ -588,6 +603,7 @@ def dedup_lines(
         return F.lower(F.trim(c)) if normalize else c
 
     # dedup unit: one row per distinct text (collapse) or per doc
+    collapse_exact = _should_collapse(df, text_col, collapse_exact)
     if collapse_exact:
         reps, members = _collapse_exact_texts(
             df.select(id_col, text_col), text_col, id_col, "dedup_lines"
@@ -700,7 +716,7 @@ def remove_shared_spans(
     *,
     n: int = 10,
     min_df: int = 2,
-    collapse_exact: bool = True,
+    collapse_exact: bool | str = "auto",
 ) -> DataFrame:
     """Exact-substring dedup, Spark-native (the RefinedWeb / "Deduplicating
     Training Data Makes Language Models Better" span-removal step):
@@ -741,15 +757,18 @@ def remove_shared_spans(
       O(tokens x merged-intervals) per doc — a fully-covered doc
       collapses to ONE interval, so degenerate coverage gets cheaper,
       not quadratic.
-    - `collapse_exact=True` (default) runs window extraction, counting,
-      and span-merging once per DISTINCT text (a replica counts toward
+    - `collapse_exact=True` runs window extraction, counting, and
+      span-merging once per DISTINCT text (a replica counts toward
       frequency via its rep's duplicate weight) — replication-invariant
-      like the rest of the collapse family.
+      like the rest of the collapse family. The `'auto'` default
+      probes the duplicate factor first and skips the collapse on
+      duplicate-free corpora (see `_should_collapse`).
     - EAGER: the frequent-window set and per-unit interval frame fan
       out to multiple consumers and are materialized.
     """
     from featurestore_spark.operators.dedup import _collapse_exact_texts
 
+    collapse_exact = _should_collapse(df, text_col, collapse_exact)
     if collapse_exact:
         reps, members = _collapse_exact_texts(
             df.select(id_col, text_col), text_col, id_col, "remove_shared_spans"
@@ -791,7 +810,7 @@ def decontaminate_spans(
     text_col: str = "text",
     id_col: str = "doc_id",
     probe_text_col: str = "text",
-    collapse_exact: bool = True,
+    collapse_exact: bool | str = "auto",
 ) -> DataFrame:
     """Surgical decontamination: REMOVE every token span whose
     length-`n` windows all appear verbatim in the probe (benchmark)
@@ -806,10 +825,13 @@ def decontaminate_spans(
     frequent-window source: the probe set's positional windows,
     DISTINCT and BROADCAST (benchmark suites are tiny vs the corpus),
     so the corpus side never shuffles to discover hits.
-    `collapse_exact=True` (default) runs window extraction and span
-    merging once per DISTINCT corpus text."""
+    `collapse_exact=True` runs window extraction and span merging once
+    per DISTINCT corpus text; the `'auto'` default probes the
+    duplicate factor and skips the collapse on duplicate-free
+    corpora."""
     from featurestore_spark.operators.dedup import _collapse_exact_texts
 
+    collapse_exact = _should_collapse(docs, text_col, collapse_exact)
     if collapse_exact:
         reps, members = _collapse_exact_texts(
             docs.select(id_col, text_col), text_col, id_col, "decontaminate_spans"

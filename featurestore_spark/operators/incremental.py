@@ -663,7 +663,7 @@ def dedup_lines_against_index(
     delimiter: str = "\n",
     output_delimiter: str = "\n",
     normalize: bool = True,
-    collapse_exact: bool = True,
+    collapse_exact: bool | str = "auto",
 ) -> DataFrame:
     """Line-level dedup of an ingestion batch against a persisted
     `line_frequency_index`, without re-reading the corpus: a line is
@@ -848,7 +848,7 @@ def remove_spans_against_index(
     n: int = 10,
     min_df: int = 2,
     include_batch: bool = True,
-    collapse_exact: bool = True,
+    collapse_exact: bool | str = "auto",
 ) -> DataFrame:
     """Shared-span removal of an ingestion batch against a persisted
     `span_window_index`: a window is over-frequent when its corpus
@@ -861,9 +861,11 @@ def remove_spans_against_index(
         _apply_span_removal,
         _merged_interval_spans,
         _positional_gram_hashes,
+        _should_collapse,
     )
     from featurestore_spark.operators.dedup import _collapse_exact_texts
 
+    collapse_exact = _should_collapse(batch, text_col, collapse_exact)
     if collapse_exact:
         reps, members = _collapse_exact_texts(
             batch.select(id_col, text_col),
@@ -1043,7 +1045,7 @@ def remove_spans_stream_against_index(
     include_batch: bool = True,
     text_col: str = "text",
     id_col: str = "doc_id",
-    collapse_exact: bool = True,
+    collapse_exact: bool | str = "auto",
 ):
     """`foreachBatch` callback for streaming span removal — the
     span-side analog of `dedup_lines_stream_against_index` (per-batch

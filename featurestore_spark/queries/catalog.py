@@ -3824,8 +3824,18 @@ def q_dedup_ladder(spark, sf_dir):
     )
 
     built = _built_lines(load_table(spark, sf_dir, "documents"))
-    ld = dedup_lines(built, max_docs=1).where(F.col("n_lines_kept") > 0)
-    sp = remove_shared_spans(ld.select("doc_id", "text"), n=5, min_df=2)
+    # chained pipeline: explicit collapse_exact=True on BOTH stages
+    # (the chain guidance in _should_collapse) — the stage-2 'auto'
+    # probe would re-execute the whole line-dedup lineage just to
+    # count duplicates, and True doubles as the stage boundary's
+    # materialization barrier. Measured at sf0.1 (idle host,
+    # median-of-5): True/True 4.80s vs auto/auto 6.66s.
+    ld = dedup_lines(built, max_docs=1, collapse_exact=True).where(
+        F.col("n_lines_kept") > 0
+    )
+    sp = remove_shared_spans(
+        ld.select("doc_id", "text"), n=5, min_df=2, collapse_exact=True
+    )
     return sp.select(
         "doc_id",
         F.md5(F.col("text")).alias("text_md5"),
