@@ -101,6 +101,28 @@ HEADLINE = [
     "q_dedup_ladder",
     "q_top_customers",
     "q_vault_full_cycle",  # write-path throughput (real loader)
+    # Round 6: complete the catalog — every registered query is now
+    # benched (the stdout line stays short regardless; the full map
+    # goes to the bench_full.json sidecar).
+    "q_chords",
+    "q_chord_path_all",
+    "q_collapse_runs",
+    "q_days_since_earliest",
+    "q_days_since_latest",
+    "q_event_count_window",
+    "q_event_distinct_window",
+    "q_event_sum_window",
+    "q_full_paths",
+    "q_binary_meta",
+    "q_doc_fingerprint",
+    "q_ngram_jaccard",
+    "q_entity_resolution",
+    "q_dq_assertion",
+    "q_hash_split",
+    "q_pivot_registry",
+    "q_satellite_classify",
+    "q_sniff_csv",
+    "q_star_dim_order_priority",
 ]
 
 
