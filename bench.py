@@ -123,6 +123,9 @@ HEADLINE = [
     "q_satellite_classify",
     "q_sniff_csv",
     "q_star_dim_order_priority",
+    # Round 6: lexical retrieval + LM quality scoring
+    "q_bm25_topk",
+    "q_lm_perplexity",
 ]
 
 

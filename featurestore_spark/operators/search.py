@@ -1,0 +1,246 @@
+"""Lexical retrieval + statistical LM quality scoring for training-data
+pipelines: BM25 top-k search and CCNet-style bigram-LM cross-entropy.
+
+No reference counterpart (like the rest of the LLM-pipeline surface —
+the reference stops at feature/vault loading); these implement the
+published definitions directly: Okapi BM25 (Robertson & Zaragoza 2009,
+the Lucene ``ln(1 + (N-df+0.5)/(df+0.5))`` IDF form, which is always
+positive) and the perplexity-filter stage of CCNet (Wenzek et al.
+2020) with a self-fit (or externally fit) add-k-smoothed bigram model
+in place of KenLM — the model is a plain DataFrame, so fitting is an
+aggregation and scoring is a join, both SQL-expressible for oracles.
+
+100-TB shape (everything is Column expressions, zero Python UDFs):
+
+* ``bm25_topk`` reads the corpus twice: one slim pass for corpus
+  stats (N, avgdl — a projection + single-row aggregate) and one pass
+  building postings, where tokens are filtered against the broadcast
+  query-term set BEFORE the tf aggregation, so the only shuffle over
+  corpus-sized data carries postings for the query terms alone (a few
+  rows per matching doc) — the corpus itself never shuffles. The
+  postings frame (matching docs × query terms) is materialized once
+  and reused for document frequencies and scoring, so neither incurs
+  a further corpus scan. Doc length rides the explode, so no
+  corpus-sized join is ever needed. Top-k is a per-query row_number
+  window — Spark's WindowGroupLimit prunes to k per partition before
+  the final exchange.
+* ``lm_cross_entropy`` with an external ``lm`` frame is ONE corpus
+  scan (score pass); self-fit adds a fit pass and a vocabulary-count
+  pass (the fit result is materialized — vocabulary²-bounded with
+  map-side partial aggregation, not corpus-bounded — so scoring and
+  context sums never re-run the fit). Scoring joins the per-doc
+  bigram stream against the counts on (w1, w2); for a real corpus the
+  LM frame is millions of rows, so this is a sort-merge join on
+  uniformly distributed string keys — no skew, no broadcast needed
+  (Spark/AQE will still broadcast it when it fits).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from featurestore_spark.operators.materialize import materialize
+from featurestore_spark.operators.text import tokens
+
+
+def _clean_tokens(text_col: str | Column) -> Column:
+    # NULL text coalesces to "" and split("") yields [""], not []:
+    # filtering empties makes blank/NULL docs zero-token docs instead
+    # of NULL arrays (size(NULL) = -1 would poison dl/avgdl)
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.filter(tokens(F.coalesce(c, F.lit(""))), lambda t: t != F.lit(""))
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+    term_col: str = "term",
+    score_decimals: int = 6,
+) -> DataFrame:
+    """Top-k documents per query under Okapi BM25.
+
+    ``queries`` is a (query_id, term) frame — one row per query term;
+    duplicate terms within a query are collapsed (classic BM25 with
+    query term frequency 1). Returns (query_id, rank, doc_id, score)
+    with rank 1..k ordered by (score desc, doc_id); only documents
+    matching at least one query term appear. Scores are rounded to
+    ``score_decimals`` BEFORE ranking so the ordering is stable across
+    summation orders (ties broken by doc_id).
+    """
+    if k < 1:
+        raise ValueError(f"bm25_topk: k must be >= 1, got {k}")
+    q = (
+        queries.select(
+            F.col(query_id_col).alias("query_id"), F.col(term_col).alias("term")
+        )
+        .distinct()
+    )
+    terms = q.select("term").distinct()
+
+    toked = docs.select(
+        F.col(id_col).alias("_id"), _clean_tokens(text_col).alias("_toks")
+    )
+    dl = toked.select("_id", F.size("_toks").cast("double").alias("_dl"))
+    # single-row corpus stats, carried in-plan (no driver collect)
+    stats = dl.agg(
+        F.count("*").cast("double").alias("_n"), F.avg("_dl").alias("_avgdl")
+    )
+
+    # postings for query terms only: dl is computed alongside the
+    # explode so scoring never joins back against a corpus-sized
+    # frame; materialized because both dfreq and scoring read it (a
+    # second reference would otherwise re-run the corpus scan)
+    postings = materialize(
+        toked.select(
+            "_id",
+            F.size("_toks").cast("double").alias("_dl"),
+            F.explode("_toks").alias("term"),
+        )
+        .join(F.broadcast(terms), "term", "left_semi")
+        .groupBy("_id", "_dl", "term")
+        .agg(F.count("*").cast("double").alias("_tf"))
+    )
+    dfreq = postings.groupBy("term").agg(
+        F.count("*").cast("double").alias("_df")
+    )
+
+    idf = F.log(F.lit(1.0) + (F.col("_n") - F.col("_df") + 0.5) / (F.col("_df") + 0.5))
+    sat = (F.col("_tf") * (k1 + 1.0)) / (
+        F.col("_tf") + k1 * (1.0 - b + b * F.col("_dl") / F.col("_avgdl"))
+    )
+    scored = (
+        postings.join(F.broadcast(q), "term")
+        .join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("query_id", "_id")
+        .agg(F.round(F.sum(idf * sat), score_decimals).alias("score"))
+    )
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "rank",
+            F.col("_id").alias(id_col),
+            "score",
+        )
+    )
+
+
+def doc_bigrams(
+    docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, w1, w2) — one row per adjacent token pair per document.
+    Documents with fewer than two tokens contribute no rows."""
+    toked = docs.select(
+        F.col(id_col).alias("_id"), _clean_tokens(text_col).alias("_toks")
+    )
+    n = F.size("_toks")
+    pairs = F.arrays_zip(
+        F.slice(F.col("_toks"), 1, F.greatest(n - 1, F.lit(0))).alias("w1"),
+        F.slice(F.col("_toks"), 2, F.greatest(n - 1, F.lit(0))).alias("w2"),
+    )
+    return (
+        toked.select("_id", F.explode(pairs).alias("_p"))
+        .select("_id", F.col("_p.w1").alias("w1"), F.col("_p.w2").alias("w2"))
+    )
+
+
+def fit_bigram_lm(
+    docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(w1, w2, c) bigram counts over the corpus — the "model" frame
+    for :func:`lm_cross_entropy`. One aggregation with map-side
+    partial combine; the result is vocabulary²-bounded (in practice
+    far smaller), not corpus-bounded."""
+    return (
+        doc_bigrams(docs, id_col=id_col, text_col=text_col)
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("c"))
+    )
+
+
+def lm_cross_entropy(
+    docs: DataFrame,
+    lm: DataFrame | None = None,
+    *,
+    vocab_size: int | None = None,
+    add_k: float = 1.0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    decimals: int = 6,
+) -> DataFrame:
+    """Per-document bigram cross-entropy under an add-k-smoothed LM —
+    the CCNet-style quality signal (low = fluent/common, high =
+    gibberish or out-of-domain; CCNet buckets the corpus by the
+    per-doc score of a reference-domain LM).
+
+    ``lm``: (w1, w2, c) counts from :func:`fit_bigram_lm`; when None
+    the model is fit on ``docs`` itself (two corpus scans). With an
+    external ``lm``, ``vocab_size`` (V of the FITTING corpus) must be
+    given — the smoothed probability is
+    ``p(w2|w1) = (c(w1,w2)+k) / (c(w1·)+k·V)`` where ``c(w1·)`` sums
+    the model counts for context w1, so unseen contexts degrade to the
+    uniform 1/V floor rather than dividing by zero.
+
+    Returns every input document: (id, n_bigrams, cross_entropy,
+    perplexity); docs with < 2 tokens get n_bigrams = 0 and NULL
+    scores. cross_entropy is avg(-ln p) rounded to ``decimals``
+    (rounded before exp, so perplexity is deterministic too).
+    """
+    if add_k <= 0:
+        raise ValueError(f"lm_cross_entropy: add_k must be > 0, got {add_k}")
+    if lm is not None and vocab_size is None:
+        raise ValueError(
+            "lm_cross_entropy: vocab_size is required with an external lm "
+            "(it is V of the corpus the lm was fit on)"
+        )
+    big = doc_bigrams(docs, id_col=id_col, text_col=text_col)
+    if lm is None:
+        # materialized: ctx and the scoring join both read the counts,
+        # and each unmaterialized reference would re-run the fit scan
+        lm = materialize(big.groupBy("w1", "w2").agg(F.count("*").alias("c")))
+    ctx = lm.groupBy("w1").agg(F.sum("c").alias("c1"))
+
+    scored = big.join(lm, ["w1", "w2"], "left").join(F.broadcast(ctx), "w1", "left")
+    if vocab_size is None:
+        # self-fit: V = distinct tokens of docs, computed in-plan as a
+        # single-row broadcast (no driver collect)
+        toked = docs.select(F.explode(_clean_tokens(text_col)).alias("_t"))
+        vfr = toked.agg(F.count_distinct("_t").cast("double").alias("_v"))
+        scored = scored.crossJoin(F.broadcast(vfr))
+        v = F.col("_v")
+    else:
+        v = F.lit(float(vocab_size))
+    neg_log_p = -F.log(
+        (F.coalesce(F.col("c"), F.lit(0)).cast("double") + F.lit(add_k))
+        / (F.coalesce(F.col("c1"), F.lit(0)).cast("double") + F.lit(add_k) * v)
+    )
+    per_doc = scored.groupBy("_id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.round(F.avg(neg_log_p), decimals).alias("cross_entropy"),
+    )
+    all_ids = docs.select(F.col(id_col).alias("_id"))
+    return (
+        all_ids.join(per_doc, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.coalesce(F.col("n_bigrams"), F.lit(0)).alias("n_bigrams"),
+            "cross_entropy",
+            F.round(F.exp("cross_entropy"), decimals).alias("perplexity"),
+        )
+    )

@@ -4309,6 +4309,98 @@ def q_semantic_dedup(spark, sf_dir):
     return semantic_dedup(emb, cents, threshold=0.3)
 
 
+@_register(
+    "q_bm25_topk",
+    r"""
+    WITH q(query_id, term) AS (
+      SELECT * FROM (VALUES (0, 'hash'), (0, 'join'),
+                            (1, 'vector'), (1, 'scan'), (1, 'batch'),
+                            (2, 'customer'), (2, 'slow'), (2, 'quantum'))),
+    toked AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(lower(coalesce(text, ''))),
+                                               '\s+'), t -> t <> '') AS toks
+      FROM documents),
+    dl AS (SELECT doc_id, len(toks)::DOUBLE AS dl FROM toked),
+    stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+    tf AS (SELECT doc_id, tok AS term, count(*)::DOUBLE AS tf
+           FROM (SELECT doc_id, unnest(toks) AS tok FROM toked)
+           WHERE tok IN (SELECT DISTINCT term FROM q)
+           GROUP BY doc_id, tok),
+    dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+    sc AS (SELECT q.query_id, t.doc_id,
+             round(sum( ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+                      * t.tf * (1.2 + 1)
+                      / (t.tf + 1.2 * (1 - 0.75 + 0.75 * l.dl / s.avgdl)) ),
+                   6) AS score
+           FROM tf t JOIN q USING (term) JOIN dfreq d USING (term)
+                JOIN dl l USING (doc_id) CROSS JOIN stats s
+           GROUP BY q.query_id, t.doc_id)
+    SELECT query_id, CAST(rnk AS INTEGER) AS rnk, doc_id, score
+    FROM (SELECT query_id, doc_id, score,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY score DESC, doc_id) AS rnk
+          FROM sc)
+    WHERE rnk <= 10
+    """,
+    "Okapi BM25 lexical top-10 for three multi-term queries (one term "
+    "absent from the corpus). The Spark plan filters the exploded "
+    "tokens against the broadcast query-term set BEFORE aggregating, "
+    "so only query-term postings shuffle; scores rounded to 6 before "
+    "ranking, ties by doc_id.",
+)
+def q_bm25_topk(spark, sf_dir):
+    from featurestore_spark.operators.search import bm25_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    q = spark.createDataFrame(
+        [(0, "hash"), (0, "join"),
+         (1, "vector"), (1, "scan"), (1, "batch"),
+         (2, "customer"), (2, "slow"), (2, "quantum")],
+        "query_id long, term string",
+    )
+    return bm25_topk(docs, q, k=10).withColumnRenamed("rank", "rnk")
+
+
+@_register(
+    "q_lm_perplexity",
+    r"""
+    WITH toked AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(lower(coalesce(text, ''))),
+                                               '\s+'), t -> t <> '') AS toks
+      FROM documents),
+    big AS (
+      SELECT doc_id, toks[i + 1] AS w1, toks[i + 2] AS w2
+      FROM (SELECT doc_id, toks, unnest(generate_series(0, len(toks) - 2)) AS i
+            FROM toked WHERE len(toks) >= 2)),
+    lm AS (SELECT w1, w2, count(*) AS c FROM big GROUP BY w1, w2),
+    ctx AS (SELECT w1, sum(c) AS c1 FROM lm GROUP BY w1),
+    voc AS (SELECT count(DISTINCT t)::DOUBLE AS v
+            FROM (SELECT unnest(toks) AS t FROM toked)),
+    sc AS (
+      SELECT b.doc_id, -ln((c.c + 1.0) / (x.c1 + 1.0 * v.v)) AS nl
+      FROM big b JOIN lm c USING (w1, w2) JOIN ctx x USING (w1)
+           CROSS JOIN voc v),
+    agg AS (SELECT doc_id, count(*) AS nb, avg(nl) AS xent
+            FROM sc GROUP BY doc_id)
+    SELECT t.doc_id,
+           CAST(coalesce(a.nb, 0) AS BIGINT) AS n_bigrams,
+           round(a.xent, 6) AS cross_entropy
+    FROM toked t LEFT JOIN agg a USING (doc_id)
+    """,
+    "CCNet-style LM quality signal: per-doc bigram cross-entropy under "
+    "an add-1-smoothed model self-fit on the corpus (fit = one "
+    "vocabulary-bounded aggregation, scoring = join on (w1, w2)). "
+    "Docs with < 2 tokens score NULL with n_bigrams 0.",
+)
+def q_lm_perplexity(spark, sf_dir):
+    from featurestore_spark.operators.search import lm_cross_entropy
+
+    docs = load_table(spark, sf_dir, "documents")
+    return lm_cross_entropy(docs).select("doc_id", "n_bigrams", "cross_entropy")
+
+
 # ---------------------------------------------------------------------------
 # Driver-gate registration order.
 #
@@ -4395,6 +4487,12 @@ _DRIVER_PRIORITY = [
     "q_decontaminate_spans",
     "q_incremental_line_dedup",
     "q_incremental_spans",
+    # NEW this round (BM25 retrieval + LM perplexity) — outside the
+    # window to preserve the 45-stale-query rotation; verified at both
+    # sf0.01 and sf0.1 by check_oracle this round (PLANS.md r6f) and
+    # first in line for the r7 window.
+    "q_bm25_topk",
+    "q_lm_perplexity",
     # Waiting a round (driver-green in r5, unchanged since):
     "q_tpch_q11",
     "q_tpch_q16",

@@ -1,0 +1,146 @@
+"""BM25 lexical retrieval + bigram-LM cross-entropy (operators/search.py)."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat"),
+            (2, "the dog sat"),
+            (3, "cat cat cat"),
+            (4, ""),
+            (5, None),
+            (6, "solo"),
+        ],
+        "doc_id long, text string",
+    )
+
+
+def _idf(n, df):
+    return math.log(1 + (n - df + 0.5) / (df + 0.5))
+
+
+def _sat(tf, dl, avgdl, k1=1.2, b=0.75):
+    return tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+
+
+def test_bm25_hand_computed(spark, corpus):
+    from featurestore_spark.operators.search import bm25_topk
+
+    q = spark.createDataFrame(
+        [(0, "cat"), (0, "dog"), (1, "mat")], "query_id long, term string"
+    )
+    out = {
+        (r["query_id"], r["rank"]): (r["doc_id"], r["score"])
+        for r in bm25_topk(corpus, q, k=3).collect()
+    }
+    # N = 6 docs (empty/NULL count toward N and avgdl), dls 6,3,3,0,0,1
+    n, avgdl = 6.0, 13 / 6
+    expected0 = sorted(
+        [
+            (1, round(_idf(n, 2) * _sat(1, 6, avgdl), 6)),  # cat in doc1
+            (3, round(_idf(n, 2) * _sat(3, 3, avgdl), 6)),  # cat x3 in doc3
+            (2, round(_idf(n, 1) * _sat(1, 3, avgdl), 6)),  # dog in doc2
+        ],
+        key=lambda x: (-x[1], x[0]),
+    )
+    assert [out[(0, i + 1)] for i in range(3)] == expected0
+    assert out[(1, 1)] == (1, round(_idf(n, 1) * _sat(1, 6, avgdl), 6))
+    # only matching docs appear; query 1 has exactly one
+    assert len(out) == 4
+
+
+def test_bm25_multi_term_sum_and_k_cutoff(spark, corpus):
+    from featurestore_spark.operators.search import bm25_topk
+
+    # duplicate query terms collapse; absent terms contribute nothing
+    q = spark.createDataFrame(
+        [(7, "the"), (7, "the"), (7, "cat"), (7, "zzz-absent")],
+        "query_id long, term string",
+    )
+    rows = bm25_topk(corpus, q, k=2).orderBy("rank").collect()
+    assert len(rows) == 2 and [r["rank"] for r in rows] == [1, 2]
+    n, avgdl = 6.0, 13 / 6
+    # doc1: the x2 (df 2) + cat x1 (df 2)
+    exp_doc1 = round(
+        _idf(n, 2) * _sat(2, 6, avgdl) + _idf(n, 2) * _sat(1, 6, avgdl), 6
+    )
+    by_doc = {r["doc_id"]: r["score"] for r in rows}
+    assert by_doc[1] == pytest.approx(exp_doc1, abs=2e-6)
+
+
+def test_bm25_validates_k(spark, corpus):
+    from featurestore_spark.operators.search import bm25_topk
+
+    q = spark.createDataFrame([(0, "cat")], "query_id long, term string")
+    with pytest.raises(ValueError, match="k must be >= 1"):
+        bm25_topk(corpus, q, k=0)
+
+
+def test_lm_self_fit_hand_computed(spark, corpus):
+    from featurestore_spark.operators.search import lm_cross_entropy
+
+    out = {r["doc_id"]: r for r in lm_cross_entropy(corpus).collect()}
+    assert set(out) == {1, 2, 3, 4, 5, 6}
+    # V = {the, cat, sat, on, mat, dog, solo} = 7
+    # doc2 bigrams: (the,dog) c=1 ctx(the)=3 -> p=2/10; (dog,sat) c=1
+    # ctx(dog)=1 -> p=2/8
+    exp2 = round((-math.log(0.2) - math.log(0.25)) / 2, 6)
+    assert out[2]["n_bigrams"] == 2 and out[2]["cross_entropy"] == exp2
+    # doc3: (cat,cat) x2, c=2, ctx(cat)=3 -> p=3/10
+    assert out[3]["cross_entropy"] == round(-math.log(0.3), 6)
+    assert out[3]["perplexity"] == round(math.exp(round(-math.log(0.3), 6)), 6)
+    # short/empty/NULL docs: no bigrams, NULL scores
+    for did in (4, 5, 6):
+        assert out[did]["n_bigrams"] == 0
+        assert out[did]["cross_entropy"] is None
+        assert out[did]["perplexity"] is None
+
+
+def test_lm_external_model_unseen_floor(spark, corpus):
+    from featurestore_spark.operators.search import (
+        fit_bigram_lm,
+        lm_cross_entropy,
+    )
+
+    lm = fit_bigram_lm(corpus)
+    target = spark.createDataFrame(
+        [(10, "the cat"), (11, "zebra quagga")], "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: r
+        for r in lm_cross_entropy(target, lm, vocab_size=7).collect()
+    }
+    # (the,cat): c=1, ctx(the)=3 -> p=2/10
+    assert out[10]["cross_entropy"] == round(-math.log(0.2), 6)
+    # unseen context degrades to the uniform floor 1/V
+    assert out[11]["cross_entropy"] == round(-math.log(1 / 7), 6)
+
+
+def test_lm_validates_args(spark, corpus):
+    from featurestore_spark.operators.search import (
+        fit_bigram_lm,
+        lm_cross_entropy,
+    )
+
+    with pytest.raises(ValueError, match="vocab_size is required"):
+        lm_cross_entropy(corpus, fit_bigram_lm(corpus))
+    with pytest.raises(ValueError, match="add_k must be > 0"):
+        lm_cross_entropy(corpus, add_k=0)
+
+
+def test_bm25_postings_only_shuffle_is_query_terms(spark, corpus):
+    """The corpus-sized side never shuffles: the exploded token stream
+    is semi-joined against the broadcast term set before the tf
+    aggregate, so the plan's first exchange keys on the (id, dl, term)
+    postings frame, not raw tokens."""
+    from featurestore_spark.operators.search import bm25_topk
+
+    q = spark.createDataFrame([(0, "cat")], "query_id long, term string")
+    plan = bm25_topk(corpus, q, k=3)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan  # term filter + dfreq/stats joins
