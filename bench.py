@@ -125,6 +125,7 @@ HEADLINE = [
     "q_star_dim_order_priority",
     # Round 6: lexical retrieval + LM quality scoring
     "q_bm25_topk",
+    "q_bm25_index_topk",
     "q_lm_perplexity",
 ]
 

@@ -52,69 +52,42 @@ def _clean_tokens(text_col: str | Column) -> Column:
     return F.filter(tokens(F.coalesce(c, F.lit(""))), lambda t: t != F.lit(""))
 
 
-def bm25_topk(
-    docs: DataFrame,
-    queries: DataFrame,
-    *,
-    k: int = 10,
-    k1: float = 1.2,
-    b: float = 0.75,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    query_id_col: str = "query_id",
-    term_col: str = "term",
-    score_decimals: int = 6,
+def _normalize_queries(
+    queries: DataFrame, query_id_col: str, term_col: str
 ) -> DataFrame:
-    """Top-k documents per query under Okapi BM25.
+    # duplicate terms within a query collapse (classic BM25 with query
+    # term frequency 1)
+    return queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(term_col).alias("term")
+    ).distinct()
 
-    ``queries`` is a (query_id, term) frame — one row per query term;
-    duplicate terms within a query are collapsed (classic BM25 with
-    query term frequency 1). Returns (query_id, rank, doc_id, score)
-    with rank 1..k ordered by (score desc, doc_id); only documents
-    matching at least one query term appear. Scores are rounded to
-    ``score_decimals`` BEFORE ranking so the ordering is stable across
-    summation orders (ties broken by doc_id).
-    """
-    if k < 1:
-        raise ValueError(f"bm25_topk: k must be >= 1, got {k}")
-    q = (
-        queries.select(
-            F.col(query_id_col).alias("query_id"), F.col(term_col).alias("term")
-        )
-        .distinct()
-    )
-    terms = q.select("term").distinct()
 
-    toked = docs.select(
-        F.col(id_col).alias("_id"), _clean_tokens(text_col).alias("_toks")
-    )
-    dl = toked.select("_id", F.size("_toks").cast("double").alias("_dl"))
-    # single-row corpus stats, carried in-plan (no driver collect)
-    stats = dl.agg(
-        F.count("*").cast("double").alias("_n"), F.avg("_dl").alias("_avgdl")
-    )
-
-    # postings for query terms only: dl is computed alongside the
-    # explode so scoring never joins back against a corpus-sized
-    # frame; materialized because both dfreq and scoring read it (a
-    # second reference would otherwise re-run the corpus scan)
-    postings = materialize(
-        toked.select(
-            "_id",
-            F.size("_toks").cast("double").alias("_dl"),
-            F.explode("_toks").alias("term"),
-        )
-        .join(F.broadcast(terms), "term", "left_semi")
-        .groupBy("_id", "_dl", "term")
-        .agg(F.count("*").cast("double").alias("_tf"))
-    )
+def _bm25_score(
+    postings: DataFrame,
+    stats: DataFrame,
+    q: DataFrame,
+    *,
+    k: int,
+    k1: float,
+    b: float,
+    id_col: str,
+    score_decimals: int,
+) -> DataFrame:
+    """Score materialized query-term postings (doc, dl, term, tf)
+    against (n_docs, sum_dl) stats. Document frequency is computed
+    from the postings themselves — term-filtering preserves every
+    posting OF a kept term, so df is exact in both the direct and
+    against-index paths."""
     dfreq = postings.groupBy("term").agg(
         F.count("*").cast("double").alias("_df")
     )
-
-    idf = F.log(F.lit(1.0) + (F.col("_n") - F.col("_df") + 0.5) / (F.col("_df") + 0.5))
+    n = F.col("n_docs").cast("double")
+    avgdl = F.col("sum_dl") / n  # dl are integers: sum is exact, so
+    # avgdl (and every score) is identical however the index was
+    # merged or partitioned
+    idf = F.log(F.lit(1.0) + (n - F.col("_df") + 0.5) / (F.col("_df") + 0.5))
     sat = (F.col("_tf") * (k1 + 1.0)) / (
-        F.col("_tf") + k1 * (1.0 - b + b * F.col("_dl") / F.col("_avgdl"))
+        F.col("_tf") + k1 * (1.0 - b + b * F.col("_dl") / avgdl)
     )
     scored = (
         postings.join(F.broadcast(q), "term")
@@ -132,12 +105,157 @@ def bm25_topk(
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
-        .select(
-            "query_id",
-            "rank",
-            F.col("_id").alias(id_col),
-            "score",
+        .select("query_id", "rank", F.col("_id").alias(id_col), "score")
+    )
+
+
+def bm25_index(
+    docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> tuple[DataFrame, DataFrame]:
+    """Build the persistable BM25 inverted index: ``(postings,
+    stats)`` where postings = (term, doc_id, tf, dl) — one row per
+    distinct (term, doc) — and stats is a single row (n_docs,
+    sum_dl). Persist postings partitioned (or bucketed) BY TERM so
+    query-time term filters become partition pruning instead of a
+    corpus-index scan; stats holds the SUM of doc lengths (not the
+    average) so merged/unioned indexes recompute avgdl exactly
+    (integer-valued dl sums are exact in doubles)."""
+    toked = docs.select(
+        F.col(id_col).alias("doc_id"), _clean_tokens(text_col).alias("_toks")
+    )
+    postings = (
+        toked.select(
+            "doc_id",
+            F.size("_toks").cast("double").alias("dl"),
+            F.explode("_toks").alias("term"),
         )
+        .groupBy("term", "doc_id", "dl")
+        .agg(F.count("*").cast("double").alias("tf"))
+    )
+    stats = toked.agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size("_toks")).cast("double").alias("sum_dl"),
+    )
+    return postings, stats
+
+
+def merge_bm25_index(
+    a: tuple[DataFrame, DataFrame], b: tuple[DataFrame, DataFrame]
+) -> tuple[DataFrame, DataFrame]:
+    """Merge two BM25 indexes built over DISJOINT document sets (the
+    incremental build: index new partitions, merge into the base —
+    counts are additive, so the merge is a union plus a single-row
+    stats sum; no corpus re-scan). Overlapping doc sets would double-
+    count postings and n_docs; callers own that invariant (checking it
+    would cost a full postings join, defeating the incremental
+    point)."""
+    pa, sa = a
+    pb, sb = b
+    postings = pa.unionByName(pb)
+    stats = (
+        sa.unionByName(sb)
+        .agg(
+            F.sum("n_docs").alias("n_docs"),
+            F.sum("sum_dl").cast("double").alias("sum_dl"),
+        )
+    )
+    return postings, stats
+
+
+def bm25_topk_against_index(
+    index: tuple[DataFrame, DataFrame],
+    queries: DataFrame,
+    *,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    query_id_col: str = "query_id",
+    term_col: str = "term",
+    score_decimals: int = 6,
+) -> DataFrame:
+    """Top-k per query against a prebuilt :func:`bm25_index` — the
+    rolling-corpus serving path: the corpus is never re-read, and with
+    postings persisted partitioned by term the semi-join below prunes
+    the scan to the query terms' partitions. Result is row-for-row
+    identical to :func:`bm25_topk` on the same corpus (test-asserted
+    and shared-oracle-verified)."""
+    if k < 1:
+        raise ValueError(f"bm25_topk_against_index: k must be >= 1, got {k}")
+    postings, stats = index
+    q = _normalize_queries(queries, query_id_col, term_col)
+    terms = q.select("term").distinct()
+    matched = materialize(
+        postings.join(F.broadcast(terms), "term", "left_semi").select(
+            F.col("doc_id").alias("_id"),
+            F.col("dl").alias("_dl"),
+            "term",
+            F.col("tf").alias("_tf"),
+        )
+    )
+    return _bm25_score(
+        matched, stats, q,
+        k=k, k1=k1, b=b, id_col=id_col, score_decimals=score_decimals,
+    )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+    term_col: str = "term",
+    score_decimals: int = 6,
+) -> DataFrame:
+    """Top-k documents per query under Okapi BM25, direct from the
+    corpus (one slim stats pass + one postings pass — see module
+    docstring; for repeated query batches build a :func:`bm25_index`
+    once instead).
+
+    ``queries`` is a (query_id, term) frame — one row per query term;
+    duplicate terms within a query are collapsed (classic BM25 with
+    query term frequency 1). Returns (query_id, rank, doc_id, score)
+    with rank 1..k ordered by (score desc, doc_id); only documents
+    matching at least one query term appear. Scores are rounded to
+    ``score_decimals`` BEFORE ranking so the ordering is stable across
+    summation orders (ties broken by doc_id).
+    """
+    if k < 1:
+        raise ValueError(f"bm25_topk: k must be >= 1, got {k}")
+    q = _normalize_queries(queries, query_id_col, term_col)
+    terms = q.select("term").distinct()
+
+    toked = docs.select(
+        F.col(id_col).alias("_id"), _clean_tokens(text_col).alias("_toks")
+    )
+    # single-row corpus stats, carried in-plan (no driver collect)
+    stats = toked.agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size("_toks")).cast("double").alias("sum_dl"),
+    )
+
+    # postings for query terms only: dl is computed alongside the
+    # explode so scoring never joins back against a corpus-sized
+    # frame; materialized because both dfreq and scoring read it (a
+    # second reference would otherwise re-run the corpus scan)
+    postings = materialize(
+        toked.select(
+            "_id",
+            F.size("_toks").cast("double").alias("_dl"),
+            F.explode("_toks").alias("term"),
+        )
+        .join(F.broadcast(terms), "term", "left_semi")
+        .groupBy("_id", "_dl", "term")
+        .agg(F.count("*").cast("double").alias("_tf"))
+    )
+    return _bm25_score(
+        postings, stats, q,
+        k=k, k1=k1, b=b, id_col=id_col, score_decimals=score_decimals,
     )
 
 

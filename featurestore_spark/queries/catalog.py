@@ -4309,9 +4309,10 @@ def q_semantic_dedup(spark, sf_dir):
     return semantic_dedup(emb, cents, threshold=0.3)
 
 
-@_register(
-    "q_bm25_topk",
-    r"""
+# Shared by q_bm25_topk (direct) and q_bm25_index_topk (build two
+# half-indexes, merge, query): both paths hash-matching the SAME
+# oracle proves direct == against-index == merged-index row-for-row.
+_BM25_ORACLE = r"""
     WITH q(query_id, term) AS (
       SELECT * FROM (VALUES (0, 'hash'), (0, 'join'),
                             (1, 'vector'), (1, 'scan'), (1, 'batch'),
@@ -4342,7 +4343,21 @@ def q_semantic_dedup(spark, sf_dir):
                                     ORDER BY score DESC, doc_id) AS rnk
           FROM sc)
     WHERE rnk <= 10
-    """,
+    """
+
+
+def _bm25_queries(spark):
+    return spark.createDataFrame(
+        [(0, "hash"), (0, "join"),
+         (1, "vector"), (1, "scan"), (1, "batch"),
+         (2, "customer"), (2, "slow"), (2, "quantum")],
+        "query_id long, term string",
+    )
+
+
+@_register(
+    "q_bm25_topk",
+    _BM25_ORACLE,
     "Okapi BM25 lexical top-10 for three multi-term queries (one term "
     "absent from the corpus). The Spark plan filters the exploded "
     "tokens against the broadcast query-term set BEFORE aggregating, "
@@ -4353,13 +4368,35 @@ def q_bm25_topk(spark, sf_dir):
     from featurestore_spark.operators.search import bm25_topk
 
     docs = load_table(spark, sf_dir, "documents")
-    q = spark.createDataFrame(
-        [(0, "hash"), (0, "join"),
-         (1, "vector"), (1, "scan"), (1, "batch"),
-         (2, "customer"), (2, "slow"), (2, "quantum")],
-        "query_id long, term string",
+    return bm25_topk(docs, _bm25_queries(spark), k=10).withColumnRenamed(
+        "rank", "rnk"
     )
-    return bm25_topk(docs, q, k=10).withColumnRenamed("rank", "rnk")
+
+
+@_register(
+    "q_bm25_index_topk",
+    _BM25_ORACLE,
+    "BM25 against the prebuilt inverted index — built as TWO "
+    "half-corpus indexes merged with merge_bm25_index (the rolling "
+    "incremental build), then queried without touching the corpus. "
+    "Same oracle as q_bm25_topk: the hash match proves direct == "
+    "merged-index exactly (sum-of-dl stats keep avgdl exact under "
+    "merge).",
+)
+def q_bm25_index_topk(spark, sf_dir):
+    from featurestore_spark.operators.search import (
+        bm25_index,
+        bm25_topk_against_index,
+        merge_bm25_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    half_a = bm25_index(docs.where(F.col("doc_id") % 2 == 0))
+    half_b = bm25_index(docs.where(F.col("doc_id") % 2 == 1))
+    idx = merge_bm25_index(half_a, half_b)
+    return bm25_topk_against_index(idx, _bm25_queries(spark), k=10).withColumnRenamed(
+        "rank", "rnk"
+    )
 
 
 @_register(
@@ -4492,6 +4529,7 @@ _DRIVER_PRIORITY = [
     # sf0.01 and sf0.1 by check_oracle this round (PLANS.md r6f) and
     # first in line for the r7 window.
     "q_bm25_topk",
+    "q_bm25_index_topk",
     "q_lm_perplexity",
     # Waiting a round (driver-green in r5, unchanged since):
     "q_tpch_q11",

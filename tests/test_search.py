@@ -144,3 +144,44 @@ def test_bm25_postings_only_shuffle_is_query_terms(spark, corpus):
     q = spark.createDataFrame([(0, "cat")], "query_id long, term string")
     plan = bm25_topk(corpus, q, k=3)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan  # term filter + dfreq/stats joins
+
+
+def test_bm25_index_paths_equal_direct(spark, corpus):
+    """direct == against-index == merged-half-indexes, row for row."""
+    from featurestore_spark.operators.search import (
+        bm25_index,
+        bm25_topk,
+        bm25_topk_against_index,
+        merge_bm25_index,
+    )
+
+    q = spark.createDataFrame(
+        [(0, "cat"), (0, "dog"), (1, "mat"), (1, "the")],
+        "query_id long, term string",
+    )
+    direct = sorted(map(tuple, bm25_topk(corpus, q, k=5).collect()))
+    whole = sorted(
+        map(tuple, bm25_topk_against_index(bm25_index(corpus), q, k=5).collect())
+    )
+    merged_idx = merge_bm25_index(
+        bm25_index(corpus.where(F.col("doc_id") <= 3)),
+        bm25_index(corpus.where(F.col("doc_id") > 3)),
+    )
+    merged = sorted(
+        map(tuple, bm25_topk_against_index(merged_idx, q, k=5).collect())
+    )
+    assert direct == whole == merged and len(direct) > 0
+
+
+def test_bm25_index_stats_are_exact_sums(spark, corpus):
+    from featurestore_spark.operators.search import bm25_index, merge_bm25_index
+
+    _, stats = bm25_index(corpus)
+    row = stats.collect()[0]
+    assert (row["n_docs"], row["sum_dl"]) == (6, 13.0)
+    _, merged = merge_bm25_index(
+        bm25_index(corpus.where(F.col("doc_id") <= 3)),
+        bm25_index(corpus.where(F.col("doc_id") > 3)),
+    )
+    mrow = merged.collect()[0]
+    assert (mrow["n_docs"], mrow["sum_dl"]) == (6, 13.0)
