@@ -199,6 +199,69 @@ def bm25_topk_against_index(
     )
 
 
+def bm25_stream_index(
+    index_path: str, *, id_col: str = "doc_id", text_col: str = "text"
+):
+    """`foreachBatch` callback maintaining a BM25 inverted index over a
+    document stream — the retrieval-side analog of the incremental
+    dedup wrappers (same state layout and retry discipline: each
+    micro-batch OVERWRITES its own ``batch=<id>`` subdirs under
+    ``<index_path>/postings`` and ``<index_path>/stats``, and a
+    restart with a fresh checkpoint against existing state raises via
+    the shared guard instead of silently replacing accepted batches).
+
+    Because a checkpointed stream delivers each document exactly once,
+    per-batch postings cover DISJOINT doc sets — the accumulated index
+    is just their union, which is exactly :func:`merge_bm25_index`
+    semantics; no compaction or in-place rewrite ever happens. Serve
+    queries with :func:`read_bm25_index` +
+    :func:`bm25_topk_against_index`. Document updates/deletions are
+    out of scope (an append-only corpus stream).
+
+    Seed with an initial corpus:
+    ``p, s = bm25_index(corpus);
+    p.write.parquet(f"{index_path}/postings/batch=seed");
+    s.write.parquet(f"{index_path}/stats/batch=seed")``.
+    """
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        from featurestore_spark.operators.incremental import _guard_restart
+
+        _guard_restart(
+            batch_df.sparkSession,
+            f"{index_path}/postings",
+            batch_id,
+            "bm25_stream_index",
+        )
+        postings, stats = bm25_index(batch_df, id_col=id_col, text_col=text_col)
+        postings.write.mode("overwrite").parquet(
+            f"{index_path}/postings/batch={batch_id}"
+        )
+        stats.write.mode("overwrite").parquet(
+            f"{index_path}/stats/batch={batch_id}"
+        )
+
+    return process
+
+
+def read_bm25_index(spark, index_path: str) -> tuple[DataFrame, DataFrame]:
+    """Load the accumulated (postings, stats) state written by
+    :func:`bm25_stream_index` for serving: per-batch postings union by
+    partition discovery (disjoint doc sets), stats summed to a single
+    row — ready for :func:`bm25_topk_against_index`."""
+    postings = spark.read.parquet(f"{index_path}/postings").select(
+        "term", "doc_id", "tf", "dl"
+    )
+    stats = (
+        spark.read.parquet(f"{index_path}/stats")
+        .agg(
+            F.sum("n_docs").alias("n_docs"),
+            F.sum("sum_dl").cast("double").alias("sum_dl"),
+        )
+    )
+    return postings, stats
+
+
 def bm25_topk(
     docs: DataFrame,
     queries: DataFrame,
@@ -276,6 +339,21 @@ def doc_bigrams(
         toked.select("_id", F.explode(pairs).alias("_p"))
         .select("_id", F.col("_p.w1").alias("w1"), F.col("_p.w2").alias("w2"))
     )
+
+
+def merge_bigram_lm(*lms: DataFrame) -> DataFrame:
+    """Merge bigram-LM count frames additively (union + sum): the
+    incremental fit — count new document batches with
+    :func:`fit_bigram_lm` and fold them in; counts are associative so
+    any merge order gives the same model. Remember that ``vocab_size``
+    passed to :func:`lm_cross_entropy` must track the distinct tokens
+    of the MERGED fitting corpus."""
+    if not lms:
+        raise ValueError("merge_bigram_lm: at least one lm frame required")
+    merged = lms[0]
+    for other in lms[1:]:
+        merged = merged.unionByName(other)
+    return merged.groupBy("w1", "w2").agg(F.sum("c").alias("c"))
 
 
 def fit_bigram_lm(

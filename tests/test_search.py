@@ -185,3 +185,78 @@ def test_bm25_index_stats_are_exact_sums(spark, corpus):
     )
     mrow = merged.collect()[0]
     assert (mrow["n_docs"], mrow["sum_dl"]) == (6, 13.0)
+
+
+def test_bm25_stream_index_accumulates_and_serves(spark, tmp_path, corpus):
+    """Real file-source stream maintaining the index; served results
+    equal the direct path over the full corpus."""
+    from featurestore_spark.operators.search import (
+        bm25_stream_index,
+        bm25_topk,
+        bm25_topk_against_index,
+        read_bm25_index,
+    )
+
+    root = str(tmp_path / "bm25_idx")
+    src = str(tmp_path / "incoming")
+    corpus.write.parquet(src)
+    cb = bm25_stream_index(root)
+    q = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .parquet(src)
+        .writeStream.foreachBatch(cb)
+        .option("checkpointLocation", str(tmp_path / "chk"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    queries = spark.createDataFrame(
+        [(0, "cat"), (0, "dog"), (1, "the")], "query_id long, term string"
+    )
+    served = sorted(
+        map(
+            tuple,
+            bm25_topk_against_index(
+                read_bm25_index(spark, root), queries, k=5
+            ).collect(),
+        )
+    )
+    direct = sorted(map(tuple, bm25_topk(corpus, queries, k=5).collect()))
+    assert served == direct and len(served) > 0
+
+
+def test_bm25_stream_index_restart_guard(spark, tmp_path, corpus):
+    from featurestore_spark.operators.search import bm25_stream_index
+
+    root = str(tmp_path / "idx")
+    cb = bm25_stream_index(root)
+    cb(corpus, 3)
+    cb(corpus.limit(1), 3)  # retry of the SAME id: allowed (overwrite)
+    with pytest.raises(RuntimeError, match="fresh checkpoint"):
+        cb(corpus, 1)  # lower id = new checkpoint lineage
+
+
+def test_merge_bigram_lm_equals_whole_fit(spark, corpus):
+    from featurestore_spark.operators.search import (
+        fit_bigram_lm,
+        lm_cross_entropy,
+        merge_bigram_lm,
+    )
+
+    whole = {
+        (r["w1"], r["w2"]): r["c"] for r in fit_bigram_lm(corpus).collect()
+    }
+    merged_lm = merge_bigram_lm(
+        fit_bigram_lm(corpus.where(F.col("doc_id") <= 2)),
+        fit_bigram_lm(corpus.where(F.col("doc_id") > 2)),
+    )
+    merged = {(r["w1"], r["w2"]): r["c"] for r in merged_lm.collect()}
+    assert merged == whole and len(whole) > 0
+    # scoring with the merged model + the corpus V reproduces self-fit
+    self_fit = sorted(map(tuple, lm_cross_entropy(corpus).collect()))
+    ext = sorted(
+        map(tuple, lm_cross_entropy(corpus, merged_lm, vocab_size=7).collect())
+    )
+    assert ext == self_fit
+    with pytest.raises(ValueError, match="at least one lm"):
+        merge_bigram_lm()
