@@ -30,9 +30,11 @@ aggregation and scoring is a join, both SQL-expressible for oracles.
   map-side partial aggregation, not corpus-bounded — so scoring and
   context sums never re-run the fit). Scoring joins the per-doc
   bigram stream against the counts on (w1, w2); for a real corpus the
-  LM frame is millions of rows, so this is a sort-merge join on
-  uniformly distributed string keys — no skew, no broadcast needed
-  (Spark/AQE will still broadcast it when it fits).
+  LM frame is millions of rows, so this is a sort-merge join (AQE may
+  broadcast when it fits — no hint is forced, since the counts and
+  context frames are vocabulary-scaled). A Zipf-headed bigram
+  co-locates its probe rows in one partition: keep AQE's skew-join
+  split on (see docs/scale.md).
 """
 
 from __future__ import annotations
@@ -412,7 +414,11 @@ def lm_cross_entropy(
         lm = materialize(big.groupBy("w1", "w2").agg(F.count("*").alias("c")))
     ctx = lm.groupBy("w1").agg(F.sum("c").alias("c1"))
 
-    scored = big.join(lm, ["w1", "w2"], "left").join(F.broadcast(ctx), "w1", "left")
+    # no broadcast hint on lm/ctx: both are vocabulary-scaled (ctx is
+    # one row per distinct context token — easily 10^7+ on a real
+    # corpus), so AQE decides; the joins degrade gracefully to
+    # sort-merge
+    scored = big.join(lm, ["w1", "w2"], "left").join(ctx, "w1", "left")
     if vocab_size is None:
         # self-fit: V = distinct tokens of docs, computed in-plan as a
         # single-row broadcast (no driver collect)

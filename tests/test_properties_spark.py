@@ -287,3 +287,83 @@ def test_remove_shared_spans_matches_python_reference(spark, texts, n):
         )
     expect = dict(enumerate(_py_shared_spans(texts, n, 2)))
     assert got == expect
+
+
+# -- BM25 + bigram LM vs pure-Python references -------------------------------
+
+_search_words = st.sampled_from(["a", "b", "c", "d", "e"])
+_search_doc = st.lists(_search_words, min_size=0, max_size=12)
+_search_corpus = st.lists(_search_doc, min_size=1, max_size=15)
+_search_terms = st.lists(
+    st.sampled_from(["a", "b", "c", "zzz"]), min_size=1, max_size=3, unique=True
+)
+
+
+def _bm25_ref(docs, terms, k1=1.2, b=0.75):
+    import math
+
+    n = len(docs)
+    dls = [len(d) for d in docs]
+    avgdl = sum(dls) / n
+    df = {t: sum(1 for d in docs if t in d) for t in terms}
+    out = {}
+    for i, d in enumerate(docs):
+        s, matched = 0.0, False
+        for t in terms:
+            tf = d.count(t)
+            if tf == 0:
+                continue
+            matched = True
+            idf = math.log(1 + (n - df[t] + 0.5) / (df[t] + 0.5))
+            s += idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dls[i] / avgdl))
+        if matched:
+            out[i] = s
+    return out
+
+
+@given(docs=_search_corpus, terms=_search_terms)
+@settings(**SPARK_SETTINGS)
+def test_bm25_matches_reference(spark, docs, terms):
+    from featurestore_spark.operators.search import bm25_topk
+
+    frame = spark.createDataFrame(
+        [(i, " ".join(d)) for i, d in enumerate(docs)], "doc_id long, text string"
+    )
+    q = spark.createDataFrame([(0, t) for t in terms], "query_id long, term string")
+    got = bm25_topk(frame, q, k=len(docs)).collect()
+    ref = _bm25_ref(docs, terms)
+    assert {r["doc_id"] for r in got} == set(ref)
+    for r in got:
+        assert abs(r["score"] - ref[r["doc_id"]]) <= 1.5e-6
+    # ranking consistent with (rounded score desc, doc_id)
+    expected_order = sorted(ref, key=lambda i: (-round(ref[i], 6), i))
+    assert [r["doc_id"] for r in sorted(got, key=lambda r: r["rank"])] == expected_order
+
+
+@given(docs=_search_corpus)
+@settings(**SPARK_SETTINGS)
+def test_lm_cross_entropy_matches_reference(spark, docs):
+    import math
+
+    from featurestore_spark.operators.search import lm_cross_entropy
+
+    frame = spark.createDataFrame(
+        [(i, " ".join(d)) for i, d in enumerate(docs)], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in lm_cross_entropy(frame).collect()}
+
+    bigrams = Counter(p for d in docs for p in zip(d, d[1:]))
+    ctx = Counter()
+    for (w1, _), c in bigrams.items():
+        ctx[w1] += c
+    vocab = len({w for d in docs for w in d})
+    for i, d in enumerate(docs):
+        pairs = list(zip(d, d[1:]))
+        assert got[i]["n_bigrams"] == len(pairs)
+        if not pairs:
+            assert got[i]["cross_entropy"] is None
+            continue
+        ref = sum(
+            -math.log((bigrams[p] + 1.0) / (ctx[p[0]] + vocab)) for p in pairs
+        ) / len(pairs)
+        assert abs(got[i]["cross_entropy"] - ref) <= 1.5e-6
