@@ -127,6 +127,7 @@ HEADLINE = [
     "q_bm25_topk",
     "q_bm25_index_topk",
     "q_lm_perplexity",
+    "q_source_divergence",
 ]
 
 

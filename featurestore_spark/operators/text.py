@@ -97,6 +97,69 @@ def rolling_hashes(text_col: str | Column = "text", window: int = 8) -> Column:
     )
 
 
+def unigram_kl_divergence(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    *,
+    add_k: float = 1.0,
+    decimals: int = 6,
+) -> DataFrame:
+    """Per-group vocabulary drift: KL(P_g || Q) between each group's
+    add-k-smoothed unigram distribution and the whole corpus's — the
+    mixture-monitoring signal (a source whose language shifts, or a
+    scraper gone wrong, shows up as a KL spike without reading a
+    single document). Output: (group_col, n_tokens, kl_divergence);
+    groups contributing zero tokens are absent.
+
+    Shape: one corpus scan into a (group, token) count frame
+    (map-side combined, vocabulary x groups bounded, materialized —
+    corpus counts, group totals, and the scoring grid all derive from
+    it without re-scanning). The KL sum needs every (group, vocab
+    word) cell including zero-count ones (their smoothed mass depends
+    on Q), so the grid is vocab x groups — fine for the dozens-of-
+    sources case this monitors; it is NOT a per-document cross.
+    """
+    if add_k <= 0:
+        raise ValueError(
+            f"unigram_kl_divergence: add_k must be > 0, got {add_k}"
+        )
+    from featurestore_spark.operators.materialize import materialize
+
+    toks = F.filter(
+        tokens(F.coalesce(F.col(text_col), F.lit(""))),
+        lambda t: t != F.lit(""),
+    )
+    cs = materialize(
+        df.select(F.col(group_col).alias("_g"), F.explode(toks).alias("_t"))
+        .groupBy("_g", "_t")
+        .agg(F.count("*").cast("double").alias("_cs"))
+    )
+    corpus = cs.groupBy("_t").agg(F.sum("_cs").alias("_c"))
+    per_group = cs.groupBy("_g").agg(F.sum("_cs").alias("_ns"))
+    totals = corpus.agg(
+        F.sum("_c").alias("_n"), F.count("*").cast("double").alias("_v")
+    )
+    grid = (
+        corpus.crossJoin(F.broadcast(per_group))
+        .join(cs, ["_g", "_t"], "left")
+        .crossJoin(F.broadcast(totals))
+    )
+    p = (F.coalesce(F.col("_cs"), F.lit(0.0)) + add_k) / (
+        F.col("_ns") + add_k * F.col("_v")
+    )
+    q = (F.col("_c") + add_k) / (F.col("_n") + add_k * F.col("_v"))
+    return (
+        grid.groupBy("_g", "_ns")
+        .agg(F.round(F.sum(p * F.log(p / q)), decimals).alias("kl_divergence"))
+        .select(
+            F.col("_g").alias(group_col),
+            F.col("_ns").cast("long").alias("n_tokens"),
+            "kl_divergence",
+        )
+    )
+
+
 def normalize_text(
     df,
     text_col: str = "text",

@@ -4438,6 +4438,47 @@ def q_lm_perplexity(spark, sf_dir):
     return lm_cross_entropy(docs).select("doc_id", "n_bigrams", "cross_entropy")
 
 
+@_register(
+    "q_source_divergence",
+    r"""
+    WITH toks AS (
+      SELECT source AS g,
+             unnest(list_filter(regexp_split_to_array(trim(lower(coalesce(text, ''))),
+                                                      '\s+'), t -> t <> '')) AS t
+      FROM documents),
+    cs AS (SELECT g, t, count(*)::DOUBLE AS c_s FROM toks GROUP BY g, t),
+    c AS (SELECT t, sum(c_s) AS c FROM cs GROUP BY t),
+    ns AS (SELECT g, sum(c_s) AS n_s FROM cs GROUP BY g),
+    tot AS (SELECT sum(c) AS n, count(*)::DOUBLE AS v FROM c),
+    grid AS (
+      SELECT gs.g, c.t, c.c, coalesce(cs.c_s, 0) AS c_s
+      FROM c CROSS JOIN (SELECT DISTINCT g FROM cs) gs
+      LEFT JOIN cs ON cs.g = gs.g AND cs.t = c.t),
+    kl AS (
+      SELECT grid.g,
+             sum( ((c_s + 1.0) / (ns.n_s + 1.0 * tot.v))
+                  * ln( ((c_s + 1.0) / (ns.n_s + 1.0 * tot.v))
+                        / ((c + 1.0) / (tot.n + 1.0 * tot.v)) ) ) AS kl
+      FROM grid JOIN ns USING (g) CROSS JOIN tot
+      GROUP BY grid.g)
+    SELECT kl.g AS source,
+           CAST(ns.n_s AS BIGINT) AS n_tokens,
+           round(kl.kl, 6) AS kl_divergence
+    FROM kl JOIN ns USING (g)
+    """,
+    "Mixture-drift monitor: per-source KL divergence between the "
+    "source's add-1-smoothed unigram distribution and the whole "
+    "corpus's. One corpus scan into a (source, token) count frame; "
+    "the KL grid is vocab x sources (zero-count cells included — "
+    "their smoothed mass depends on Q), never per-document.",
+)
+def q_source_divergence(spark, sf_dir):
+    from featurestore_spark.operators.text import unigram_kl_divergence
+
+    docs = load_table(spark, sf_dir, "documents")
+    return unigram_kl_divergence(docs, "source")
+
+
 # ---------------------------------------------------------------------------
 # Driver-gate registration order.
 #
@@ -4531,6 +4572,7 @@ _DRIVER_PRIORITY = [
     "q_bm25_topk",
     "q_bm25_index_topk",
     "q_lm_perplexity",
+    "q_source_divergence",
     # Waiting a round (driver-green in r5, unchanged since):
     "q_tpch_q11",
     "q_tpch_q16",

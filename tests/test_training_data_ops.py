@@ -717,3 +717,41 @@ def test_normalize_text(spark):
 
     with _pytest.raises(ValueError, match="unknown form"):
         normalize_text(df, form="NFX")
+
+
+def test_unigram_kl_divergence(spark):
+    import math
+
+    import pytest as _pytest
+
+    from featurestore_spark.operators.text import unigram_kl_divergence
+
+    df = spark.createDataFrame(
+        [
+            (1, "a", "x x y"),
+            (2, "a", "x y y"),       # group a: x3 y3
+            (3, "b", "x x x y y y"),  # group b: identical distribution
+            (4, "c", "z z z z z z"),  # group c: disjoint vocabulary
+            (5, "d", ""),             # zero tokens -> absent
+            (6, "d", None),
+        ],
+        "doc_id long, source string, text string",
+    )
+    out = {r["source"]: r for r in unigram_kl_divergence(df, "source").collect()}
+    assert set(out) == {"a", "b", "c"}
+    assert out["a"]["n_tokens"] == 6 and out["b"]["n_tokens"] == 6
+    # identical unigram distribution + equal totals -> identical
+    # smoothed P, so the two groups' KL values coincide
+    assert out["a"]["kl_divergence"] == out["b"]["kl_divergence"]
+    # hand-computed: V=3, n=18; group c (z:6, n_s=6):
+    # P(z)=7/9 P(x)=P(y)=1/9; Q(z)=7/21 Q(x)=Q(y)=7/21
+    exp_c = round(
+        (7 / 9) * math.log((7 / 9) / (7 / 21))
+        + 2 * ((1 / 9) * math.log((1 / 9) / (7 / 21))),
+        6,
+    )
+    assert out["c"]["kl_divergence"] == _pytest.approx(exp_c, abs=1.5e-6)
+    # disjoint vocabulary diverges more than a matching one
+    assert out["c"]["kl_divergence"] > out["a"]["kl_divergence"] >= 0
+    with _pytest.raises(ValueError, match="add_k must be > 0"):
+        unigram_kl_divergence(df, "source", add_k=0)
