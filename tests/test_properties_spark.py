@@ -367,3 +367,45 @@ def test_lm_cross_entropy_matches_reference(spark, docs):
             -math.log((bigrams[p] + 1.0) / (ctx[p[0]] + vocab)) for p in pairs
         ) / len(pairs)
         assert abs(got[i]["cross_entropy"] - ref) <= 1.5e-6
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.sampled_from(["s1", "s2", "s3"]), _search_doc),
+        min_size=1,
+        max_size=12,
+    )
+)
+@settings(**SPARK_SETTINGS)
+def test_unigram_kl_matches_reference(spark, rows):
+    import math
+
+    from featurestore_spark.operators.text import unigram_kl_divergence
+
+    frame = spark.createDataFrame(
+        [(i, src, " ".join(d)) for i, (src, d) in enumerate(rows)],
+        "doc_id long, source string, text string",
+    )
+    got = {
+        r["source"]: (r["n_tokens"], r["kl_divergence"])
+        for r in unigram_kl_divergence(frame, "source").collect()
+    }
+    corpus = Counter(w for _, d in rows for w in d)
+    per_src = {}
+    for src, d in rows:
+        per_src.setdefault(src, Counter()).update(d)
+    vocab, n = len(corpus), sum(corpus.values())
+    expected_srcs = {s for s, c in per_src.items() if sum(c.values()) > 0}
+    assert set(got) == expected_srcs
+    for src in expected_srcs:
+        ns = sum(per_src[src].values())
+        kl = sum(
+            ((per_src[src][w] + 1) / (ns + vocab))
+            * math.log(
+                ((per_src[src][w] + 1) / (ns + vocab))
+                / ((corpus[w] + 1) / (n + vocab))
+            )
+            for w in corpus
+        )
+        assert got[src][0] == ns
+        assert abs(got[src][1] - kl) <= 1.5e-6
