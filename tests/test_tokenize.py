@@ -1,0 +1,122 @@
+"""BPE tokenizer induction (operators/tokenize.py) — textbook-example
+merges, word-frequency sufficiency, deterministic application."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def sennrich_corpus(spark):
+    # the Sennrich et al. (2016) running example, as raw text with
+    # the word frequencies realized by repetition
+    words = ["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3
+    return spark.createDataFrame(
+        [(0, " ".join(words))], "doc_id long, text string"
+    )
+
+
+def test_learn_bpe_textbook_merges(spark, sennrich_corpus):
+    from featurestore_spark.operators.tokenize import (
+        learn_bpe,
+        word_frequencies,
+    )
+
+    wf = word_frequencies(sennrich_corpus)
+    assert {(r["word"], r["count"]) for r in wf.collect()} == {
+        ("low", 5), ("lower", 2), ("newest", 6), ("widest", 3),
+    }
+    merges = learn_bpe(wf, 4)
+    # counts: (e,s)=9 and (s,t)=9 tie -> lexicographic picks (e,s);
+    # then (es,t)=9, (est,</w>)=9, then (l,o)=7
+    assert merges == [("e", "s"), ("es", "t"), ("est", "</w>"), ("l", "o")]
+
+
+def test_bpe_word_freq_table_is_sufficient(spark, sennrich_corpus):
+    """Fitting on the aggregate == fitting on a corpus where the same
+    words arrive replicated across many documents (pure-Python pair
+    counting over the raw word stream as the reference)."""
+    from collections import Counter
+
+    from featurestore_spark.operators.tokenize import (
+        learn_bpe,
+        word_frequencies,
+    )
+
+    words = ["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3
+    scattered = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(words)], "doc_id long, text string"
+    )
+    merges_scattered = learn_bpe(word_frequencies(scattered), 6)
+    merges_single = learn_bpe(word_frequencies(sennrich_corpus), 6)
+    assert merges_scattered == merges_single
+
+    # reference first merge from raw stream pair counts
+    pair_counts = Counter()
+    for w in words:
+        syms = list(w) + ["</w>"]
+        pair_counts.update(zip(syms, syms[1:]))
+    top = max(pair_counts.values())
+    assert merges_single[0] == min(
+        p for p, c in pair_counts.items() if c == top
+    )
+
+
+def test_apply_bpe_segments_known_and_unseen_words(spark, sennrich_corpus):
+    from featurestore_spark.operators.tokenize import (
+        apply_bpe,
+        learn_bpe,
+        word_frequencies,
+    )
+
+    merges = learn_bpe(word_frequencies(sennrich_corpus), 10)
+    target = spark.createDataFrame(
+        [(1, "newest"), (2, "lowest"), (3, None)],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in apply_bpe(target, merges).collect()}
+    # 10 merges fully fuse the training words
+    assert out[1]["bpe_tokens"] == ["newest</w>"]
+    # unseen word reuses learned subwords: "lo"+"w..."? depends on
+    # merge set — assert round-trip property instead of exact split
+    assert "".join(out[2]["bpe_tokens"]) == "lowest</w>"
+    assert out[2]["n_bpe_tokens"] == len(out[2]["bpe_tokens"]) > 1
+    assert out[3]["bpe_tokens"] is None and out[3]["n_bpe_tokens"] is None
+
+
+def test_apply_bpe_multiword_and_cache(spark):
+    from featurestore_spark.operators.tokenize import apply_bpe
+
+    merges = [("a", "b"), ("ab", "</w>")]
+    df = spark.createDataFrame(
+        [(1, "ab ab cd")], "doc_id long, text string"
+    )
+    row = apply_bpe(df, merges).collect()[0]
+    assert row["bpe_tokens"] == ["ab</w>", "ab</w>", "c", "d", "</w>"]
+    assert row["n_bpe_tokens"] == 5
+
+
+def test_learn_bpe_cap_and_validation(spark, sennrich_corpus):
+    from featurestore_spark.operators.tokenize import (
+        learn_bpe,
+        word_frequencies,
+    )
+
+    wf = word_frequencies(sennrich_corpus)
+    # cap to the single most frequent word (newest, 6): merges now
+    # come from "newest" alone
+    merges = learn_bpe(wf, 2, max_words=1)
+    assert merges[0] == ("e", "s")  # (e,s)=(s,t)=6 tie -> lexicographic
+    # after (e,s): every remaining pair in n-e-w-es-t-</w> ties at 6;
+    # lexicographic min is (e,w)
+    assert merges[1] == ("e", "w")
+    # early stop: a fully merged vocabulary has no pairs left
+    assert len(learn_bpe(wf, 100)) < 100
+    with pytest.raises(ValueError, match="num_merges"):
+        learn_bpe(wf, 0)
+
+
+def test_word_frequencies_min_count(spark, sennrich_corpus):
+    from featurestore_spark.operators.tokenize import word_frequencies
+
+    wf = word_frequencies(sennrich_corpus, min_count=3)
+    assert {r["word"] for r in wf.collect()} == {"low", "newest", "widest"}
