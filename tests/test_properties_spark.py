@@ -409,3 +409,68 @@ def test_unigram_kl_matches_reference(spark, rows):
         )
         assert got[src][0] == ns
         assert abs(got[src][1] - kl) <= 1.5e-6
+
+
+# -- BPE vs a pure-Python reference ------------------------------------------
+
+
+def _ref_bpe_learn(words, num_merges):
+    """Reference Sennrich BPE over the raw word stream (no aggregate)."""
+    vocab = Counter(tuple(w) + ("</w>",) for w in words)
+    merges = []
+    for _ in range(num_merges):
+        pairs = Counter()
+        for syms, cnt in vocab.items():
+            for p in zip(syms, syms[1:]):
+                pairs[p] += cnt
+        if not pairs:
+            break
+        top = max(pairs.values())
+        best = min(p for p, c in pairs.items() if c == top)
+        merges.append(best)
+        new_vocab = Counter()
+        for syms, cnt in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and (syms[i], syms[i + 1]) == best:
+                    out.append(syms[i] + syms[i + 1])
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_vocab[tuple(out)] += cnt
+        vocab = new_vocab
+    return merges
+
+
+_bpe_word = st.text(alphabet="abcd", min_size=1, max_size=6)
+_bpe_docs = st.lists(
+    st.lists(_bpe_word, min_size=0, max_size=8), min_size=1, max_size=10
+)
+
+
+@given(docs=_bpe_docs, num_merges=st.integers(1, 12))
+@settings(**SPARK_SETTINGS)
+def test_bpe_learn_and_apply_match_reference(spark, docs, num_merges):
+    from featurestore_spark.operators.tokenize import (
+        apply_bpe,
+        learn_bpe,
+        segment_word,
+        word_frequencies,
+    )
+
+    frame = spark.createDataFrame(
+        [(i, " ".join(d)) for i, d in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    words = [w for d in docs for w in d]
+    merges = learn_bpe(word_frequencies(frame), num_merges)
+    assert merges == _ref_bpe_learn(words, num_merges)
+
+    out = {r["doc_id"]: r["bpe_tokens"] for r in apply_bpe(frame, merges).collect()}
+    ranks = {tuple(p): i for i, p in enumerate(merges)}
+    for i, d in enumerate(docs):
+        expected = [s for w in d for s in segment_word(w, ranks)]
+        assert out[i] == expected
+        # round-trip: concatenation restores the words + markers
+        assert "".join(out[i]) == "".join(w + "</w>" for w in d)
