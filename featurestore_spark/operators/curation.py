@@ -71,7 +71,16 @@ def _should_collapse(
     (dedup_lines 1.56s vs True 1.73s; boilerplate 2.29s vs 2.78s) —
     re-scanning parquet is cheaper than materializing a collapse that
     buys nothing."""
-    if collapse_exact != "auto":
+    if isinstance(collapse_exact, str):
+        if collapse_exact != "auto":
+            # a typo like 'Auto' would otherwise coerce to bool(str)
+            # = True and silently force the collapse the caller was
+            # trying to avoid
+            raise ValueError(
+                f"collapse_exact: expected True, False, or 'auto'; "
+                f"got {collapse_exact!r}"
+            )
+    else:
         return bool(collapse_exact)
     n, d = docs.agg(
         F.count(F.lit(1)), F.approx_count_distinct(F.xxhash64(text_col))

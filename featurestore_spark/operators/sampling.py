@@ -414,9 +414,20 @@ def write_shards(
     and cheaper now: it is a merge of sorted runs). There is still no
     global sort; `sortWithinPartitions` is a per-task spillable sort.
     """
-    n = num_tasks or int(
-        df.sparkSession.conf.get("spark.sql.shuffle.partitions")
-    )
+    if num_tasks is not None:
+        if num_tasks < 1:
+            raise ValueError(
+                f"write_shards: num_tasks must be >= 1, got {num_tasks}"
+            )
+        n = num_tasks
+    else:
+        conf = df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        try:
+            n = int(conf)
+        except (TypeError, ValueError):
+            # e.g. 'auto' on AQE-managed clusters — fall back to the
+            # session default parallelism rather than crashing mid-export
+            n = df.sparkSession.sparkContext.defaultParallelism
     (
         df.repartitionByRange(n, F.col(shard_col), F.col(order_col))
         .sortWithinPartitions(shard_col, order_col)

@@ -24,9 +24,10 @@ aggregation and scoring is a join, both SQL-expressible for oracles.
   corpus-sized join is ever needed. Top-k is a per-query row_number
   window — Spark's WindowGroupLimit prunes to k per partition before
   the final exchange.
-* ``lm_cross_entropy`` with an external ``lm`` frame is ONE corpus
-  scan (score pass); self-fit adds a fit pass and a vocabulary-count
-  pass (the fit result is materialized — vocabulary²-bounded with
+* ``lm_cross_entropy`` with an external ``lm`` frame is one scoring
+  pass over the corpus plus a slim id-projection pass (preserving
+  zero-bigram docs in the output); self-fit adds a fit pass and a
+  vocabulary-count pass (the fit result is materialized — vocabulary²-bounded with
   map-side partial aggregation, not corpus-bounded — so scoring and
   context sums never re-run the fit). Scoring joins the per-doc
   bigram stream against the counts on (w1, w2); for a real corpus the
@@ -39,28 +40,23 @@ aggregation and scoring is a join, both SQL-expressible for oracles.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from featurestore_spark.operators.materialize import materialize
-from featurestore_spark.operators.text import tokens
-
-
-def _clean_tokens(text_col: str | Column) -> Column:
-    # NULL text coalesces to "" and split("") yields [""], not []:
-    # filtering empties makes blank/NULL docs zero-token docs instead
-    # of NULL arrays (size(NULL) = -1 would poison dl/avgdl)
-    c = F.col(text_col) if isinstance(text_col, str) else text_col
-    return F.filter(tokens(F.coalesce(c, F.lit(""))), lambda t: t != F.lit(""))
+from featurestore_spark.operators.text import clean_tokens as _clean_tokens
 
 
 def _normalize_queries(
     queries: DataFrame, query_id_col: str, term_col: str
 ) -> DataFrame:
-    # duplicate terms within a query collapse (classic BM25 with query
-    # term frequency 1)
+    # terms get the SAME normalization the corpus tokenizer applies
+    # (trim + lowercase) — an uppercase query term would otherwise
+    # silently match nothing; duplicate terms within a query collapse
+    # (classic BM25 with query term frequency 1)
     return queries.select(
-        F.col(query_id_col).alias("query_id"), F.col(term_col).alias("term")
+        F.col(query_id_col).alias("query_id"),
+        F.lower(F.trim(F.col(term_col))).alias("term"),
     ).distinct()
 
 
@@ -436,9 +432,17 @@ def lm_cross_entropy(
         F.count("*").alias("n_bigrams"),
         F.round(F.avg(neg_log_p), decimals).alias("cross_entropy"),
     )
-    all_ids = docs.select(F.col(id_col).alias("_id"))
+    all_ids = docs.select(F.col(id_col).alias("_aid"))
+    # eqNullSafe: a NULL id's aggregate row would be silently dropped
+    # by an equi-join (NULL != NULL); note that groupBy has already
+    # merged ALL NULL-id docs into one aggregate — NULL ids are not
+    # distinguishable from each other
     return (
-        all_ids.join(per_doc, "_id", "left")
+        all_ids.join(
+            per_doc, all_ids["_aid"].eqNullSafe(per_doc["_id"]), "left"
+        )
+        .drop("_id")
+        .withColumnRenamed("_aid", "_id")
         .select(
             F.col("_id").alias(id_col),
             F.coalesce(F.col("n_bigrams"), F.lit(0)).alias("n_bigrams"),

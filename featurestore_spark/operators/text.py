@@ -31,6 +31,17 @@ def token_count(text_col: str | Column = "text") -> Column:
     return F.size(tokens(text_col))
 
 
+def clean_tokens(text_col: str | Column = "text") -> Column:
+    """:func:`tokens` with the NULL/empty edge cases closed: NULL text
+    coalesces to "" and split("") yields [""], so filtering empties
+    makes blank/NULL docs zero-token docs instead of NULL arrays
+    (size(NULL) would poison doc-length stats). The single tokenizer
+    shared by the search/LM/KL/BPE operators — keep them on one
+    definition so fit and apply never disagree on word boundaries."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.filter(tokens(F.coalesce(c, F.lit(""))), lambda t: t != F.lit(""))
+
+
 def lexicon_score(text_col: str | Column, lexicon: list[str]) -> Column:
     """Number of tokens contained in the lexicon."""
     lex = F.array(*[F.lit(w) for w in lexicon])
@@ -112,6 +123,11 @@ def unigram_kl_divergence(
     single document). Output: (group_col, n_tokens, kl_divergence);
     groups contributing zero tokens are absent.
 
+    Rows with a NULL group label are EXCLUDED (an equi-joined grid
+    cannot key on NULL, and a silently uniform-floored "NULL source"
+    row would be a wrong number — filter upstream or fillna the label
+    to monitor unlabeled rows as their own group).
+
     Shape: one corpus scan into a (group, token) count frame
     (map-side combined, vocabulary x groups bounded, materialized —
     corpus counts, group totals, and the scoring grid all derive from
@@ -126,12 +142,10 @@ def unigram_kl_divergence(
         )
     from featurestore_spark.operators.materialize import materialize
 
-    toks = F.filter(
-        tokens(F.coalesce(F.col(text_col), F.lit(""))),
-        lambda t: t != F.lit(""),
-    )
+    toks = clean_tokens(text_col)
     cs = materialize(
-        df.select(F.col(group_col).alias("_g"), F.explode(toks).alias("_t"))
+        df.where(F.col(group_col).isNotNull())
+        .select(F.col(group_col).alias("_g"), F.explode(toks).alias("_t"))
         .groupBy("_g", "_t")
         .agg(F.count("*").cast("double").alias("_cs"))
     )

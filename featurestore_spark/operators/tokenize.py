@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from featurestore_spark.operators.text import tokens
+from featurestore_spark.operators.text import clean_tokens
 
 END_OF_WORD = "</w>"
 
@@ -39,12 +39,8 @@ def word_frequencies(
     """(word, count) over whitespace-split lowercased text — the
     sufficient statistic for :func:`learn_bpe`. One scan, map-side
     combined; ``min_count`` prunes the long tail at the source."""
-    toks = F.filter(
-        tokens(F.coalesce(F.col(text_col), F.lit(""))),
-        lambda t: t != F.lit(""),
-    )
     out = (
-        docs.select(F.explode(toks).alias("word"))
+        docs.select(F.explode(clean_tokens(text_col)).alias("word"))
         .groupBy("word")
         .agg(F.count("*").alias("count"))
     )
@@ -161,13 +157,24 @@ def apply_bpe(
     # stringifies them and breaks pandas_udf inference (see text.py)
     @pandas_udf("array<string>")
     def _seg(s):
+        import re
+
+        # ASCII \s to match Spark's Java-regex split in clean_tokens()
+        # exactly — Python's default Unicode \s also matches U+00A0
+        # etc., which would segment words the model never saw as such
+        ws = re.compile(r"\s+", re.ASCII)
         cache: dict[str, list[str]] = {}
 
         def one(text):
             if text is None:
                 return None
             out = []
-            for w in text.lower().split():
+            # no .strip(): Python's strip is Unicode-aware and would
+            # remove edge characters (nbsp) that Spark's trim keeps;
+            # the empty-string filter below handles ASCII edges
+            for w in ws.split(text.lower()):
+                if not w:
+                    continue
                 if w not in cache:
                     cache[w] = segment_word(w, ranks, end_of_word)
                 out.extend(cache[w])

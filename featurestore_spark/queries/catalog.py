@@ -4445,7 +4445,7 @@ def q_lm_perplexity(spark, sf_dir):
       SELECT source AS g,
              unnest(list_filter(regexp_split_to_array(trim(lower(coalesce(text, ''))),
                                                       '\s+'), t -> t <> '')) AS t
-      FROM documents),
+      FROM documents WHERE source IS NOT NULL),
     cs AS (SELECT g, t, count(*)::DOUBLE AS c_s FROM toks GROUP BY g, t),
     c AS (SELECT t, sum(c_s) AS c FROM cs GROUP BY t),
     ns AS (SELECT g, sum(c_s) AS n_s FROM cs GROUP BY g),

@@ -497,3 +497,13 @@ def test_dedup_lines_include_batch_requires_index(spark):
     df = spark.createDataFrame([(1, "a\nb")], "doc_id long, text string")
     with pytest.raises(ValueError, match="include_batch"):
         dedup_lines(df, include_batch=False)
+
+
+def test_collapse_exact_rejects_unknown_strings(spark):
+    from featurestore_spark.operators.curation import boilerplate_flags
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="expected True, False, or 'auto'"):
+        boilerplate_flags(df, collapse_exact="Auto").collect()

@@ -260,3 +260,32 @@ def test_merge_bigram_lm_equals_whole_fit(spark, corpus):
     assert ext == self_fit
     with pytest.raises(ValueError, match="at least one lm"):
         merge_bigram_lm()
+
+
+def test_bm25_query_terms_are_normalized(spark, corpus):
+    """Uppercase / padded query terms match the lowercased corpus
+    tokens instead of silently returning nothing."""
+    from featurestore_spark.operators.search import bm25_topk
+
+    q = spark.createDataFrame(
+        [(0, "CAT"), (0, " dog ")], "query_id long, term string"
+    )
+    got = sorted(map(tuple, bm25_topk(corpus, q, k=5).collect()))
+    plain = spark.createDataFrame(
+        [(0, "cat"), (0, "dog")], "query_id long, term string"
+    )
+    assert got == sorted(map(tuple, bm25_topk(corpus, plain, k=5).collect()))
+    assert len(got) == 3
+
+
+def test_lm_preserves_null_id_aggregate(spark):
+    from featurestore_spark.operators.search import lm_cross_entropy
+
+    df = spark.createDataFrame(
+        [(None, "a b c"), (2, "a b")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in lm_cross_entropy(df).collect()}
+    # the NULL-id row keeps its computed aggregate (eqNullSafe join)
+    assert out[None]["n_bigrams"] == 2
+    assert out[None]["cross_entropy"] is not None
+    assert out[2]["n_bigrams"] == 1

@@ -120,3 +120,25 @@ def test_word_frequencies_min_count(spark, sennrich_corpus):
 
     wf = word_frequencies(sennrich_corpus, min_count=3)
     assert {r["word"] for r in wf.collect()} == {"low", "newest", "widest"}
+
+
+def test_apply_bpe_tokenization_matches_fit_side(spark):
+    """Fit and apply must agree on word boundaries: Java \\s (ASCII)
+    does NOT split on U+00A0, so a nbsp-joined pair is ONE word on
+    both sides."""
+    from featurestore_spark.operators.tokenize import (
+        apply_bpe,
+        word_frequencies,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "ab cd ab cd")], "doc_id long, text string"
+    )
+    wf = {r["word"]: r["count"] for r in word_frequencies(df).collect()}
+    assert wf == {"ab cd": 2}
+    row = apply_bpe(df, [("a", "b")]).collect()[0]
+    # one word per nbsp-joined pair: exactly two word-final markers,
+    # and the nbsp survives inside the segments
+    joined = "".join(row["bpe_tokens"])
+    assert joined == "ab cd</w>ab cd</w>"
+    assert row["bpe_tokens"][0] == "ab"  # the (a,b) merge applied

@@ -755,3 +755,31 @@ def test_unigram_kl_divergence(spark):
     assert out["c"]["kl_divergence"] > out["a"]["kl_divergence"] >= 0
     with _pytest.raises(ValueError, match="add_k must be > 0"):
         unigram_kl_divergence(df, "source", add_k=0)
+
+
+def test_unigram_kl_divergence_excludes_null_groups(spark):
+    from featurestore_spark.operators.text import unigram_kl_divergence
+
+    df = spark.createDataFrame(
+        [(1, "a", "x y"), (2, None, "x x")],
+        "doc_id long, source string, text string",
+    )
+    out = unigram_kl_divergence(df, "source").collect()
+    # NULL-labeled rows are excluded entirely — from the output AND
+    # from the corpus distribution Q (group 'a' is the whole corpus,
+    # so its divergence is exactly 0)
+    assert [(r["source"], r["n_tokens"], r["kl_divergence"]) for r in out] == [
+        ("a", 2, 0.0)
+    ]
+
+
+def test_write_shards_validates_num_tasks(spark, tmp_path):
+    import pytest as _pytest
+
+    from featurestore_spark.operators.sampling import shard_corpus, write_shards
+
+    df = shard_corpus(
+        spark.createDataFrame([(1,)], "doc_id long"), n_shards=2
+    )
+    with _pytest.raises(ValueError, match="num_tasks must be >= 1"):
+        write_shards(df, str(tmp_path / "s"), num_tasks=0)
