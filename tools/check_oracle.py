@@ -13,6 +13,7 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import os
 import math
 import sys
 
@@ -59,8 +60,14 @@ def main():
     for t in (
         "region nation customer supplier part orders lineitem events documents embeddings"
     ).split():
+        # driver testdata ships flat <table>.parquet files; derived
+        # sets (tools/gen_scale.py) are Spark-written DIRECTORIES of
+        # part files — glob those
+        path = f"{args.sf}/{t}.parquet"
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
         con.execute(
-            f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{args.sf}/{t}.parquet'"
+            f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{path}'"
         )
 
     queries = entrymod.queries()
