@@ -128,7 +128,16 @@ HEADLINE = [
     "q_bm25_index_topk",
     "q_lm_perplexity",
     "q_source_divergence",
+    # Round 7: rows-only (non-SQL-expressible) end-to-end paths
+    "q_bpe_segment",
+    "q_ivf_topk",
 ]
+
+# Zero-code-change drift control (VERDICT r6 #8): the TPC-H block has
+# been byte-identical since r4, so its subtotal separates host drift
+# from code-attributable movement — `tpch_control_wall` in the output
+# makes the r(N) vs r(N-1) regression call one subtraction.
+TPCH_CONTROL = [q for q in HEADLINE if q.startswith("q_tpch_")]
 
 
 def main():
@@ -158,6 +167,12 @@ def main():
             "spark.ui.showConsoleProgress": "false",
         },
     )
+    # The r6 bench tail was ~90% repeated `WARN WindowExec` lines from
+    # the annotated tiny global windows — the same flood-the-finite-
+    # tail failure mode that nulled the r5 artifact parse. The bench
+    # session needs no WARNs; keep stderr near-silent so the driver's
+    # tail capture always contains the final JSON line.
+    spark.sparkContext.setLogLevel("ERROR")
     # Warm the JVM + parquet footers once (excluded from timings).
     QUERIES["q_tpch_q1"].spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
 
@@ -202,6 +217,9 @@ def main():
             spark._jvm.System.gc()
 
     total = round(sum(timings.values()), 3)
+    tpch_control = round(
+        sum(t for q, t in timings.items() if q in set(TPCH_CONTROL)), 3
+    )
     # Full per-query map goes to a sidecar file: at 80+ queries the
     # inline map outgrew the driver's stdout tail-capture window and
     # BENCH_r05.json recorded parsed:null. The stdout line stays short
@@ -216,6 +234,7 @@ def main():
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "tpch_control_wall": tpch_control,
                 "sf": sf,
                 "repeats": repeats,
             },
@@ -232,6 +251,7 @@ def main():
                 "unit": "sec",
                 "queries": top5,
                 "n_queries": len(timings),
+                "tpch_control_wall": tpch_control,
                 "sf": sf,
                 "repeats": repeats,
                 "full_map": "bench_full.json",
