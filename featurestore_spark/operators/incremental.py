@@ -53,6 +53,32 @@ from featurestore_spark.operators.dedup import (
 from featurestore_spark.operators.materialize import materialize
 
 
+def _require_hash128(index: DataFrame, col: str, op_name: str) -> None:
+    """Round 6 migrated the line/span index keys from a 64-bit bigint
+    to the 128-bit struct<h1,h2> (`dedup.hash128`) — an index persisted
+    under the old format would otherwise surface as an opaque join
+    type-mismatch AnalysisException deep inside the plan. Fail fast
+    with the migration instruction instead (see docs/scale.md)."""
+    from pyspark.sql.types import StructType
+
+    field = next((f for f in index.schema.fields if f.name == col), None)
+    if field is None:
+        raise ValueError(
+            f"{op_name}: supplied index has no '{col}' column "
+            f"(columns: {index.columns})"
+        )
+    if not isinstance(field.dataType, StructType):
+        raise ValueError(
+            f"{op_name}: index column '{col}' is {field.dataType.simpleString()}, "
+            "but round-6+ indexes key on the 128-bit struct<h1:bigint,"
+            "h2:bigint> (64-bit keys birthday-collide at corpus scale "
+            "and silently false-drop). Rebuild the index with "
+            "line_frequency_index/span_window_index from the current "
+            "version — the corpus scan is the same cost as the "
+            "original build."
+        )
+
+
 def _melt_bands(bands_df: DataFrame, id_col: str, bands: int) -> DataFrame:
     """(id, band_0..band_{b-1}) → (id, band_idx, band_hash)."""
     return bands_df.selectExpr(
@@ -596,15 +622,28 @@ def extend_index(
     n: int = 3,
     k: int = 16,
     bands: int = 4,
+    verify: bool = False,
 ) -> DataFrame:
     """Append the accepted batch's band rows to the index so the next
     batch dedups against corpus + this batch. Returns the unioned
     index frame; the caller persists it (append-mode parquet write of
     just the new rows in production — the union here is for in-session
-    chaining and tests)."""
+    chaining and tests).
+
+    The batch's doc ids must be NEW (a re-extended batch would pair
+    every future duplicate with two identical index rows and, worse,
+    mark the batch a duplicate of itself on the next against-index
+    run). ``verify=True`` runs the shared sketch probe
+    (:func:`featurestore_spark.operators.probes.verify_disjoint_ids`)
+    against the index's rep doc ids and raises on gross overlap —
+    three aggregates' cost, catching the double-ingestion misuse."""
     new_rows = minhash_band_index(
         kept, text_col, id_col, n=n, k=k, bands=bands
     )
+    if verify:
+        from featurestore_spark.operators.probes import verify_disjoint_ids
+
+        verify_disjoint_ids(index, new_rows, "doc_id", "extend_index")
     return index.unionByName(new_rows)
 
 
@@ -675,6 +714,7 @@ def dedup_lines_against_index(
     the index through)."""
     from featurestore_spark.operators.curation import dedup_lines
 
+    _require_hash128(index, "line_hash", "dedup_lines_against_index")
     return dedup_lines(
         batch,
         text_col,
@@ -703,7 +743,16 @@ def extend_line_index(
     (line_hash, doc_freq) frame; the caller persists it. In production
     prefer writing the batch's delta rows to a `batch=<id>` partition
     and summing on read (idempotent under retry, no index rewrite) —
-    the eager merge here suits in-session chaining and tests."""
+    the eager merge here suits in-session chaining and tests.
+
+    The batch must not already be counted in the index (a re-extended
+    batch doubles its lines' doc_freq → over-aggressive dropping).
+    Unlike `extend_index`/`merge_bm25_index`, no sketch probe can
+    enforce this: the persisted state is (line_hash, doc_freq) with no
+    document identity, and hash overlap between a legitimate new batch
+    and the corpus is EXPECTED (shared lines are the whole point of
+    counting). Use the `batch=<id>` partition layout above — the
+    partition name is the idempotency key."""
     delta = line_frequency_index(
         batch, text_col, id_col, delimiter=delimiter, normalize=normalize
     )
@@ -857,6 +906,7 @@ def remove_spans_against_index(
     `curation.remove_shared_spans` (same output schema and interval
     machinery). Equals full-corpus `remove_shared_spans` restricted to
     the batch rows — test-asserted."""
+    _require_hash128(index, "window_hash", "remove_spans_against_index")
     from featurestore_spark.operators.curation import (
         _apply_span_removal,
         _merged_interval_spans,
@@ -926,7 +976,10 @@ def extend_span_index(
 ) -> DataFrame:
     """Merge a batch's window frequencies into the index (caller
     persists; prefer `batch=<id>` delta partitions summed on read in
-    production, as with the other incremental indexes)."""
+    production, as with the other incremental indexes). As with
+    `extend_line_index`, a re-extended batch double-counts and no
+    sketch probe can detect it from (window_hash, doc_freq) state —
+    the `batch=<id>` partition name is the idempotency key."""
     delta = span_window_index(batch, text_col, id_col, n=n)
     return (
         index.unionByName(delta)

@@ -44,6 +44,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from featurestore_spark.operators.materialize import materialize
+from featurestore_spark.operators.probes import verify_disjoint_ids as _verify_disjoint_ids
 from featurestore_spark.operators.text import clean_tokens as _clean_tokens
 
 
@@ -138,17 +139,27 @@ def bm25_index(
 
 
 def merge_bm25_index(
-    a: tuple[DataFrame, DataFrame], b: tuple[DataFrame, DataFrame]
+    a: tuple[DataFrame, DataFrame],
+    b: tuple[DataFrame, DataFrame],
+    *,
+    verify: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Merge two BM25 indexes built over DISJOINT document sets (the
     incremental build: index new partitions, merge into the base —
     counts are additive, so the merge is a union plus a single-row
     stats sum; no corpus re-scan). Overlapping doc sets would double-
     count postings and n_docs; callers own that invariant (checking it
-    would cost a full postings join, defeating the incremental
-    point)."""
+    EXACTLY would cost a full postings join, defeating the incremental
+    point). ``verify=True`` runs a cheap sketch probe instead — three
+    ``approx_count_distinct(doc_id)`` aggregates (each side + the
+    union) — and raises on GROSS overlap (union estimate well below
+    the sum of the parts, beyond sketch error); it catches the
+    double-ingested-batch misuse for three aggregates' cost, not
+    small overlaps."""
     pa, sa = a
     pb, sb = b
+    if verify:
+        _verify_disjoint_ids(pa, pb, "doc_id", "merge_bm25_index")
     postings = pa.unionByName(pb)
     stats = (
         sa.unionByName(sb)

@@ -281,8 +281,11 @@ def apply_bpe(
             out = []
             # no .strip(): Python's strip is Unicode-aware and would
             # remove edge characters (nbsp) that Spark's trim keeps;
-            # the empty-string filter below handles ASCII edges
-            for w in ws.split(text.lower()):
+            # the empty-string filter below handles ASCII edges.
+            # No .lower() either — lowercasing happens JVM-side below
+            # so fit (clean_tokens' `lower`) and apply share the same
+            # Unicode case mapping; only the \s split is Python-side.
+            for w in ws.split(text):
                 if not w:
                     continue
                 if w not in cache:
@@ -292,5 +295,5 @@ def apply_bpe(
 
         return s.map(one)
 
-    out = docs.withColumn(out_col, _seg(F.col(text_col)))
+    out = docs.withColumn(out_col, _seg(F.lower(F.col(text_col))))
     return out.withColumn("n_bpe_tokens", F.size(out_col))

@@ -289,3 +289,18 @@ def test_lm_preserves_null_id_aggregate(spark):
     assert out[None]["n_bigrams"] == 2
     assert out[None]["cross_entropy"] is not None
     assert out[2]["n_bigrams"] == 1
+
+
+def test_merge_bm25_index_verify_probe(spark, corpus):
+    """Disjoint halves pass the sketch probe; a double-ingested part
+    raises (VERDICT r6 #5). Oracles/queries never pass verify=True, so
+    the default path is unchanged."""
+    from featurestore_spark.operators.search import bm25_index, merge_bm25_index
+
+    lo = bm25_index(corpus.where(F.col("doc_id") <= 3))
+    hi = bm25_index(corpus.where(F.col("doc_id") > 3))
+    postings, stats = merge_bm25_index(lo, hi, verify=True)
+    assert stats.collect()[0]["n_docs"] == 6
+    whole = bm25_index(corpus)
+    with pytest.raises(ValueError, match="overlap"):
+        merge_bm25_index(whole, bm25_index(corpus), verify=True)
