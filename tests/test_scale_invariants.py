@@ -1,0 +1,164 @@
+"""Replication-invariance properties (VERDICT r6 #6) at test scale.
+
+The queries whose DuckDB oracles are too expensive at the 10x stress
+(q_simhash_near_dups, q_dedup_clusters, q_embedding_clusters,
+q_pack_chunks) are validated there by closed-form invariants instead:
+exact-replica injection transforms each output predictably (see
+tools/check_invariants.py's module docstring for the derivations).
+These tests exercise the same check functions on a tiny corpus with
+factor-3 replication, so the 10x run's logic is itself tested.
+"""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from featurestore_spark.queries import QUERIES
+from tools.check_invariants import (
+    cluster_checks,
+    pack_checks,
+    simhash_checks,
+)
+
+FACTOR = 3
+STRIDE = 1000
+
+
+def _replicate(df, id_cols):
+    rep = df.withColumn(
+        "_i", F.explode(F.sequence(F.lit(0), F.lit(FACTOR - 1)))
+    )
+    for k in id_cols:
+        rep = rep.withColumn(k, F.col(k) + F.col("_i") * F.lit(STRIDE))
+    return rep.drop("_i")
+
+
+@pytest.fixture(scope="module")
+def dirs(spark, tmp_path_factory):
+    """base/ and rep/ table dirs with documents + embeddings parquet
+    (the same layout load_table reads at the 10x stress)."""
+    root = tmp_path_factory.mktemp("invariants")
+    base, rep = str(root / "base"), str(root / "rep")
+    long_a = (
+        "the quick brown fox jumps over the lazy dog while seventeen "
+        "other animals watch from the fence near the old barn today"
+    )
+    long_b = (
+        "completely different material about spark shuffle exchanges "
+        "broadcast joins and adaptive query execution plans at scale"
+    )
+    docs = spark.createDataFrame(
+        [
+            (0, long_a),
+            (1, long_a.replace("today", "tonight")),  # near dup of 0
+            (2, long_b),
+            (3, long_b.replace("plans", "stages")),  # near dup of 2
+            (4, "an isolated unique document with entirely separate words"),
+            (5, ""),  # empty doc (sig 0 path)
+        ],
+        "doc_id long, text string",
+    )
+    rng = np.random.default_rng(7)
+    va = rng.normal(size=64)
+    vb = rng.normal(size=64)
+    vecs = [
+        (0, va),
+        (1, va + rng.normal(scale=0.01, size=64)),  # near dup of 0
+        (2, vb),
+        (3, -va),  # far from everything
+        (4, rng.normal(size=64)),
+    ]
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v], 0) for i, v in vecs],
+        "vec_id long, embedding array<float>, label int",
+    )
+    docs.write.parquet(f"{base}/documents.parquet")
+    emb.write.parquet(f"{base}/embeddings.parquet")
+    _replicate(docs, ["doc_id"]).write.parquet(f"{rep}/documents.parquet")
+    _replicate(emb, ["vec_id"]).write.parquet(f"{rep}/embeddings.parquet")
+    return base, rep
+
+
+def _assert_all(checks):
+    bad = [c for c in checks if not c[1]]
+    assert not bad, bad
+
+
+def test_simhash_replication_invariance(spark, dirs):
+    base, rep = dirs
+    q = QUERIES["q_simhash_near_dups"].spark
+    base_pairs = q(spark, base)
+    # meaningful only if the base corpus actually has near-dup pairs
+    assert base_pairs.where(F.col("hamming") > 0).count() > 0
+    _assert_all(
+        simhash_checks(base_pairs, q(spark, rep), 6, FACTOR, STRIDE)
+    )
+
+
+def test_dedup_clusters_replica_isomorphism(spark, dirs):
+    base, rep = dirs
+    q = QUERIES["q_dedup_clusters"].spark
+    base_out = q(spark, base)
+    assert base_out.count() > 0  # the near-dup families cluster
+    base_ids = spark.range(6).select(F.col("id").alias("doc_id"))
+    _assert_all(
+        cluster_checks(
+            base_out, q(spark, rep), base_ids, FACTOR, STRIDE,
+            "doc_id", "canonical_id",
+        )
+    )
+
+
+def test_embedding_clusters_replica_isomorphism(spark, dirs):
+    base, rep = dirs
+    q = QUERIES["q_embedding_clusters"].spark
+    base_out = q(spark, base)
+    assert base_out.count() > 0
+    base_ids = spark.range(5).select(F.col("id").alias("vec_id"))
+    _assert_all(
+        cluster_checks(
+            base_out, q(spark, rep), base_ids, FACTOR, STRIDE,
+            "vec_id", "canonical_id",
+        )
+    )
+
+
+def test_pack_chunks_next_fit_replay(spark, dirs):
+    from featurestore_spark.operators.curation import chunk_documents
+    from featurestore_spark.io import load_table
+
+    base, rep = dirs
+    rep_chunks = (
+        chunk_documents(load_table(spark, rep, "documents"), window=32)
+        .withColumn("pack_group", (F.col("doc_id") % 8).cast("int"))
+        .select("pack_group", "doc_id", "chunk_idx", "n_chunk_tokens")
+    )
+    _assert_all(
+        pack_checks(
+            QUERIES["q_pack_chunks"].spark(spark, rep), rep_chunks, budget=128
+        )
+    )
+
+
+def test_pack_replay_catches_a_wrong_packing(spark, dirs):
+    """The window replay is a real validator: perturbing one bin
+    boundary must fail it."""
+    base, rep = dirs
+    out = QUERIES["q_pack_chunks"].spark(spark, rep)
+    broken = out.withColumn(
+        "bin_id",
+        F.when(
+            (F.col("pack_group") == 0) & (F.col("chunk_idx") == 0),
+            F.col("bin_id") + 1,
+        ).otherwise(F.col("bin_id")),
+    )
+    from featurestore_spark.operators.curation import chunk_documents
+    from featurestore_spark.io import load_table
+
+    rep_chunks = (
+        chunk_documents(load_table(spark, rep, "documents"), window=32)
+        .withColumn("pack_group", (F.col("doc_id") % 8).cast("int"))
+        .select("pack_group", "doc_id", "chunk_idx", "n_chunk_tokens")
+    )
+    checks = pack_checks(broken, rep_chunks, budget=128)
+    assert any(not ok for _, ok, _ in checks)
