@@ -389,6 +389,114 @@ def boilerplate_flags(
     )
 
 
+def c4_line_filter(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    min_words_per_line: int = 3,
+    min_kept_lines: int = 3,
+) -> DataFrame:
+    """C4-style line-level cleaning (Raffel et al. 2020, §2.2): keep
+    only lines that end in terminal punctuation (``. ! ? "``), contain
+    at least ``min_words_per_line`` words, and do not mention
+    "javascript"; drop the whole page when it contains "lorem ipsum"
+    or a curly brace (code), or when fewer than ``min_kept_lines``
+    lines survive. Returns
+
+    (id, text [kept lines re-joined], n_lines, n_kept_lines, keep)
+
+    with the original text REPLACED by the cleaned text, so the
+    operator composes directly with the dedup ladder downstream.
+
+    Scale shape: pure Column expressions, one scan, no shuffle — the
+    line array is built once per row (projected to an attribute so HOF
+    lambdas don't re-split per element) and folded with filter/size.
+    NULL text → empty output text, keep=false."""
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    base = docs.withColumn(
+        "_lines",
+        F.filter(
+            F.transform(F.split(text, "\n"), F.trim),
+            lambda l: l != F.lit(""),
+        ),
+    )
+    line_words = lambda l: F.size(  # noqa: E731
+        F.filter(F.split(l, r"\s+"), lambda t: t != F.lit(""))
+    )
+    kept = F.filter(
+        F.col("_lines"),
+        lambda l: l.rlike('[.!?"]$')
+        & (line_words(l) >= min_words_per_line)
+        & ~F.lower(l).contains("javascript"),
+    )
+    base = base.withColumn("_kept", kept)
+    lowered = F.lower(text)
+    keep = (
+        (F.size("_kept") >= min_kept_lines)
+        & ~lowered.contains("lorem ipsum")
+        & ~lowered.contains("{")
+    )
+    return base.select(
+        id_col,
+        F.concat_ws("\n", "_kept").alias(text_col),
+        F.size("_lines").cast("int").alias("n_lines"),
+        F.size("_kept").cast("int").alias("n_kept_lines"),
+        keep.alias("keep"),
+    )
+
+
+def ngram_novelty(
+    docs: DataFrame,
+    *,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document novelty: the fraction of the doc's DISTINCT word
+    n-grams whose first corpus occurrence (minimum ``id_col``) is this
+    document. Duplicated/templated content scores near 0; fresh
+    content near 1 — the corpus-level complement of the per-doc
+    repetition metrics, useful for ordering ingestion batches and
+    spotting scraped mirrors. Returns (id, n_grams, n_novel,
+    novel_frac); docs with no tokens are omitted (no grams to score).
+
+    Scale shape (the `boilerplate_flags` pattern): one scan shingles
+    each doc, the exploded (md5(gram), id) frame is repartitioned ONCE
+    on the gram key so the first-occurrence aggregate and the
+    merge-join back both reuse a single shuffle; the gram key is the
+    16-byte md5, never the gram text. First-occurrence is min(id) —
+    deterministic, and exact duplicates credit only the minimum id
+    (their replicas score 0, which is the point)."""
+    sh = (
+        docs.select(
+            F.col(id_col).alias("_uid"),
+            F.explode(shingles(text_col, n)).alias("_g"),
+        )
+        # blank/NULL docs shingle to [""] — not a gram, not scored
+        .where(F.col("_g") != "")
+        .select("_uid", F.md5("_g").alias("_gh"))
+    )
+    sh = sh.repartition(F.col("_gh"))
+    first = sh.groupBy("_gh").agg(F.min("_uid").alias("_first"))
+    return (
+        sh.join(first.hint("merge"), "_gh")
+        .groupBy("_uid")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(
+                F.when(F.col("_first") == F.col("_uid"), 1).otherwise(0)
+            ).alias("n_novel"),
+        )
+        .select(
+            F.col("_uid").alias(id_col),
+            F.col("n_grams").cast("long").alias("n_grams"),
+            F.col("n_novel").cast("long").alias("n_novel"),
+            F.round(F.col("n_novel") / F.col("n_grams"), 4).alias("novel_frac"),
+        )
+    )
+
+
 # -- fixed-window chunking ----------------------------------------------------
 
 

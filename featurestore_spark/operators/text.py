@@ -90,6 +90,132 @@ def quality_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+# Gopher rule-set stopwords (Rae et al. 2021, A1.1): a doc must
+# contain at least `min_stop_hits` DISTINCT words from this list.
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_doc_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    max_bullet_line_frac: float = 0.9,
+    max_ellipsis_line_frac: float = 0.3,
+    min_alpha_word_frac: float = 0.8,
+    min_stop_hits: int = 2,
+) -> DataFrame:
+    """Document-level quality rules from the Gopher corpus pipeline
+    (Rae et al. 2021, Appendix A1.1) — the complement of
+    `curation.repetition_metrics` (which covers the same paper's
+    repetition rules). Emits every signal plus the conjunction `keep`,
+    so downstream can re-threshold without recomputation:
+
+    (id, n_words, mean_word_len, symbol_word_ratio, bullet_line_frac,
+     ellipsis_line_frac, alpha_word_frac, stop_hits, keep)
+
+    Defaults are the published thresholds: 50-100k words, mean word
+    length 3-10, #/ellipsis-to-word ratio <= 0.1, <= 90% bullet lines,
+    <= 30% ellipsis-ending lines, >= 80% words with an alphabetic
+    character, >= 2 distinct stopwords. "Alphabetic" is ASCII [a-z]
+    over the lowercased tokens (the lang-id lexicons are Latin-script;
+    extend the rlike class for other scripts).
+
+    Scale shape: pure Column expressions over one scan — no shuffle,
+    no UDF, whole-stage codegen; ratios are per-document folds over
+    the token/line arrays. Zero-word docs emit NULL ratios and
+    keep=false."""
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    out = df.withColumns(
+        {
+            "_toks": clean_tokens(text_col),
+            # non-empty trimmed lines; bullet/ellipsis fracs are over these
+            "_lines": F.filter(
+                F.transform(F.split(text, "\n"), F.trim),
+                lambda l: l != F.lit(""),
+            ),
+        }
+    )
+    n_words = F.size("_toks")
+    n_lines = F.size("_lines")
+    # '#' occurrences + '...'/'…' occurrences (non-overlapping), per Gopher's
+    # "symbol-to-word ratio" (hash or ellipsis)
+    n_symbols = (
+        F.length(text)
+        - F.length(F.regexp_replace(text, "#", ""))
+        + F.regexp_count(text, F.lit(r"\.\.\."))
+        + F.regexp_count(text, F.lit("…"))
+    )
+    # try_divide: zero-word/zero-line docs get NULL ratios (ANSI-safe),
+    # which the keep-conjunction coalesces to false
+    ratios = {
+        "n_words": n_words.cast("long"),
+        "mean_word_len": F.round(
+            F.try_divide(
+                F.aggregate("_toks", F.lit(0.0), lambda a, t: a + F.length(t)),
+                n_words,
+            ),
+            4,
+        ),
+        "symbol_word_ratio": F.round(F.try_divide(n_symbols, n_words), 4),
+        "bullet_line_frac": F.round(
+            F.try_divide(
+                F.size(
+                    F.filter(
+                        "_lines",
+                        lambda l: F.substring(l, 1, 1).isin("•", "-", "*"),
+                    )
+                ),
+                n_lines,
+            ),
+            4,
+        ),
+        "ellipsis_line_frac": F.round(
+            F.try_divide(
+                F.size(
+                    F.filter(
+                        "_lines",
+                        lambda l: l.endswith("...") | l.endswith("…"),
+                    )
+                ),
+                n_lines,
+            ),
+            4,
+        ),
+        "alpha_word_frac": F.round(
+            F.try_divide(
+                F.size(F.filter("_toks", lambda t: t.rlike("[a-z]"))), n_words
+            ),
+            4,
+        ),
+        "stop_hits": F.size(
+            F.array_intersect(
+                "_toks", F.array(*[F.lit(w) for w in GOPHER_STOPWORDS])
+            )
+        ).cast("int"),
+    }
+    out = out.withColumns(ratios)
+    keep = (
+        F.col("n_words").between(min_words, max_words)
+        & F.col("mean_word_len").between(min_mean_word_len, max_mean_word_len)
+        & (F.col("symbol_word_ratio") <= max_symbol_word_ratio)
+        & (F.col("bullet_line_frac") <= max_bullet_line_frac)
+        & (F.col("ellipsis_line_frac") <= max_ellipsis_line_frac)
+        & (F.col("alpha_word_frac") >= min_alpha_word_frac)
+        & (F.col("stop_hits") >= min_stop_hits)
+    )
+    return out.select(
+        id_col,
+        *ratios.keys(),
+        F.coalesce(keep, F.lit(False)).alias("keep"),
+    )
+
+
 def normalized_fingerprint(text_col: str | Column = "text") -> Column:
     """Stable document fingerprint: md5 of lowercase,
     whitespace-collapsed text."""

@@ -507,3 +507,58 @@ def test_collapse_exact_rejects_unknown_strings(spark):
 
     with _pytest.raises(ValueError, match="expected True, False, or 'auto'"):
         boilerplate_flags(df, collapse_exact="Auto").collect()
+
+
+def test_c4_line_filter_rules(spark):
+    from featurestore_spark.operators.curation import c4_line_filter
+
+    good = "\n".join(
+        [
+            "this is a proper sentence with enough words.",
+            "another complete sentence that also terminates properly!",
+            'a third one, quoted at the end."',
+            "short one.",  # < 3 words -> dropped
+            "no terminal punctuation on this line",  # dropped
+            "please enable javascript to view this page.",  # dropped
+        ]
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, good),
+            (2, good + "\nsome lorem ipsum filler text here."),
+            (3, "object = { key: value }.\n" + good),
+            (4, "only one good sentence survives this page here."),
+            (5, None),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in c4_line_filter(docs).collect()}
+    assert out[1]["keep"] and out[1]["n_kept_lines"] == 3
+    assert out[1]["text"].count("\n") == 2
+    assert "javascript" not in out[1]["text"]
+    assert not out[2]["keep"]  # lorem ipsum page rule
+    assert not out[3]["keep"]  # curly brace page rule
+    assert not out[4]["keep"] and out[4]["n_kept_lines"] == 1
+    assert not out[5]["keep"] and out[5]["text"] == "" and out[5]["n_lines"] == 0
+
+
+def test_ngram_novelty_scores_duplicates_zero(spark):
+    from featurestore_spark.operators.curation import ngram_novelty
+
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base),  # exact dup: every gram first seen in doc 1
+            (3, base + " iota kappa"),  # suffix adds 2 novel trigrams
+            (4, "entirely different words with no shared trigrams at all"),
+            (5, ""),  # no grams -> omitted
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in ngram_novelty(docs, n=3).collect()}
+    assert 5 not in out
+    assert out[1]["novel_frac"] == 1.0
+    assert out[2]["novel_frac"] == 0.0 and out[2]["n_grams"] == out[1]["n_grams"]
+    assert out[3]["n_novel"] == 2
+    assert out[4]["novel_frac"] == 1.0

@@ -783,3 +783,34 @@ def test_write_shards_validates_num_tasks(spark, tmp_path):
     )
     with _pytest.raises(ValueError, match="num_tasks must be >= 1"):
         write_shards(df, str(tmp_path / "s"), num_tasks=0)
+
+
+def test_gopher_doc_rules_signals(spark):
+    from featurestore_spark.operators.text import gopher_doc_rules
+
+    passing = " ".join(
+        ["the", "be", "to", "of", "and"] + ["word"] * 60
+    )  # 65 words, stopwords present, all alpha
+    bullets = "\n".join(f"• bullet item {i}" for i in range(10))
+    ellipses = "\n".join(f"trailing line {i}..." for i in range(10))
+    symbols = " ".join(["the", "and"] + ["##tag"] * 60)
+    docs = spark.createDataFrame(
+        [
+            (1, passing),
+            (2, "too short"),
+            (3, passing + "\n" + bullets),  # 10/11 bullet lines > 0.9
+            (4, passing + "\n" + ellipses),  # 10/11 ellipsis lines > 0.3
+            (5, symbols),  # 120 '#' over 62 words: ratio >> 0.1
+            (6, " ".join(["word"] * 60)),  # no stopwords
+            (7, None),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in gopher_doc_rules(docs).collect()}
+    assert out[1]["keep"] and out[1]["n_words"] == 65 and out[1]["stop_hits"] == 5
+    assert not out[2]["keep"]  # word count below 50
+    assert not out[3]["keep"] and out[3]["bullet_line_frac"] > 0.9
+    assert not out[4]["keep"] and out[4]["ellipsis_line_frac"] > 0.3
+    assert not out[5]["keep"] and out[5]["symbol_word_ratio"] > 0.1
+    assert not out[6]["keep"] and out[6]["stop_hits"] == 0
+    assert not out[7]["keep"] and out[7]["n_words"] == 0
