@@ -131,10 +131,11 @@ HEADLINE = [
     # Round 7: rows-only (non-SQL-expressible) end-to-end paths
     "q_bpe_segment",
     "q_ivf_topk",
-    # Round 7: published curation rule sets + corpus novelty
+    # Round 7: published curation rule sets + corpus novelty + DSIR
     "q_gopher_rules",
     "q_c4_filter",
     "q_ngram_novelty",
+    "q_dsir_weights",
 ]
 
 # Zero-code-change drift control (VERDICT r6 #8): the TPC-H block has

@@ -505,3 +505,143 @@ def cluster_balance_sample(
             * HASH_BUCKETS
         ).cast("long")
     return out.where(hash_bucket(id_col) < thr).drop("_n")
+
+
+# -- DSIR importance weighting (Xie et al. 2023) ------------------------------
+
+
+def hashed_ngram_features(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    n_buckets: int = 10_000,
+    include_bigrams: bool = True,
+) -> DataFrame:
+    """Per-document hashed n-gram feature stream (id, bucket): each
+    unigram (and bigram, by default) hashes into one of ``n_buckets``
+    buckets via the engine-portable md5-prefix hash (`hash_bucket`) —
+    the feature extraction of Data Selection via Importance Resampling
+    (DSIR; Xie et al. 2023), which fits bag-of-hashed-ngram unigram
+    models over these buckets. Occurrences keep their multiplicity
+    (bag semantics). One scan, no shuffle — the consumer aggregates."""
+    from featurestore_spark.operators.dedup import zipped_ngrams
+    from featurestore_spark.operators.text import clean_tokens
+
+    toks = clean_tokens(text_col)
+    grams = toks
+    if include_bigrams:
+        bigrams = F.when(F.size(toks) >= 2, zipped_ngrams(toks, 2)).otherwise(
+            F.array().cast("array<string>")
+        )
+        grams = F.concat(toks, bigrams)
+    return df.select(
+        F.col(id_col), F.explode(grams).alias("_g")
+    ).select(
+        id_col, hash_bucket(F.col("_g"), n_buckets).alias("bucket")
+    )
+
+
+def hashed_ngram_model(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    n_buckets: int = 10_000,
+    include_bigrams: bool = True,
+) -> DataFrame:
+    """(bucket, count) bag-of-hashed-ngrams model over a corpus — at
+    most ``n_buckets`` rows regardless of corpus size (the sufficient
+    statistic for DSIR's unigram bucket model). One scan + one
+    map-side-combined aggregate on the bucket key."""
+    return (
+        hashed_ngram_features(
+            df, text_col, id_col,
+            n_buckets=n_buckets, include_bigrams=include_bigrams,
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("count"))
+    )
+
+
+def dsir_log_weights(
+    raw: DataFrame,
+    target_model: DataFrame,
+    raw_model: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 10_000,
+    include_bigrams: bool = True,
+    smoothing: float = 1.0,
+    decimals: int | None = 4,
+) -> DataFrame:
+    """Per-document DSIR importance log-weight: the log-likelihood
+    ratio of the doc's hashed n-gram bag under the TARGET model vs the
+    RAW model,
+
+        log w(x) = sum over features f of
+                   [ln p_target(bucket(f)) - ln p_raw(bucket(f))]
+
+    with add-``smoothing`` Laplace estimates. High weights mark raw
+    docs that look like the target domain; feed the output to
+    `split_by_hash`/`global_ntile`-style selection (the paper's Gumbel
+    resampling is a nondeterministic variant of rank-by-weight).
+    Returns (id, n_feats, log_weight); docs with zero features are
+    omitted (no evidence either way).
+
+    Scale shape: the ratio table is built once from the two
+    bucket-count models (<= n_buckets rows; totals ride a single-row
+    cross join — the bm25 stats idiom) and BROADCAST to the scoring
+    join, so the corpus-sized feature stream never shuffles on the
+    bucket key; the only corpus-sized shuffle is the per-doc sum,
+    map-side combined on the doc id. `raw_model` must be fit on a
+    superset of the docs being scored (buckets absent from it would
+    have no ratio row — with the catalog usage, raw ⊇ scored, this
+    cannot happen; a scored bucket with no ratio row NULLs that doc's
+    log_weight outright — visible, instead of silently dropping the
+    feature from the sum)."""
+    t_tot = target_model.agg(F.sum("count").alias("_nt"))
+    r_tot = raw_model.agg(F.sum("count").alias("_nr"))
+    ratio = (
+        raw_model.select("bucket", F.col("count").alias("_cr"))
+        .join(
+            target_model.select("bucket", F.col("count").alias("_ct")),
+            "bucket",
+            "left",
+        )
+        .crossJoin(F.broadcast(t_tot))
+        .crossJoin(F.broadcast(r_tot))
+        .select(
+            "bucket",
+            (
+                F.log(
+                    (F.coalesce(F.col("_ct"), F.lit(0)) + F.lit(smoothing))
+                    / (F.col("_nt") + F.lit(smoothing * n_buckets))
+                )
+                - F.log(
+                    (F.col("_cr") + F.lit(smoothing))
+                    / (F.col("_nr") + F.lit(smoothing * n_buckets))
+                )
+            ).alias("_lr"),
+        )
+    )
+    feats = hashed_ngram_features(
+        raw, text_col, id_col,
+        n_buckets=n_buckets, include_bigrams=include_bigrams,
+    )
+    # F.sum skips NULLs, which would silently drop unmatched buckets —
+    # instead a single unmatched bucket NULLs the whole doc's weight
+    weight = F.when(
+        F.sum(F.when(F.col("_lr").isNull(), 1).otherwise(0)) > 0, F.lit(None)
+    ).otherwise(F.sum("_lr"))
+    if decimals is not None:
+        weight = F.round(weight, decimals)
+    return (
+        feats.join(F.broadcast(ratio), "bucket", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_feats"),
+            weight.alias("log_weight"),
+        )
+    )

@@ -4624,6 +4624,66 @@ def q_ngram_novelty(spark, sf_dir):
     return ngram_novelty(docs, n=3)
 
 
+@_register(
+    "q_dsir_weights",
+    r"""
+    WITH toked AS (
+      SELECT doc_id, source,
+             list_filter(string_split_regex(trim(lower(coalesce(text, ''))),
+                                            '\s+'), t -> t <> '') AS toks
+      FROM documents),
+    grams AS (
+      SELECT doc_id, source, g
+      FROM (SELECT doc_id, source, unnest(toks) AS g FROM toked)
+      UNION ALL
+      SELECT doc_id, source, g
+      FROM (SELECT doc_id, source,
+                   unnest(list_transform(generate_series(1, len(toks) - 1),
+                                         i -> toks[i] || ' ' || toks[i+1]))
+                     AS g
+            FROM toked WHERE len(toks) >= 2)),
+    b AS (
+      SELECT doc_id, source,
+             CAST(CAST(('0x' || substr(md5(g), 1, 7)) AS UBIGINT) % 10000
+                  AS INTEGER) AS bucket
+      FROM grams),
+    tm AS (SELECT bucket, count(*) AS ct FROM b WHERE source = 'src0'
+           GROUP BY bucket),
+    rm AS (SELECT bucket, count(*) AS cr FROM b GROUP BY bucket),
+    tot AS (SELECT (SELECT sum(ct) FROM tm) AS nt,
+                   (SELECT sum(cr) FROM rm) AS nr),
+    ratio AS (
+      SELECT rm.bucket,
+             ln((coalesce(tm.ct, 0) + 1.0) / (tot.nt + 1.0 * 10000))
+             - ln((rm.cr + 1.0) / (tot.nr + 1.0 * 10000)) AS lr
+      FROM rm LEFT JOIN tm USING (bucket) CROSS JOIN tot)
+    SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+           round(sum(lr), 4) AS log_weight
+    FROM b JOIN ratio USING (bucket)
+    GROUP BY b.doc_id
+    """,
+    "DSIR importance weights (Xie et al. 2023): per-doc log-likelihood "
+    "ratio of the hashed uni+bigram bag under a target-domain model "
+    "(source='src0') vs the raw-corpus model, add-1 smoothed over 10k "
+    "md5 buckets. Model fit is two bucket-bounded aggregates; scoring "
+    "joins the corpus feature stream against the BROADCAST ratio "
+    "table, so the corpus shuffles only on the per-doc sum.",
+)
+def q_dsir_weights(spark, sf_dir):
+    from featurestore_spark.operators.sampling import (
+        dsir_log_weights,
+        hashed_ngram_model,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    target = docs.where(F.col("source") == "src0")
+    return dsir_log_weights(
+        docs,
+        hashed_ngram_model(target),
+        hashed_ngram_model(docs),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Rows-only entries (oracle=None → the driver's weaker rows-check):
 # the two operators whose fit stage is inherently iterative and not
@@ -4734,7 +4794,8 @@ _DRIVER_PRIORITY = [
     "q_gopher_rules",
     "q_c4_filter",
     "q_ngram_novelty",
-    # ...then 33 of the 42 remaining r5-window LLM-block queries
+    "q_dsir_weights",
+    # ...then 32 of the 42 remaining r5-window LLM-block queries
     # (driver-verified r5, now two rounds stale — the stalest
     # evidence in the catalog):
     "q_current_events",
@@ -4742,7 +4803,6 @@ _DRIVER_PRIORITY = [
     "q_doc_fingerprint",
     "q_dedup_exact",
     "q_token_count",
-    "q_text_quality",
     "q_lang_id",
     "q_ngram_jaccard",
     "q_dedup_pipeline",
@@ -4776,7 +4836,9 @@ _DRIVER_PRIORITY = [
     # (bands⊂pairs⊂pipeline/clusters, encode⊂topk⊂ivf_pq,
     # assign⊂ivf_pq, brute topk⊂ann_lsh, near_dups⊂clusters,
     # corpus_stats/vocab_topk are single-aggregate scans). They lead
-    # the r8 rotation:
+    # the r8 rotation (q_text_quality's metrics are consumed by the
+    # in-window q_quality_filter):
+    "q_text_quality",
     "q_minhash_bands",
     "q_minhash_pairs",
     "q_pq_encode",

@@ -814,3 +814,51 @@ def test_gopher_doc_rules_signals(spark):
     assert not out[5]["keep"] and out[5]["symbol_word_ratio"] > 0.1
     assert not out[6]["keep"] and out[6]["stop_hits"] == 0
     assert not out[7]["keep"] and out[7]["n_words"] == 0
+
+
+def test_dsir_weights_rank_target_domain_higher(spark):
+    from featurestore_spark.operators.sampling import (
+        dsir_log_weights,
+        hashed_ngram_model,
+    )
+
+    target_like = "medical patient clinical trial dosage symptoms diagnosis"
+    off_domain = "football striker midfield penalty goalkeeper referee stadium"
+    docs = spark.createDataFrame(
+        [
+            (1, target_like),
+            (2, target_like + " treatment outcomes observed"),
+            (3, off_domain),
+            (4, ""),  # zero features -> omitted
+        ],
+        "doc_id long, text string",
+    )
+    target = docs.where(F.col("doc_id") <= 2)
+    out = {
+        r["doc_id"]: r
+        for r in dsir_log_weights(
+            docs, hashed_ngram_model(target), hashed_ngram_model(docs)
+        ).collect()
+    }
+    assert 4 not in out
+    # target-domain docs score strictly above the off-domain doc
+    assert min(out[1]["log_weight"], out[2]["log_weight"]) > out[3]["log_weight"]
+    assert out[1]["n_feats"] == 13  # 7 unigrams + 6 bigrams
+
+
+def test_dsir_unmatched_bucket_nulls_weight(spark):
+    """Scoring docs outside the raw model's corpus NULLs the weight
+    (visible misuse) instead of silently dropping features."""
+    from featurestore_spark.operators.sampling import (
+        dsir_log_weights,
+        hashed_ngram_model,
+    )
+
+    fitted = spark.createDataFrame([(1, "alpha beta")], "doc_id long, text string")
+    outside = spark.createDataFrame(
+        [(9, "alpha beta gamma")], "doc_id long, text string"
+    )
+    model = hashed_ngram_model(fitted)
+    out = dsir_log_weights(outside, model, model).collect()
+    assert len(out) == 1 and out[0]["log_weight"] is None
+    assert out[0]["n_feats"] == 5
