@@ -645,3 +645,14 @@ def dsir_log_weights(
             weight.alias("log_weight"),
         )
     )
+
+
+def merge_hashed_ngram_models(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Additive merge of two `hashed_ngram_model` frames fit over
+    DISJOINT document sets (the incremental fit: model new partitions,
+    merge into the base — bucket counts are sums, so no corpus
+    re-scan; same contract as `merge_bigram_lm` / `merge_bm25_index`).
+    Bucket-bounded work: the union is at most 2 x n_buckets rows."""
+    return (
+        a.unionByName(b).groupBy("bucket").agg(F.sum("count").alias("count"))
+    )

@@ -862,3 +862,23 @@ def test_dsir_unmatched_bucket_nulls_weight(spark):
     out = dsir_log_weights(outside, model, model).collect()
     assert len(out) == 1 and out[0]["log_weight"] is None
     assert out[0]["n_feats"] == 5
+
+
+def test_merge_hashed_ngram_models_equals_whole_fit(spark):
+    from featurestore_spark.operators.sampling import (
+        hashed_ngram_model,
+        merge_hashed_ngram_models,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"token{i} shared words here number {i % 3}") for i in range(10)],
+        "doc_id long, text string",
+    )
+    whole = hashed_ngram_model(docs)
+    merged = merge_hashed_ngram_models(
+        hashed_ngram_model(docs.where(F.col("doc_id") < 5)),
+        hashed_ngram_model(docs.where(F.col("doc_id") >= 5)),
+    )
+    assert sorted(map(tuple, whole.collect())) == sorted(
+        map(tuple, merged.collect())
+    )
