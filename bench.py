@@ -136,6 +136,7 @@ HEADLINE = [
     "q_c4_filter",
     "q_ngram_novelty",
     "q_dsir_weights",
+    "q_strip_html",
 ]
 
 # Zero-code-change drift control (VERDICT r6 #8): the TPC-H block has

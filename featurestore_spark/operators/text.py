@@ -216,6 +216,42 @@ def gopher_doc_rules(
     )
 
 
+# (entity, replacement) in decode order — &amp; LAST, so '&amp;lt;'
+# decodes to the literal '&lt;' and never double-decodes to '<'
+_HTML_ENTITIES = [
+    ("&nbsp;", " "),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&amp;", "&"),
+]
+
+
+def strip_html(text_col: str | Column = "text") -> Column:
+    """Plain text from HTML markup: drops script/style blocks (their
+    CONTENT is not text), comments, and tags; decodes the six common
+    entities; collapses whitespace. The web-ingest front of the
+    curation pipeline (WARC → text before `c4_line_filter` /
+    `gopher_doc_rules`).
+
+    Pure Column expressions — one codegen'd projection, no UDF. Every
+    regex is RE2-compatible (no backreferences; inline (?is) flags),
+    so the DuckDB oracle replays the identical chain. A best-effort
+    tag stripper by design: malformed markup (an unclosed `<` with no
+    closing `>`) is left verbatim rather than guessed at — no text is
+    ever silently dropped; use a real parser UDF when structural
+    fidelity matters."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    c = F.regexp_replace(c, r"(?is)<script[^>]*>.*?</script\s*>", " ")
+    c = F.regexp_replace(c, r"(?is)<style[^>]*>.*?</style\s*>", " ")
+    c = F.regexp_replace(c, r"(?s)<!--.*?-->", " ")
+    c = F.regexp_replace(c, r"<[^>]*>", " ")
+    for ent, ch in _HTML_ENTITIES:
+        c = F.replace(c, F.lit(ent), F.lit(ch))
+    return F.trim(F.regexp_replace(c, r"\s+", " "))
+
+
 def normalized_fingerprint(text_col: str | Column = "text") -> Column:
     """Stable document fingerprint: md5 of lowercase,
     whitespace-collapsed text."""

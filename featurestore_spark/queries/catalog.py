@@ -4684,6 +4684,60 @@ def q_dsir_weights(spark, sf_dir):
     )
 
 
+@_register(
+    "q_strip_html",
+    r"""
+    WITH src AS (
+      SELECT doc_id,
+             '<html><head><style>p{color:red}</style></head><body>'
+             || '<!-- generated -->'
+             || '<p class="x">' || replace(text, ' value ', '</p><p>')
+             || '</p><script>var x = "<b>";</script>&amp;lt; &nbsp;done'
+             || '</body></html>' AS html
+      FROM documents),
+    stripped AS (
+      SELECT doc_id,
+             trim(regexp_replace(
+               replace(replace(replace(replace(replace(replace(
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_replace(
+                       regexp_replace(html,
+                         '(?is)<script[^>]*>.*?</script\s*>', ' ', 'g'),
+                       '(?is)<style[^>]*>.*?</style\s*>', ' ', 'g'),
+                     '(?s)<!--.*?-->', ' ', 'g'),
+                   '<[^>]*>', ' ', 'g'),
+                 '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+                 '&quot;', '"'), '&#39;', chr(39)), '&amp;', '&'),
+               '\s+', ' ', 'g')) AS text
+      FROM src)
+    SELECT doc_id, text,
+           CAST(length(text) AS INTEGER) AS n_chars
+    FROM stripped
+    """,
+    "HTML → plain text (web-ingest front of the curation pipeline): "
+    "script/style/comment/tag removal + entity decode + whitespace "
+    "collapse, all RE2-portable regexes. Both engines first wrap the "
+    "fixture text in identical synthesized markup (incl. a script "
+    "whose string literal contains a tag, and a double-encoded "
+    "entity).",
+)
+def q_strip_html(spark, sf_dir):
+    from featurestore_spark.operators.text import strip_html
+
+    docs = load_table(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit('<html><head><style>p{color:red}</style></head><body>'),
+        F.lit("<!-- generated -->"),
+        F.lit('<p class="x">'),
+        F.replace(F.col("text"), F.lit(" value "), F.lit("</p><p>")),
+        F.lit('</p><script>var x = "<b>";</script>&amp;lt; &nbsp;done'),
+        F.lit("</body></html>"),
+    )
+    out = docs.select("doc_id", strip_html(html).alias("text"))
+    return out.withColumn("n_chars", F.length("text").cast("int"))
+
+
 # ---------------------------------------------------------------------------
 # Rows-only entries (oracle=None → the driver's weaker rows-check):
 # the two operators whose fit stage is inherently iterative and not
@@ -4795,12 +4849,12 @@ _DRIVER_PRIORITY = [
     "q_c4_filter",
     "q_ngram_novelty",
     "q_dsir_weights",
-    # ...then 32 of the 42 remaining r5-window LLM-block queries
+    "q_strip_html",
+    # ...then 31 of the 42 remaining r5-window LLM-block queries
     # (driver-verified r5, now two rounds stale — the stalest
     # evidence in the catalog):
     "q_current_events",
     "q_link_customer_order",
-    "q_doc_fingerprint",
     "q_dedup_exact",
     "q_token_count",
     "q_lang_id",
@@ -4837,8 +4891,10 @@ _DRIVER_PRIORITY = [
     # assign⊂ivf_pq, brute topk⊂ann_lsh, near_dups⊂clusters,
     # corpus_stats/vocab_topk are single-aggregate scans). They lead
     # the r8 rotation (q_text_quality's metrics are consumed by the
-    # in-window q_quality_filter):
+    # in-window q_quality_filter; q_doc_fingerprint is two md5
+    # projections over the scan every in-window text query exercises):
     "q_text_quality",
+    "q_doc_fingerprint",
     "q_minhash_bands",
     "q_minhash_pairs",
     "q_pq_encode",

@@ -882,3 +882,34 @@ def test_merge_hashed_ngram_models_equals_whole_fit(spark):
     assert sorted(map(tuple, whole.collect())) == sorted(
         map(tuple, merged.collect())
     )
+
+
+def test_strip_html_edges(spark):
+    from featurestore_spark.operators.text import strip_html
+
+    rows = [
+        (1, '<p>Hello <b>world</b></p>'),
+        (2, '<script>if (a < b) { document.write("<i>x</i>"); }</script>Kept.'),
+        (3, '<style type="text/css">body { color: red }</style>Visible'),
+        (4, 'A <!-- comment\nspanning lines --> B'),
+        (5, 'Tom &amp; Jerry &lt;3 &amp;lt; &nbsp; ok'),
+        (6, 'broken <unclosed tag eats this'),
+        (7, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r["clean"]
+        for r in df.select(
+            "doc_id", strip_html("text").alias("clean")
+        ).collect()
+    }
+    assert out[1] == "Hello world"
+    assert out[2] == "Kept."
+    assert out[3] == "Visible"
+    assert out[4] == "A B"
+    # &amp;lt; decodes to the LITERAL '&lt;', never double to '<'
+    assert out[5] == 'Tom & Jerry <3 &lt; ok'
+    # an unclosed '<' (no '>' follows) stays verbatim — text is never
+    # silently dropped by the tag regex
+    assert out[6] == "broken <unclosed tag eats this"
+    assert out[7] is None
