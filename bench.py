@@ -137,6 +137,7 @@ HEADLINE = [
     "q_ngram_novelty",
     "q_dsir_weights",
     "q_strip_html",
+    "q_ngram_containment",
 ]
 
 # Zero-code-change drift control (VERDICT r6 #8): the TPC-H block has

@@ -518,6 +518,46 @@ def jaccard_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    a_col: str = "a_id",
+    b_col: str = "b_id",
+    n: int = 3,
+    decimals: int | None = 4,
+) -> DataFrame:
+    """Verify candidate pairs with asymmetric n-gram CONTAINMENT:
+    |A∩B| / |A| and |A∩B| / |B| (Broder's containment measure). A
+    short document quoted inside a long one has near-1 containment in
+    one direction but low Jaccard (the union is dominated by the long
+    doc) — this is the verify step to use when sub-document
+    duplication matters, not just whole-document similarity. Returns
+    (a_id, b_id, containment_a, containment_b, jaccard) so one join
+    serves both policies. Same shape/cost as :func:`jaccard_pairs`
+    (two shingle-set joins onto the candidate pair list)."""
+    sh = df.select(F.col(id_col), shingles(text_col, n).alias("sh"))
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size(F.array_union(F.col("sh_a"), F.col("sh_b")))
+
+    def _r(c):
+        return F.round(c, decimals) if decimals is not None else c
+
+    return (
+        pairs.join(sh.withColumnsRenamed({id_col: a_col, "sh": "sh_a"}), a_col)
+        .join(sh.withColumnsRenamed({id_col: b_col, "sh": "sh_b"}), b_col)
+        .select(
+            a_col,
+            b_col,
+            _r(inter / F.size("sh_a")).alias("containment_a"),
+            _r(inter / F.size("sh_b")).alias("containment_b"),
+            _r(inter / union).alias("jaccard"),
+        )
+    )
+
+
 # -- simhash -------------------------------------------------------------------
 
 

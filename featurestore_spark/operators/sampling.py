@@ -656,3 +656,52 @@ def merge_hashed_ngram_models(a: DataFrame, b: DataFrame) -> DataFrame:
     return (
         a.unionByName(b).groupBy("bucket").agg(F.sum("count").alias("count"))
     )
+
+
+def hashed_ngram_stream_model(
+    model_path: str,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 10_000,
+    include_bigrams: bool = True,
+):
+    """`foreachBatch` callback maintaining a DSIR hashed-n-gram model
+    over a document stream — same state layout and retry discipline as
+    the other stream wrappers (`bm25_stream_index`, the dedup index
+    streams): each micro-batch OVERWRITES its own ``batch=<id>``
+    subdir under ``<model_path>``, and a restart with a fresh
+    checkpoint against existing state raises via the shared guard.
+
+    A checkpointed stream delivers each document exactly once, so the
+    per-batch models cover DISJOINT doc sets — the accumulated model
+    is their additive merge (`merge_hashed_ngram_models` semantics);
+    read it back with :func:`read_hashed_ngram_model` and score with
+    :func:`dsir_log_weights`. Seed with an initial corpus:
+    ``hashed_ngram_model(corpus).write.parquet(f"{model_path}/batch=seed")``.
+    """
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        from featurestore_spark.operators.incremental import _guard_restart
+
+        _guard_restart(
+            batch_df.sparkSession, model_path, batch_id,
+            "hashed_ngram_stream_model",
+        )
+        hashed_ngram_model(
+            batch_df, text_col, id_col,
+            n_buckets=n_buckets, include_bigrams=include_bigrams,
+        ).write.mode("overwrite").parquet(f"{model_path}/batch={batch_id}")
+
+    return process
+
+
+def read_hashed_ngram_model(spark, model_path: str) -> DataFrame:
+    """Load the accumulated model state written by
+    :func:`hashed_ngram_stream_model`: per-batch bucket counts summed
+    to the single merged model (bucket-bounded aggregate)."""
+    return (
+        spark.read.parquet(model_path)
+        .groupBy("bucket")
+        .agg(F.sum("count").alias("count"))
+    )

@@ -2144,6 +2144,36 @@ def q_ngram_jaccard(spark, sf_dir):
 
 
 @_register(
+    "q_ngram_containment",
+    _DUCK_SHINGLES
+    + """
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                 / len(a.sh), 4) AS containment_a,
+           round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                 / len(b.sh), 4) AS containment_b,
+           round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
+    FROM shingled a JOIN shingled b ON a.doc_id < b.doc_id
+    WHERE a.doc_id < 15 AND b.doc_id < 15
+    """,
+    "Asymmetric n-gram containment (|A∩B|/|A|, |A∩B|/|B|) + Jaccard "
+    "over a pair sample — the verify step for SUB-document "
+    "duplication (quotes/partial mirrors), where Jaccard alone "
+    "under-scores a short doc embedded in a long one.",
+)
+def q_ngram_containment(spark, sf_dir):
+    from featurestore_spark.operators.dedup import containment_pairs
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 15)
+    ids = docs.select(F.col("doc_id").alias("a_id"))
+    pairs = ids.crossJoin(docs.select(F.col("doc_id").alias("b_id"))).where(
+        F.col("a_id") < F.col("b_id")
+    )
+    return containment_pairs(docs, pairs, n=_MH_N)
+
+
+@_register(
     "q_dedup_pipeline",
     _duck_minhash_bands(
         src="rep_docs",
@@ -4850,7 +4880,8 @@ _DRIVER_PRIORITY = [
     "q_ngram_novelty",
     "q_dsir_weights",
     "q_strip_html",
-    # ...then 31 of the 42 remaining r5-window LLM-block queries
+    "q_ngram_containment",
+    # ...then 30 of the 42 remaining r5-window LLM-block queries
     # (driver-verified r5, now two rounds stale — the stalest
     # evidence in the catalog):
     "q_current_events",
@@ -4858,7 +4889,6 @@ _DRIVER_PRIORITY = [
     "q_dedup_exact",
     "q_token_count",
     "q_lang_id",
-    "q_ngram_jaccard",
     "q_dedup_pipeline",
     "q_simhash_near_dups",
     "q_binary_meta",
@@ -4892,9 +4922,12 @@ _DRIVER_PRIORITY = [
     # corpus_stats/vocab_topk are single-aggregate scans). They lead
     # the r8 rotation (q_text_quality's metrics are consumed by the
     # in-window q_quality_filter; q_doc_fingerprint is two md5
-    # projections over the scan every in-window text query exercises):
+    # projections over the scan every in-window text query exercises;
+    # q_ngram_jaccard's measure is a column of the in-window
+    # q_ngram_containment over the same pair sample):
     "q_text_quality",
     "q_doc_fingerprint",
+    "q_ngram_jaccard",
     "q_minhash_bands",
     "q_minhash_pairs",
     "q_pq_encode",

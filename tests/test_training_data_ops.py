@@ -913,3 +913,76 @@ def test_strip_html_edges(spark):
     # silently dropped by the tag regex
     assert out[6] == "broken <unclosed tag eats this"
     assert out[7] is None
+
+
+def test_hashed_ngram_stream_model_accumulates_and_scores(spark, tmp_path):
+    """Real file-source stream maintaining the DSIR raw model; weights
+    scored against the streamed model equal the whole-corpus fit."""
+    from featurestore_spark.operators.sampling import (
+        dsir_log_weights,
+        hashed_ngram_model,
+        hashed_ngram_stream_model,
+        read_hashed_ngram_model,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"stream doc number {i} with shared vocabulary") for i in range(8)],
+        "doc_id long, text string",
+    )
+    src = str(tmp_path / "incoming")
+    docs.write.parquet(src)
+    cb = hashed_ngram_stream_model(str(tmp_path / "model"))
+    q = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .parquet(src)
+        .writeStream.foreachBatch(cb)
+        .option("checkpointLocation", str(tmp_path / "chk"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = read_hashed_ngram_model(spark, str(tmp_path / "model"))
+    target = hashed_ngram_model(docs.where(F.col("doc_id") < 2))
+    via_stream = sorted(
+        map(tuple, dsir_log_weights(docs, target, streamed).collect())
+    )
+    direct = sorted(
+        map(
+            tuple,
+            dsir_log_weights(docs, target, hashed_ngram_model(docs)).collect(),
+        )
+    )
+    assert via_stream == direct and len(direct) == 8
+    # retry of the same batch id: overwrite-idempotent; a LOWER id
+    # (fresh checkpoint lineage against existing state) raises via the
+    # shared guard
+    cb(docs.limit(2), 2)
+    with pytest.raises(RuntimeError, match="fresh checkpoint"):
+        hashed_ngram_stream_model(str(tmp_path / "model"))(docs, 0)
+
+
+def test_containment_pairs_detects_quoted_subdocument(spark):
+    from featurestore_spark.operators.dedup import containment_pairs
+
+    quote = "to be or not to be that is the question"
+    host = (
+        "the essay opens slowly with context then quotes "
+        + quote
+        + " before wandering into entirely unrelated commentary about "
+        "weather patterns shipping lanes and medieval agriculture"
+    )
+    docs = spark.createDataFrame(
+        [(1, quote), (2, host), (3, "nothing in common with either one here")],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3)], "a_id long, b_id long"
+    )
+    out = {(r["a_id"], r["b_id"]): r for r in containment_pairs(docs, pairs).collect()}
+    r12 = out[(1, 2)]
+    # every shingle of the quote appears in the host: containment_a = 1
+    assert r12["containment_a"] == 1.0
+    # ...but Jaccard is low (host's union dominates) — the case the
+    # asymmetric measure exists for
+    assert r12["jaccard"] < 0.5 and r12["containment_b"] < 0.5
+    assert out[(1, 3)]["containment_a"] == 0.0
