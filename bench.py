@@ -138,6 +138,7 @@ HEADLINE = [
     "q_dsir_weights",
     "q_strip_html",
     "q_ngram_containment",
+    "q_temperature_mixture",
 ]
 
 # Zero-code-change drift control (VERDICT r6 #8): the TPC-H block has

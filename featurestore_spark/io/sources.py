@@ -92,6 +92,42 @@ class SQLFileSource:
         return self.spark.sql(template(sql, ctx.get("sqlparams", {})))
 
 
+class JsonlSource:
+    """JSON-lines reader (beyond the reference: the lingua franca of
+    LLM training-data interchange). Explicit schema recommended at
+    scale — inference reads the data twice; `jsonl_options` passes
+    through reader options (e.g. multiLine, dropFieldIfAllNull)."""
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+
+    def __call__(self, ctx) -> DataFrame:
+        reader = self.spark.read
+        if ctx.get("schema") is not None:
+            reader = reader.schema(ctx["schema"])
+        for k, v in ctx.get("jsonl_options", {}).items():
+            reader = reader.option(k, v)
+        return reader.json(ctx["path"])
+
+
+class JsonlSink:
+    """JSON-lines writer (one JSON object per line — the shard format
+    most training pipelines ingest). `compression` defaults to gzip;
+    pair with `sampling.write_shards` ordering when shard layout
+    matters."""
+
+    def __call__(self, df: DataFrame, ctx) -> DataFrame:
+        (
+            df.write.mode(ctx.get("mode", "overwrite"))
+            .option("compression", ctx.get("compression", "gzip"))
+            .json(ctx["out_path"])
+        )
+        return df
+
+    def apply(self, df, ctx):
+        return self(df, ctx)
+
+
 class CSVSink:
     """S6 (Sink.scala:22-46)."""
 

@@ -705,3 +705,80 @@ def read_hashed_ngram_model(spark, model_path: str) -> DataFrame:
         .groupBy("bucket")
         .agg(F.sum("count").alias("count"))
     )
+
+
+def temperature_mixture_sample(
+    df: DataFrame,
+    *,
+    temperature: float,
+    target_frac: float = 1.0,
+    source_col: str = "source",
+    key: str | Column = "doc_id",
+) -> DataFrame:
+    """Temperature-based mixture sampling (the mT5 scheme, Xue et al.
+    2021): sampling weight per source q_i ∝ p_i^(1/T) where p_i is the
+    source's corpus share — T=1 keeps natural proportions, T→∞ tends
+    to uniform across sources, boosting low-resource sources. The
+    materialized per-source keep fraction is
+
+        f_i = min(1, q_i * target_frac * N / n_i)
+
+    i.e. a corpus of ~target_frac*N rows with composition q_i (capped
+    where a small source cannot supply its quota — the standard cap;
+    no upsampling/duplication here, compose with an explode for
+    epochs-style repetition). Rows keep/drop by the stable md5 hash of
+    ``key`` (reproducible across runs/engines; rows keep their fate as
+    the corpus grows ONLY for fixed f_i — unlike `mixture_sample`'s
+    explicit rates, f_i here is data-derived by design).
+
+    Scale shape: everything before the filter is source-bounded (a
+    count aggregate + two single-row cross joins); the per-source
+    threshold frame broadcasts back onto the corpus and the filter is
+    projection-only — the corpus never shuffles. Thresholds are
+    rounded to integer buckets in-plan so the oracle replays them
+    exactly. Rows with NULL ``source_col`` are dropped (a threshold
+    cannot equi-join on NULL — same documented exclusion as
+    `unigram_kl_divergence`)."""
+    if temperature <= 0:
+        raise ValueError(
+            f"temperature_mixture_sample: temperature must be > 0, got {temperature}"
+        )
+    if not (0 < target_frac <= 1):
+        raise ValueError(
+            f"temperature_mixture_sample: target_frac must be in (0, 1], got {target_frac}"
+        )
+    counts = df.where(F.col(source_col).isNotNull()).groupBy(source_col).agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    n_tot = counts.agg(F.sum("_n").alias("_nt"))
+    w = counts.crossJoin(F.broadcast(n_tot)).select(
+        source_col,
+        "_n",
+        "_nt",
+        F.pow(F.col("_n") / F.col("_nt"), F.lit(1.0 / temperature)).alias("_w"),
+    )
+    z = w.agg(F.sum("_w").alias("_z"))
+    thr = (
+        w.crossJoin(F.broadcast(z))
+        .select(
+            source_col,
+            F.round(
+                F.least(
+                    F.lit(1.0),
+                    (F.col("_w") / F.col("_z"))
+                    * F.lit(target_frac)
+                    * F.col("_nt")
+                    / F.col("_n"),
+                )
+                * HASH_BUCKETS,
+                0,
+            )
+            .cast("long")
+            .alias("_thr"),
+        )
+    )
+    return (
+        df.join(F.broadcast(thr), source_col)
+        .where(hash_bucket(key) < F.col("_thr"))
+        .drop("_thr")
+    )

@@ -4768,6 +4768,38 @@ def q_strip_html(spark, sf_dir):
     return out.withColumn("n_chars", F.length("text").cast("int"))
 
 
+@_register(
+    "q_temperature_mixture",
+    r"""
+    WITH c AS (SELECT source, count(*) AS n FROM documents
+               WHERE source IS NOT NULL GROUP BY source),
+    t AS (SELECT sum(n) AS nt FROM c),
+    w AS (SELECT source, n, nt, pow(n::DOUBLE / nt, 1.0 / 3.0) AS w
+          FROM c CROSS JOIN t),
+    z AS (SELECT sum(w) AS z FROM w),
+    thr AS (SELECT source,
+                   CAST(round(least(1.0, (w.w / z.z) * 0.5 * nt / n)
+                              * 1000000, 0) AS BIGINT) AS thr
+            FROM w CROSS JOIN z)
+    SELECT d.doc_id, d.source
+    FROM documents d JOIN thr USING (source)
+    WHERE CAST(CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 7))
+               AS UBIGINT) % 1000000 AS BIGINT) < thr
+    """,
+    "mT5 temperature mixture sampling (T=3, target half the corpus): "
+    "per-source share p_i^(1/T) normalized into sampling weights, "
+    "materialized as capped per-source keep fractions over the stable "
+    "md5 hash. Source-bounded aggregates + a broadcast threshold "
+    "join; the corpus never shuffles.",
+)
+def q_temperature_mixture(spark, sf_dir):
+    from featurestore_spark.operators.sampling import temperature_mixture_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = temperature_mixture_sample(docs, temperature=3.0, target_frac=0.5)
+    return out.select("doc_id", "source")
+
+
 # ---------------------------------------------------------------------------
 # Rows-only entries (oracle=None → the driver's weaker rows-check):
 # the two operators whose fit stage is inherently iterative and not
@@ -4881,7 +4913,8 @@ _DRIVER_PRIORITY = [
     "q_dsir_weights",
     "q_strip_html",
     "q_ngram_containment",
-    # ...then 30 of the 42 remaining r5-window LLM-block queries
+    "q_temperature_mixture",
+    # ...then 29 of the 42 remaining r5-window LLM-block queries
     # (driver-verified r5, now two rounds stale — the stalest
     # evidence in the catalog):
     "q_current_events",
@@ -4900,7 +4933,6 @@ _DRIVER_PRIORITY = [
     "q_interval_join",
     "q_time_rollup",
     "q_attribution",
-    "q_mixture_sample",
     "q_quality_buckets",
     "q_chunk_documents",
     "q_incremental_dedup",
@@ -4924,7 +4956,10 @@ _DRIVER_PRIORITY = [
     # in-window q_quality_filter; q_doc_fingerprint is two md5
     # projections over the scan every in-window text query exercises;
     # q_ngram_jaccard's measure is a column of the in-window
-    # q_ngram_containment over the same pair sample):
+    # q_ngram_containment over the same pair sample; q_mixture_sample's
+    # hash-threshold filter is the in-window q_temperature_mixture's
+    # final stage):
+    "q_mixture_sample",
     "q_text_quality",
     "q_doc_fingerprint",
     "q_ngram_jaccard",

@@ -986,3 +986,37 @@ def test_containment_pairs_detects_quoted_subdocument(spark):
     # asymmetric measure exists for
     assert r12["jaccard"] < 0.5 and r12["containment_b"] < 0.5
     assert out[(1, 3)]["containment_a"] == 0.0
+
+
+def test_temperature_mixture_sample_boosts_small_sources(spark):
+    from featurestore_spark.operators.sampling import temperature_mixture_sample
+
+    rows = [(i, "big") for i in range(900)] + [
+        (1000 + i, "small") for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string").unionByName(
+        spark.createDataFrame([(5000, None)], "doc_id long, source string")
+    )
+
+    def shares(out):
+        got = {
+            r["source"]: r["n"]
+            for r in out.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        return got
+
+    # T=1: natural proportions — small stays ~10% of the kept corpus
+    t1 = shares(temperature_mixture_sample(df, temperature=1.0, target_frac=0.5))
+    # T=100 (~uniform weights): the small source's quota (~25% of N)
+    # exceeds its 100 rows — it caps at keeping EVERYTHING
+    t100 = shares(temperature_mixture_sample(df, temperature=100.0, target_frac=0.5))
+    assert t100["small"] == 100  # capped: whole small source kept
+    assert t1["small"] < t100["small"]
+    assert None not in t1 and None not in t100  # NULL sources dropped
+    # deterministic: same call, same rows
+    again = shares(temperature_mixture_sample(df, temperature=1.0, target_frac=0.5))
+    assert t1 == again
+    with pytest.raises(ValueError, match="temperature"):
+        temperature_mixture_sample(df, temperature=0.0)
+    with pytest.raises(ValueError, match="target_frac"):
+        temperature_mixture_sample(df, temperature=1.0, target_frac=1.5)

@@ -254,3 +254,20 @@ def test_jdbc_source_roundtrip_derby(spark):
     )
     back = JdbcSource(spark)({"driver": driver, "url": url, "dbtable": "t_smoke"})
     assert sorted((r["id"], r["val"]) for r in back.collect()) == [(1, "x"), (2, "y")]
+
+
+def test_jsonl_source_sink_roundtrip(spark, tmp_path):
+    from featurestore_spark.io.sources import JsonlSink, JsonlSource
+
+    df = spark.createDataFrame(
+        [(1, "hello world", ["a", "b"]), (2, 'quote " and \\ slash', None)],
+        "doc_id long, text string, tags array<string>",
+    )
+    out = str(tmp_path / "out.jsonl")
+    JsonlSink()(df, {"out_path": out})
+    back = JsonlSource(spark)(
+        {"path": out, "schema": "doc_id long, text string, tags array<string>"}
+    )
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+    # schema-free read also works (inference pass)
+    assert JsonlSource(spark)({"path": out}).count() == 2
