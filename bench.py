@@ -139,6 +139,8 @@ HEADLINE = [
     "q_strip_html",
     "q_ngram_containment",
     "q_temperature_mixture",
+    "q_repeat_epochs",
+    "q_nb_classify",
 ]
 
 # Zero-code-change drift control (VERDICT r6 #8): the TPC-H block has

@@ -782,3 +782,49 @@ def temperature_mixture_sample(
         .where(hash_bucket(key) < F.col("_thr"))
         .drop("_thr")
     )
+
+
+def repeat_epochs(
+    df: DataFrame,
+    epochs: dict[str, float],
+    *,
+    source_col: str = "source",
+    key: str | Column = "doc_id",
+    default_epochs: float = 1.0,
+    epoch_col: str = "epoch",
+) -> DataFrame:
+    """Deterministic fractional-epoch repetition — the up-sampling half
+    of a data recipe ("books x2.5, web x0.3"): every row of a source
+    with e epochs appears floor(e) times, plus once more for the
+    stable hash fraction frac(e) of rows — so the expected multiplicity
+    is exactly e, reproducibly (same rows get the extra copy on every
+    run/engine). `epoch_col` numbers the copies 0..k-1 so downstream
+    shuffles/sharding can spread replicas (dedup them back out by
+    filtering `epoch = 0`). Rates < 1 are pure down-sampling (floor(e)
+    = 0 rows keep only the fractional-hash subset), making this a
+    superset of `mixture_sample`'s semantics with repetition.
+
+    Scale shape: a projection + `explode(sequence(...))` — no shuffle,
+    no aggregate; output size is sum(e_i * n_i) by construction.
+    Thresholds are integers computed driver-side from the literal
+    epoch map (no float-boundary ambiguity — the `mixture_sample`
+    discipline)."""
+    for s, e in {**epochs, "<default>": default_epochs}.items():
+        if e < 0:
+            raise ValueError(f"repeat_epochs: epochs must be >= 0 ({s}={e})")
+    whole: Column = F.lit(int(default_epochs))
+    thr: Column = F.lit(int(round((default_epochs % 1) * HASH_BUCKETS)))
+    for s, e in sorted(epochs.items()):
+        whole = F.when(F.col(source_col) == s, F.lit(int(e))).otherwise(whole)
+        thr = F.when(
+            F.col(source_col) == s, F.lit(int(round((e % 1) * HASH_BUCKETS)))
+        ).otherwise(thr)
+    n_copies = whole + (hash_bucket(key) < thr).cast("int")
+    return (
+        df.withColumn("_nc", n_copies)
+        .where(F.col("_nc") > 0)
+        .withColumn(
+            epoch_col, F.explode(F.sequence(F.lit(0), F.col("_nc") - 1))
+        )
+        .drop("_nc")
+    )

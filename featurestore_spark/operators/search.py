@@ -461,3 +461,127 @@ def lm_cross_entropy(
             F.round(F.exp("cross_entropy"), decimals).alias("perplexity"),
         )
     )
+
+
+# -- multinomial Naive Bayes text classification ------------------------------
+
+
+def fit_nb_classifier(
+    docs: DataFrame,
+    label_col: str,
+    *,
+    text_col: str = "text",
+) -> tuple[DataFrame, DataFrame]:
+    """Fit a multinomial Naive Bayes text classifier — the
+    SQL-expressible stand-in for the fastText-style linear classifiers
+    used for corpus quality/domain filtering (CCNet, LLaMA data
+    pipelines): fitting is pure counting, so a 100-TB labeled corpus
+    fits in one scan. Returns ``(word_counts, class_stats)``:
+    word_counts = (label, w, c) token-occurrence counts per class
+    (vocabulary × classes bounded); class_stats = (label, n_docs,
+    n_tokens). Rows with NULL labels are excluded (same documented
+    rule as the other per-group operators). Tokens come from the
+    shared `clean_tokens`, so fit and classify can never disagree on
+    word boundaries."""
+    labeled = docs.where(F.col(label_col).isNotNull()).select(
+        F.col(label_col).alias("label"), _clean_tokens(text_col).alias("_toks")
+    )
+    toks = labeled.select("label", F.size("_toks").alias("_nt"), "_toks")
+    word_counts = (
+        toks.select("label", F.explode("_toks").alias("w"))
+        .groupBy("label", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    class_stats = toks.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("_nt").alias("n_tokens"),
+    )
+    return word_counts, class_stats
+
+
+def nb_classify(
+    docs: DataFrame,
+    model: tuple[DataFrame, DataFrame],
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    smoothing: float = 1.0,
+    score_decimals: int = 4,
+) -> DataFrame:
+    """Classify documents with a fitted :func:`fit_nb_classifier`
+    model: label = argmax over classes of ``ln p(c) + Σ_w m_w ln
+    p(w|c)`` with add-``smoothing`` estimates over the training
+    vocabulary. Returns (id, label_pred, score); zero-token docs get
+    the max-prior class. Scores are rounded BEFORE the argmax so
+    ranking is stable across engines; ties break on the label.
+
+    Scale shape: the smoothed-default mass factors out per class
+    (``t_d · ln(k/(n_c+kV))``), so the corpus only joins the model for
+    (word, class) pairs that actually occur — a sparse join on the
+    word key (AQE decides broadcast; the model frame is
+    vocabulary-scaled, like the LM scoring join). Class constants and
+    the vocabulary size ride single-row/5-row broadcast cross joins.
+    The per-doc aggregate is the one corpus-sized shuffle."""
+    word_counts, class_stats = model
+    k = float(smoothing)
+    v_row = word_counts.agg(
+        F.count_distinct("w").cast("double").alias("_v")
+    )
+    n_row = class_stats.agg(F.sum("n_docs").cast("double").alias("_nd"))
+    consts = (
+        class_stats.crossJoin(F.broadcast(v_row))
+        .crossJoin(F.broadcast(n_row))
+        .select(
+            "label",
+            F.log(F.col("n_docs") / F.col("_nd")).alias("_prior"),
+            F.log(
+                F.lit(k) / (F.col("n_tokens") + F.lit(k) * F.col("_v"))
+            ).alias("_base"),
+        )
+    )
+    toked = docs.select(
+        F.col(id_col).alias("_id"), _clean_tokens(text_col).alias("_toks")
+    )
+    td = toked.select("_id", F.size("_toks").alias("_td"))
+    tok = (
+        toked.select("_id", F.explode("_toks").alias("w"))
+        .groupBy("_id", "w")
+        .agg(F.count(F.lit(1)).alias("_m"))
+    )
+    # correction over the smoothed default: m * ln((c+k)/k) — the
+    # (n_c + kV) denominators cancel against the default term
+    corr = (
+        tok.join(word_counts, "w")
+        .groupBy("_id", "label")
+        .agg(
+            F.sum(
+                F.col("_m") * F.log((F.col("c") + F.lit(k)) / F.lit(k))
+            ).alias("_corr")
+        )
+    )
+    scored = (
+        td.crossJoin(F.broadcast(consts))
+        .join(corr, ["_id", "label"], "left")
+        .select(
+            "_id",
+            "label",
+            F.round(
+                F.col("_prior")
+                + F.col("_td") * F.col("_base")
+                + F.coalesce(F.col("_corr"), F.lit(0.0)),
+                score_decimals,
+            ).alias("score"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("_id").orderBy(F.col("score").desc(), F.col("label"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("label").alias("label_pred"),
+            "score",
+        )
+    )

@@ -4800,6 +4800,91 @@ def q_temperature_mixture(spark, sf_dir):
     return out.select("doc_id", "source")
 
 
+@_register(
+    "q_repeat_epochs",
+    r"""
+    WITH planned AS (
+      SELECT doc_id, source,
+             (CASE source WHEN 'src0' THEN 2 WHEN 'src1' THEN 0 ELSE 1 END)
+             + (CASE WHEN CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                     1, 7)) AS UBIGINT) % 1000000 AS BIGINT)
+                     < (CASE source WHEN 'src0' THEN 500000
+                                    WHEN 'src1' THEN 250000 ELSE 0 END)
+                THEN 1 ELSE 0 END) AS nc
+      FROM documents)
+    SELECT doc_id, source, CAST(e AS INTEGER) AS epoch
+    FROM (SELECT doc_id, source, unnest(generate_series(0, nc - 1)) AS e
+          FROM planned WHERE nc > 0)
+    """,
+    "Deterministic fractional-epoch repetition (data-recipe "
+    "upsampling: src0 x2.5, src1 x0.25, rest x1): floor(e) copies per "
+    "row plus one more for the stable-hash fraction, numbered by "
+    "epoch. Projection + explode, no shuffle.",
+)
+def q_repeat_epochs(spark, sf_dir):
+    from featurestore_spark.operators.sampling import repeat_epochs
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = repeat_epochs(docs, {"src0": 2.5, "src1": 0.25})
+    return out.select("doc_id", "source", F.col("epoch").cast("int").alias("epoch"))
+
+
+@_register(
+    "q_nb_classify",
+    r"""
+    WITH toked AS (
+      SELECT doc_id, lang,
+             list_filter(string_split_regex(trim(lower(coalesce(text, ''))),
+                                            '\s+'), t -> t <> '') AS toks
+      FROM documents),
+    tok AS (
+      SELECT doc_id, w, count(*) AS m
+      FROM (SELECT doc_id, unnest(toks) AS w FROM toked)
+      GROUP BY doc_id, w),
+    wc AS (
+      SELECT lang AS label, w, count(*) AS c
+      FROM (SELECT lang, unnest(toks) AS w FROM toked WHERE lang IS NOT NULL)
+      GROUP BY lang, w),
+    cs AS (SELECT lang AS label, count(*) AS n_docs,
+                  sum(len(toks)) AS n_tokens
+           FROM toked WHERE lang IS NOT NULL GROUP BY lang),
+    v AS (SELECT count(DISTINCT w)::DOUBLE AS v FROM wc),
+    nd AS (SELECT sum(n_docs)::DOUBLE AS nd FROM cs),
+    consts AS (SELECT label, ln(n_docs / nd.nd) AS prior,
+                      ln(1.0 / (n_tokens + 1.0 * v.v)) AS base
+               FROM cs CROSS JOIN v CROSS JOIN nd),
+    td AS (SELECT doc_id, len(toks) AS td FROM toked),
+    corr AS (SELECT t.doc_id, wc.label,
+                    sum(t.m * ln((wc.c + 1.0) / 1.0)) AS corr
+             FROM tok t JOIN wc USING (w) GROUP BY t.doc_id, wc.label),
+    scored AS (
+      SELECT td.doc_id, consts.label,
+             round(consts.prior + td.td * consts.base
+                   + coalesce(corr.corr, 0.0), 4) AS score
+      FROM td CROSS JOIN consts
+      LEFT JOIN corr ON corr.doc_id = td.doc_id
+                    AND corr.label = consts.label)
+    SELECT doc_id, label AS label_pred, score
+    FROM (SELECT doc_id, label, score,
+                 row_number() OVER (PARTITION BY doc_id
+                                    ORDER BY score DESC, label) AS rn
+          FROM scored)
+    WHERE rn = 1
+    """,
+    "Multinomial Naive Bayes text classification (the SQL-expressible "
+    "stand-in for fastText-style quality/domain filters): fit = pure "
+    "counting over the labeled corpus (lang as the label), classify = "
+    "sparse (word, class) join with the smoothed-default mass factored "
+    "out per class, scores rounded before the argmax.",
+)
+def q_nb_classify(spark, sf_dir):
+    from featurestore_spark.operators.search import fit_nb_classifier, nb_classify
+
+    docs = load_table(spark, sf_dir, "documents")
+    model = fit_nb_classifier(docs, "lang")
+    return nb_classify(docs, model)
+
+
 # ---------------------------------------------------------------------------
 # Rows-only entries (oracle=None → the driver's weaker rows-check):
 # the two operators whose fit stage is inherently iterative and not
@@ -4914,17 +4999,17 @@ _DRIVER_PRIORITY = [
     "q_strip_html",
     "q_ngram_containment",
     "q_temperature_mixture",
-    # ...then 29 of the 42 remaining r5-window LLM-block queries
+    "q_repeat_epochs",
+    "q_nb_classify",
+    # ...then 27 of the 42 remaining r5-window LLM-block queries
     # (driver-verified r5, now two rounds stale — the stalest
     # evidence in the catalog):
     "q_current_events",
     "q_link_customer_order",
     "q_dedup_exact",
-    "q_token_count",
     "q_lang_id",
     "q_dedup_pipeline",
     "q_simhash_near_dups",
-    "q_binary_meta",
     "q_embedding_ann_lsh",
     "q_repetition",
     "q_redact_pii",
@@ -4958,7 +5043,11 @@ _DRIVER_PRIORITY = [
     # q_ngram_jaccard's measure is a column of the in-window
     # q_ngram_containment over the same pair sample; q_mixture_sample's
     # hash-threshold filter is the in-window q_temperature_mixture's
-    # final stage):
+    # final stage; q_token_count's expression is a column of the
+    # in-window q_quality_filter; q_binary_meta's sibling q_image_meta
+    # carries r6 driver evidence):
+    "q_token_count",
+    "q_binary_meta",
     "q_mixture_sample",
     "q_text_quality",
     "q_doc_fingerprint",

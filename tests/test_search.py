@@ -304,3 +304,37 @@ def test_merge_bm25_index_verify_probe(spark, corpus):
     whole = bm25_index(corpus)
     with pytest.raises(ValueError, match="overlap"):
         merge_bm25_index(whole, bm25_index(corpus), verify=True)
+
+
+def test_nb_classifier_learns_separable_classes(spark):
+    """Fit on a tiny labeled corpus, classify held-out docs from the
+    same vocabularies; also pin the zero-token and NULL-label rules."""
+    from featurestore_spark.operators.search import fit_nb_classifier, nb_classify
+
+    train = spark.createDataFrame(
+        [
+            (1, "goal striker midfield penalty football", "sport"),
+            (2, "striker penalty referee football stadium", "sport"),
+            (3, "election parliament minister policy vote", "politics"),
+            (4, "vote policy coalition parliament debate", "politics"),
+            (5, "ignored unlabeled row with words", None),
+        ],
+        "doc_id long, text string, topic string",
+    )
+    model = fit_nb_classifier(train, "topic")
+    wc, cs = model
+    assert {r["label"] for r in cs.collect()} == {"sport", "politics"}
+    test = spark.createDataFrame(
+        [
+            (10, "penalty for the striker"),
+            (11, "parliament passed the policy"),
+            (12, ""),  # zero tokens -> max-prior class (tie -> label order)
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["label_pred"] for r in nb_classify(test, model).collect()}
+    assert out[10] == "sport"
+    assert out[11] == "politics"
+    # equal priors (2 docs each): tie breaks to the lexicographically
+    # first label
+    assert out[12] == "politics"

@@ -1020,3 +1020,37 @@ def test_temperature_mixture_sample_boosts_small_sources(spark):
         temperature_mixture_sample(df, temperature=0.0)
     with pytest.raises(ValueError, match="target_frac"):
         temperature_mixture_sample(df, temperature=1.0, target_frac=1.5)
+
+
+def test_repeat_epochs_expected_multiplicity(spark):
+    from featurestore_spark.operators.sampling import repeat_epochs
+
+    rows = [(i, "books") for i in range(1000)] + [
+        (10_000 + i, "web") for i in range(1000)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = repeat_epochs(df, {"books": 2.5, "web": 0.3})
+    per = {
+        r["source"]: r["n"]
+        for r in out.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    # every books row appears 2 or 3 times; expectation 2.5 (hash-exact
+    # subset, so the count is deterministic and near 2500)
+    assert 2300 <= per["books"] <= 2700
+    copies = (
+        out.where(F.col("source") == "books")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("k"))
+    )
+    ks = {r["k"] for r in copies.collect()}
+    assert ks == {2, 3}
+    # epoch numbering 0..k-1; epoch=0 recovers each kept row exactly once
+    assert out.where("epoch = 0 AND source = 'books'").count() == 1000
+    # web x0.3: pure downsample, single copies only
+    assert 200 <= per["web"] <= 400
+    assert out.where("source = 'web'").select("doc_id").distinct().count() == per["web"]
+    # determinism
+    again = repeat_epochs(df, {"books": 2.5, "web": 0.3})
+    assert sorted(map(tuple, again.collect())) == sorted(map(tuple, out.collect()))
+    with pytest.raises(ValueError, match="epochs"):
+        repeat_epochs(df, {"books": -1.0})
