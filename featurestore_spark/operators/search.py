@@ -520,8 +520,10 @@ def nb_classify(
     (word, class) pairs that actually occur — a sparse join on the
     word key (AQE decides broadcast; the model frame is
     vocabulary-scaled, like the LM scoring join). Class constants and
-    the vocabulary size ride single-row/5-row broadcast cross joins.
-    The per-doc aggregate is the one corpus-sized shuffle."""
+    the vocabulary size ride single-row/per-class broadcast cross
+    joins. Corpus-sized shuffles: the (doc, word) multiplicity
+    aggregate and the word-keyed model join; everything downstream is
+    (doc × classes)-bounded (plan-audited)."""
     word_counts, class_stats = model
     k = float(smoothing)
     v_row = word_counts.agg(
