@@ -575,6 +575,7 @@ def dsir_log_weights(
     include_bigrams: bool = True,
     smoothing: float = 1.0,
     decimals: int | None = 4,
+    features: DataFrame | None = None,
 ) -> DataFrame:
     """Per-document DSIR importance log-weight: the log-likelihood
     ratio of the doc's hashed n-gram bag under the TARGET model vs the
@@ -600,7 +601,15 @@ def dsir_log_weights(
     have no ratio row — with the catalog usage, raw ⊇ scored, this
     cannot happen; a scored bucket with no ratio row NULLs that doc's
     log_weight outright — visible, instead of silently dropping the
-    feature from the sum)."""
+    feature from the sum).
+
+    Pass ``features`` (a persisted :func:`hashed_ngram_features`
+    frame, (id, bucket)) to skip re-extracting from ``raw`` — at
+    100 TB the feature stream feeding `hashed_ngram_model` should be
+    written once and reused for scoring instead of re-tokenizing the
+    corpus; when given, ``raw``/``text_col``/``n_buckets``/
+    ``include_bigrams`` are ignored for extraction (the caller owns
+    their consistency with the models)."""
     t_tot = target_model.agg(F.sum("count").alias("_nt"))
     r_tot = raw_model.agg(F.sum("count").alias("_nr"))
     ratio = (
@@ -626,9 +635,13 @@ def dsir_log_weights(
             ).alias("_lr"),
         )
     )
-    feats = hashed_ngram_features(
-        raw, text_col, id_col,
-        n_buckets=n_buckets, include_bigrams=include_bigrams,
+    feats = (
+        features
+        if features is not None
+        else hashed_ngram_features(
+            raw, text_col, id_col,
+            n_buckets=n_buckets, include_bigrams=include_bigrams,
+        )
     )
     # F.sum skips NULLs, which would silently drop unmatched buckets —
     # instead a single unmatched bucket NULLs the whole doc's weight

@@ -1054,3 +1054,24 @@ def test_repeat_epochs_expected_multiplicity(spark):
     assert sorted(map(tuple, again.collect())) == sorted(map(tuple, out.collect()))
     with pytest.raises(ValueError, match="epochs"):
         repeat_epochs(df, {"books": -1.0})
+
+
+def test_dsir_weights_with_precomputed_features(spark):
+    from featurestore_spark.operators.sampling import (
+        dsir_log_weights,
+        hashed_ngram_features,
+        hashed_ngram_model,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"some words number {i % 4} in common") for i in range(6)],
+        "doc_id long, text string",
+    )
+    target = docs.where(F.col("doc_id") < 3)
+    tm, rm = hashed_ngram_model(target), hashed_ngram_model(docs)
+    feats = hashed_ngram_features(docs)
+    via_feats = sorted(
+        map(tuple, dsir_log_weights(docs, tm, rm, features=feats).collect())
+    )
+    direct = sorted(map(tuple, dsir_log_weights(docs, tm, rm).collect()))
+    assert via_feats == direct and len(direct) == 6
