@@ -643,7 +643,7 @@ def extend_index(
     if verify:
         from featurestore_spark.operators.probes import verify_disjoint_ids
 
-        verify_disjoint_ids(index, new_rows, "doc_id", "extend_index")
+        verify_disjoint_ids(index, new_rows, id_col, "extend_index")
     return index.unionByName(new_rows)
 
 

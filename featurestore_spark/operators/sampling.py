@@ -821,7 +821,8 @@ def repeat_epochs(
     no aggregate; output size is sum(e_i * n_i) by construction.
     Thresholds are integers computed driver-side from the literal
     epoch map (no float-boundary ambiguity — the `mixture_sample`
-    discipline)."""
+    discipline). A NULL ``key`` cannot take a hash fate: such rows get
+    exactly floor(e) copies (never the fractional extra)."""
     for s, e in {**epochs, "<default>": default_epochs}.items():
         if e < 0:
             raise ValueError(f"repeat_epochs: epochs must be >= 0 ({s}={e})")
@@ -832,7 +833,9 @@ def repeat_epochs(
         thr = F.when(
             F.col(source_col) == s, F.lit(int(round((e % 1) * HASH_BUCKETS)))
         ).otherwise(thr)
-    n_copies = whole + (hash_bucket(key) < thr).cast("int")
+    # NULL key -> NULL comparison would NULL n_copies and silently drop
+    # the row; coalesce to "no fractional extra" instead (floor(e) copies)
+    n_copies = whole + F.coalesce((hash_bucket(key) < thr).cast("int"), F.lit(0))
     return (
         df.withColumn("_nc", n_copies)
         .where(F.col("_nc") > 0)

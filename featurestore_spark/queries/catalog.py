@@ -4902,8 +4902,9 @@ def q_nb_classify(spark, sf_dir):
     "incremental merge induction (driver-side over the capped "
     "aggregate) -> shuffle-free Arrow segmentation pass. Iterative "
     "global-argmax fit is not SQL-expressible; value semantics are "
-    "pinned by the fuzz test vs an independent implementation "
-    "(tests/test_tokenize.py).",
+    "pinned by the hypothesis fuzz vs an independent implementation "
+    "(tests/test_properties_spark.py::test_bpe_learn_and_apply_match_"
+    "reference) plus the fixed-example suite (tests/test_tokenize.py).",
 )
 def q_bpe_segment(spark, sf_dir):
     from featurestore_spark.operators.tokenize import (
@@ -5032,8 +5033,9 @@ _DRIVER_PRIORITY = [
     "q_dedup_clusters",
     "q_entity_resolution",
     # --- driver window ends here (first 50) ---
-    # Nine r5-window queries missed the cut; each has a strictly more
-    # complex in-window sibling exercising the same code path
+    # Fifteen r5-window queries missed the cut (42 stale minus the 27
+    # in-window above); each has a strictly more complex in-window
+    # sibling exercising the same code path
     # (bands⊂pairs⊂pipeline/clusters, encode⊂topk⊂ivf_pq,
     # assign⊂ivf_pq, brute topk⊂ann_lsh, near_dups⊂clusters,
     # corpus_stats/vocab_topk are single-aggregate scans). They lead

@@ -40,10 +40,17 @@ def test_readme_count_line_matches_catalog():
 
 
 def test_driver_window_has_no_unknown_names():
+    from featurestore_spark.queries import catalog
     from featurestore_spark.queries.catalog import _DRIVER_PRIORITY
 
     unknown = [n for n in _DRIVER_PRIORITY if n not in QUERIES]
     assert not unknown, f"_DRIVER_PRIORITY names absent from QUERIES: {unknown}"
-    # Rotation invariant: the priority list reorders, never drops —
-    # every registered query must still be present after reordering.
-    assert len(QUERIES) >= len(set(_DRIVER_PRIORITY))
+    # Rotation invariant: the tail reorder rebuilds the QUERIES dict —
+    # it must reorder, never drop. Count the @_register sites in the
+    # source (the pre-reorder registration count) against the live
+    # dict, so a reorder that silently discarded unlisted queries
+    # would fail here.
+    import inspect
+
+    src = inspect.getsource(catalog)
+    assert src.count("@_register(") == len(QUERIES)

@@ -1075,3 +1075,45 @@ def test_dsir_weights_with_precomputed_features(spark):
     )
     direct = sorted(map(tuple, dsir_log_weights(docs, tm, rm).collect()))
     assert via_feats == direct and len(direct) == 6
+
+
+def test_repeat_epochs_null_key_gets_floor_copies(spark):
+    from featurestore_spark.operators.sampling import repeat_epochs
+
+    df = spark.createDataFrame(
+        [(None, "books"), (1, "books"), (None, "web")],
+        "doc_id long, source string",
+    )
+    out = repeat_epochs(df, {"books": 2.5, "web": 0.4})
+    per = {
+        (r["doc_id"], r["source"]): r["n"]
+        for r in out.groupBy("doc_id", "source")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    # NULL key: exactly floor(e) copies, never the fractional extra
+    assert per[(None, "books")] == 2
+    assert (None, "web") not in per  # floor(0.4) = 0 -> dropped
+    assert per[(1, "books")] in (2, 3)
+
+
+def test_extend_index_verify_respects_id_col(spark):
+    from featurestore_spark.operators.incremental import (
+        extend_index,
+        minhash_band_index,
+    )
+
+    corpus = spark.createDataFrame(
+        [(0, "alpha beta gamma delta words enough for shingles here")],
+        "page_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [(5, "totally different novel content appearing in this batch")],
+        "page_id long, text string",
+    )
+    kw = dict(n=3, k=16, bands=4)
+    idx = minhash_band_index(corpus, id_col="page_id", **kw)
+    out = extend_index(idx, batch, id_col="page_id", verify=True, **kw)
+    assert out.count() > idx.count()
+    with pytest.raises(ValueError, match="overlap"):
+        extend_index(idx, corpus, id_col="page_id", verify=True, **kw)
