@@ -162,3 +162,39 @@ def test_pack_replay_catches_a_wrong_packing(spark, dirs):
     )
     checks = pack_checks(broken, rep_chunks, budget=128)
     assert any(not ok for _, ok, _ in checks)
+
+
+def test_round7_query_plan_shapes(spark):
+    """Plan-shape regression guard for the round-7 queries: the scale
+    properties their docstrings claim must stay true in the executed
+    plan (a silent Catalyst or operator change that reintroduces a
+    corpus shuffle/SMJ should fail CI, not a future bench)."""
+    from featurestore_spark.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+
+    def plan(q):
+        return (
+            QUERIES[q].spark(spark, sf)._jdf.queryExecution()
+            .executedPlan().toString()
+        )
+
+    # rule-set filters + epoch repetition: pure projections, zero exchanges
+    for q in ("q_gopher_rules", "q_c4_filter", "q_strip_html", "q_repeat_epochs"):
+        p = plan(q)
+        assert "Exchange" not in p, f"{q} gained a shuffle"
+        assert "SortMergeJoin" not in p and "BroadcastHashJoin" not in p
+
+    # DSIR: ratio table broadcast; no sort-merge join anywhere
+    p = plan("q_dsir_weights")
+    assert "BroadcastHashJoin" in p and "SortMergeJoin" not in p
+
+    # temperature mixture: threshold join back to the corpus broadcasts
+    p = plan("q_temperature_mixture")
+    assert "BroadcastHashJoin" in p and "SortMergeJoin" not in p
+
+    # novelty: exactly one corpus-side repartition on the gram key that
+    # both consumers reuse — the gram text must never be a shuffle key
+    p = plan("q_ngram_novelty")
+    assert "REPARTITION_BY_COL" in p
+    assert "hashpartitioning(_g#" not in p  # only _gh (md5) keys shuffles
