@@ -141,6 +141,7 @@ HEADLINE = [
     "q_temperature_mixture",
     "q_repeat_epochs",
     "q_nb_classify",
+    "q_curation_funnel",
 ]
 
 # Zero-code-change drift control (VERDICT r6 #8): the TPC-H block has

@@ -4885,6 +4885,94 @@ def q_nb_classify(spark, sf_dir):
     return nb_classify(docs, model)
 
 
+@_register(
+    "q_curation_funnel",
+    r"""
+    WITH src AS (
+      SELECT doc_id, source,
+             replace(text, ' table ', '.' || chr(10)) AS text
+      FROM documents),
+    lined AS (
+      SELECT doc_id, source,
+             list_filter(list_transform(string_split(coalesce(text, ''),
+                                                     chr(10)),
+                                        l -> trim(l)), l -> l <> '') AS lines,
+             lower(coalesce(text, '')) AS lowered
+      FROM src),
+    keptl AS (
+      SELECT doc_id, source, lines, lowered,
+             list_filter(lines, l ->
+               regexp_matches(l, '[.!?"]$')
+               AND len(list_filter(string_split_regex(l, '\s+'),
+                                   w -> w <> '')) >= 3
+               AND NOT contains(lower(l), 'javascript')) AS kept
+      FROM lined),
+    c4 AS (
+      SELECT doc_id, source,
+             coalesce(array_to_string(kept, chr(10)), '') AS text
+      FROM keptl
+      WHERE len(kept) >= 3 AND NOT contains(lowered, 'lorem ipsum')
+        AND NOT contains(lowered, '{')),
+    toked AS (
+      SELECT doc_id, source, text,
+             list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                         t -> t <> '') AS toks
+      FROM c4),
+    survivors AS (
+      SELECT doc_id, source, len(toks) AS n_toks
+      FROM toked
+      WHERE len(toks) BETWEEN 20 AND 100000
+        AND round(list_sum(list_transform(toks, x -> len(x)))::DOUBLE
+                  / len(toks), 4) BETWEEN 2.0 AND 10.0
+        AND round(len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))
+                  ::DOUBLE / len(toks), 4) >= 0.8)
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+           min(doc_id) AS min_id
+    FROM survivors GROUP BY source
+    """,
+    "Curation funnel capstone: C4 line cleaning (over engine-identical "
+    "synthesized lines) chained into relaxed Gopher document rules "
+    "over the CLEANED text, aggregated per source — one plan proving "
+    "the round-7 rule operators compose (the q_dedup_ladder role for "
+    "the filter surface). Thresholds relaxed to fit the fixture "
+    "corpus (min_words=20, word length 2-10, alpha>=0.8; the "
+    "stopword/symbol/line rules are exercised by q_gopher_rules "
+    "itself).",
+)
+def q_curation_funnel(spark, sf_dir):
+    from featurestore_spark.operators.curation import c4_line_filter
+    from featurestore_spark.operators.text import gopher_doc_rules
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "text", F.replace(F.col("text"), F.lit(" table "), F.lit(".\n"))
+    )
+    cleaned = c4_line_filter(docs.select("doc_id", "source", "text"))
+    # c4_line_filter returns (doc_id, text, ...) — re-attach source and
+    # keep only surviving pages, then apply the doc-level rules to the
+    # CLEANED text
+    cleaned = cleaned.where("keep").join(
+        docs.select("doc_id", "source"), "doc_id"
+    )
+    sig = gopher_doc_rules(
+        cleaned,
+        min_words=20,
+        min_mean_word_len=2.0,
+        min_stop_hits=0,
+        max_symbol_word_ratio=1e9,
+        max_bullet_line_frac=1.0,
+        max_ellipsis_line_frac=1.0,
+    )
+    survivors = sig.where("keep").join(
+        cleaned.select("doc_id", "source"), "doc_id"
+    )
+    return survivors.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_words").alias("n_tokens"),
+        F.min("doc_id").alias("min_id"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Rows-only entries (oracle=None → the driver's weaker rows-check):
 # the two operators whose fit stage is inherently iterative and not
@@ -5002,7 +5090,8 @@ _DRIVER_PRIORITY = [
     "q_temperature_mixture",
     "q_repeat_epochs",
     "q_nb_classify",
-    # ...then 27 of the 42 remaining r5-window LLM-block queries
+    "q_curation_funnel",
+    # ...then 26 of the 42 remaining r5-window LLM-block queries
     # (driver-verified r5, now two rounds stale — the stalest
     # evidence in the catalog):
     "q_current_events",
@@ -5020,7 +5109,6 @@ _DRIVER_PRIORITY = [
     "q_time_rollup",
     "q_attribution",
     "q_quality_buckets",
-    "q_chunk_documents",
     "q_incremental_dedup",
     "q_incremental_embedding_dedup",
     "q_ivf_pq_topk",
@@ -5047,7 +5135,9 @@ _DRIVER_PRIORITY = [
     # hash-threshold filter is the in-window q_temperature_mixture's
     # final stage; q_token_count's expression is a column of the
     # in-window q_quality_filter; q_binary_meta's sibling q_image_meta
-    # carries r6 driver evidence):
+    # carries r6 driver evidence; q_chunk_documents' machinery feeds
+    # q_pack_chunks, r6-driver-green):
+    "q_chunk_documents",
     "q_token_count",
     "q_binary_meta",
     "q_mixture_sample",
