@@ -142,6 +142,7 @@ HEADLINE = [
     "q_repeat_epochs",
     "q_nb_classify",
     "q_curation_funnel",
+    "q_hard_negatives",
 ]
 
 # Zero-code-change drift control (VERDICT r6 #8): the TPC-H block has

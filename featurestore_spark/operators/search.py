@@ -587,3 +587,55 @@ def nb_classify(
             "score",
         )
     )
+
+
+def mine_hard_negatives(
+    docs: DataFrame,
+    queries: DataFrame,
+    positives: DataFrame,
+    *,
+    k: int = 5,
+    depth: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+    term_col: str = "term",
+    score_decimals: int = 6,
+) -> DataFrame:
+    """BM25 hard negatives for retriever training (the standard
+    DPR/sentence-transformers mining recipe): retrieve the top
+    ``depth`` BM25 hits per query, remove the KNOWN positives
+    (``positives`` = (query_id, doc_id) pairs), and re-rank the
+    survivors 1..k — lexically-close-but-not-relevant documents, the
+    negatives that actually teach a dense retriever. Returns
+    (query_id, neg_rank, doc_id, score).
+
+    Scale shape: :func:`bm25_topk`'s postings-only shuffle bounds the
+    retrieval; the positive removal is an anti-join on (query, doc) —
+    AQE decides broadcast, since a production positives table
+    (training pairs) can itself be large — and the re-rank window
+    runs over <= depth rows per query (WindowGroupLimit territory).
+    Depth must exceed k by enough to survive positive removal; rows
+    short of k negatives return what exists (no padding)."""
+    if k < 1 or depth < k:
+        raise ValueError(
+            f"mine_hard_negatives: need depth >= k >= 1, got k={k} depth={depth}"
+        )
+    hits = bm25_topk(
+        docs, queries,
+        k=depth, id_col=id_col, text_col=text_col,
+        query_id_col=query_id_col, term_col=term_col,
+        score_decimals=score_decimals,
+    )
+    pos = positives.select(
+        F.col(query_id_col).alias("query_id"), F.col(id_col)
+    )
+    negs = hits.join(pos, ["query_id", id_col], "left_anti")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy("rank")
+    return (
+        negs.withColumn("neg_rank", F.row_number().over(w))
+        .where(F.col("neg_rank") <= k)
+        .select("query_id", "neg_rank", id_col, "score")
+    )

@@ -4342,7 +4342,9 @@ def q_semantic_dedup(spark, sf_dir):
 # Shared by q_bm25_topk (direct) and q_bm25_index_topk (build two
 # half-indexes, merge, query): both paths hash-matching the SAME
 # oracle proves direct == against-index == merged-index row-for-row.
-_BM25_ORACLE = r"""
+# Shared BM25 scoring CTE chain (through `sc`): the three headline
+# queries and the hard-negative miner all rank from the same scores.
+_BM25_SC = r"""
     WITH q(query_id, term) AS (
       SELECT * FROM (VALUES (0, 'hash'), (0, 'join'),
                             (1, 'vector'), (1, 'scan'), (1, 'batch'),
@@ -4366,7 +4368,9 @@ _BM25_ORACLE = r"""
                    6) AS score
            FROM tf t JOIN q USING (term) JOIN dfreq d USING (term)
                 JOIN dl l USING (doc_id) CROSS JOIN stats s
-           GROUP BY q.query_id, t.doc_id)
+           GROUP BY q.query_id, t.doc_id)"""
+
+_BM25_ORACLE = _BM25_SC + r"""
     SELECT query_id, CAST(rnk AS INTEGER) AS rnk, doc_id, score
     FROM (SELECT query_id, doc_id, score,
                  row_number() OVER (PARTITION BY query_id
@@ -4973,6 +4977,43 @@ def q_curation_funnel(spark, sf_dir):
     )
 
 
+@_register(
+    "q_hard_negatives",
+    _BM25_SC
+    + r""",
+    ranked AS (SELECT query_id, doc_id, score,
+                      row_number() OVER (PARTITION BY query_id
+                                         ORDER BY score DESC, doc_id) AS rnk
+               FROM sc),
+    pos AS (SELECT query_id, doc_id FROM ranked WHERE rnk = 1),
+    negs AS (SELECT r.query_id, r.doc_id, r.score, r.rnk
+             FROM ranked r
+             LEFT JOIN pos p ON p.query_id = r.query_id
+                            AND p.doc_id = r.doc_id
+             WHERE r.rnk <= 10 AND p.doc_id IS NULL)
+    SELECT query_id, CAST(neg_rank AS INTEGER) AS neg_rank, doc_id, score
+    FROM (SELECT query_id, doc_id, score,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY rnk) AS neg_rank
+          FROM negs)
+    WHERE neg_rank <= 5
+    """,
+    "BM25 hard-negative mining (retriever-training recipe): top-10 "
+    "hits per query minus the known positive (here the top-1 hit, "
+    "simulating the labeled relevant doc), re-ranked 1..5 — "
+    "lexically-close-but-not-relevant docs. Shares the BM25 scoring "
+    "CTE with q_bm25_topk; the Spark side composes bm25_topk with an "
+    "anti-join and a per-query window.",
+)
+def q_hard_negatives(spark, sf_dir):
+    from featurestore_spark.operators.search import bm25_topk, mine_hard_negatives
+
+    docs = load_table(spark, sf_dir, "documents")
+    q = _bm25_queries(spark)
+    positives = bm25_topk(docs, q, k=1).select("query_id", "doc_id")
+    return mine_hard_negatives(docs, q, positives, k=5, depth=10)
+
+
 # ---------------------------------------------------------------------------
 # Rows-only entries (oracle=None → the driver's weaker rows-check):
 # the two operators whose fit stage is inherently iterative and not
@@ -5091,12 +5132,12 @@ _DRIVER_PRIORITY = [
     "q_repeat_epochs",
     "q_nb_classify",
     "q_curation_funnel",
-    # ...then 26 of the 42 remaining r5-window LLM-block queries
+    "q_hard_negatives",
+    # ...then 25 of the 42 remaining r5-window LLM-block queries
     # (driver-verified r5, now two rounds stale — the stalest
     # evidence in the catalog):
     "q_current_events",
     "q_link_customer_order",
-    "q_dedup_exact",
     "q_lang_id",
     "q_dedup_pipeline",
     "q_simhash_near_dups",
@@ -5136,7 +5177,9 @@ _DRIVER_PRIORITY = [
     # final stage; q_token_count's expression is a column of the
     # in-window q_quality_filter; q_binary_meta's sibling q_image_meta
     # carries r6 driver evidence; q_chunk_documents' machinery feeds
-    # q_pack_chunks, r6-driver-green):
+    # q_pack_chunks, r6-driver-green; q_dedup_exact's collapse is the
+    # front of the in-window q_dedup_pipeline):
+    "q_dedup_exact",
     "q_chunk_documents",
     "q_token_count",
     "q_binary_meta",

@@ -338,3 +338,29 @@ def test_nb_classifier_learns_separable_classes(spark):
     # equal priors (2 docs each): tie breaks to the lexicographically
     # first label
     assert out[12] == "politics"
+
+
+def test_mine_hard_negatives_excludes_positives(spark, corpus):
+    from featurestore_spark.operators.search import bm25_topk, mine_hard_negatives
+
+    q = spark.createDataFrame(
+        [(0, "cat"), (0, "mat"), (1, "the")], "query_id long, term string"
+    )
+    all_hits = bm25_topk(corpus, q, k=10)
+    positives = all_hits.where("rank = 1").select("query_id", "doc_id")
+    negs = mine_hard_negatives(corpus, q, positives, k=3, depth=10)
+    got = {(r["query_id"], r["doc_id"]) for r in negs.collect()}
+    pos = {(r["query_id"], r["doc_id"]) for r in positives.collect()}
+    assert got and not (got & pos)  # positives never reappear
+    # negatives are exactly the next hits in rank order
+    expected = {
+        (r["query_id"], r["doc_id"])
+        for r in all_hits.where("rank > 1 AND rank <= 4").collect()
+    }
+    assert got == expected
+    # neg_rank is dense 1..k per query
+    for qid in {g[0] for g in got}:
+        ranks = [r["neg_rank"] for r in negs.where(F.col("query_id") == qid).collect()]
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+    with pytest.raises(ValueError, match="depth"):
+        mine_hard_negatives(corpus, q, positives, k=5, depth=3)
