@@ -394,17 +394,25 @@ def c4_line_filter(
     text_col: str = "text",
     id_col: str = "doc_id",
     *,
-    min_words_per_line: int = 3,
-    min_kept_lines: int = 3,
+    min_words_per_line: int = 5,
+    min_kept_lines: int = 1,
+    min_sentences: int = 3,
 ) -> DataFrame:
     """C4-style line-level cleaning (Raffel et al. 2020, §2.2): keep
     only lines that end in terminal punctuation (``. ! ? "``), contain
-    at least ``min_words_per_line`` words, and do not mention
-    "javascript"; drop the whole page when it contains "lorem ipsum"
-    or a curly brace (code), or when fewer than ``min_kept_lines``
-    lines survive. Returns
+    at least ``min_words_per_line`` words (paper default 5), and do
+    not mention "javascript"; drop the whole page when it contains
+    "lorem ipsum" or a curly brace (code), when fewer than
+    ``min_kept_lines`` lines survive, or when the CLEANED text has
+    fewer than ``min_sentences`` sentences (paper default 3;
+    sentences counted as ``[.!?]`` terminators in the kept lines).
+    The paper's bad-words-list page rule (the "List of Dirty, Naughty
+    ... Words") is deliberately omitted — shipping the list is out of
+    scope; apply it as a downstream filter over the returned text if
+    needed. Returns
 
-    (id, text [kept lines re-joined], n_lines, n_kept_lines, keep)
+    (id, text [kept lines re-joined], n_lines, n_kept_lines,
+     n_sentences, keep)
 
     with the original text REPLACED by the cleaned text, so the
     operator composes directly with the dedup ladder downstream.
@@ -430,18 +438,23 @@ def c4_line_filter(
         & (line_words(l) >= min_words_per_line)
         & ~F.lower(l).contains("javascript"),
     )
-    base = base.withColumn("_kept", kept)
+    base = base.withColumn("_kept", kept).withColumn(
+        "_cleaned", F.concat_ws("\n", "_kept")
+    )
     lowered = F.lower(text)
+    n_sentences = F.regexp_count(F.col("_cleaned"), F.lit(r"[.!?]"))
     keep = (
         (F.size("_kept") >= min_kept_lines)
+        & (n_sentences >= min_sentences)
         & ~lowered.contains("lorem ipsum")
         & ~lowered.contains("{")
     )
     return base.select(
         id_col,
-        F.concat_ws("\n", "_kept").alias(text_col),
+        F.col("_cleaned").alias(text_col),
         F.size("_lines").cast("int").alias("n_lines"),
         F.size("_kept").cast("int").alias("n_kept_lines"),
+        n_sentences.cast("int").alias("n_sentences"),
         keep.alias("keep"),
     )
 

@@ -116,11 +116,15 @@ def gopher_doc_rules(
     repetition rules). Emits every signal plus the conjunction `keep`,
     so downstream can re-threshold without recomputation:
 
-    (id, n_words, mean_word_len, symbol_word_ratio, bullet_line_frac,
-     ellipsis_line_frac, alpha_word_frac, stop_hits, keep)
+    (id, n_words, mean_word_len, hash_word_ratio, ellipsis_word_ratio,
+     bullet_line_frac, ellipsis_line_frac, alpha_word_frac, stop_hits,
+     keep)
 
     Defaults are the published thresholds: 50-100k words, mean word
-    length 3-10, #/ellipsis-to-word ratio <= 0.1, <= 90% bullet lines,
+    length 3-10, hash-to-word AND ellipsis-to-word ratios each
+    <= 0.1 (the paper applies the symbol threshold to the two ratios
+    SEPARATELY — "either"; a combined sum would be stricter and drop
+    e.g. a 0.06 + 0.06 doc the paper keeps), <= 90% bullet lines,
     <= 30% ellipsis-ending lines, >= 80% words with an alphabetic
     character, >= 2 distinct stopwords. "Alphabetic" is ASCII [a-z]
     over the lowercased tokens (the lang-id lexicons are Latin-script;
@@ -143,13 +147,11 @@ def gopher_doc_rules(
     )
     n_words = F.size("_toks")
     n_lines = F.size("_lines")
-    # '#' occurrences + '...'/'…' occurrences (non-overlapping), per Gopher's
-    # "symbol-to-word ratio" (hash or ellipsis)
-    n_symbols = (
-        F.length(text)
-        - F.length(F.regexp_replace(text, "#", ""))
-        + F.regexp_count(text, F.lit(r"\.\.\."))
-        + F.regexp_count(text, F.lit("…"))
+    # '#' and '...'/'…' occurrence counts (non-overlapping) — Gopher
+    # thresholds the two symbol-to-word ratios SEPARATELY ("either")
+    n_hashes = F.length(text) - F.length(F.regexp_replace(text, "#", ""))
+    n_ellipses = F.regexp_count(text, F.lit(r"\.\.\.")) + F.regexp_count(
+        text, F.lit("…")
     )
     # try_divide: zero-word/zero-line docs get NULL ratios (ANSI-safe),
     # which the keep-conjunction coalesces to false
@@ -162,7 +164,8 @@ def gopher_doc_rules(
             ),
             4,
         ),
-        "symbol_word_ratio": F.round(F.try_divide(n_symbols, n_words), 4),
+        "hash_word_ratio": F.round(F.try_divide(n_hashes, n_words), 4),
+        "ellipsis_word_ratio": F.round(F.try_divide(n_ellipses, n_words), 4),
         "bullet_line_frac": F.round(
             F.try_divide(
                 F.size(
@@ -203,7 +206,8 @@ def gopher_doc_rules(
     keep = (
         F.col("n_words").between(min_words, max_words)
         & F.col("mean_word_len").between(min_mean_word_len, max_mean_word_len)
-        & (F.col("symbol_word_ratio") <= max_symbol_word_ratio)
+        & (F.col("hash_word_ratio") <= max_symbol_word_ratio)
+        & (F.col("ellipsis_word_ratio") <= max_symbol_word_ratio)
         & (F.col("bullet_line_frac") <= max_bullet_line_frac)
         & (F.col("ellipsis_line_frac") <= max_ellipsis_line_frac)
         & (F.col("alpha_word_frac") >= min_alpha_word_frac)

@@ -4533,10 +4533,12 @@ def q_source_divergence(spark, sf_dir):
                list_sum(list_transform(toks, x -> len(x)))::DOUBLE
                  / len(toks), 4) END AS mean_word_len,
              CASE WHEN len(toks) > 0 THEN round(
-               (len(t) - len(replace(t, '#', ''))
-                + len(regexp_extract_all(t, '\.\.\.'))
+               (len(t) - len(replace(t, '#', '')))::DOUBLE / len(toks), 4)
+               END AS hash_word_ratio,
+             CASE WHEN len(toks) > 0 THEN round(
+               (len(regexp_extract_all(t, '\.\.\.'))
                 + len(regexp_extract_all(t, '…')))::DOUBLE / len(toks), 4)
-               END AS symbol_word_ratio,
+               END AS ellipsis_word_ratio,
              CASE WHEN len(lines) > 0 THEN round(
                len(list_filter(lines, l -> substr(l, 1, 1) IN ('•','-','*')))
                  ::DOUBLE / len(lines), 4) END AS bullet_line_frac,
@@ -4550,11 +4552,13 @@ def q_source_divergence(spark, sf_dir):
                ['the','be','to','of','and','that','have','with'],
                s -> list_contains(toks, s))) AS INTEGER) AS stop_hits
       FROM lined)
-    SELECT doc_id, n_words, mean_word_len, symbol_word_ratio,
+    SELECT doc_id, n_words, mean_word_len, hash_word_ratio,
+           ellipsis_word_ratio,
            bullet_line_frac, ellipsis_line_frac, alpha_word_frac, stop_hits,
            coalesce(n_words BETWEEN 50 AND 100000
                     AND mean_word_len BETWEEN 3.0 AND 10.0
-                    AND symbol_word_ratio <= 0.1
+                    AND hash_word_ratio <= 0.1
+                    AND ellipsis_word_ratio <= 0.1
                     AND bullet_line_frac <= 0.9
                     AND ellipsis_line_frac <= 0.3
                     AND alpha_word_frac >= 0.8
@@ -4562,9 +4566,10 @@ def q_source_divergence(spark, sf_dir):
     FROM sig
     """,
     "Gopher document-quality rules (Rae et al. 2021 A1.1): word-count "
-    "/ word-length / symbol / bullet / ellipsis / alpha / stopword "
-    "signals + the published-threshold keep conjunction. Pure Column "
-    "expressions, one scan, no shuffle.",
+    "/ word-length / hash+ellipsis symbol ratios (thresholded "
+    "SEPARATELY, per the paper's 'either') / bullet / ellipsis-line / "
+    "alpha / stopword signals + the published-threshold keep "
+    "conjunction. Pure Column expressions, one scan, no shuffle.",
 )
 def q_gopher_rules(spark, sf_dir):
     from featurestore_spark.operators.text import gopher_doc_rules
@@ -4592,24 +4597,33 @@ def q_gopher_rules(spark, sf_dir):
              list_filter(lines, l ->
                regexp_matches(l, '[.!?"]$')
                AND len(list_filter(string_split_regex(l, '\s+'),
-                                   w -> w <> '')) >= 3
+                                   w -> w <> '')) >= 5
                AND NOT contains(lower(l), 'javascript')) AS kept
-      FROM lined)
+      FROM lined),
+    cl AS (
+      SELECT doc_id, lines, lowered, kept,
+             -- array_to_string([]) is NULL in DuckDB; Spark concat_ws is ''
+             coalesce(array_to_string(kept, chr(10)), '') AS cleaned
+      FROM keptl)
     SELECT doc_id,
-           -- array_to_string([]) is NULL in DuckDB; Spark concat_ws is ''
-           coalesce(array_to_string(kept, chr(10)), '') AS text,
+           cleaned AS text,
            CAST(len(lines) AS INTEGER) AS n_lines,
            CAST(len(kept) AS INTEGER) AS n_kept_lines,
-           (len(kept) >= 3 AND NOT contains(lowered, 'lorem ipsum')
+           CAST(len(regexp_extract_all(cleaned, '[.!?]')) AS INTEGER)
+             AS n_sentences,
+           (len(kept) >= 1
+            AND len(regexp_extract_all(cleaned, '[.!?]')) >= 3
+            AND NOT contains(lowered, 'lorem ipsum')
             AND NOT contains(lowered, '{')) AS keep
-    FROM keptl
+    FROM cl
     """,
-    "C4 line-level cleaning (Raffel et al. 2020 §2.2): terminal-"
-    "punctuation / min-words / javascript line rules + lorem-ipsum / "
-    "curly-brace / min-kept-lines page rules. The fixture corpus has "
-    "no line structure, so both engines first synthesize lines by "
-    "replacing ' table ' with '.\\n' (identical non-overlapping "
-    "left-to-right replace in both).",
+    "C4 line-level cleaning (Raffel et al. 2020 §2.2) at the PAPER's "
+    "published defaults: terminal-punctuation / >=5-words / "
+    "javascript line rules + lorem-ipsum / curly-brace / >=3-sentence "
+    "page rules (bad-words list deliberately omitted, see docstring). "
+    "The fixture corpus has no line structure, so both engines first "
+    "synthesize lines by replacing ' table ' with '.\\n' (identical "
+    "non-overlapping left-to-right replace in both).",
 )
 def q_c4_filter(spark, sf_dir):
     from featurestore_spark.operators.curation import c4_line_filter
@@ -4908,14 +4922,17 @@ def q_nb_classify(spark, sf_dir):
              list_filter(lines, l ->
                regexp_matches(l, '[.!?"]$')
                AND len(list_filter(string_split_regex(l, '\s+'),
-                                   w -> w <> '')) >= 3
+                                   w -> w <> '')) >= 5
                AND NOT contains(lower(l), 'javascript')) AS kept
       FROM lined),
     c4 AS (
-      SELECT doc_id, source,
-             coalesce(array_to_string(kept, chr(10)), '') AS text
-      FROM keptl
-      WHERE len(kept) >= 3 AND NOT contains(lowered, 'lorem ipsum')
+      SELECT doc_id, source, text
+      FROM (SELECT doc_id, source, lowered, kept,
+                   coalesce(array_to_string(kept, chr(10)), '') AS text
+            FROM keptl)
+      WHERE len(kept) >= 1
+        AND len(regexp_extract_all(text, '[.!?]')) >= 3
+        AND NOT contains(lowered, 'lorem ipsum')
         AND NOT contains(lowered, '{')),
     toked AS (
       SELECT doc_id, source, text,

@@ -534,12 +534,41 @@ def test_c4_line_filter_rules(spark):
     )
     out = {r["doc_id"]: r for r in c4_line_filter(docs).collect()}
     assert out[1]["keep"] and out[1]["n_kept_lines"] == 3
+    assert out[1]["n_sentences"] == 3
     assert out[1]["text"].count("\n") == 2
     assert "javascript" not in out[1]["text"]
     assert not out[2]["keep"]  # lorem ipsum page rule
     assert not out[3]["keep"]  # curly brace page rule
+    # one kept line -> one sentence: dropped by the 3-sentence page rule
     assert not out[4]["keep"] and out[4]["n_kept_lines"] == 1
+    assert out[4]["n_sentences"] == 1
     assert not out[5]["keep"] and out[5]["text"] == "" and out[5]["n_lines"] == 0
+
+
+def test_c4_line_filter_published_defaults(spark):
+    """Defaults are the Raffel et al. 2020 §2.2 thresholds: lines
+    need >= 5 words, pages need >= 3 sentences."""
+    import inspect
+
+    from featurestore_spark.operators.curation import c4_line_filter
+
+    sig = inspect.signature(c4_line_filter)
+    assert sig.parameters["min_words_per_line"].default == 5
+    assert sig.parameters["min_sentences"].default == 3
+
+    docs = spark.createDataFrame(
+        [
+            # 4-word line: dropped under the published default
+            (1, "just four words here.\n" + "a proper sentence with five words.\n" * 3),
+            # two sentences only -> page dropped by the sentence rule
+            (2, "a proper sentence with five words.\n" * 2),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in c4_line_filter(docs).collect()}
+    assert out[1]["keep"] and out[1]["n_kept_lines"] == 3
+    assert "four words" not in out[1]["text"]
+    assert not out[2]["keep"] and out[2]["n_sentences"] == 2
 
 
 def test_ngram_novelty_scores_duplicates_zero(spark):

@@ -803,6 +803,10 @@ def test_gopher_doc_rules_signals(spark):
             (5, symbols),  # 120 '#' over 62 words: ratio >> 0.1
             (6, " ".join(["word"] * 60)),  # no stopwords
             (7, None),
+            # hash and ellipsis ratios ~0.055 EACH (sum ~0.11 > 0.1):
+            # kept, because Rae et al. A1.1 thresholds the two ratios
+            # separately — a combined sum would wrongly drop this doc
+            (8, passing + " one... two... three... four... # # # #"),
         ],
         "doc_id long, text string",
     )
@@ -811,9 +815,13 @@ def test_gopher_doc_rules_signals(spark):
     assert not out[2]["keep"]  # word count below 50
     assert not out[3]["keep"] and out[3]["bullet_line_frac"] > 0.9
     assert not out[4]["keep"] and out[4]["ellipsis_line_frac"] > 0.3
-    assert not out[5]["keep"] and out[5]["symbol_word_ratio"] > 0.1
+    assert not out[5]["keep"] and out[5]["hash_word_ratio"] > 0.1
     assert not out[6]["keep"] and out[6]["stop_hits"] == 0
     assert not out[7]["keep"] and out[7]["n_words"] == 0
+    assert out[8]["keep"]
+    assert 0 < out[8]["hash_word_ratio"] <= 0.1
+    assert 0 < out[8]["ellipsis_word_ratio"] <= 0.1
+    assert out[8]["hash_word_ratio"] + out[8]["ellipsis_word_ratio"] > 0.1
 
 
 def test_dsir_weights_rank_target_domain_higher(spark):
