@@ -5,12 +5,22 @@ The incremental index family (BM25 postings, MinHash band index)
 requires merged parts to cover DISJOINT document sets — an exact
 check is a full join over the state, which would defeat the
 incremental design, so the invariant is normally the caller's.
-`verify_disjoint_ids` is the middle ground: three
-``approx_count_distinct`` aggregates (HyperLogLog++, default relative
-standard deviation 0.05) comparing the union's distinct-id estimate
-against the sum of the parts'. A double-ingested batch collapses the
-union estimate to ~half the sum — far outside sketch error — while
-genuinely disjoint parts agree within it.
+`verify_disjoint_ids` is the middle ground, with two regimes:
+
+* **Comparable sizes** (within 4x of each other): three
+  ``approx_count_distinct`` aggregates (HyperLogLog++, default
+  relative standard deviation 0.05) comparing the union's distinct-id
+  estimate against the sum of the parts'. A double-ingested part
+  collapses the union estimate to ~half the sum — far outside sketch
+  error — while genuinely disjoint parts agree within it.
+* **Asymmetric sizes** (one part > 4x the other, the incremental
+  small-batch-vs-large-index shape): the sketch comparison is BLIND
+  here — a fully double-ingested batch shifts the union by only ~the
+  batch size, inside the sketch error of the large side — so the
+  probe instead counts the overlap EXACTLY with one scan of the
+  large part semi-joined against the broadcast distinct ids of the
+  small part, and raises when more than a quarter of the small
+  part's ids already exist in the large one.
 """
 
 from __future__ import annotations
@@ -26,16 +36,50 @@ from pyspark.sql import functions as F
 # exact validator.
 _TOLERANCE = 0.85
 
+# Sketch regime is valid only while the smaller part is a detectable
+# fraction of the union (overlap must exceed 0.15*(ea+eb), i.e. the
+# small side must be > ~0.18x the large); beyond 4x asymmetry the
+# exact semi-join path runs instead.
+_MAX_SKETCH_ASYMMETRY = 4
+
+# Exact regime: raise when this fraction of the small part's distinct
+# ids already exists in the large part (full double-ingestion → 1.0;
+# legitimate boundary overlap → near 0).
+_EXACT_OVERLAP_FRAC = 0.25
+
 
 def verify_disjoint_ids(
     a: DataFrame, b: DataFrame, id_col: str, op_name: str
 ) -> None:
     """Raise ``ValueError`` when the distinct ``id_col`` sets of ``a``
-    and ``b`` grossly overlap (sketch-based; see module docstring).
-    Runs three Spark actions — call only behind an explicit
-    ``verify=True`` knob."""
+    and ``b`` grossly overlap (see module docstring for the two
+    regimes). Runs three Spark actions in the sketch regime, two plus
+    one large-side scan in the asymmetric one — call only behind an
+    explicit ``verify=True`` knob."""
     ea = a.agg(F.approx_count_distinct(id_col)).collect()[0][0]
     eb = b.agg(F.approx_count_distinct(id_col)).collect()[0][0]
+    if min(ea, eb) * _MAX_SKETCH_ASYMMETRY < max(ea, eb):
+        small, large = (a, b) if ea <= eb else (b, a)
+        small_ids = small.select(F.col(id_col).alias("_id")).distinct()
+        n_small = small_ids.count()
+        if n_small == 0:
+            return
+        overlap = (
+            large.select(F.col(id_col).alias("_id"))
+            .join(F.broadcast(small_ids), "_id", "left_semi")
+            .distinct()
+            .count()
+        )
+        if overlap > _EXACT_OVERLAP_FRAC * n_small:
+            raise ValueError(
+                f"{op_name}: {overlap} of the smaller part's "
+                f"{n_small} distinct {id_col}s already exist in the "
+                "larger part — merging them would double-count. Each "
+                "part must cover a disjoint document set; a "
+                "re-ingested batch must be deduplicated (or the "
+                "existing part replaced) before the merge."
+            )
+        return
     eu = (
         a.select(F.col(id_col).alias("_id"))
         .unionByName(b.select(F.col(id_col).alias("_id")))

@@ -683,6 +683,26 @@ def test_extend_index_verify_probe(spark, corpus, batch):
         extend_index(idx, corpus, verify=True, **kw)
 
 
+def test_verify_disjoint_ids_asymmetric_exact_path(spark):
+    """Small-batch-vs-large-index (the incremental shape): the sketch
+    comparison is blind — a fully re-ingested 10-doc batch shifts a
+    1000-doc union by ~1%, inside HLL error — so the probe must take
+    the exact semi-join path and still raise (ADVICE r7)."""
+    from featurestore_spark.operators.probes import verify_disjoint_ids
+
+    large = spark.range(0, 1000).select(F.col("id").alias("doc_id"))
+    reingested = spark.range(0, 10).select(F.col("id").alias("doc_id"))
+    with pytest.raises(ValueError, match="already exist"):
+        verify_disjoint_ids(large, reingested, "doc_id", "extend_index")
+    # symmetric order of arguments must not matter
+    with pytest.raises(ValueError, match="already exist"):
+        verify_disjoint_ids(reingested, large, "doc_id", "extend_index")
+    fresh = spark.range(2000, 2010).select(F.col("id").alias("doc_id"))
+    verify_disjoint_ids(large, fresh, "doc_id", "extend_index")  # passes
+    # empty batch is vacuously disjoint
+    verify_disjoint_ids(large, fresh.where("doc_id < 0"), "doc_id", "x")
+
+
 def test_against_index_rejects_64bit_line_index(spark, corpus):
     """A pre-round-6 bigint-keyed index fails fast with the rebuild
     instruction, not an opaque join type-mismatch (ADVICE r6)."""
