@@ -5098,6 +5098,272 @@ def q_ivf_topk(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Web-ingest front (operators/web.py): the documents fixture has no
+# URL column, so both engines synthesize the same messy URL from
+# doc_id (mixed-case scheme/host, default + non-default ports,
+# utm/click-id params, unsorted params, fragments, trailing slashes —
+# every rule canonical_url normalizes). The _WEB_SQL prefix carries
+# the synthesized url through the full canonicalization +
+# registrable-domain chain shared by the three queries below.
+# ---------------------------------------------------------------------------
+
+
+def _web_url_col():
+    """The synthesized crawl URL as a Spark Column (engine-identical
+    to the `u` CTE of `_WEB_SQL`)."""
+    d = F.col("doc_id")
+    host = (
+        F.when(d % 5 == 0, F.lit("WWW.Example.COM"))
+        .when(d % 5 == 1, F.lit("news.Site.co.uk"))
+        .when(d % 5 == 2, F.lit("Blog.Example.GitHub.IO"))
+        .when(d % 5 == 3, F.lit("example.org."))
+        .otherwise(F.lit("sub.domain.example.net"))
+    )
+    scheme = F.when(d % 2 == 0, F.lit("HTTP")).otherwise(F.lit("https"))
+    port = (
+        F.when(d % 4 == 0, F.lit(":80"))
+        .when(d % 4 == 1, F.lit(":8080"))
+        .otherwise(F.lit(""))
+    )
+    path = F.concat(
+        F.lit("/Articles/"),
+        (d % 13).cast("string"),
+        F.when(d % 3 == 0, F.lit("/")).otherwise(F.lit("")),
+    )
+    query = (
+        F.when(d % 3 == 0, F.lit("?utm_source=feed&utm_campaign=x"))
+        .when(d % 3 == 1, F.lit("?b=2&a=1&gclid=track"))
+        .otherwise(F.lit(""))
+    )
+    frag = F.when(
+        d % 2 == 1, F.concat(F.lit("#Section-"), d.cast("string"))
+    ).otherwise(F.lit(""))
+    return F.concat(scheme, F.lit("://"), host, port, path, query, frag)
+
+
+def _web_sfx_literal() -> str:
+    from featurestore_spark.operators.web import PUBLIC_SUFFIXES
+
+    return "[" + ", ".join(f"'{s}'" for s in PUBLIC_SUFFIXES) + "]"
+
+
+_WEB_SFX = _web_sfx_literal()
+
+_WEB_SQL = r"""
+    WITH u AS (
+      SELECT doc_id, text,
+             (CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'https' END)
+             || '://'
+             || (CASE doc_id % 5 WHEN 0 THEN 'WWW.Example.COM'
+                                 WHEN 1 THEN 'news.Site.co.uk'
+                                 WHEN 2 THEN 'Blog.Example.GitHub.IO'
+                                 WHEN 3 THEN 'example.org.'
+                                 ELSE 'sub.domain.example.net' END)
+             || (CASE doc_id % 4 WHEN 0 THEN ':80'
+                                 WHEN 1 THEN ':8080' ELSE '' END)
+             || '/Articles/' || CAST(doc_id % 13 AS VARCHAR)
+             || (CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END)
+             || (CASE doc_id % 3
+                   WHEN 0 THEN '?utm_source=feed&utm_campaign=x'
+                   WHEN 1 THEN '?b=2&a=1&gclid=track' ELSE '' END)
+             || (CASE WHEN doc_id % 2 = 1
+                   THEN '#Section-' || CAST(doc_id AS VARCHAR)
+                   ELSE '' END) AS url
+      FROM documents),
+    pp AS (
+      SELECT doc_id, text, url,
+             lower(regexp_extract(sf, '^([^:/?#]+)://', 1)) AS scheme,
+             regexp_replace(sf, '^[^:/?#]+://', '') AS rest
+      FROM (SELECT *, regexp_replace(url, '#.*$', '') AS sf FROM u)),
+    parts AS (
+      SELECT doc_id, text, url, scheme,
+             regexp_replace(lower(regexp_replace(hostport, ':[0-9]*$', '')),
+                            '\.$', '') AS host,
+             regexp_extract(hostport, ':([0-9]+)$', 1) AS port,
+             regexp_extract(pathq, '^([^?]*)', 1) AS path,
+             regexp_extract(pathq, '\?(.*)$', 1) AS query
+      FROM (SELECT *,
+              regexp_replace(regexp_extract(rest, '^([^/?#]*)', 1),
+                             '^.*@', '') AS hostport,
+              regexp_replace(rest, '^[^/?#]*', '') AS pathq
+            FROM pp)),
+    canon AS (
+      SELECT doc_id, text, url, host,
+             sch || '://' || host || prt || pth || qry AS canonical_url
+      FROM (
+        SELECT doc_id, text, url, host, sch,
+               CASE WHEN port = '' OR (sch = 'http' AND port = '80')
+                     OR (sch = 'https' AND port = '443')
+                    THEN '' ELSE ':' || port END AS prt,
+               CASE WHEN regexp_replace(path, '/+$', '') = '' THEN '/'
+                    ELSE regexp_replace(path, '/+$', '') END AS pth,
+               CASE WHEN len(prm) > 0
+                    THEN '?' || array_to_string(prm, '&')
+                    ELSE '' END AS qry
+        FROM (SELECT *,
+                CASE WHEN scheme = '' THEN 'http' ELSE scheme END AS sch,
+                list_sort(list_filter(string_split(query, '&'), kv ->
+                  kv <> ''
+                  AND NOT starts_with(regexp_extract(kv, '^([^=]*)', 1),
+                                      'utm_')
+                  AND NOT list_contains(
+                        ['gclid','fbclid','msclkid','igshid','mc_eid'],
+                        regexp_extract(kv, '^([^=]*)', 1)))) AS prm
+              FROM parts))),
+    dom AS (
+      SELECT doc_id, text, url, canonical_url, host,
+             CASE WHEN n > matched AND host <> ''
+                  THEN array_to_string(labels[n-matched:n], '.') END AS domain
+      FROM (
+        SELECT *,
+               CASE WHEN n >= 2 AND list_contains(__SFX__,
+                      array_to_string(labels[n-1:n], '.')) THEN 2
+                    WHEN n >= 1 AND list_contains(__SFX__, labels[n]) THEN 1
+                    ELSE 1 END AS matched
+        FROM (SELECT *, string_split(host, '.') AS labels,
+                     len(string_split(host, '.')) AS n
+              FROM canon)))
+""".replace("__SFX__", _WEB_SFX)
+
+
+@_register(
+    "q_canonical_url",
+    _WEB_SQL
+    + """
+    SELECT doc_id, url, canonical_url, domain FROM dom
+    """,
+    "URL canonicalization + registrable-domain extraction (the "
+    "C4/RefinedWeb step BEFORE any text rule): scheme/host lowercase, "
+    "userinfo/fragment strip, default-port drop, trailing-slash "
+    "policy, utm/click-id param removal with the remainder sorted, "
+    "eTLD+1 via the embedded public-suffix snapshot. Pure Column "
+    "expressions — zero exchanges, RE2-portable regexes replayed "
+    "identically by the oracle.",
+)
+def q_canonical_url(spark, sf_dir):
+    from featurestore_spark.operators.web import (
+        canonical_url,
+        registrable_domain,
+        url_parts,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    u = docs.select("doc_id", _web_url_col().alias("url"))
+    return u.select(
+        "doc_id",
+        "url",
+        canonical_url("url").alias("canonical_url"),
+        registrable_domain(url_parts("url")["host"]).alias("domain"),
+    )
+
+
+@_register(
+    "q_url_dedup",
+    _WEB_SQL
+    + """
+    SELECT canonical_url, min(doc_id) AS keep_id,
+           CAST(count(*) AS BIGINT) AS n_dups
+    FROM dom GROUP BY canonical_url
+    """,
+    "URL-level exact dedup keyed on the canonical form — the cheapest "
+    "dedup in the ladder (fragments, utm tags, param order, case and "
+    "default ports all collapse before a single byte of page text is "
+    "read). One hash-groupBy on the canonical string; map-side "
+    "combine collapses the duplicate mass pre-exchange.",
+)
+def q_url_dedup(spark, sf_dir):
+    from featurestore_spark.operators.web import url_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    return url_dedup(docs.select("doc_id", _web_url_col().alias("url")))
+
+
+@_register(
+    "q_web_funnel",
+    _WEB_SQL
+    + r"""
+    , grp AS (
+      SELECT canonical_url, min(doc_id) AS keep_id,
+             CAST(count(*) AS BIGINT) AS n_dups
+      FROM dom GROUP BY canonical_url),
+    keep AS (
+      SELECT d.doc_id, d.text, d.domain, g.n_dups
+      FROM grp g JOIN dom d ON d.doc_id = g.keep_id),
+    stripped AS (
+      SELECT doc_id, domain, n_dups,
+             trim(regexp_replace(
+               replace(replace(replace(replace(replace(replace(
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_replace(
+                       regexp_replace(
+                         '<html><body><p>'
+                         || replace(text, ' value ', '</p><p>')
+                         || '</p><script>var x = 1;</script></body></html>',
+                         '(?is)<script[^>]*>.*?</script\s*>', ' ', 'g'),
+                       '(?is)<style[^>]*>.*?</style\s*>', ' ', 'g'),
+                     '(?s)<!--.*?-->', ' ', 'g'),
+                   '<[^>]*>', ' ', 'g'),
+                 '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+                 '&quot;', '"'), '&#39;', chr(39)), '&amp;', '&'),
+               '\s+', ' ', 'g')) AS text
+      FROM keep)
+    SELECT domain, CAST(count(*) AS BIGINT) AS n_pages,
+           CAST(sum(n_dups) AS BIGINT) AS n_raw_urls,
+           CAST(sum(len(list_filter(string_split_regex(trim(text), '\s+'),
+                                    t -> t <> ''))) AS BIGINT) AS n_tokens,
+           min(doc_id) AS min_id
+    FROM stripped GROUP BY domain
+    """,
+    "Web-ingest funnel capstone: URL canonical dedup FIRST (cheapest "
+    "— no page text read), then HTML→text over the keepers only, "
+    "rolled up per registrable domain (pages, raw-crawl dup mass, "
+    "token yield). Proves the web front composes ahead of strip_html "
+    "exactly as a crawl pipeline runs it.",
+)
+def q_web_funnel(spark, sf_dir):
+    from featurestore_spark.operators.text import strip_html
+    from featurestore_spark.operators.web import (
+        registrable_domain,
+        url_dedup,
+        url_parts,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    u = docs.select("doc_id", "text", _web_url_col().alias("url"))
+    dd = url_dedup(u)
+    keep = dd.select(
+        F.col("keep_id").alias("doc_id"),
+        F.col("canonical_url"),
+        "n_dups",
+    ).join(u.select("doc_id", "text"), "doc_id")
+    html = F.concat(
+        F.lit("<html><body><p>"),
+        F.replace(F.col("text"), F.lit(" value "), F.lit("</p><p>")),
+        F.lit("</p><script>var x = 1;</script></body></html>"),
+    )
+    stripped = keep.select(
+        "doc_id",
+        "n_dups",
+        registrable_domain(url_parts("canonical_url")["host"]).alias(
+            "domain"
+        ),
+        strip_html(html).alias("text"),
+    )
+    n_tok = F.size(
+        F.filter(
+            F.split(F.trim(F.col("text")), r"\s+"), lambda t: t != F.lit("")
+        )
+    )
+    return stripped.groupBy("domain").agg(
+        F.count(F.lit(1)).alias("n_pages"),
+        F.sum("n_dups").alias("n_raw_urls"),
+        F.sum(n_tok).alias("n_tokens"),
+        F.min("doc_id").alias("min_id"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-gate registration order.
 #
 # The correctness driver verifies the FIRST 50 queries in registration

@@ -198,3 +198,26 @@ def test_round7_query_plan_shapes(spark):
     p = plan("q_ngram_novelty")
     assert "REPARTITION_BY_COL" in p
     assert "hashpartitioning(_g#" not in p  # only _gh (md5) keys shuffles
+
+
+def test_round8_web_query_plan_shapes(spark):
+    """Round-8 web-ingest front: canonicalization + domain extraction
+    are join-free pure projections; url_dedup is one hash aggregate
+    (partial + final of a single groupBy), never a sort-based one."""
+    from featurestore_spark.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+
+    def plan(q):
+        return (
+            QUERIES[q].spark(spark, sf)._jdf.queryExecution()
+            .executedPlan().toString()
+        )
+
+    p = plan("q_canonical_url")
+    assert "Exchange" not in p, "canonicalization gained a shuffle"
+    assert "Join" not in p, "suffix membership must be a literal array"
+
+    p = plan("q_url_dedup")
+    assert p.count("Exchange") <= 2  # partial+final agg of ONE groupBy
+    assert "HashAggregate" in p and "SortAggregate" not in p

@@ -1,0 +1,161 @@
+"""URL canonicalization / registrable-domain / URL-dedup tests (the
+web-ingest front, VERDICT r7 #3)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from featurestore_spark.operators.web import (
+    PUBLIC_SUFFIXES,
+    canonical_url,
+    domain_rollup,
+    registrable_domain,
+    url_dedup,
+    url_parts,
+)
+
+
+def _canon(spark, url, **kw):
+    df = spark.createDataFrame([(url,)], "url string")
+    return df.select(canonical_url("url", **kw).alias("c")).collect()[0]["c"]
+
+
+def test_canonical_url_rules(spark):
+    # scheme+host lowercased, default port dropped, utm params
+    # stripped, remaining params sorted, fragment dropped, trailing
+    # slash stripped
+    assert (
+        _canon(
+            spark,
+            "HTTP://WWW.Example.COM:80/A/b/?utm_source=x&id=3&utm_campaign=y#Frag",
+        )
+        == "http://www.example.com/A/b?id=3"
+    )
+    # non-default port kept; userinfo stripped through the LAST '@'
+    assert (
+        _canon(spark, "https://u:p@ss@Host.Org:8443/x") == "https://host.org:8443/x"
+    )
+    # https default port dropped; click-id param dropped; params sorted
+    assert (
+        _canon(spark, "https://a.io:443/p?b=2&a=1&gclid=z")
+        == "https://a.io/p?a=1&b=2"
+    )
+    # missing scheme -> default_scheme; empty path -> '/'
+    assert _canon(spark, "example.net") == "http://example.net/"
+    # trailing host dot dropped; path case preserved
+    assert _canon(spark, "http://Example.org./Case") == "http://example.org/Case"
+    # all params stripped -> '?' disappears
+    assert _canon(spark, "http://a.com/x?utm_a=1&utm_b=2") == "http://a.com/x"
+    # '&&' / empty params dropped
+    assert _canon(spark, "http://a.com/x?b=2&&a=1") == "http://a.com/x?a=1&b=2"
+    assert _canon(spark, None) is None
+    assert (
+        _canon(spark, "http://www.a.com/x", strip_www=True) == "http://a.com/x"
+    )
+    # percent-encoding is NOT decoded (different resources must not merge)
+    assert _canon(spark, "http://a.com/a%2Fb") == "http://a.com/a%2Fb"
+
+
+def test_url_parts_fragment_and_query(spark):
+    df = spark.createDataFrame(
+        [("http://h.com/p?q=1#frag?notquery",)], "url string"
+    )
+    p = url_parts("url")
+    row = df.select(
+        p["scheme"].alias("s"), p["host"].alias("h"),
+        p["path"].alias("pa"), p["query"].alias("q"),
+    ).collect()[0]
+    # the '?' inside the fragment must not be parsed as a query
+    assert (row["s"], row["h"], row["pa"], row["q"]) == (
+        "http", "h.com", "/p", "q=1"
+    )
+
+
+def test_registrable_domain(spark):
+    hosts = [
+        (1, "www.example.com"),
+        (2, "news.example.co.uk"),  # 2-label public suffix
+        (3, "blog.sub.example.github.io"),  # private-section suffix
+        (4, "example.com"),  # already registrable
+        (5, "com"),  # bare suffix -> NULL
+        (6, "localhost"),  # single unlisted label -> NULL
+        (7, "host.unlistedtld"),  # fallback: last-2-labels rule
+        (8, ""),
+        (9, None),
+    ]
+    df = spark.createDataFrame(hosts, "i long, h string")
+    out = {
+        r["i"]: r["d"]
+        for r in df.select(
+            "i", registrable_domain("h").alias("d")
+        ).collect()
+    }
+    assert out[1] == "example.com"
+    assert out[2] == "example.co.uk"
+    assert out[3] == "example.github.io"
+    assert out[4] == "example.com"
+    assert out[5] is None
+    assert out[6] is None
+    assert out[7] == "host.unlistedtld"
+    assert out[8] is None and out[9] is None
+    # custom suffix list overrides the built-in snapshot
+    custom = df.where("i = 2").select(
+        registrable_domain("h", suffixes=["uk"]).alias("d")
+    ).collect()[0]["d"]
+    assert custom == "co.uk"
+    # longest suffix wins over its own tail ('co.uk' over 'uk')
+    assert "co.uk" in PUBLIC_SUFFIXES and "uk" in PUBLIC_SUFFIXES
+
+
+def test_url_dedup_collapses_tracking_variants(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "http://A.com/x?utm_s=1"),
+            (2, "HTTP://a.COM:80/x/"),
+            (3, "http://a.com/x#frag"),
+            (4, "http://a.com/y"),
+            (5, None),
+        ],
+        "doc_id long, url string",
+    )
+    out = {r["canonical_url"]: r for r in url_dedup(df).collect()}
+    assert out["http://a.com/x"]["keep_id"] == 1
+    assert out["http://a.com/x"]["n_dups"] == 3
+    assert out["http://a.com/y"]["n_dups"] == 1
+    assert len(out) == 2  # NULL url dropped
+
+
+def test_domain_rollup_counts_duplicate_mass(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "http://a.example.com/x?utm_s=1"),
+            (2, "http://b.example.com/x"),
+            (3, "http://a.example.com/x"),  # canonical dup of 1
+            (4, "http://other.org/"),
+        ],
+        "doc_id long, url string",
+    )
+    out = {r["domain"]: r for r in domain_rollup(df).collect()}
+    assert out["example.com"]["n_urls"] == 3
+    assert out["example.com"]["n_canonical"] == 2
+    assert out["example.com"]["min_id"] == 1
+    assert out["other.org"]["n_urls"] == 1
+
+
+def test_web_ops_are_shuffle_free(spark):
+    """canonical_url + registrable_domain are pure projections: the
+    executed plan over a parquet-free local relation must contain no
+    Exchange; url_dedup adds exactly the one groupBy exchange."""
+    df = spark.range(100).select(
+        F.concat(F.lit("http://h"), F.col("id") % 7, F.lit(".example.com/p")).alias(
+            "url"
+        ),
+        F.col("id").alias("doc_id"),
+    )
+    proj = df.select(canonical_url("url"), registrable_domain("url"))
+    proj.collect()
+    plan = proj._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    dd = url_dedup(df)
+    dd.collect()
+    plan = dd._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") <= 2  # partial+final agg of ONE groupBy
