@@ -212,6 +212,7 @@ def train_centroids(
     *,
     vec_col: str = "embedding",
     iterations: int = 3,
+    round_decimals: int | None = None,
 ) -> DataFrame:
     """Deterministic Lloyd-style centroids for IVF: seed from sign
     buckets (engine-agnostic), refine with mean-per-cluster rounds.
@@ -219,6 +220,15 @@ def train_centroids(
     All DataFrame ops: assignment = argmin over broadcast centroids;
     mean = `aggregate` element-wise sums / counts. Returns
     (centroid_id, centroid array<double>).
+
+    ``round_decimals`` rounds each mean coordinate and each argmin
+    distance — the cross-engine determinism knob (the
+    q_temperature_mixture in-plan-thresholds pattern): float
+    aggregation order differs between engines/partitionings by
+    ~1 ulp, and rounding at 6 decimals makes the whole iterative fit
+    replayable bit-for-bit by a SQL oracle with the iterations
+    unrolled. No effect on recall at realistic embedding scales;
+    leave None when no oracle is in the loop.
     """
     bits = max(1, (n_centroids - 1).bit_length())
     # Row id only disambiguates duplicate vectors in the argmin group
@@ -231,17 +241,27 @@ def train_centroids(
         "centroid_id", sign_bucket(F.col("v"), bits) % n_centroids
     )
     for _ in range(iterations):
-        cents = _mean_vectors(seeded, "centroid_id", "v")
-        seeded = _assign_nearest(base, cents, "_rid")
-    return _mean_vectors(seeded, "centroid_id", "v")
+        cents = _mean_vectors(seeded, "centroid_id", "v", round_decimals)
+        seeded = _assign_nearest(
+            base, cents, "_rid", round_decimals=round_decimals
+        )
+    return _mean_vectors(seeded, "centroid_id", "v", round_decimals)
 
 
-def _mean_vectors(df: DataFrame, key_col: str, vec_col: str) -> DataFrame:
+def _mean_vectors(
+    df: DataFrame,
+    key_col: str,
+    vec_col: str,
+    round_decimals: int | None = None,
+) -> DataFrame:
     """Element-wise mean vector per key. posexplode → per-(key, dim)
     partial sums → reassemble ordered array: bounded memory per group
     (a collect_list-of-vectors fold would buffer whole clusters)."""
     ex = df.select(key_col, F.posexplode(vec_col).alias("pos", "val"))
-    per_dim = ex.groupBy(key_col, "pos").agg(F.avg("val").alias("mean"))
+    mean = F.avg("val")
+    if round_decimals is not None:
+        mean = F.round(mean, round_decimals)
+    per_dim = ex.groupBy(key_col, "pos").agg(mean.alias("mean"))
     return per_dim.groupBy(key_col).agg(
         F.transform(
             F.array_sort(F.collect_list(F.struct("pos", "mean"))),
@@ -250,19 +270,25 @@ def _mean_vectors(df: DataFrame, key_col: str, vec_col: str) -> DataFrame:
     )
 
 
-def _assign_nearest(base: DataFrame, centroids: DataFrame, id_col: str) -> DataFrame:
+def _assign_nearest(
+    base: DataFrame,
+    centroids: DataFrame,
+    id_col: str,
+    *,
+    round_decimals: int | None = None,
+) -> DataFrame:
     """argmin centroid per row: broadcast cross join + `min_by` keyed
     on `id_col` — the shuffle key is the scalar row id, never the
     vector array (r1 windowed `PARTITION BY v`, VERDICT §wrong #3).
     Returns (id_col, v, centroid_id); ties break on centroid_id."""
-    sims = base.crossJoin(F.broadcast(centroids)).withColumn(
-        "_d",
-        F.aggregate(
-            F.zip_with(F.col("v"), F.col("centroid"), lambda a, b: (a - b) * (a - b)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        ),
+    d = F.aggregate(
+        F.zip_with(F.col("v"), F.col("centroid"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
     )
+    if round_decimals is not None:
+        d = F.round(d, round_decimals)
+    sims = base.crossJoin(F.broadcast(centroids)).withColumn("_d", d)
     best = sims.groupBy(id_col).agg(
         F.min_by(
             F.struct(F.col("centroid_id"), F.col("v")),
@@ -287,30 +313,35 @@ def ivf_topk(
     cand_id: str = "neighbor_id",
     query_vec: str = "qv",
     cand_vec: str = "cv",
+    round_decimals: int | None = None,
 ) -> DataFrame:
     """IVF search: candidates pre-assigned to their nearest centroid;
     each query probes its `n_probe` nearest centroid lists only. The
     join is an equi-join on centroid_id — at 100 TB the candidate side
     is bucketed/partitioned by centroid_id on disk and only probed
-    lists are scanned."""
+    lists are scanned. ``round_decimals`` rounds the assignment/probe
+    distances (see `train_centroids` — the oracle-replay knob)."""
     # id threaded through the assignment — the vector rides along, so
     # no re-join (r1 re-joined on array equality; duplicate vectors
     # cross-multiplied, VERDICT §wrong #3).
+    qd = F.aggregate(
+        F.zip_with(
+            F.col(query_vec), F.col("centroid"), lambda a, b: (a - b) * (a - b)
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    if round_decimals is not None:
+        qd = F.round(qd, round_decimals)
     cand_assigned = _assign_nearest(
-        candidates.select(F.col(cand_id), F.col(cand_vec).alias("v")), centroids, cand_id
+        candidates.select(F.col(cand_id), F.col(cand_vec).alias("v")),
+        centroids,
+        cand_id,
+        round_decimals=round_decimals,
     ).withColumnRenamed("v", cand_vec)
     q_assigned = (
         queries.crossJoin(F.broadcast(centroids))
-        .withColumn(
-            "_d",
-            F.aggregate(
-                F.zip_with(
-                    F.col(query_vec), F.col("centroid"), lambda a, b: (a - b) * (a - b)
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            ),
-        )
+        .withColumn("_d", qd)
         .withColumn(
             "_rn",
             F.row_number().over(

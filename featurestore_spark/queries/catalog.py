@@ -5097,6 +5097,98 @@ def q_ivf_topk(spark, sf_dir):
     return ivf_topk(q, c, cents, k=5, n_probe=2)
 
 
+# One Lloyd round: mean-per-cluster (6-dp rounded), then rounded-argmin
+# reassignment, ties on centroid id — iterations UNROLL as repeated
+# CTE pairs (see q_ivf_serve).
+_IVF_MEAN = """
+    {out} AS (SELECT cid, list(mu ORDER BY pos) AS cv
+       FROM (SELECT cid, pos, round(avg(val), 6) AS mu
+             FROM (SELECT cid, unnest(v) AS val,
+                          unnest(generate_series(1, len(v))) AS pos
+                   FROM {src})
+             GROUP BY cid, pos)
+       GROUP BY cid)"""
+_IVF_ASSIGN = """
+    {out} AS (SELECT vec_id, v, cid
+       FROM (SELECT e.vec_id, e.v, c.cid,
+                    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                      round(list_sum(list_transform(
+                        generate_series(1, len(e.v)),
+                        i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i]))), 6),
+                      c.cid) AS rn
+             FROM e CROSS JOIN {cents} c)
+       WHERE rn = 1)"""
+
+
+@_register(
+    "q_ivf_serve",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    s0 AS (SELECT vec_id, v,
+            ((CASE WHEN v[1] > 0 THEN 4 ELSE 0 END)
+             + (CASE WHEN v[2] > 0 THEN 2 ELSE 0 END)
+             + (CASE WHEN v[3] > 0 THEN 1 ELSE 0 END)) AS cid
+           FROM e),"""
+    + _IVF_MEAN.format(out="c0", src="s0") + ","
+    + _IVF_ASSIGN.format(out="a1", cents="c0") + ","
+    + _IVF_MEAN.format(out="c1", src="a1") + ","
+    + _IVF_ASSIGN.format(out="a2", cents="c1") + ","
+    + _IVF_MEAN.format(out="c2", src="a2") + ","
+    + _IVF_ASSIGN.format(out="ca0", cents="c2").replace(
+        "FROM e CROSS JOIN",
+        "FROM (SELECT vec_id, v FROM e WHERE vec_id >= 3) e CROSS JOIN",
+    ) + ","
+    + """
+    qa AS (SELECT query_id, qv, cid
+       FROM (SELECT q.vec_id AS query_id, q.v AS qv, c.cid,
+                    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                      round(list_sum(list_transform(
+                        generate_series(1, len(q.v)),
+                        i -> (q.v[i] - c.cv[i]) * (q.v[i] - c.cv[i]))), 6),
+                      c.cid) AS rn
+             FROM (SELECT vec_id, v FROM e WHERE vec_id < 3) q
+             CROSS JOIN c2 c)
+       WHERE rn <= 2),
+    sims AS (
+      SELECT qa.query_id, ca0.vec_id AS neighbor_id,
+             round(list_dot_product(qa.qv, ca0.v)
+                   / (sqrt(list_dot_product(qa.qv, qa.qv))
+                      * sqrt(list_dot_product(ca0.v, ca0.v))), 6) AS sim
+      FROM ca0 JOIN qa USING (cid))
+    SELECT query_id, CAST(rnk AS INTEGER) AS rnk, neighbor_id, sim
+    FROM (SELECT query_id, neighbor_id, sim,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY sim DESC, neighbor_id) AS rnk
+          FROM sims)
+    WHERE rnk <= 5
+    """,
+    "IVF SERVING stage with full value evidence (VERDICT r7 #5): the "
+    "same deterministic Lloyd fit as q_ivf_topk but with "
+    "round_decimals=6 (means and argmin distances rounded in-plan — "
+    "the cross-engine determinism knob), so the oracle replays the "
+    "ENTIRE fit+assign+probe+top-k chain with the two iterations "
+    "unrolled as SQL CTE pairs. q_ivf_topk stays as the "
+    "production-default (unrounded) rows-only twin.",
+)
+def q_ivf_serve(spark, sf_dir):
+    from featurestore_spark.operators.similarity import (
+        as_double_array,
+        ivf_topk,
+        train_centroids,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.select("vec_id", as_double_array("embedding").alias("v"))
+    q = base.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    c = base.where(F.col("vec_id") >= 3).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv")
+    )
+    cents = train_centroids(emb, n_centroids=8, iterations=2, round_decimals=6)
+    return ivf_topk(q, c, cents, k=5, n_probe=2, round_decimals=6)
+
+
 # ---------------------------------------------------------------------------
 # Web-ingest front (operators/web.py): the documents fixture has no
 # URL column, so both engines synthesize the same messy URL from

@@ -268,6 +268,41 @@ def test_decode_images_round_trip(spark):
     assert parse_image_header(b"\xff\xd8\xff") == (None, None, None, None)
 
 
+def test_train_centroids_round_decimals_is_negligible(spark):
+    """round_decimals=6 (the oracle-replay knob behind q_ivf_serve)
+    perturbs each centroid coordinate by < 1e-6 and leaves the
+    cluster structure identical on separated data."""
+    import random
+
+    from featurestore_spark.operators.similarity import train_centroids
+
+    random.seed(7)
+    vecs = [
+        (
+            i,
+            [
+                c + random.gauss(0, 0.3)
+                for c in ([4.0, -4.0, 4.0, -4.0] if i % 2 else [-4.0, 4.0, -4.0, 4.0])
+            ],
+        )
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    exact = {
+        r["centroid_id"]: r["centroid"]
+        for r in train_centroids(df, n_centroids=2, iterations=2).collect()
+    }
+    rounded = {
+        r["centroid_id"]: r["centroid"]
+        for r in train_centroids(
+            df, n_centroids=2, iterations=2, round_decimals=6
+        ).collect()
+    }
+    assert exact.keys() == rounded.keys()
+    for cid, vec in exact.items():
+        assert all(abs(a - b) < 1e-6 for a, b in zip(vec, rounded[cid]))
+
+
 def test_ivf_topk_recall(spark):
     import random
 
