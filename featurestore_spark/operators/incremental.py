@@ -196,7 +196,8 @@ def dedup_against_index(
     index: DataFrame,
     *,
     base: DataFrame | None = None,
-    threshold: float | None = None,
+    threshold: float | tuple[float | None, float | None] | None = None,
+    verify_measure: str = "jaccard",
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 3,
@@ -213,14 +214,34 @@ def dedup_against_index(
       (LSH false positives drop too; acceptable when the corpus is
       authoritative and the batch expendable).
     - **verified** (`threshold` + `base`): band collisions are
-      verified with exact n-gram Jaccard against the colliding base
-      documents; a batch doc drops iff some verified near-dup
-      (jaccard ≥ threshold) exists. Only candidate rep ids' texts are
-      read from `base` — at scale an id-pushdown semi-join, not a
-      corpus scan. If the index names a candidate id that `base` does
-      not contain (index/base drift — e.g. the index grew under
-      band-only mode without base upkeep), the verify job RAISES
-      rather than silently keeping a near-duplicate.
+      verified with an exact n-gram measure against the colliding
+      base documents; a batch doc drops iff some verified near-dup
+      exists. Only candidate rep ids' texts are read from `base` — at
+      scale an id-pushdown semi-join, not a corpus scan. If the index
+      names a candidate id that `base` does not contain (index/base
+      drift — e.g. the index grew under band-only mode without base
+      upkeep), the verify job RAISES rather than silently keeping a
+      near-duplicate.
+
+    ``verify_measure`` selects the verified-mode measure:
+    - ``'jaccard'`` (default): drop when |A∩B|/|A∪B| ≥ threshold —
+      whole-document similarity.
+    - ``'containment'`` (Broder's asymmetric measure, the
+      `containment_pairs` semantics): a short batch doc quoted inside
+      a long indexed doc has near-1 containment but low Jaccard (the
+      union is dominated by the long doc), so Jaccard-mode verify
+      under-scores exactly the sub-document duplication rolling
+      ingestion most wants to catch. `threshold` may be a float
+      (drop when EITHER direction ≥ it) or a ``(c_batch, c_base)``
+      pair thresholding |A∩B|/|batch| and |A∩B|/|base| separately
+      (None disables that direction) — e.g. ``(0.9, None)`` drops
+      batch docs mostly contained in the corpus while keeping long
+      batch docs that merely quote an indexed snippet.
+      Same plan shape and cost as Jaccard (the intersection/size
+      arithmetic changes, the joins do not). Note the LSH candidate
+      stage still keys on MinHash-Jaccard collisions: a tiny quote
+      inside a huge doc may never band-collide — lower `n`/raise
+      `bands` or use the span index for exact-substring coverage.
 
     In BOTH modes, verbatim duplicates of indexed texts drop
     unconditionally via the index's `text_h1/text_h2` exact-hash
@@ -245,7 +266,17 @@ def dedup_against_index(
     if threshold is not None and base is None:
         raise ValueError(
             "dedup_against_index: verified mode (threshold set) requires "
-            "`base` (the corpus docs) for the Jaccard verify join"
+            "`base` (the corpus docs) for the verify join"
+        )
+    if verify_measure not in ("jaccard", "containment"):
+        raise ValueError(
+            "dedup_against_index: verify_measure must be 'jaccard' or "
+            f"'containment', got {verify_measure!r}"
+        )
+    if isinstance(threshold, tuple) and verify_measure != "containment":
+        raise ValueError(
+            "dedup_against_index: a (c_batch, c_base) threshold pair "
+            "requires verify_measure='containment'"
         )
     groups, members = _collapse_exact_texts(
         batch, text_col, id_col, "dedup_against_index"
@@ -282,10 +313,26 @@ def dedup_against_index(
         ).join(pairs.select("_base_id").distinct(), "_base_id").withColumn(
             "_present", F.lit(True)
         )
-        jac = F.when(
-            F.col("_present").isNotNull(),
-            ngram_jaccard(F.col("_sh_q"), F.col("_sh_b")),
-        ).otherwise(
+        if verify_measure == "jaccard":
+            measure = ngram_jaccard(F.col("_sh_q"), F.col("_sh_b"))
+            hit = measure >= threshold
+        else:
+            inter = F.size(
+                F.array_intersect(F.col("_sh_q"), F.col("_sh_b"))
+            ).cast("double")
+            c_q = F.round(inter / F.size("_sh_q"), 4)
+            c_b = F.round(inter / F.size("_sh_b"), 4)
+            t_q, t_b = (
+                threshold
+                if isinstance(threshold, tuple)
+                else (threshold, threshold)
+            )
+            hit = F.lit(False)
+            if t_q is not None:
+                hit = hit | (c_q >= t_q)
+            if t_b is not None:
+                hit = hit | (c_b >= t_b)
+        checked = F.when(F.col("_present").isNotNull(), hit).otherwise(
             F.raise_error(
                 F.lit(
                     "dedup_against_index: index names a candidate id "
@@ -296,7 +343,7 @@ def dedup_against_index(
         verified = (
             pairs.join(sh_q, "_q_id")
             .join(sh_b, "_base_id", "left")
-            .where(jac >= threshold)
+            .where(checked)
         )
         dropped_reps = verified.select(F.col("_q_id").alias("rep_id")).distinct()
     if {"text_h1", "text_h2"} <= set(index.columns):
@@ -511,7 +558,8 @@ def dedup_stream_against_index(
     kept_path: str,
     *,
     base_path: str | None = None,
-    threshold: float | None = None,
+    threshold: float | tuple[float | None, float | None] | None = None,
+    verify_measure: str = "jaccard",
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 3,
@@ -589,6 +637,7 @@ def dedup_stream_against_index(
             idx,
             base=base,
             threshold=threshold,
+            verify_measure=verify_measure,
             text_col=text_col,
             id_col=id_col,
             n=n,

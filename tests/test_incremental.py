@@ -683,6 +683,63 @@ def test_extend_index_verify_probe(spark, corpus, batch):
         extend_index(idx, corpus, verify=True, **kw)
 
 
+def test_dedup_against_index_containment_mode(spark):
+    """A short batch doc quoted verbatim inside a long indexed doc
+    dedups under containment but SURVIVES Jaccard at the same
+    threshold (the union is dominated by the long doc) — the
+    sub-document case Jaccard-mode verify under-scores (VERDICT r7
+    #7). The (c_batch, c_base) pair gates each direction
+    independently."""
+    from featurestore_spark.operators.incremental import (
+        dedup_against_index,
+        minhash_band_index,
+    )
+
+    quote = "the quick brown fox jumps over the lazy dog near the river bank"
+    long_doc = (
+        "completely unrelated opening sentence about markets and trade "
+        + quote
+        + " and a long unrelated tail discussing weather patterns crops "
+        "harvest yields irrigation canals and rural infrastructure plans"
+    )
+    corpus = spark.createDataFrame(
+        [(1, long_doc), (2, "some other indexed document entirely")],
+        "doc_id long, text string",
+    )
+    # bands=k: every shingle contributes to some band, so the quote
+    # band-collides with its containing doc (candidate recall isn't
+    # what this test pins — the verify measure is)
+    idx = minhash_band_index(corpus, n=3, k=16, bands=16)
+    batch = spark.createDataFrame(
+        [(10, quote), (11, "fresh novel content with no overlap at all")],
+        "doc_id long, text string",
+    )
+    kw = dict(base=corpus, n=3, k=16, bands=16, max_bucket=None)
+
+    jac_kept = dedup_against_index(batch, idx, threshold=0.8, **kw)
+    assert {r["doc_id"] for r in jac_kept.collect()} == {10, 11}
+
+    cont_kept = dedup_against_index(
+        batch, idx, threshold=0.8, verify_measure="containment", **kw
+    )
+    assert {r["doc_id"] for r in cont_kept.collect()} == {11}
+
+    # direction-specific: (None, c_base) only drops batch docs that
+    # CONTAIN an indexed doc — the quote (contained, not containing)
+    # survives
+    dir_kept = dedup_against_index(
+        batch, idx, threshold=(None, 0.8), verify_measure="containment", **kw
+    )
+    assert {r["doc_id"] for r in dir_kept.collect()} == {10, 11}
+
+    with pytest.raises(ValueError, match="containment"):
+        dedup_against_index(batch, idx, threshold=(0.8, None), **kw)
+    with pytest.raises(ValueError, match="verify_measure"):
+        dedup_against_index(
+            batch, idx, threshold=0.8, verify_measure="cosine", **kw
+        )
+
+
 def test_verify_disjoint_ids_asymmetric_exact_path(spark):
     """Small-batch-vs-large-index (the incremental shape): the sketch
     comparison is blind — a fully re-ingested 10-doc batch shifts a
