@@ -229,13 +229,49 @@ def shingle_hashes(shingle_col: Column) -> Column:
     )
 
 
+def _minhash_seeds(k: int) -> tuple[list[int], list[int]]:
+    """(A, B) seed lists of length k. The first 32 are the pinned
+    prime tables above (every existing oracle embeds them — they must
+    never change); beyond 32, a deterministic Knuth/Weyl extension
+    supports the published large-k recipes (Gopher's 450, Lee et
+    al.'s 9000). a*h stays < 2^31 * 2^28 = 2^59 — ANSI-safe."""
+    a, b = list(MINHASH_A[:k]), list(MINHASH_B[:k])
+    for i in range(len(a), k):
+        a.append((2654435761 * (i + 1)) % MINHASH_P or 1)
+        b.append((40503 * (i + 1) + 2531011) % MINHASH_P)
+    return a, b
+
+
+def _seed_arrays(k: int) -> tuple[Column, Column]:
+    """The `_minhash_seeds(k)` lists as array Columns. Up to 32 seeds
+    they are literal arrays; beyond that the extension tail is
+    COMPUTED in-plan (sequence + transform of the same Knuth/Weyl
+    arithmetic) rather than embedded as k literals — a 9000-literal
+    CreateArray makes Catalyst analysis itself the bottleneck
+    (measured: the Lee et al. k=9000 preset went from ~150 s to
+    seconds on a 3-doc corpus after this change; the runtime
+    arithmetic is identical either way)."""
+    pin = min(k, len(MINHASH_A))
+    a = F.array(*[F.lit(x).cast("long") for x in MINHASH_A[:pin]])
+    b = F.array(*[F.lit(x).cast("long") for x in MINHASH_B[:pin]])
+    if k > pin:
+        idx = F.sequence(F.lit(pin + 1).cast("long"), F.lit(k).cast("long"))
+        tail_a = F.transform(
+            idx,
+            lambda i: F.nullif((F.lit(2654435761) * i) % MINHASH_P, F.lit(0)),
+        )
+        tail_a = F.transform(tail_a, lambda x: F.coalesce(x, F.lit(1)))
+        tail_b = F.transform(
+            idx, lambda i: (F.lit(40503) * i + F.lit(2531011)) % MINHASH_P
+        )
+        a, b = F.concat(a, tail_a), F.concat(b, tail_b)
+    return a, b
+
+
 def minhash_signature_array(shingle_col: Column, k: int = 16) -> Column:
     """array<long> of k MinHash values, computed in one fold over the
     shingle hashes — no explode, no shuffle, no per-seed rescan."""
-    if k > len(MINHASH_A):
-        raise ValueError(f"k <= {len(MINHASH_A)} supported")
-    a_arr = F.array(*[F.lit(a).cast("long") for a in MINHASH_A[:k]])
-    b_arr = F.array(*[F.lit(b).cast("long") for b in MINHASH_B[:k]])
+    a_arr, b_arr = _seed_arrays(k)
 
     def step(acc: Column, h: Column) -> Column:
         cand = F.zip_with(a_arr, b_arr, lambda a, b: (a * h + b) % F.lit(MINHASH_P))
@@ -275,15 +311,30 @@ def minhash_bands(
     bands: int = 4,
 ) -> DataFrame:
     """(id, band_0..band_{bands-1}) per document — one projection."""
-    # Two-step select: the signature array is materialized as one
-    # expression, then elements extracted — gives the optimizer a
-    # single aggregate subtree rather than k copies.
+    # Band hashes are sliced straight off the signature ARRAY — never
+    # exploded into k mh_i columns first (a k=9000 preset would make
+    # the intermediate projection itself a 9000-column analysis
+    # burden). String form matches band_hashes()/the oracles exactly:
+    # concat_ws over longs == '|'-joined CAST AS VARCHAR.
+    r = k // bands
     sig = df.select(
         F.col(id_col), minhash_signature_array(shingles(text_col, n), k).alias("_sig")
-    ).select(
-        F.col(id_col), *[F.col("_sig").getItem(i).alias(f"mh_{i}") for i in range(k)]
     )
-    return sig.select(F.col(id_col), *band_hashes(k, bands))
+    return sig.select(
+        F.col(id_col),
+        *[
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.transform(
+                        F.slice("_sig", b * r + 1, r),
+                        lambda x: x.cast("string"),
+                    ),
+                )
+            ).alias(f"band_{b}")
+            for b in range(bands)
+        ],
+    )
 
 
 def minhash_candidate_pairs(
@@ -480,6 +531,55 @@ def dedup_keep_docs(
         drops = drops.unionByName(intra.select("member_id"))
     drops = drops.distinct().withColumnRenamed("member_id", id_col)
     return df.join(drops, id_col, "left_anti")
+
+
+# Published fuzzy-dedup recipes, wired through the existing ladder by
+# dedup_corpus. Each value is exactly the dedup_keep_docs kwargs.
+DEDUP_PRESETS: dict[str, dict] = {
+    # Rae et al. 2021 (Gopher), A1.2: 13-gram MinHash, 450 hash
+    # functions, documents duplicates at Jaccard >= 0.8. The paper
+    # does not publish its band split; 25 bands x 18 rows keeps the
+    # published 450 and puts the LSH S-curve midpoint at
+    # (1/25)^(1/18) ~ 0.836, adjacent to the 0.8 verify threshold.
+    "gopher": dict(n=13, k=450, bands=25, threshold=0.8),
+    # Lee et al. 2022 (NearDup), adopted by RefinedWeb (Penedo et al.
+    # 2023): 5-grams, 9000 hash functions in 450 buckets of 20 rows
+    # (S-curve midpoint (1/450)^(1/20) ~ 0.74), edges kept at
+    # Jaccard >= 0.8.
+    "refinedweb": dict(n=5, k=9000, bands=450, threshold=0.8),
+}
+
+
+def dedup_corpus(
+    df: DataFrame,
+    preset: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    max_bucket: int = 1000,
+    **overrides,
+) -> DataFrame:
+    """One-call fuzzy dedup at a PUBLISHED recipe's constants: the
+    full ladder (exact collapse → MinHash-LSH over distinct texts →
+    exact-Jaccard verify → keep-lowest-id) with n / k / bands /
+    threshold wired from :data:`DEDUP_PRESETS` — so a user gets e.g.
+    the Gopher pipeline without assembling six knobs. Returns the
+    KEPT rows of `df` (all columns). Pure composition: output is
+    IDENTICAL to `dedup_keep_docs(df, **DEDUP_PRESETS[preset])`
+    (test-asserted); keyword overrides replace individual constants.
+
+    Cost note: the published k IS the dominant cost (k multiply-adds
+    per shingle in the signature fold — 'refinedweb' is 9000/shingle
+    by design, exactly what the paper spends); at 100 TB the
+    signature stage is embarrassingly parallel and shuffle-free, and
+    everything downstream runs over distinct texts only."""
+    if preset not in DEDUP_PRESETS:
+        raise ValueError(
+            f"dedup_corpus: unknown preset {preset!r} "
+            f"(available: {sorted(DEDUP_PRESETS)})"
+        )
+    params = {**DEDUP_PRESETS[preset], "max_bucket": max_bucket, **overrides}
+    return dedup_keep_docs(df, text_col, id_col, **params)
 
 
 # -- n-gram Jaccard -----------------------------------------------------------
