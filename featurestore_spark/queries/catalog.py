@@ -5473,87 +5473,11 @@ def q_web_funnel(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 _DRIVER_PRIORITY = [
-    # Round-7 rotation (VERDICT r6 #1): the 14 queries with NO driver
-    # evidence in any round lead — the four r6 search/KL queries, the
-    # three hash128-changed incremental queries (r5 evidence predates
-    # the key migration), the five TPC-H queries absent from both the
-    # r5 and r6 artifacts (verified against the artifacts themselves,
-    # not the r6 comment), and the two rows-only entries new this
-    # round:
-    "q_bm25_topk",
-    "q_bm25_index_topk",
-    "q_lm_perplexity",
-    "q_source_divergence",
-    "q_decontaminate_spans",
-    "q_incremental_line_dedup",
-    "q_incremental_spans",
-    "q_tpch_q11",
-    "q_tpch_q16",
-    "q_tpch_q17",
-    "q_tpch_q20",
-    "q_tpch_q21",
-    "q_bpe_segment",
-    "q_ivf_topk",
-    # ...the three curation queries NEW this round (Gopher doc rules,
-    # C4 line cleaning, n-gram novelty — oracle-verified at sf0.001 +
-    # sf0.01 + sf0.1 in-session)...
-    "q_gopher_rules",
-    "q_c4_filter",
-    "q_ngram_novelty",
-    "q_dsir_weights",
-    "q_strip_html",
-    "q_ngram_containment",
-    "q_temperature_mixture",
-    "q_repeat_epochs",
-    "q_nb_classify",
-    "q_curation_funnel",
-    "q_hard_negatives",
-    # ...then 25 of the 42 remaining r5-window LLM-block queries
-    # (driver-verified r5, now two rounds stale — the stalest
-    # evidence in the catalog):
-    "q_current_events",
-    "q_link_customer_order",
-    "q_lang_id",
-    "q_dedup_pipeline",
-    "q_simhash_near_dups",
-    "q_embedding_ann_lsh",
-    "q_repetition",
-    "q_redact_pii",
-    "q_quality_filter",
-    "q_asof_purchase",
-    "q_interval_join",
-    "q_time_rollup",
-    "q_attribution",
-    "q_quality_buckets",
-    "q_incremental_dedup",
-    "q_incremental_embedding_dedup",
-    "q_ivf_pq_topk",
-    "q_semantic_dedup",
-    "q_shard_corpus",
-    "q_cluster_balance",
-    "q_normalize_text",
-    "q_token_budget_sample",
-    "q_embedding_clusters",
-    "q_dedup_clusters",
-    "q_entity_resolution",
-    # --- driver window ends here (first 50) ---
-    # Fifteen r5-window queries missed the cut (42 stale minus the 27
-    # in-window above); each has a strictly more complex in-window
-    # sibling exercising the same code path
-    # (bands⊂pairs⊂pipeline/clusters, encode⊂topk⊂ivf_pq,
-    # assign⊂ivf_pq, brute topk⊂ann_lsh, near_dups⊂clusters,
-    # corpus_stats/vocab_topk are single-aggregate scans). They lead
-    # the r8 rotation (q_text_quality's metrics are consumed by the
-    # in-window q_quality_filter; q_doc_fingerprint is two md5
-    # projections over the scan every in-window text query exercises;
-    # q_ngram_jaccard's measure is a column of the in-window
-    # q_ngram_containment over the same pair sample; q_mixture_sample's
-    # hash-threshold filter is the in-window q_temperature_mixture's
-    # final stage; q_token_count's expression is a column of the
-    # in-window q_quality_filter; q_binary_meta's sibling q_image_meta
-    # carries r6 driver evidence; q_chunk_documents' machinery feeds
-    # q_pack_chunks, r6-driver-green; q_dedup_exact's collapse is the
-    # front of the in-window q_dedup_pipeline):
+    # Round-8 rotation (VERDICT r7 #1): the 17 rotation-tail queries —
+    # the last entries in the catalog with no driver evidence since r5
+    # (each spent r6-r7 represented by an in-window superset sibling) —
+    # lead, completing the cadence goal: after this artifact every
+    # catalog entry has a driver row at most two rounds old.
     "q_dedup_exact",
     "q_chunk_documents",
     "q_token_count",
@@ -5571,7 +5495,58 @@ _DRIVER_PRIORITY = [
     "q_embedding_near_dups",
     "q_corpus_stats",
     "q_vocab_topk",
+    # ...the four queries NEW this round (web-ingest URL front +
+    # the value-checked IVF serving stage)...
+    "q_canonical_url",
+    "q_url_dedup",
+    "q_web_funnel",
+    "q_ivf_serve",
+    # ...every query whose code path CHANGED this round: the C4/Gopher
+    # published-threshold alignment (q_gopher_rules, q_c4_filter,
+    # q_curation_funnel), the MinHash band-slice + seed-extension
+    # rewrite (q_dedup_pipeline/clusters/ladder + the two q_minhash_*
+    # above), dedup_against_index's containment-mode verify
+    # (q_incremental_dedup), and train_centroids/ivf_topk's
+    # serving-stage split (q_ivf_topk, rows-only)...
+    "q_gopher_rules",
+    "q_c4_filter",
+    "q_curation_funnel",
+    "q_dedup_pipeline",
+    "q_dedup_clusters",
+    "q_dedup_ladder",
+    "q_incremental_dedup",
+    "q_ivf_topk",
+    # ...then 21 of the 50 r6-window queries (driver evidence now two
+    # rounds old — the stalest in the catalog): the vault/star core,
+    # the event-path family, and the span/line curation block. The 29
+    # r6-window queries left out (TPC-H block + window aggregates +
+    # the remaining event/meta queries) are the longest-unchanged code
+    # in the repo (r2-r4 vintage, untouched since) and lead the r9
+    # rotation.
+    "q_vault_full_cycle",
+    "q_hub_customer",
+    "q_satellite_classify",
+    "q_star_dim_order_priority",
+    "q_star_fact_order_counts",
+    "q_sessionize",
+    "q_session_stats",
+    "q_chords",
+    "q_chord_path",
+    "q_chord_path_all",
+    "q_collapse_runs",
+    "q_unique_path",
+    "q_pivot_snapshot",
+    "q_pivot_registry",
+    "q_dedup_lines",
+    "q_decontaminate",
+    "q_shared_spans",
+    "q_boilerplate",
+    "q_pack_chunks",
+    "q_dq_assertion",
+    "q_sniff_csv",
+    # --- driver window ends here (first 50) ---
 ]
+
 
 _ordered = {n: QUERIES[n] for n in _DRIVER_PRIORITY if n in QUERIES}
 _ordered.update({n: s for n, s in QUERIES.items() if n not in _ordered})
