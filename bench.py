@@ -143,6 +143,12 @@ HEADLINE = [
     "q_nb_classify",
     "q_curation_funnel",
     "q_hard_negatives",
+    # Round 8: web-ingest URL front + the value-checked IVF serving
+    # stage split out of q_ivf_topk
+    "q_canonical_url",
+    "q_url_dedup",
+    "q_web_funnel",
+    "q_ivf_serve",
 ]
 
 # Zero-code-change drift control (VERDICT r6 #8): the TPC-H block has
@@ -196,6 +202,7 @@ def main():
     repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3")))
 
     timings: dict[str, float] = {}
+    timings_min: dict[str, float] = {}
     for name in HEADLINE:
         spec = QUERIES.get(name)
         if spec is None:
@@ -206,6 +213,12 @@ def main():
             spec.spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
             runs.append(time.perf_counter() - t0)
         timings[name] = round(statistics.median(runs), 3)
+        # Min-of-repeats alongside the median (VERDICT r7 #4): the
+        # median still carries steady per-run costs, but the min is
+        # the drift-stable statistic (PLANS.md's solo-warm convention,
+        # now mechanical) — round-over-round regression calls compare
+        # the mins, normalized by the control subtotal below.
+        timings_min[name] = round(min(runs), 3)
         # Drop references so ContextCleaner can free localCheckpoint
         # blocks (token-budget / component-loop queries materialize
         # them each run); across 60+ queries x repeats the retained
@@ -232,6 +245,15 @@ def main():
     tpch_control = round(
         sum(t for q, t in timings.items() if q in set(TPCH_CONTROL)), 3
     )
+    tpch_control_min = round(
+        sum(t for q, t in timings_min.items() if q in set(TPCH_CONTROL)), 3
+    )
+    # Headline expressed in units of the zero-code-change control
+    # block: same-host drift moves numerator and denominator together
+    # (five same-code control readings spanned 12.3-17.2s in r7), so
+    # r(N) vs r(N-1) regression-vs-drift is one comparison of this
+    # field instead of a hand normalization.
+    control_normalized = round(total / tpch_control, 3) if tpch_control else None
     # Full per-query map goes to a sidecar file: at 80+ queries the
     # inline map outgrew the driver's stdout tail-capture window and
     # BENCH_r05.json recorded parsed:null. The stdout line stays short
@@ -246,7 +268,10 @@ def main():
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_min": timings_min,
                 "tpch_control_wall": tpch_control,
+                "tpch_control_wall_min": tpch_control_min,
+                "control_normalized_total": control_normalized,
                 "sf": sf,
                 "repeats": repeats,
             },
@@ -264,6 +289,7 @@ def main():
                 "queries": top5,
                 "n_queries": len(timings),
                 "tpch_control_wall": tpch_control,
+                "control_normalized_total": control_normalized,
                 "sf": sf,
                 "repeats": repeats,
                 "full_map": "bench_full.json",
