@@ -149,6 +149,7 @@ HEADLINE = [
     "q_url_dedup",
     "q_web_funnel",
     "q_ivf_serve",
+    "q_fineweb_rules",
 ]
 
 # Zero-code-change drift control (VERDICT r6 #8): the TPC-H block has

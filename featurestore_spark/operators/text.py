@@ -220,6 +220,114 @@ def gopher_doc_rules(
     )
 
 
+def fineweb_doc_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    min_punct_line_frac: float = 0.12,
+    max_dup_line_char_frac: float = 0.1,
+    max_short_line_frac: float = 0.67,
+    short_line_chars: int = 30,
+) -> DataFrame:
+    """The three line-aggregate quality filters FineWeb adds on top of
+    the C4/Gopher subsets (Penedo et al. 2024, "The FineWeb Datasets",
+    §3.3 custom filters). Emits every signal plus the conjunction
+    `keep`, so downstream can re-threshold without recomputation:
+
+    (id, n_lines, punct_line_frac, dup_line_char_frac,
+     short_line_frac, keep)
+
+    Defaults are the published thresholds — a document is REMOVED when
+
+    * the fraction of lines ending in terminal punctuation (C4's
+      [.!?"] set, matching `curation.c4_line_filter`) is <= 0.12,
+    * the fraction of characters in duplicated lines is >= 0.10, or
+    * the fraction of lines shorter than 30 characters is >= 0.67.
+
+    Lines are '\\n'-split, trimmed, non-empty (the convention shared
+    by `gopher_doc_rules`/`c4_line_filter`). "Characters in duplicated
+    lines" counts every occurrence of a line AFTER its first, over the
+    sum of all line lengths (so two identical 20-char lines in a doc
+    whose lines total 100 chars score 0.2) — the occurrence-beyond-
+    first counting matches the Gopher-repetition convention the paper
+    reuses; the denominator is total LINE characters, not raw text
+    length (whitespace between lines carries no signal). Zero-line
+    docs emit NULL ratios and keep=false.
+
+    Scale shape: pure Column expressions over one scan — no shuffle,
+    no UDF, whole-stage codegen. The duplicate-line mass is computed
+    per document by sorting the line array in-plan and summing the
+    length of elements equal to their predecessor (O(L log L) per doc,
+    never a corpus-level group-by: line identity is only needed
+    WITHIN a document)."""
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    # project the arrays to attribute columns FIRST: inlined subtrees
+    # re-evaluate per element inside HOF lambdas (see normalize_text)
+    out = df.withColumns(
+        {
+            "_lines": F.filter(
+                F.transform(F.split(text, "\n"), F.trim),
+                lambda l: l != F.lit(""),
+            ),
+        }
+    ).withColumns({"_sorted": F.array_sort("_lines")})
+    n_lines = F.size("_lines")
+    total_line_chars = F.aggregate(
+        "_lines", F.lit(0).cast("long"), lambda a, l: a + F.length(l)
+    )
+    # occurrences after the first == sorted elements equal to their
+    # predecessor; sequence() needs the n_lines >= 2 guard (Spark
+    # sequence(2, 1) counts DOWN, it is not empty)
+    dup_chars = F.when(
+        n_lines >= 2,
+        F.aggregate(
+            F.sequence(F.lit(2), n_lines),
+            F.lit(0).cast("long"),
+            lambda a, i: a
+            + F.when(
+                F.element_at("_sorted", i) == F.element_at("_sorted", i - 1),
+                F.length(F.element_at("_sorted", i)),
+            ).otherwise(F.lit(0)),
+        ),
+    ).otherwise(F.lit(0))
+    sig = {
+        "n_lines": n_lines.cast("int"),
+        "punct_line_frac": F.round(
+            F.try_divide(
+                F.size(F.filter("_lines", lambda l: l.rlike('[.!?"]$'))),
+                n_lines,
+            ),
+            4,
+        ),
+        "dup_line_char_frac": F.round(
+            F.try_divide(dup_chars, total_line_chars), 4
+        ),
+        "short_line_frac": F.round(
+            F.try_divide(
+                F.size(
+                    F.filter(
+                        "_lines", lambda l: F.length(l) < short_line_chars
+                    )
+                ),
+                n_lines,
+            ),
+            4,
+        ),
+    }
+    out = out.withColumns(sig)
+    keep = (
+        (F.col("punct_line_frac") > min_punct_line_frac)
+        & (F.col("dup_line_char_frac") < max_dup_line_char_frac)
+        & (F.col("short_line_frac") < max_short_line_frac)
+    )
+    return out.select(
+        id_col,
+        *sig.keys(),
+        F.coalesce(keep, F.lit(False)).alias("keep"),
+    )
+
+
 # (entity, replacement) in decode order — &amp; LAST, so '&amp;lt;'
 # decodes to the literal '&lt;' and never double-decodes to '<'
 _HTML_ENTITIES = [

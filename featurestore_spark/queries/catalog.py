@@ -4579,6 +4579,75 @@ def q_gopher_rules(spark, sf_dir):
 
 
 @_register(
+    "q_fineweb_rules",
+    r"""
+    WITH src AS (
+      SELECT doc_id,
+             replace(text, ' table ', '.' || chr(10))
+             || CASE WHEN doc_id % 4 = 0
+                     THEN chr(10) || 'spark spark spark.'
+                          || chr(10) || 'spark spark spark.'
+                     ELSE '' END AS text
+      FROM documents),
+    lined AS (
+      SELECT doc_id,
+             list_filter(list_transform(string_split(coalesce(text, ''),
+                                                     chr(10)),
+                                        l -> trim(l)), l -> l <> '') AS lines
+      FROM src),
+    arr AS (
+      SELECT doc_id, lines, list_sort(lines) AS srt, len(lines) AS nl
+      FROM lined),
+    sig AS (
+      SELECT doc_id,
+             CAST(nl AS INTEGER) AS n_lines,
+             CASE WHEN nl > 0 THEN round(
+               len(list_filter(lines, l -> regexp_matches(l, '[.!?"]$')))
+                 ::DOUBLE / nl, 4) END AS punct_line_frac,
+             CASE WHEN nl > 0 THEN round(
+               coalesce(list_sum(list_transform(range(2, nl + 1),
+                 i -> CASE WHEN srt[i] = srt[i-1]
+                           THEN len(srt[i]) ELSE 0 END)), 0)::DOUBLE
+                 / list_sum(list_transform(lines, l -> len(l))), 4)
+               END AS dup_line_char_frac,
+             CASE WHEN nl > 0 THEN round(
+               len(list_filter(lines, l -> len(l) < 30))::DOUBLE / nl, 4)
+               END AS short_line_frac
+      FROM arr)
+    SELECT doc_id, n_lines, punct_line_frac, dup_line_char_frac,
+           short_line_frac,
+           coalesce(punct_line_frac > 0.12
+                    AND dup_line_char_frac < 0.1
+                    AND short_line_frac < 0.67, false) AS keep
+    FROM sig
+    """,
+    "FineWeb custom quality filters (Penedo et al. 2024 §3.3): "
+    "terminal-punctuation line fraction > 0.12, duplicated-line "
+    "character fraction < 0.1 (occurrences beyond first, computed by "
+    "an in-plan array sort — duplicate mass needs line identity only "
+    "WITHIN a doc, never a corpus group-by), short-line fraction "
+    "< 0.67. Pure Column expressions, one scan, zero exchanges. "
+    "Fixture synthesizes lines like q_c4_filter and appends a "
+    "duplicated line pair to every fourth doc so the dup signal has "
+    "real spread.",
+)
+def q_fineweb_rules(spark, sf_dir):
+    from featurestore_spark.operators.text import fineweb_doc_rules
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.concat(
+            F.replace(F.col("text"), F.lit(" table "), F.lit(".\n")),
+            F.when(
+                F.col("doc_id") % 4 == 0,
+                F.lit("\nspark spark spark.\nspark spark spark."),
+            ).otherwise(F.lit("")),
+        ),
+    )
+    return fineweb_doc_rules(docs)
+
+
+@_register(
     "q_c4_filter",
     r"""
     WITH src AS (
@@ -5501,6 +5570,7 @@ _DRIVER_PRIORITY = [
     "q_url_dedup",
     "q_web_funnel",
     "q_ivf_serve",
+    "q_fineweb_rules",
     # ...every query whose code path CHANGED this round: the C4/Gopher
     # published-threshold alignment (q_gopher_rules, q_c4_filter,
     # q_curation_funnel), the MinHash band-slice + seed-extension
@@ -5543,8 +5613,11 @@ _DRIVER_PRIORITY = [
     "q_boilerplate",
     "q_pack_chunks",
     "q_dq_assertion",
+    # --- driver window ends here (first 50); q_sniff_csv ceded its
+    # slot to the round-8h q_fineweb_rules (new queries outrank
+    # stale-evidence refresh; its sniffer path is pytest-covered and
+    # leads the r9 rotation with the other 29 r6-window queries ---
     "q_sniff_csv",
-    # --- driver window ends here (first 50) ---
 ]
 
 

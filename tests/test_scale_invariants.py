@@ -221,3 +221,9 @@ def test_round8_web_query_plan_shapes(spark):
     p = plan("q_url_dedup")
     assert p.count("Exchange") <= 2  # partial+final agg of ONE groupBy
     assert "HashAggregate" in p and "SortAggregate" not in p
+
+    # FineWeb rule filter: like the other rule sets, a pure projection
+    # over one scan — the in-plan array_sort must not become a shuffle
+    p = plan("q_fineweb_rules")
+    assert "Exchange" not in p, "q_fineweb_rules gained a shuffle"
+    assert "Join" not in p

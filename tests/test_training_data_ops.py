@@ -894,6 +894,42 @@ def test_write_shards_validates_num_tasks(spark, tmp_path):
         write_shards(df, str(tmp_path / "s"), num_tasks=0)
 
 
+def test_fineweb_doc_rules_signals(spark):
+    """FineWeb custom filters (Penedo et al. 2024): published default
+    thresholds, exact duplicated-line char math (occurrences beyond
+    first over total line chars), NULL-ratio zero-line docs, and the
+    keep conjunction's strict inequalities."""
+    from featurestore_spark.operators.text import fineweb_doc_rules
+
+    docs = spark.createDataFrame(
+        [
+            # 3 proper lines, one short -> short_frac 0.3333, keep
+            (1, "This is a good line.\nAnother proper sentence here!\n"
+                "And a third one with plenty of characters in it, yes?"),
+            # dup mass 16/33 = 0.4848 >= 0.1 -> dropped
+            (2, "dup line here ok\ndup line here ok\nx"),
+            (3, ""),
+            (4, None),
+            # punct frac 0.0 <= 0.12 -> dropped even though long line
+            (5, "one line only without terminal punctuation but long enough"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in fineweb_doc_rules(docs).collect()}
+    assert out[1]["keep"] and out[1]["punct_line_frac"] == 1.0
+    assert out[1]["dup_line_char_frac"] == 0.0
+    assert out[2]["dup_line_char_frac"] == 0.4848 and not out[2]["keep"]
+    for d in (3, 4):
+        assert out[d]["n_lines"] == 0
+        assert out[d]["punct_line_frac"] is None and not out[d]["keep"]
+    assert not out[5]["keep"]
+    # boundary is strict: exactly 0.12 punct / 0.67 short -> removed
+    lines_25 = "\n".join(["ok."] * 3 + ["no punct line here"] * 22)
+    edge = spark.createDataFrame([(9, lines_25)], "doc_id long, text string")
+    r = fineweb_doc_rules(edge).collect()[0]
+    assert r["punct_line_frac"] == 0.12 and not r["keep"]
+
+
 def test_gopher_doc_rules_signals(spark):
     from featurestore_spark.operators.text import gopher_doc_rules
 
