@@ -397,6 +397,7 @@ def c4_line_filter(
     min_words_per_line: int = 5,
     min_kept_lines: int = 1,
     min_sentences: int = 3,
+    require_terminal_punct: bool = True,
 ) -> DataFrame:
     """C4-style line-level cleaning (Raffel et al. 2020, §2.2): keep
     only lines that end in terminal punctuation (``. ! ? "``), contain
@@ -432,12 +433,19 @@ def c4_line_filter(
     line_words = lambda l: F.size(  # noqa: E731
         F.filter(F.split(l, r"\s+"), lambda t: t != F.lit(""))
     )
-    kept = F.filter(
-        F.col("_lines"),
-        lambda l: l.rlike('[.!?"]$')
-        & (line_words(l) >= min_words_per_line)
-        & ~F.lower(l).contains("javascript"),
-    )
+    def _line_ok(l: Column) -> Column:
+        ok = (line_words(l) >= min_words_per_line) & ~F.lower(l).contains(
+            "javascript"
+        )
+        # FineWeb runs the C4 line cleaning with the terminal-punct
+        # line rule DISABLED (it thresholds the punct-line FRACTION
+        # doc-level instead — fineweb_doc_rules); default True is the
+        # C4 paper rule and the pinned-oracle behavior.
+        if require_terminal_punct:
+            ok = l.rlike('[.!?"]$') & ok
+        return ok
+
+    kept = F.filter(F.col("_lines"), _line_ok)
     base = base.withColumn("_kept", kept).withColumn(
         "_cleaned", F.concat_ws("\n", "_kept")
     )
@@ -456,6 +464,68 @@ def c4_line_filter(
         F.size("_kept").cast("int").alias("n_kept_lines"),
         n_sentences.cast("int").alias("n_sentences"),
         keep.alias("keep"),
+    )
+
+
+def curate_corpus(
+    docs: DataFrame,
+    preset: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """One-call rule-based curation at a PUBLISHED recipe's filters —
+    the `dedup_corpus` counterpart for the quality-rule surface.
+    Returns the KEPT rows as (id, text), with the text CLEANED where
+    the preset's pipeline cleans (C4/FineWeb), so the output feeds the
+    dedup ladder directly. Pure composition of the existing operators
+    (test-asserted against the hand-wired chains):
+
+    * ``'c4'`` — `c4_line_filter` (Raffel et al. 2020 §2.2): line
+      cleaning + the page rules, published defaults.
+    * ``'gopher'`` — `gopher_doc_rules` (Rae et al. 2021 A1.1)
+      document-quality keep; text unchanged. (The paper's repetition
+      rules are `repetition_metrics` signals; its dedup stage is
+      ``dedup_corpus(df, 'gopher')``.)
+    * ``'fineweb'`` — the FineWeb rule stack (Penedo et al. 2024)
+      approximated with this repo's operators, in pipeline order:
+      C4 line cleaning with the terminal-punctuation line rule
+      DISABLED (FineWeb thresholds the punct-line fraction doc-level
+      instead), then `gopher_doc_rules` AND `fineweb_doc_rules` over
+      the CLEANED text; a doc survives only if every stage keeps it.
+
+    Out of scope here, available separately: URL filtering (web.py),
+    language id (`language_scores`), PII (`redact_pii`), dedup
+    (`dedup_corpus`).
+
+    Scale shape: every stage is a zero-exchange projection; the
+    conjunction joins are id-keyed equi-joins of same-sized frames
+    (AQE picks the strategy), and the final output projects (id,
+    text) only."""
+    from featurestore_spark.operators.text import (
+        fineweb_doc_rules,
+        gopher_doc_rules,
+    )
+
+    if preset == "c4":
+        c4 = c4_line_filter(docs, text_col, id_col)
+        return c4.where("keep").select(id_col, text_col)
+    if preset == "gopher":
+        keep = gopher_doc_rules(docs, text_col, id_col).where("keep")
+        return docs.join(keep.select(id_col), id_col).select(id_col, text_col)
+    if preset == "fineweb":
+        cleaned = c4_line_filter(
+            docs, text_col, id_col, require_terminal_punct=False
+        ).where("keep")
+        g = gopher_doc_rules(cleaned, text_col, id_col).where("keep")
+        fw = fineweb_doc_rules(cleaned, text_col, id_col).where("keep")
+        return (
+            cleaned.join(g.select(id_col), id_col)
+            .join(fw.select(id_col), id_col)
+            .select(id_col, text_col)
+        )
+    raise ValueError(
+        f"curate_corpus: unknown preset {preset!r} "
+        "(available: ['c4', 'fineweb', 'gopher'])"
     )
 
 

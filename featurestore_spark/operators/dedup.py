@@ -547,6 +547,10 @@ DEDUP_PRESETS: dict[str, dict] = {
     # (S-curve midpoint (1/450)^(1/20) ~ 0.74), edges kept at
     # Jaccard >= 0.8.
     "refinedweb": dict(n=5, k=9000, bands=450, threshold=0.8),
+    # Penedo et al. 2024 (FineWeb) §3.4: 5-grams, 112 hash functions
+    # in 14 buckets of 8 rows (S-curve midpoint (1/14)^(1/8) ~ 0.72),
+    # targeting documents at least 75% similar.
+    "fineweb": dict(n=5, k=112, bands=14, threshold=0.75),
 }
 
 

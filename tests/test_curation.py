@@ -591,3 +591,81 @@ def test_ngram_novelty_scores_duplicates_zero(spark):
     assert out[2]["novel_frac"] == 0.0 and out[2]["n_grams"] == out[1]["n_grams"]
     assert out[3]["n_novel"] == 2
     assert out[4]["novel_frac"] == 1.0
+
+
+def test_curate_corpus_presets(spark):
+    """curate_corpus(preset) is pure composition: identical rows to
+    the hand-wired operator chains; the fineweb preset disables the
+    C4 terminal-punct line rule and conjoins Gopher + FineWeb keeps
+    over the CLEANED text; unknown presets fail fast."""
+    from featurestore_spark.operators.curation import (
+        c4_line_filter,
+        curate_corpus,
+    )
+    from featurestore_spark.operators.text import (
+        fineweb_doc_rules,
+        gopher_doc_rules,
+    )
+
+    good = "\n".join(
+        # distinct lines (FineWeb's dup-line filter), >= 5 words and
+        # terminal punct (C4), >= 2 stopwords / 50+ words (Gopher)
+        f"The sentence number {i} comes with plenty of distinct words."
+        for i in range(60)
+    )
+    no_punct = "this line has many words but never ends with a mark\n" * 40
+    docs = spark.createDataFrame(
+        [(1, good), (2, no_punct), (3, "short. text."), (4, None)],
+        "doc_id long, text string",
+    )
+
+    got_c4 = curate_corpus(docs, "c4")
+    hand_c4 = c4_line_filter(docs).where("keep").select("doc_id", "text")
+    assert sorted(got_c4.collect()) == sorted(hand_c4.collect())
+
+    got_g = {r["doc_id"] for r in curate_corpus(docs, "gopher").collect()}
+    hand_g = {
+        r["doc_id"] for r in gopher_doc_rules(docs).where("keep").collect()
+    }
+    assert got_g == hand_g
+    # gopher preset returns the ORIGINAL text
+    row = curate_corpus(docs, "gopher").where("doc_id = 1").collect()
+    if row:
+        assert row[0]["text"] == good
+
+    got_fw = curate_corpus(docs, "fineweb")
+    cleaned = c4_line_filter(docs, require_terminal_punct=False).where("keep")
+    hand_fw = (
+        cleaned.join(
+            gopher_doc_rules(cleaned).where("keep").select("doc_id"), "doc_id"
+        )
+        .join(
+            fineweb_doc_rules(cleaned).where("keep").select("doc_id"),
+            "doc_id",
+        )
+        .select("doc_id", "text")
+    )
+    assert sorted(got_fw.collect()) == sorted(hand_fw.collect())
+    fw_ids = {r["doc_id"] for r in got_fw.collect()}
+    # the punct-less doc dies doc-level (punct_line_frac <= 0.12) in
+    # the fineweb stack even though the line rule is disabled
+    assert 1 in fw_ids and 2 not in fw_ids
+
+    with pytest.raises(ValueError, match="unknown preset"):
+        curate_corpus(docs, "dolma")
+
+
+def test_c4_terminal_punct_knob(spark):
+    """require_terminal_punct=False keeps punct-less lines (the
+    FineWeb variant) while the default drops them (the pinned-oracle
+    C4 behavior)."""
+    from featurestore_spark.operators.curation import c4_line_filter
+
+    docs = spark.createDataFrame(
+        [(1, "a line with at least five words here\n"
+             "another full line ending with a period.")],
+        "doc_id long, text string",
+    )
+    strict = c4_line_filter(docs).collect()[0]
+    loose = c4_line_filter(docs, require_terminal_punct=False).collect()[0]
+    assert strict["n_kept_lines"] == 1 and loose["n_kept_lines"] == 2

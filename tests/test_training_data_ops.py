@@ -595,6 +595,7 @@ def test_dedup_corpus_presets(spark):
     assert DEDUP_PRESETS["refinedweb"] == dict(
         n=5, k=9000, bands=450, threshold=0.8
     )
+    assert DEDUP_PRESETS["fineweb"] == dict(n=5, k=112, bands=14, threshold=0.75)
     # an override replaces one knob without touching the rest: at
     # 0.99 the ~0.96-Jaccard near-dup survives, the exact dup doesn't
     relaxed = {
