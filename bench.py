@@ -249,12 +249,19 @@ def main():
     tpch_control_min = round(
         sum(t for q, t in timings_min.items() if q in set(TPCH_CONTROL)), 3
     )
+    total_min = round(sum(timings_min.values()), 3)
     # Headline expressed in units of the zero-code-change control
     # block: same-host drift moves numerator and denominator together
     # (five same-code control readings spanned 12.3-17.2s in r7), so
     # r(N) vs r(N-1) regression-vs-drift is one comparison of this
-    # field instead of a hand normalization.
+    # field instead of a hand normalization. The _min variant pairs
+    # the min-of-repeats statistics end to end — that is the
+    # drift-stable comparison; the median one carries steady per-run
+    # costs.
     control_normalized = round(total / tpch_control, 3) if tpch_control else None
+    control_normalized_min = (
+        round(total_min / tpch_control_min, 3) if tpch_control_min else None
+    )
     # Full per-query map goes to a sidecar file: at 80+ queries the
     # inline map outgrew the driver's stdout tail-capture window and
     # BENCH_r05.json recorded parsed:null. The stdout line stays short
@@ -270,9 +277,11 @@ def main():
                 "unit": "sec",
                 "queries": timings,
                 "queries_min": timings_min,
+                "value_min": total_min,
                 "tpch_control_wall": tpch_control,
                 "tpch_control_wall_min": tpch_control_min,
                 "control_normalized_total": control_normalized,
+                "control_normalized_total_min": control_normalized_min,
                 "sf": sf,
                 "repeats": repeats,
             },
@@ -291,6 +300,7 @@ def main():
                 "n_queries": len(timings),
                 "tpch_control_wall": tpch_control,
                 "control_normalized_total": control_normalized,
+                "control_normalized_total_min": control_normalized_min,
                 "sf": sf,
                 "repeats": repeats,
                 "full_map": "bench_full.json",

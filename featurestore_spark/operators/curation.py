@@ -497,10 +497,11 @@ def curate_corpus(
     language id (`language_scores`), PII (`redact_pii`), dedup
     (`dedup_corpus`).
 
-    Scale shape: every stage is a zero-exchange projection; the
-    conjunction joins are id-keyed equi-joins of same-sized frames
-    (AQE picks the strategy), and the final output projects (id,
-    text) only."""
+    Scale shape: ONE linear plan over ONE corpus scan — every stage
+    is a zero-exchange projection and the text column is passed
+    THROUGH each rule operator (`passthrough=`) so the next stage
+    chains on the previous projection; no id-joins, no recomputed
+    lineage, no materialization barrier needed."""
     from featurestore_spark.operators.text import (
         fineweb_doc_rules,
         gopher_doc_rules,
@@ -510,17 +511,25 @@ def curate_corpus(
         c4 = c4_line_filter(docs, text_col, id_col)
         return c4.where("keep").select(id_col, text_col)
     if preset == "gopher":
-        keep = gopher_doc_rules(docs, text_col, id_col).where("keep")
-        return docs.join(keep.select(id_col), id_col).select(id_col, text_col)
-    if preset == "fineweb":
-        cleaned = c4_line_filter(
-            docs, text_col, id_col, require_terminal_punct=False
-        ).where("keep")
-        g = gopher_doc_rules(cleaned, text_col, id_col).where("keep")
-        fw = fineweb_doc_rules(cleaned, text_col, id_col).where("keep")
         return (
-            cleaned.join(g.select(id_col), id_col)
-            .join(fw.select(id_col), id_col)
+            gopher_doc_rules(docs, text_col, id_col, passthrough=(text_col,))
+            .where("keep")
+            .select(id_col, text_col)
+        )
+    if preset == "fineweb":
+        cleaned = (
+            c4_line_filter(docs, text_col, id_col, require_terminal_punct=False)
+            .where("keep")
+            .select(id_col, text_col)
+        )
+        g = (
+            gopher_doc_rules(cleaned, text_col, id_col, passthrough=(text_col,))
+            .where("keep")
+            .select(id_col, text_col)
+        )
+        return (
+            fineweb_doc_rules(g, text_col, id_col, passthrough=(text_col,))
+            .where("keep")
             .select(id_col, text_col)
         )
     raise ValueError(

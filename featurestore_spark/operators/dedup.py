@@ -284,23 +284,6 @@ def minhash_signature_array(shingle_col: Column, k: int = 16) -> Column:
     )
 
 
-def minhash_signature(shingle_col: Column, k: int = 16) -> list[Column]:
-    """mh_0..mh_{k-1} columns (see minhash_signature_array)."""
-    sig = minhash_signature_array(shingle_col, k)
-    return [sig.getItem(i).alias(f"mh_{i}") for i in range(k)]
-
-
-def band_hashes(k: int = 16, bands: int = 4) -> list[Column]:
-    """LSH banding: md5 over each band's r = k/bands signature slice."""
-    r = k // bands
-    return [
-        F.md5(F.concat_ws("|", *[F.col(f"mh_{b * r + j}") for j in range(r)])).alias(
-            f"band_{b}"
-        )
-        for b in range(bands)
-    ]
-
-
 def minhash_bands(
     df: DataFrame,
     text_col: str = "text",
@@ -314,7 +297,7 @@ def minhash_bands(
     # Band hashes are sliced straight off the signature ARRAY — never
     # exploded into k mh_i columns first (a k=9000 preset would make
     # the intermediate projection itself a 9000-column analysis
-    # burden). String form matches band_hashes()/the oracles exactly:
+    # burden). String form matches the pinned oracles exactly:
     # concat_ws over longs == '|'-joined CAST AS VARCHAR.
     r = k // bands
     sig = df.select(

@@ -278,6 +278,17 @@ def dedup_against_index(
             "dedup_against_index: a (c_batch, c_base) threshold pair "
             "requires verify_measure='containment'"
         )
+    if isinstance(threshold, tuple) and threshold == (None, None):
+        # both directions disabled would make the verify step a
+        # silent no-op (hit stays False, nothing ever drops beyond
+        # exact hashes) — in a function that fails fast on every
+        # other bad input, a typo must not get "verified mode" that
+        # verifies nothing
+        raise ValueError(
+            "dedup_against_index: containment threshold (None, None) "
+            "disables both directions — pass band-only mode "
+            "(threshold=None) if that is intended"
+        )
     groups, members = _collapse_exact_texts(
         batch, text_col, id_col, "dedup_against_index"
     )

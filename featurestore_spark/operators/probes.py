@@ -47,6 +47,14 @@ _MAX_SKETCH_ASYMMETRY = 4
 # legitimate boundary overlap → near 0).
 _EXACT_OVERLAP_FRAC = 0.25
 
+# Broadcast the small side's ids only while its ESTIMATED cardinality
+# fits comfortably under Spark's broadcast limits (512M-row / 8 GB
+# hard caps; long ids ≈ 8 B each → 5e7 ids ≈ 400 MB). Two large-but-
+# asymmetric parts (e.g. 500M vs 2.5B ids) still take the exact path,
+# as a shuffled left-semi join — the probe must never crash the merge
+# it guards.
+_EXACT_BROADCAST_CAP = 50_000_000
+
 
 def verify_disjoint_ids(
     a: DataFrame, b: DataFrame, id_col: str, op_name: str
@@ -64,9 +72,11 @@ def verify_disjoint_ids(
         n_small = small_ids.count()
         if n_small == 0:
             return
+        if min(ea, eb) <= _EXACT_BROADCAST_CAP:
+            small_ids = F.broadcast(small_ids)
         overlap = (
             large.select(F.col(id_col).alias("_id"))
-            .join(F.broadcast(small_ids), "_id", "left_semi")
+            .join(small_ids, "_id", "left_semi")
             .distinct()
             .count()
         )

@@ -109,6 +109,7 @@ def gopher_doc_rules(
     max_ellipsis_line_frac: float = 0.3,
     min_alpha_word_frac: float = 0.8,
     min_stop_hits: int = 2,
+    passthrough: tuple[str, ...] = (),
 ) -> DataFrame:
     """Document-level quality rules from the Gopher corpus pipeline
     (Rae et al. 2021, Appendix A1.1) — the complement of
@@ -213,8 +214,12 @@ def gopher_doc_rules(
         & (F.col("alpha_word_frac") >= min_alpha_word_frac)
         & (F.col("stop_hits") >= min_stop_hits)
     )
+    # passthrough keeps filter pipelines (curate_corpus) single-scan:
+    # carrying e.g. the text column through lets the next stage chain
+    # on this projection instead of re-joining the source by id
     return out.select(
         id_col,
+        *passthrough,
         *ratios.keys(),
         F.coalesce(keep, F.lit(False)).alias("keep"),
     )
@@ -229,6 +234,7 @@ def fineweb_doc_rules(
     max_dup_line_char_frac: float = 0.1,
     max_short_line_frac: float = 0.67,
     short_line_chars: int = 30,
+    passthrough: tuple[str, ...] = (),
 ) -> DataFrame:
     """The three line-aggregate quality filters FineWeb adds on top of
     the C4/Gopher subsets (Penedo et al. 2024, "The FineWeb Datasets",
@@ -323,6 +329,7 @@ def fineweb_doc_rules(
     )
     return out.select(
         id_col,
+        *passthrough,
         *sig.keys(),
         F.coalesce(keep, F.lit(False)).alias("keep"),
     )

@@ -177,7 +177,12 @@ def registrable_domain(
     array lookups. Wildcard (`*.`) and exception (`!`) PSL rules are
     not supported (<2% of the list)."""
     sfx = suffixes if suffixes is not None else PUBLIC_SUFFIXES
-    max_k = min(4, max(len(s.split(".")) for s in sfx))
+    # one membership lookup per candidate length, up to the longest
+    # entry actually in the list — never an artificial cap, or a
+    # 5-label PSL rule (s3.dualstack.<region>.amazonaws.com) would
+    # silently fall through to the 'com' rule and merge every bucket
+    # on that endpoint into one "domain"
+    max_k = max(len(s.split(".")) for s in sfx)
     lit_sfx = F.array(*[F.lit(s.lower()) for s in sfx])
     host = F.lower(_col(host_col))
     labels = F.split(host, r"\.")

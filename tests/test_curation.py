@@ -654,6 +654,14 @@ def test_curate_corpus_presets(spark):
     with pytest.raises(ValueError, match="unknown preset"):
         curate_corpus(docs, "dolma")
 
+    # the fineweb chain is ONE linear plan: passthrough chaining, no
+    # id-joins re-reading the corpus, no exchanges
+    plan = (
+        curate_corpus(docs, "fineweb")._jdf.queryExecution()
+        .executedPlan().toString()
+    )
+    assert "Join" not in plan and "Exchange" not in plan
+
 
 def test_c4_terminal_punct_knob(spark):
     """require_terminal_punct=False keeps punct-less lines (the

@@ -734,6 +734,12 @@ def test_dedup_against_index_containment_mode(spark):
 
     with pytest.raises(ValueError, match="containment"):
         dedup_against_index(batch, idx, threshold=(0.8, None), **kw)
+    # both directions disabled would verify nothing — reject the typo
+    with pytest.raises(ValueError, match="disables both"):
+        dedup_against_index(
+            batch, idx, threshold=(None, None),
+            verify_measure="containment", **kw,
+        )
     with pytest.raises(ValueError, match="verify_measure"):
         dedup_against_index(
             batch, idx, threshold=0.8, verify_measure="cosine", **kw

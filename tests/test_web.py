@@ -104,6 +104,19 @@ def test_registrable_domain(spark):
     assert custom == "co.uk"
     # longest suffix wins over its own tail ('co.uk' over 'uk')
     assert "co.uk" in PUBLIC_SUFFIXES and "uk" in PUBLIC_SUFFIXES
+    # suffix matching honors entries LONGER than the built-in
+    # snapshot's 2 labels (full-PSL private rules reach 5): a 5-label
+    # rule must win, not silently fall through to the 'com' rule
+    deep = spark.createDataFrame(
+        [(1, "bucket.s3.dualstack.ap-northeast-1.amazonaws.com")],
+        "i long, h string",
+    ).select(
+        registrable_domain(
+            "h",
+            suffixes=["com", "s3.dualstack.ap-northeast-1.amazonaws.com"],
+        ).alias("d")
+    ).collect()[0]["d"]
+    assert deep == "bucket.s3.dualstack.ap-northeast-1.amazonaws.com"
 
 
 def test_url_dedup_collapses_tracking_variants(spark):

@@ -70,17 +70,30 @@ def run_step(name: str, cmd: list[str]) -> tuple[str, bool, float]:
     return name, ok, dt
 
 
+# every table gen_scale.py writes — a stress dir is complete only if
+# ALL of them exist (a crash mid-generation must not leave a dir that
+# every later run silently reuses)
+_STRESS_TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
 def ensure_stress(factor: int, base: str) -> str:
     out = f"/tmp/sf_certify_x{factor}"
-    marker = os.path.join(out, "documents.parquet")
-    if not os.path.exists(marker):
-        print(f"....  deriving factor-{factor} stress set at {out}")
-        subprocess.run(
-            [PY, "tools/gen_scale.py", "--factor", str(factor),
-             "--src", base, "--out", out],
-            cwd=REPO, check=True,
-            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
-        )
+    complete = all(
+        os.path.exists(os.path.join(out, f"{t}.parquet"))
+        for t in _STRESS_TABLES
+    )
+    if not complete:
+        log = f"/tmp/certify_gen_x{factor}.log"
+        print(f"....  deriving factor-{factor} stress set at {out} (log: {log})")
+        with open(log, "w") as f:
+            subprocess.run(
+                [PY, "tools/gen_scale.py", "--factor", str(factor),
+                 "--src", base, "--out", out],
+                cwd=REPO, check=True, stdout=f, stderr=subprocess.STDOUT,
+            )
     return out
 
 

@@ -20,6 +20,12 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import os
+import sys
+
+# runnable from any cwd without PYTHONPATH (the package is not
+# installed; check_oracle/check_invariants do the same)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F
 
