@@ -150,6 +150,7 @@ HEADLINE = [
     "q_web_funnel",
     "q_ivf_serve",
     "q_fineweb_rules",
+    "q_ccnet_buckets",
 ]
 
 # Zero-code-change drift control (VERDICT r6 #8): the TPC-H block has

@@ -463,6 +463,88 @@ def lm_cross_entropy(
     )
 
 
+def ccnet_perplexity_buckets(
+    docs: DataFrame,
+    lm: DataFrame | None = None,
+    *,
+    vocab_size: int | None = None,
+    add_k: float = 1.0,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """CCNet's head/middle/tail split (Wenzek et al. 2020, §4.3):
+    within each ``group_col`` partition (CCNet: language), order
+    documents by LM score ascending and cut the corpus into thirds by
+    TOKEN MASS — head is the most-fluent third (closest to the
+    reference domain), tail the least. Returns every input document:
+
+    (id, group, n_tokens, cross_entropy, bucket)
+
+    with bucket in ('head', 'middle', 'tail'). The boundary is
+    assigned at the SCORE-VALUE level: all docs sharing one rounded
+    cross-entropy value get the same bucket (a value lands in head iff
+    the cumulative token mass through it fits in the first third,
+    3*cum <= total — integer arithmetic on token counts, so the split
+    is deterministic across engines and never tie-broken by id).
+    Unscoreable docs (< 2 tokens, NULL cross-entropy) land in tail.
+
+    100-TB shape: the corpus is never sorted whole — the cumulative
+    walk runs over the (group, score) HISTOGRAM (bounded by distinct
+    rounded scores per group, ~1e6 rows at 6 decimals, not by docs),
+    and docs pick up their bucket by joining back on (group, score);
+    the corpus-sized work is one hash aggregate and one equi-join
+    that AQE typically broadcasts (the histogram side is small). A
+    doc-level `row_number` window here would serialize each language
+    through one task — exactly the shape this avoids.
+
+    ``lm`` / ``vocab_size`` / ``add_k`` pass through to
+    :func:`lm_cross_entropy` (CCNet fits the model on the reference
+    domain — e.g. Wikipedia — and scores the crawl with it; the
+    self-fit default is the q_lm_perplexity configuration)."""
+    from pyspark.sql import Window
+
+    scored = lm_cross_entropy(
+        docs,
+        lm,
+        vocab_size=vocab_size,
+        add_k=add_k,
+        id_col=id_col,
+        text_col=text_col,
+    ).select(id_col, "cross_entropy")
+    base = docs.select(
+        F.col(id_col),
+        F.col(group_col),
+        F.size(_clean_tokens(text_col)).cast("long").alias("n_tokens"),
+    )
+    d = base.join(scored, id_col)
+    hist = (
+        d.where(F.col("cross_entropy").isNotNull())
+        .groupBy(group_col, "cross_entropy")
+        .agg(F.sum("n_tokens").alias("_w"))
+    )
+    w_ord = Window.partitionBy(group_col).orderBy(F.col("cross_entropy").asc())
+    cum = hist.withColumn(
+        "_cum",
+        F.sum("_w").over(w_ord.rowsBetween(Window.unboundedPreceding, 0)),
+    ).withColumn("_tot", F.sum("_w").over(Window.partitionBy(group_col)))
+    buckets = cum.select(
+        group_col,
+        "cross_entropy",
+        F.when(3 * F.col("_cum") <= F.col("_tot"), F.lit("head"))
+        .when(3 * F.col("_cum") <= 2 * F.col("_tot"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+    )
+    return d.join(buckets, [group_col, "cross_entropy"], "left").select(
+        id_col,
+        group_col,
+        "n_tokens",
+        "cross_entropy",
+        F.coalesce(F.col("bucket"), F.lit("tail")).alias("bucket"),
+    )
+
+
 # -- multinomial Naive Bayes text classification ------------------------------
 
 

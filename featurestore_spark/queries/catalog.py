@@ -4473,6 +4473,68 @@ def q_lm_perplexity(spark, sf_dir):
 
 
 @_register(
+    "q_ccnet_buckets",
+    r"""
+    WITH toked AS (
+      SELECT doc_id, source,
+             list_filter(regexp_split_to_array(trim(lower(coalesce(text, ''))),
+                                               '\s+'), t -> t <> '') AS toks
+      FROM documents),
+    big AS (
+      SELECT doc_id, toks[i + 1] AS w1, toks[i + 2] AS w2
+      FROM (SELECT doc_id, toks, unnest(generate_series(0, len(toks) - 2)) AS i
+            FROM toked WHERE len(toks) >= 2)),
+    lm AS (SELECT w1, w2, count(*) AS c FROM big GROUP BY w1, w2),
+    ctx AS (SELECT w1, sum(c) AS c1 FROM lm GROUP BY w1),
+    voc AS (SELECT count(DISTINCT t)::DOUBLE AS v
+            FROM (SELECT unnest(toks) AS t FROM toked)),
+    sc AS (
+      SELECT b.doc_id, -ln((c.c + 1.0) / (x.c1 + 1.0 * v.v)) AS nl
+      FROM big b JOIN lm c USING (w1, w2) JOIN ctx x USING (w1)
+           CROSS JOIN voc v),
+    agg AS (SELECT doc_id, round(avg(nl), 6) AS xent
+            FROM sc GROUP BY doc_id),
+    d AS (
+      SELECT t.doc_id, t.source,
+             CAST(len(t.toks) AS BIGINT) AS n_tokens,
+             a.xent AS cross_entropy
+      FROM toked t LEFT JOIN agg a USING (doc_id)),
+    hist AS (
+      SELECT source, cross_entropy, sum(n_tokens) AS w
+      FROM d WHERE cross_entropy IS NOT NULL GROUP BY source, cross_entropy),
+    cum AS (
+      SELECT source, cross_entropy,
+             sum(w) OVER (PARTITION BY source ORDER BY cross_entropy
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS cw,
+             sum(w) OVER (PARTITION BY source) AS tot
+      FROM hist),
+    bk AS (
+      SELECT source, cross_entropy,
+             CASE WHEN 3 * cw <= tot THEN 'head'
+                  WHEN 3 * cw <= 2 * tot THEN 'middle'
+                  ELSE 'tail' END AS bucket
+      FROM cum)
+    SELECT d.doc_id, d.source, d.n_tokens, d.cross_entropy,
+           coalesce(bk.bucket, 'tail') AS bucket
+    FROM d LEFT JOIN bk ON bk.source = d.source
+                       AND bk.cross_entropy = d.cross_entropy
+    """,
+    "CCNet head/middle/tail perplexity split (Wenzek et al. 2020 "
+    "§4.3): per source, thirds by TOKEN MASS in LM-score order. "
+    "Bucket assigned at the rounded-score-value level via a "
+    "histogram cumulative walk (3*cum <= total integer arithmetic), "
+    "so the corpus is never sorted whole — the window runs over "
+    "distinct (source, score) pairs and docs join their bucket back.",
+)
+def q_ccnet_buckets(spark, sf_dir):
+    from featurestore_spark.operators.search import ccnet_perplexity_buckets
+
+    docs = load_table(spark, sf_dir, "documents")
+    return ccnet_perplexity_buckets(docs)
+
+
+@_register(
     "q_source_divergence",
     r"""
     WITH toks AS (
@@ -5571,6 +5633,7 @@ _DRIVER_PRIORITY = [
     "q_web_funnel",
     "q_ivf_serve",
     "q_fineweb_rules",
+    "q_ccnet_buckets",
     # ...every query whose code path CHANGED this round: the C4/Gopher
     # published-threshold alignment (q_gopher_rules, q_c4_filter,
     # q_curation_funnel), the MinHash band-slice + seed-extension
@@ -5612,11 +5675,12 @@ _DRIVER_PRIORITY = [
     "q_shared_spans",
     "q_boilerplate",
     "q_pack_chunks",
+    # --- driver window ends here (first 50); q_sniff_csv and
+    # q_dq_assertion ceded their slots to the round-8 q_fineweb_rules
+    # and q_ccnet_buckets (new queries outrank stale-evidence refresh;
+    # both ceded paths are pytest-covered and lead the r9 rotation
+    # with the other r6-window queries) ---
     "q_dq_assertion",
-    # --- driver window ends here (first 50); q_sniff_csv ceded its
-    # slot to the round-8h q_fineweb_rules (new queries outrank
-    # stale-evidence refresh; its sniffer path is pytest-covered and
-    # leads the r9 rotation with the other 29 r6-window queries ---
     "q_sniff_csv",
 ]
 

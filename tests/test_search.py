@@ -364,3 +364,48 @@ def test_mine_hard_negatives_excludes_positives(spark, corpus):
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
     with pytest.raises(ValueError, match="depth"):
         mine_hard_negatives(corpus, q, positives, k=5, depth=3)
+
+
+def test_ccnet_perplexity_buckets(spark):
+    """CCNet thirds-by-token-mass: hand-computable histogram walk,
+    value-level assignment (equal scores share a bucket), unscoreable
+    docs land in tail, every input doc returned exactly once."""
+    from featurestore_spark.operators.search import ccnet_perplexity_buckets
+
+    # one group; self-fit LM makes the repeated phrase fluent (low
+    # xent) and the shuffled one rare (high xent)
+    # three structurally DIFFERENT 60-token docs -> three distinct
+    # self-fit scores (a doc with the same bigram structure would
+    # share the score and, by design, the bucket — asserted below)
+    fluent = "the cat sat on the mat " * 10        # repeated context word
+    medium = "big dogs run fast every day " * 10   # unique contexts
+    weird = "zx qv plo wk rr tt yy uu ii oo " * 6  # 10-word pattern
+    docs = spark.createDataFrame(
+        [
+            (1, "s", fluent),
+            (2, "s", medium),
+            (3, "s", weird),
+            (4, "s", "solo"),   # 1 token -> NULL score -> tail
+            (5, "s", None),     # 0 tokens -> tail
+        ],
+        "doc_id long, source string, text string",
+    )
+    out = {r["doc_id"]: r for r in ccnet_perplexity_buckets(docs).collect()}
+    assert len(out) == 5
+    # three scored 60-token docs, cum walk: 60<=60 head, 120<=120
+    # middle, 180 tail — one per third, in score order
+    scored = sorted(
+        (out[i]["cross_entropy"], out[i]["bucket"]) for i in (1, 2, 3)
+    )
+    assert [b for _, b in scored] == ["head", "middle", "tail"]
+    assert out[4]["bucket"] == "tail" and out[4]["cross_entropy"] is None
+    assert out[5]["bucket"] == "tail" and out[5]["n_tokens"] == 0
+
+    # value-level assignment: an exact duplicate of the fluent doc
+    # shares its score, so BOTH land in the same bucket even though
+    # their combined mass overflows the first third
+    docs2 = docs.union(
+        spark.createDataFrame([(6, "s", fluent)], docs.schema)
+    )
+    out2 = {r["doc_id"]: r for r in ccnet_perplexity_buckets(docs2).collect()}
+    assert out2[1]["bucket"] == out2[6]["bucket"]
