@@ -151,6 +151,7 @@ HEADLINE = [
     "q_ivf_serve",
     "q_fineweb_rules",
     "q_ccnet_buckets",
+    "q_dedup_best",
 ]
 
 # Zero-code-change drift control (VERDICT r6 #8): the TPC-H block has

@@ -933,7 +933,10 @@ def remove_shared_spans(
     least `min_df` distinct documents. A verbatim span of L >= n tokens
     shared between documents contributes L-n+1 over-frequent windows
     whose coverage union is exactly the span — so shared spans are
-    removed from every copy without any suffix-array build.
+    removed from every copy without any suffix-array build. Lee et
+    al.'s published ExactSubstr setting removes duplicate substrings
+    of >= 50 TOKENS — pass ``n=50`` for it (the n=10 default suits
+    short documents and the test fixtures).
 
     (Approximation note, shared with the reference algorithm's other
     scalable ports: adjacent windows frequent via DIFFERENT partner

@@ -569,6 +569,81 @@ def dedup_corpus(
     return dedup_keep_docs(df, text_col, id_col, **params)
 
 
+def dedup_keep_best(
+    df: DataFrame,
+    quality_col: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    n: int = 3,
+    k: int = 16,
+    bands: int = 4,
+    max_bucket: int = 1000,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Cluster-level fuzzy dedup keeping the BEST member of each
+    near-duplicate cluster by ``quality_col`` (max wins, ties to the
+    lower id; NULL quality sorts last) — the production alternative to
+    `dedup_keep_docs`'s keep-lowest-id rule when duplicates differ in
+    quality (RefinedWeb-style "keep the canonical document": longest
+    extraction, highest quality score, newest crawl, ...).
+
+    Returns the kept rows of `df` (all columns) plus ``cluster_id``
+    (the component's minimum member id; singletons get their own id).
+
+    Semantics note: keep-best requires the TRANSITIVE cluster (argmax
+    needs the whole duplicate family in one group), so this runs the
+    verified-pair graph through connected components — unlike
+    `dedup_keep_docs`'s pairwise drop rule, a chain A-B, B-C keeps
+    exactly one doc here even when A and C never pair directly.
+
+    Scale shape: the same collapsed machinery as the rest of the
+    family — LSH candidates + Jaccard verify over DISTINCT texts only,
+    linear rep→member star edges, iterative min-label propagation over
+    id-keyed joins (`resolve.connected_components`; edges are
+    verified near-dup pairs, so components are small and converge in
+    a few rounds), then ONE row_number window per cluster for the
+    argmax. Docs in no cluster never enter the window with a skewed
+    key: cluster_id = own id, so the window partitioning is ~unique
+    per row outside real clusters."""
+    from featurestore_spark.operators.resolve import connected_components
+    from pyspark.sql import Window
+
+    groups, members = _collapse_exact_texts(df, text_col, id_col, "dedup_keep_best")
+    reps = groups.select(
+        F.col("rep_id").alias(id_col), F.col("_text").alias(text_col)
+    )
+    cand = minhash_candidate_pairs(
+        reps, text_col, id_col, n=n, k=k, bands=bands, max_bucket=max_bucket
+    )
+    verified = (
+        jaccard_pairs(reps, cand, text_col=text_col, id_col=id_col, n=n)
+        .where(F.col("jaccard") >= threshold)
+        .select("a_id", "b_id")
+    )
+    star = members.where(F.col("member_id") != F.col("rep_id")).select(
+        F.col("rep_id").alias("a_id"), F.col("member_id").alias("b_id")
+    )
+    comp = connected_components(
+        verified.unionByName(star), src_col="a_id", dst_col="b_id"
+    )
+    labeled = (
+        df.join(
+            comp.withColumnRenamed("id", id_col), id_col, "left"
+        )
+        .withColumn("cluster_id", F.coalesce("component", F.col(id_col)))
+        .drop("component")
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col(quality_col).desc_nulls_last(), F.col(id_col).asc()
+    )
+    return (
+        labeled.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
 # -- n-gram Jaccard -----------------------------------------------------------
 
 

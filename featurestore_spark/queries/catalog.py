@@ -2237,6 +2237,83 @@ def q_dedup_pipeline(spark, sf_dir):
     ).select("doc_id")
 
 
+@_register(
+    "q_dedup_best",
+    _duck_minhash_bands(
+        src="rep_docs",
+        prelude="""grp AS (
+      SELECT text, min(doc_id) AS rep_id FROM documents GROUP BY text),
+    rep_docs AS (SELECT rep_id AS doc_id, text FROM grp)""",
+    )
+    + ",\n melted AS ("
+    + " UNION ALL ".join(
+        f"SELECT doc_id, {i} AS band_idx, band_{i} AS band_hash FROM bands"
+        for i in range(_MH_BANDS)
+    )
+    + f"""),
+    kept AS (
+      SELECT band_idx, band_hash FROM melted
+      GROUP BY band_idx, band_hash HAVING count(*) <= {_MH_MAX_BUCKET}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+      FROM melted a JOIN melted b USING (band_idx, band_hash)
+      JOIN kept USING (band_idx, band_hash)
+      WHERE a.doc_id < b.doc_id),
+    verified AS (
+      SELECT c.a_id, c.b_id
+      FROM cand c JOIN shingled sa ON sa.doc_id = c.a_id
+                  JOIN shingled sb ON sb.doc_id = c.b_id
+      WHERE round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+            / len(list_distinct(list_concat(sa.sh, sb.sh))), 4) >= 0.8),
+    star AS (
+      SELECT g.rep_id AS a_id, d.doc_id AS b_id
+      FROM documents d JOIN grp g USING (text)
+      WHERE d.doc_id <> g.rep_id),
+    edges AS (SELECT a_id AS a, b_id AS b FROM verified
+              UNION SELECT b_id, a_id FROM verified
+              UNION SELECT a_id, b_id FROM star
+              UNION SELECT b_id, a_id FROM star),
+    comp AS (
+      SELECT id AS doc_id, min(lab) AS component
+      FROM (WITH RECURSIVE r(id, lab) AS (
+              SELECT DISTINCT a, a FROM edges
+              UNION
+              SELECT e.a, r.lab FROM edges e JOIN r ON r.id = e.b)
+            SELECT id, lab FROM r)
+      GROUP BY id),
+    lab AS (
+      SELECT d.doc_id, coalesce(c.component, d.doc_id) AS cluster_id,
+             d.n_chars
+      FROM documents d LEFT JOIN comp c USING (doc_id)),
+    rn AS (
+      SELECT doc_id, cluster_id,
+             row_number() OVER (PARTITION BY cluster_id
+                                ORDER BY n_chars DESC NULLS LAST,
+                                         doc_id ASC) AS r
+      FROM lab)
+    SELECT doc_id, cluster_id FROM rn WHERE r = 1
+    """,
+    "Keep-BEST cluster dedup: LSH candidates + Jaccard>=0.8 verify "
+    "over distinct texts, verified pairs + star edges contracted to "
+    "connected components, then ONE argmax window per cluster keeps "
+    "the longest member (n_chars desc, id tie-break) — the RefinedWeb "
+    "keep-the-canonical-document rule, vs dedup_keep_docs's "
+    "keep-lowest-id. Oracle walks the same graph with a recursive CTE.",
+)
+def q_dedup_best(spark, sf_dir):
+    from featurestore_spark.operators.dedup import dedup_keep_best
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup_keep_best(
+        docs,
+        "n_chars",
+        n=_MH_N,
+        k=_MH_K,
+        bands=_MH_BANDS,
+        max_bucket=_MH_MAX_BUCKET,
+    ).select("doc_id", "cluster_id")
+
+
 def _melt_cte(name: str, bands_cte: str) -> str:
     return (
         f"\n {name} AS ("
@@ -5634,6 +5711,7 @@ _DRIVER_PRIORITY = [
     "q_ivf_serve",
     "q_fineweb_rules",
     "q_ccnet_buckets",
+    "q_dedup_best",
     # ...every query whose code path CHANGED this round: the C4/Gopher
     # published-threshold alignment (q_gopher_rules, q_c4_filter,
     # q_curation_funnel), the MinHash band-slice + seed-extension
@@ -5674,12 +5752,13 @@ _DRIVER_PRIORITY = [
     "q_decontaminate",
     "q_shared_spans",
     "q_boilerplate",
+    # --- driver window ends here (first 50); q_sniff_csv,
+    # q_dq_assertion and q_pack_chunks ceded their slots to the
+    # round-8 q_fineweb_rules, q_ccnet_buckets and q_dedup_best (new
+    # queries outrank stale-evidence refresh; the ceded paths are
+    # pytest/invariant-covered and lead the r9 rotation with the
+    # other r6-window queries) ---
     "q_pack_chunks",
-    # --- driver window ends here (first 50); q_sniff_csv and
-    # q_dq_assertion ceded their slots to the round-8 q_fineweb_rules
-    # and q_ccnet_buckets (new queries outrank stale-evidence refresh;
-    # both ceded paths are pytest-covered and lead the r9 rotation
-    # with the other r6-window queries) ---
     "q_dq_assertion",
     "q_sniff_csv",
 ]

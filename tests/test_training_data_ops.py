@@ -1271,3 +1271,40 @@ def test_extend_index_verify_respects_id_col(spark):
     assert out.count() > idx.count()
     with pytest.raises(ValueError, match="overlap"):
         extend_index(idx, corpus, id_col="page_id", verify=True, **kw)
+
+
+def test_dedup_keep_best(spark):
+    """Keep-best cluster dedup: argmax by quality within the
+    TRANSITIVE cluster (chain A-B, B-C keeps exactly one), exact dups
+    collapse, quality ties break to the lower id, NULL quality sorts
+    last, singletons keep their own cluster_id."""
+    from featurestore_spark.operators.dedup import dedup_keep_best
+
+    base = " ".join(f"w{i % 23} tok{i % 17}" for i in range(30))
+    rows = [
+        # chain: 1~2 and 2~3 near-dup; 3 is the longest -> only 3 kept
+        (1, base, 10),
+        (2, base + " two extra", 20),
+        (3, base + " two extra words", 30),
+        # exact dups: higher quality 5 wins over lower-id 4
+        (4, "completely different text lives here ok fine", 7),
+        (5, "completely different text lives here ok fine", 9),
+        # singleton with NULL quality survives untouched
+        (6, " ".join(f"z{i % 19} q{i % 29}" for i in range(30)), None),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, q int")
+    out = {r["doc_id"]: r for r in dedup_keep_best(docs, "q").collect()}
+    assert set(out) == {3, 5, 6}
+    assert out[3]["cluster_id"] == 1    # component label = min member id
+    assert out[5]["cluster_id"] == 4
+    assert out[6]["cluster_id"] == 6    # singleton -> own id
+    assert set(out[3].asDict()) == {"doc_id", "text", "q", "cluster_id"}
+
+    # tie on quality -> lower id kept
+    tied = spark.createDataFrame(
+        [(7, "same exact text here we go now", 5),
+         (8, "same exact text here we go now", 5)],
+        "doc_id long, text string, q int",
+    )
+    kept = {r["doc_id"] for r in dedup_keep_best(tied, "q").collect()}
+    assert kept == {7}
