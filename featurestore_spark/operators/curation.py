@@ -426,7 +426,7 @@ def c4_line_filter(
     base = docs.withColumn(
         "_lines",
         F.filter(
-            F.transform(F.split(text, "\n"), F.trim),
+            F.transform(F.split(text, "\n"), lambda l: F.trim(l)),
             lambda l: l != F.lit(""),
         ),
     )

@@ -141,7 +141,7 @@ def gopher_doc_rules(
             "_toks": clean_tokens(text_col),
             # non-empty trimmed lines; bullet/ellipsis fracs are over these
             "_lines": F.filter(
-                F.transform(F.split(text, "\n"), F.trim),
+                F.transform(F.split(text, "\n"), lambda l: F.trim(l)),
                 lambda l: l != F.lit(""),
             ),
         }
@@ -273,7 +273,7 @@ def fineweb_doc_rules(
     out = df.withColumns(
         {
             "_lines": F.filter(
-                F.transform(F.split(text, "\n"), F.trim),
+                F.transform(F.split(text, "\n"), lambda l: F.trim(l)),
                 lambda l: l != F.lit(""),
             ),
         }

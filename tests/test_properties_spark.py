@@ -474,3 +474,144 @@ def test_bpe_learn_and_apply_match_reference(spark, docs, num_merges):
         assert out[i] == expected
         # round-trip: concatenation restores the words + markers
         assert "".join(out[i]) == "".join(w + "</w>" for w in d)
+
+
+# -- canonical_url vs an independent urllib-based reimplementation ----------
+
+_label = st.text(
+    alphabet="abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0-9",
+    min_size=1,
+    max_size=6,
+).filter(lambda s: not s.startswith("-") and not s.endswith("-"))
+_pname = st.one_of(
+    st.sampled_from(["utm_source", "utm_medium", "gclid", "fbclid"]),
+    st.text(alphabet="abcdefghijklmnopqrstuvwxyz", min_size=1, max_size=5),
+)
+_urls = st.builds(
+    lambda scheme, user, labels, dot, port, segs, slashes, params, frag: {
+        "scheme": scheme,
+        "user": user,
+        "host": ".".join(labels) + ("." if dot else ""),
+        "port": port,
+        "path": "".join("/" + s for s in segs) + "/" * slashes,
+        "params": params,
+        "frag": frag,
+    },
+    scheme=st.sampled_from(["http", "https", "HTTP", "HTTPS", ""]),
+    user=st.sampled_from(["", "user@", "u:p@ss@"]),
+    labels=st.lists(_label, min_size=1, max_size=3),
+    dot=st.booleans(),
+    port=st.sampled_from(["", "80", "443", "8080"]),
+    segs=st.lists(_label, min_size=0, max_size=3),
+    slashes=st.integers(0, 2),
+    params=st.lists(
+        st.tuples(_pname, st.text(alphabet="abc123", max_size=4)),
+        max_size=4,
+    ),
+    frag=st.sampled_from(["", "frag", "a#b"]),
+)
+
+
+def _build_url(u):
+    url = ""
+    if u["scheme"]:
+        url += u["scheme"] + "://" + u["user"]
+    # no scheme -> url_parts treats the whole prefix as path unless the
+    # authority is scheme-relative; match the operator's documented
+    # grammar: schemeless inputs are host-first
+    elif u["user"]:
+        url += u["user"]
+    url += u["host"]
+    if u["port"]:
+        url += ":" + u["port"]
+    url += u["path"]
+    if u["params"]:
+        url += "?" + "&".join(
+            f"{k}={v}" if v else k for k, v in u["params"]
+        )
+    if u["frag"]:
+        url += "#" + u["frag"]
+    return url
+
+
+def _py_canonical(u, default_scheme="http"):
+    """Independent reimplementation of the DOCUMENTED canonical_url
+    semantics from the component dict (never from the string, so a
+    shared parsing bug can't hide)."""
+    scheme = (u["scheme"] or default_scheme).lower()
+    host = u["host"].lower().rstrip(".")
+    port = u["port"]
+    if port and not (
+        (scheme == "http" and port == "80")
+        or (scheme == "https" and port == "443")
+    ):
+        hostport = f"{host}:{port}"
+    else:
+        hostport = host
+    path = u["path"].rstrip("/") or "/"
+    kept = sorted(
+        f"{k}={v}" if v else k
+        for k, v in u["params"]
+        if k and not k.startswith("utm_")
+        and k not in ("gclid", "fbclid", "msclkid", "igshid", "mc_eid")
+    )
+    query = "?" + "&".join(kept) if kept else ""
+    return f"{scheme}://{hostport}{path}{query}"
+
+
+@given(us=st.lists(_urls, min_size=1, max_size=30))
+@settings(**SPARK_SETTINGS)
+def test_canonical_url_matches_independent_reimplementation(spark, us):
+    from featurestore_spark.operators.web import canonical_url
+
+    rows = [(i, _build_url(u)) for i, u in enumerate(us)]
+    df = spark.createDataFrame(rows, "i long, url string")
+    got = {
+        r["i"]: r["c"]
+        for r in df.select("i", canonical_url("url").alias("c")).collect()
+    }
+    for i, u in enumerate(us):
+        assert got[i] == _py_canonical(u), (
+            f"url={rows[i][1]!r} components={u}"
+        )
+
+
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab .!\n\t", max_size=40), min_size=1, max_size=12
+    )
+)
+@settings(**SPARK_SETTINGS)
+def test_fineweb_signals_match_independent_reimplementation(spark, texts):
+    """fineweb_doc_rules' line-aggregate signals vs a direct Python
+    computation of the documented definitions (trim/non-empty line
+    split, terminal-punct regex, <30-char lines, occurrences-beyond-
+    first duplicate char mass over total line chars)."""
+    import re as _re
+
+    from featurestore_spark.operators.text import fineweb_doc_rules
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in fineweb_doc_rules(df).collect()}
+    for i, t in enumerate(texts):
+        # SPACE-trim, not .strip(): Spark's trim() and DuckDB's trim()
+        # both trim 0x20 only, so tab-only lines are (non-empty) lines
+        lines = [l.strip(" ") for l in (t or "").split("\n")]
+        lines = [l for l in lines if l]
+        r = got[i]
+        assert r["n_lines"] == len(lines)
+        if not lines:
+            assert r["punct_line_frac"] is None and not r["keep"]
+            continue
+        punct = sum(1 for l in lines if _re.search(r'[.!?"]$', l))
+        short = sum(1 for l in lines if len(l) < 30)
+        srt = sorted(lines)
+        dup = sum(
+            len(srt[j]) for j in range(1, len(srt)) if srt[j] == srt[j - 1]
+        )
+        total = sum(len(l) for l in lines)
+        assert r["punct_line_frac"] == round(punct / len(lines), 4)
+        assert r["short_line_frac"] == round(short / len(lines), 4)
+        assert r["dup_line_char_frac"] == round(dup / total, 4)
