@@ -416,6 +416,7 @@ def minhash_dedup_edges(
     k: int = 16,
     bands: int = 4,
     max_bucket: int = 1000,
+    threshold: float | None = None,
 ) -> DataFrame:
     """Connectivity edge set for transitive near-dup CLUSTERING, with
     exact-duplicate collapse — the 100-TB shape: real corpora are
@@ -434,6 +435,11 @@ def minhash_dedup_edges(
       3. each duplicate group contributes LINEAR (rep -> member) star
          edges instead of quadratic all-pairs — identical
          connectivity, O(corpus) instead of O(dup_factor^2).
+    With ``threshold`` set, candidate rep pairs are verified with
+    exact n-gram Jaccard before the star union (the LSH-then-verify
+    graph `dedup_keep_best` clusters over); default None keeps the
+    band-collision graph (`q_dedup_clusters` semantics).
+
     Use `minhash_candidate_pairs` when the pair LIST itself is the
     product; use this when the product is the component labeling
     (dedup clusters)."""
@@ -444,6 +450,12 @@ def minhash_dedup_edges(
     rep_pairs = minhash_candidate_pairs(
         reps, text_col, id_col, n=n, k=k, bands=bands, max_bucket=max_bucket
     )
+    if threshold is not None:
+        rep_pairs = (
+            jaccard_pairs(reps, rep_pairs, text_col=text_col, id_col=id_col, n=n)
+            .where(F.col("jaccard") >= threshold)
+            .select("a_id", "b_id")
+        )
     star = members.where(F.col("member_id") != F.col("rep_id")).select(
         F.col("rep_id").alias("a_id"), F.col("member_id").alias("b_id")
     )
@@ -607,26 +619,18 @@ def dedup_keep_best(
     key: cluster_id = own id, so the window partitioning is ~unique
     per row outside real clusters."""
     from featurestore_spark.operators.resolve import connected_components
-    from pyspark.sql import Window
 
-    groups, members = _collapse_exact_texts(df, text_col, id_col, "dedup_keep_best")
-    reps = groups.select(
-        F.col("rep_id").alias(id_col), F.col("_text").alias(text_col)
+    edges = minhash_dedup_edges(
+        df,
+        text_col,
+        id_col,
+        n=n,
+        k=k,
+        bands=bands,
+        max_bucket=max_bucket,
+        threshold=threshold,
     )
-    cand = minhash_candidate_pairs(
-        reps, text_col, id_col, n=n, k=k, bands=bands, max_bucket=max_bucket
-    )
-    verified = (
-        jaccard_pairs(reps, cand, text_col=text_col, id_col=id_col, n=n)
-        .where(F.col("jaccard") >= threshold)
-        .select("a_id", "b_id")
-    )
-    star = members.where(F.col("member_id") != F.col("rep_id")).select(
-        F.col("rep_id").alias("a_id"), F.col("member_id").alias("b_id")
-    )
-    comp = connected_components(
-        verified.unionByName(star), src_col="a_id", dst_col="b_id"
-    )
+    comp = connected_components(edges, src_col="a_id", dst_col="b_id")
     labeled = (
         df.join(
             comp.withColumnRenamed("id", id_col), id_col, "left"

@@ -517,7 +517,17 @@ def ccnet_perplexity_buckets(
         F.col(group_col),
         F.size(_clean_tokens(text_col)).cast("long").alias("n_tokens"),
     )
-    d = base.join(scored, id_col)
+    # left + null-safe: a NULL-id doc must come back out (scored NULL,
+    # bucket tail), not vanish in a null-unsafe inner join — the same
+    # eqNullSafe discipline lm_cross_entropy itself uses
+    d = (
+        base.join(
+            scored.withColumnRenamed(id_col, "_sid"),
+            base[id_col].eqNullSafe(F.col("_sid")),
+            "left",
+        )
+        .drop("_sid")
+    )
     hist = (
         d.where(F.col("cross_entropy").isNotNull())
         .groupBy(group_col, "cross_entropy")
@@ -529,19 +539,31 @@ def ccnet_perplexity_buckets(
         F.sum("_w").over(w_ord.rowsBetween(Window.unboundedPreceding, 0)),
     ).withColumn("_tot", F.sum("_w").over(Window.partitionBy(group_col)))
     buckets = cum.select(
-        group_col,
-        "cross_entropy",
+        F.col(group_col).alias("_bg"),
+        F.col("cross_entropy").alias("_bx"),
         F.when(3 * F.col("_cum") <= F.col("_tot"), F.lit("head"))
         .when(3 * F.col("_cum") <= 2 * F.col("_tot"), F.lit("middle"))
         .otherwise(F.lit("tail"))
         .alias("bucket"),
     )
-    return d.join(buckets, [group_col, "cross_entropy"], "left").select(
-        id_col,
-        group_col,
-        "n_tokens",
-        "cross_entropy",
-        F.coalesce(F.col("bucket"), F.lit("tail")).alias("bucket"),
+    # null-safe join-back so a NULL GROUP is a real partition (its
+    # fluent docs land in head like any other group's), not silently
+    # forced to tail; NULL-score docs have no histogram row either
+    # way and coalesce to tail
+    return (
+        d.join(
+            buckets,
+            d[group_col].eqNullSafe(F.col("_bg"))
+            & d["cross_entropy"].eqNullSafe(F.col("_bx")),
+            "left",
+        )
+        .select(
+            id_col,
+            group_col,
+            "n_tokens",
+            "cross_entropy",
+            F.coalesce(F.col("bucket"), F.lit("tail")).alias("bucket"),
+        )
     )
 
 

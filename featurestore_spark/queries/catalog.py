@@ -1944,6 +1944,18 @@ _DUCK_SHINGLES = "\n    WITH " + _DUCK_SHINGLES_BODY.format(
 )
 
 
+def _melt_cte(name: str, bands_cte: str) -> str:
+    return (
+        f"\n {name} AS ("
+        + " UNION ALL ".join(
+            f"SELECT doc_id, {i} AS band_idx, band_{i} AS band_hash"
+            f" FROM {bands_cte}"
+            for i in range(_MH_BANDS)
+        )
+        + ")"
+    )
+
+
 def _duck_minhash_bands(
     src: str = "documents", prelude: str = "", sfx: str = "", lead: bool = True
 ) -> str:
@@ -2008,12 +2020,9 @@ _MH_MAX_BUCKET = 1000  # production skew guard, modeled on BOTH sides
       SELECT text, min(doc_id) AS rep_id FROM documents GROUP BY text),
     rep_docs AS (SELECT rep_id AS doc_id, text FROM grp)""",
     )
-    + ",\n melted AS ("
-    + " UNION ALL ".join(
-        f"SELECT doc_id, {i} AS band_idx, band_{i} AS band_hash FROM bands"
-        for i in range(_MH_BANDS)
-    )
-    + f"""),
+    + ","
+    + _melt_cte("melted", "bands")
+    + f""",
     kept AS (  -- max_bucket guard over DISTINCT-text buckets, mirrored
       SELECT band_idx, band_hash FROM melted
       GROUP BY band_idx, band_hash HAVING count(*) <= {_MH_MAX_BUCKET}),
@@ -2027,14 +2036,14 @@ _MH_MAX_BUCKET = 1000  # production skew guard, modeled on BOTH sides
            greatest(da.doc_id, db.doc_id) AS b_id
     FROM rep_pairs p
       JOIN grp ga ON ga.rep_id = p.a_id
-      JOIN documents da ON da.text = ga.text
+      JOIN documents da ON da.text IS NOT DISTINCT FROM ga.text
       JOIN grp gb ON gb.rep_id = p.b_id
-      JOIN documents db ON db.text = gb.text
+      JOIN documents db ON db.text IS NOT DISTINCT FROM gb.text
     UNION
     -- ...plus unconditional intra-group (exact duplicate) pairs
     SELECT a.doc_id, b.doc_id
     FROM documents a JOIN documents b
-      ON a.text = b.text AND a.doc_id < b.doc_id
+      ON a.text IS NOT DISTINCT FROM b.text AND a.doc_id < b.doc_id
     """,
     "MinHash LSH near-dup candidate pairs with exact-duplicate "
     "collapse (band bucket join over distinct texts, guarded; member "
@@ -2062,12 +2071,9 @@ def q_minhash_pairs(spark, sf_dir):
       SELECT text, min(doc_id) AS rep_id FROM documents GROUP BY text),
     rep_docs AS (SELECT rep_id AS doc_id, text FROM grp)""",
     )
-    + ",\n melted AS ("
-    + " UNION ALL ".join(
-        f"SELECT doc_id, {i} AS band_idx, band_{i} AS band_hash FROM bands"
-        for i in range(_MH_BANDS)
-    )
-    + f"""),
+    + ","
+    + _melt_cte("melted", "bands")
+    + f""",
     kept AS (
       SELECT band_idx, band_hash FROM melted
       GROUP BY band_idx, band_hash HAVING count(*) <= {_MH_MAX_BUCKET}),
@@ -2078,7 +2084,8 @@ def q_minhash_pairs(spark, sf_dir):
       WHERE a.doc_id < b.doc_id),
     star AS (
       SELECT g.rep_id AS a_id, d.doc_id AS b_id
-      FROM documents d JOIN grp g USING (text)
+      FROM documents d JOIN grp g
+        ON g.text IS NOT DISTINCT FROM d.text
       WHERE d.doc_id <> g.rep_id),
     edges AS (SELECT a_id AS a, b_id AS b FROM pairs
               UNION SELECT b_id, a_id FROM pairs
@@ -2181,12 +2188,9 @@ def q_ngram_containment(spark, sf_dir):
       SELECT text, min(doc_id) AS rep_id FROM documents GROUP BY text),
     rep_docs AS (SELECT rep_id AS doc_id, text FROM grp)""",
     )
-    + ",\n melted AS ("
-    + " UNION ALL ".join(
-        f"SELECT doc_id, {i} AS band_idx, band_{i} AS band_hash FROM bands"
-        for i in range(_MH_BANDS)
-    )
-    + f"""),
+    + ","
+    + _melt_cte("melted", "bands")
+    + f""",
     kept AS (
       SELECT band_idx, band_hash FROM melted
       GROUP BY band_idx, band_hash HAVING count(*) <= {_MH_MAX_BUCKET}),
@@ -2205,18 +2209,18 @@ def q_ngram_containment(spark, sf_dir):
       -- B-side members greater than min(A) (= A's rep id)
       SELECT db.doc_id AS d FROM verified v
         JOIN grp gb ON gb.rep_id = v.b_id
-        JOIN documents db ON db.text = gb.text
+        JOIN documents db ON db.text IS NOT DISTINCT FROM gb.text
       WHERE db.doc_id > v.a_id
       UNION
       -- A-side members greater than min(B)
       SELECT da.doc_id FROM verified v
         JOIN grp ga ON ga.rep_id = v.a_id
-        JOIN documents da ON da.text = ga.text
+        JOIN documents da ON da.text IS NOT DISTINCT FROM ga.text
       WHERE da.doc_id > v.b_id
       UNION
       -- intra-group: every exact duplicate but the group minimum
       SELECT d.doc_id FROM documents d
-        JOIN grp g ON g.text = d.text
+        JOIN grp g ON g.text IS NOT DISTINCT FROM d.text
       WHERE d.doc_id > g.rep_id)
     SELECT d.doc_id FROM documents d
     LEFT JOIN drops ON d.doc_id = drops.d
@@ -2245,12 +2249,9 @@ def q_dedup_pipeline(spark, sf_dir):
       SELECT text, min(doc_id) AS rep_id FROM documents GROUP BY text),
     rep_docs AS (SELECT rep_id AS doc_id, text FROM grp)""",
     )
-    + ",\n melted AS ("
-    + " UNION ALL ".join(
-        f"SELECT doc_id, {i} AS band_idx, band_{i} AS band_hash FROM bands"
-        for i in range(_MH_BANDS)
-    )
-    + f"""),
+    + ","
+    + _melt_cte("melted", "bands")
+    + f""",
     kept AS (
       SELECT band_idx, band_hash FROM melted
       GROUP BY band_idx, band_hash HAVING count(*) <= {_MH_MAX_BUCKET}),
@@ -2267,7 +2268,8 @@ def q_dedup_pipeline(spark, sf_dir):
             / len(list_distinct(list_concat(sa.sh, sb.sh))), 4) >= 0.8),
     star AS (
       SELECT g.rep_id AS a_id, d.doc_id AS b_id
-      FROM documents d JOIN grp g USING (text)
+      FROM documents d JOIN grp g
+        ON g.text IS NOT DISTINCT FROM d.text
       WHERE d.doc_id <> g.rep_id),
     edges AS (SELECT a_id AS a, b_id AS b FROM verified
               UNION SELECT b_id, a_id FROM verified
@@ -2312,18 +2314,6 @@ def q_dedup_best(spark, sf_dir):
         bands=_MH_BANDS,
         max_bucket=_MH_MAX_BUCKET,
     ).select("doc_id", "cluster_id")
-
-
-def _melt_cte(name: str, bands_cte: str) -> str:
-    return (
-        f"\n {name} AS ("
-        + " UNION ALL ".join(
-            f"SELECT doc_id, {i} AS band_idx, band_{i} AS band_hash"
-            f" FROM {bands_cte}"
-            for i in range(_MH_BANDS)
-        )
-        + ")"
-    )
 
 
 @_register(
@@ -4575,7 +4565,8 @@ def q_lm_perplexity(spark, sf_dir):
       SELECT t.doc_id, t.source,
              CAST(len(t.toks) AS BIGINT) AS n_tokens,
              a.xent AS cross_entropy
-      FROM toked t LEFT JOIN agg a USING (doc_id)),
+      FROM toked t LEFT JOIN agg a
+        ON a.doc_id IS NOT DISTINCT FROM t.doc_id),
     hist AS (
       SELECT source, cross_entropy, sum(n_tokens) AS w
       FROM d WHERE cross_entropy IS NOT NULL GROUP BY source, cross_entropy),
@@ -4594,8 +4585,9 @@ def q_lm_perplexity(spark, sf_dir):
       FROM cum)
     SELECT d.doc_id, d.source, d.n_tokens, d.cross_entropy,
            coalesce(bk.bucket, 'tail') AS bucket
-    FROM d LEFT JOIN bk ON bk.source = d.source
-                       AND bk.cross_entropy = d.cross_entropy
+    FROM d LEFT JOIN bk
+      ON bk.source IS NOT DISTINCT FROM d.source
+     AND bk.cross_entropy IS NOT DISTINCT FROM d.cross_entropy
     """,
     "CCNet head/middle/tail perplexity split (Wenzek et al. 2020 "
     "§4.3): per source, thirds by TOKEN MASS in LM-score order. "

@@ -409,3 +409,30 @@ def test_ccnet_perplexity_buckets(spark):
     )
     out2 = {r["doc_id"]: r for r in ccnet_perplexity_buckets(docs2).collect()}
     assert out2[1]["bucket"] == out2[6]["bucket"]
+
+
+def test_ccnet_buckets_null_keys(spark):
+    """NULL doc ids come back out (scored via the null-safe join, like
+    lm_cross_entropy's own contract) and a NULL group is a REAL
+    partition — its fluent docs bucket normally instead of being
+    silently forced to tail."""
+    from featurestore_spark.operators.search import ccnet_perplexity_buckets
+
+    docs = spark.createDataFrame(
+        [
+            (None, "g", "the cat sat on the mat " * 10),
+            # NULL group: three structurally different 60-token docs
+            (2, None, "the cat sat on the mat " * 10),
+            (3, None, "big dogs run fast every day " * 10),
+            (4, None, "zx qv plo wk rr tt yy uu ii oo " * 6),
+        ],
+        "doc_id long, source string, text string",
+    )
+    rows = ccnet_perplexity_buckets(docs).collect()
+    assert len(rows) == 4  # the NULL-id doc did not vanish
+    null_id = [r for r in rows if r["doc_id"] is None][0]
+    assert null_id["cross_entropy"] is not None
+    null_group = sorted(
+        (r["cross_entropy"], r["bucket"]) for r in rows if r["source"] is None
+    )
+    assert [b for _, b in null_group] == ["head", "middle", "tail"]

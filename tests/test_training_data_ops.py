@@ -1308,3 +1308,18 @@ def test_dedup_keep_best(spark):
     )
     kept = {r["doc_id"] for r in dedup_keep_best(tied, "q").collect()}
     assert kept == {7}
+
+
+def test_dedup_keep_best_null_texts(spark):
+    """Two NULL-text docs form one exact-dup group (the collapse hashes
+    NULLs together) — keep-best keeps exactly one of them, and the
+    oracle-side null-safe joins mirror this (review r8 #3)."""
+    from featurestore_spark.operators.dedup import dedup_keep_best
+
+    docs = spark.createDataFrame(
+        [(1, None, 5), (2, None, 9), (3, "real text lives here", 1)],
+        "doc_id long, text string, q int",
+    )
+    out = {r["doc_id"]: r for r in dedup_keep_best(docs, "q").collect()}
+    assert set(out) == {2, 3}           # higher-quality NULL doc wins
+    assert out[2]["cluster_id"] == 1    # component label = min member id
