@@ -151,6 +151,7 @@ HEADLINE = [
     "q_ivf_serve",
     "q_fineweb_rules",
     "q_ccnet_buckets",
+    "q_ccnet_external",
     "q_dedup_best",
 ]
 

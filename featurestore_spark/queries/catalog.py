@@ -4604,6 +4604,92 @@ def q_ccnet_buckets(spark, sf_dir):
 
 
 @_register(
+    "q_ccnet_external",
+    r"""
+    WITH toked AS (
+      SELECT doc_id, source,
+             list_filter(regexp_split_to_array(trim(lower(coalesce(text, ''))),
+                                               '\s+'), t -> t <> '') AS toks
+      FROM documents),
+    ref AS (SELECT * FROM toked WHERE source = 'src0'),
+    refbig AS (
+      SELECT toks[i + 1] AS w1, toks[i + 2] AS w2
+      FROM (SELECT toks, unnest(generate_series(0, len(toks) - 2)) AS i
+            FROM ref WHERE len(toks) >= 2)),
+    lm AS (SELECT w1, w2, count(*) AS c FROM refbig GROUP BY w1, w2),
+    ctx AS (SELECT w1, sum(c) AS c1 FROM lm GROUP BY w1),
+    voc AS (SELECT count(DISTINCT t)::DOUBLE AS v
+            FROM (SELECT unnest(toks) AS t FROM ref)),
+    big AS (
+      SELECT doc_id, toks[i + 1] AS w1, toks[i + 2] AS w2
+      FROM (SELECT doc_id, toks, unnest(generate_series(0, len(toks) - 2)) AS i
+            FROM toked WHERE len(toks) >= 2)),
+    sc AS (
+      SELECT b.doc_id,
+             -ln((coalesce(c.c, 0) + 1.0)
+                 / (coalesce(x.c1, 0) + 1.0 * v.v)) AS nl
+      FROM big b LEFT JOIN lm c USING (w1, w2)
+                 LEFT JOIN ctx x USING (w1)
+           CROSS JOIN voc v),
+    agg AS (SELECT doc_id, round(avg(nl), 6) AS xent
+            FROM sc GROUP BY doc_id),
+    d AS (
+      SELECT t.doc_id, t.source,
+             CAST(len(t.toks) AS BIGINT) AS n_tokens,
+             a.xent AS cross_entropy
+      FROM toked t LEFT JOIN agg a
+        ON a.doc_id IS NOT DISTINCT FROM t.doc_id),
+    hist AS (
+      SELECT source, cross_entropy, sum(n_tokens) AS w
+      FROM d WHERE cross_entropy IS NOT NULL GROUP BY source, cross_entropy),
+    cum AS (
+      SELECT source, cross_entropy,
+             sum(w) OVER (PARTITION BY source ORDER BY cross_entropy
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS cw,
+             sum(w) OVER (PARTITION BY source) AS tot
+      FROM hist),
+    bk AS (
+      SELECT source, cross_entropy,
+             CASE WHEN 3 * cw <= tot THEN 'head'
+                  WHEN 3 * cw <= 2 * tot THEN 'middle'
+                  ELSE 'tail' END AS bucket
+      FROM cum)
+    SELECT d.doc_id, d.source, d.n_tokens, d.cross_entropy,
+           coalesce(bk.bucket, 'tail') AS bucket
+    FROM d LEFT JOIN bk
+      ON bk.source IS NOT DISTINCT FROM d.source
+     AND bk.cross_entropy IS NOT DISTINCT FROM d.cross_entropy
+    """,
+    "CCNet's PUBLISHED configuration (Wenzek et al. 2020): the LM is "
+    "fit on a reference domain (source='src0' standing in for "
+    "Wikipedia) and the whole crawl is scored with it — unseen "
+    "contexts degrade to the uniform 1/V floor (the external-lm "
+    "vocab_size path, LEFT-join smoothing) — then head/middle/tail "
+    "thirds by token mass per source. The self-fit q_ccnet_buckets "
+    "twin covers the fit-on-itself configuration.",
+)
+def q_ccnet_external(spark, sf_dir):
+    from featurestore_spark.operators.search import (
+        ccnet_perplexity_buckets,
+        fit_bigram_lm,
+    )
+    from featurestore_spark.operators.text import clean_tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    ref = docs.where(F.col("source") == "src0")
+    lm = fit_bigram_lm(ref)
+    # one-row driver collect (documented bounded-collect list): V of
+    # the FITTING corpus is a required scalar of the published recipe
+    v = (
+        ref.select(F.explode(clean_tokens("text")).alias("_t"))
+        .agg(F.count_distinct("_t"))
+        .collect()[0][0]
+    )
+    return ccnet_perplexity_buckets(docs, lm, vocab_size=int(v))
+
+
+@_register(
     "q_source_divergence",
     r"""
     WITH toks AS (
@@ -5703,6 +5789,7 @@ _DRIVER_PRIORITY = [
     "q_ivf_serve",
     "q_fineweb_rules",
     "q_ccnet_buckets",
+    "q_ccnet_external",
     "q_dedup_best",
     # ...every query whose code path CHANGED this round: the C4/Gopher
     # published-threshold alignment (q_gopher_rules, q_c4_filter,
@@ -5743,13 +5830,14 @@ _DRIVER_PRIORITY = [
     "q_dedup_lines",
     "q_decontaminate",
     "q_shared_spans",
-    "q_boilerplate",
     # --- driver window ends here (first 50); q_sniff_csv,
-    # q_dq_assertion and q_pack_chunks ceded their slots to the
-    # round-8 q_fineweb_rules, q_ccnet_buckets and q_dedup_best (new
-    # queries outrank stale-evidence refresh; the ceded paths are
-    # pytest/invariant-covered and lead the r9 rotation with the
-    # other r6-window queries) ---
+    # q_dq_assertion, q_pack_chunks and q_boilerplate ceded their
+    # slots to the round-8 q_fineweb_rules, q_ccnet_buckets,
+    # q_ccnet_external and q_dedup_best (new queries outrank
+    # stale-evidence refresh; the ceded paths are pytest/invariant-
+    # covered and lead the r9 rotation with the other r6-window
+    # queries) ---
+    "q_boilerplate",
     "q_pack_chunks",
     "q_dq_assertion",
     "q_sniff_csv",
