@@ -602,6 +602,11 @@ def dedup_keep_best(
 
     Returns the kept rows of `df` (all columns) plus ``cluster_id``
     (the component's minimum member id; singletons get their own id).
+    NULL-id rows are kept unconditionally with a NULL ``cluster_id``
+    (they can never join the component graph — the same always-keep
+    rule `dedup_keep_docs`'s anti-join applies; without the carve-out
+    Spark's window would group ALL NULL ids into one partition and
+    drop every unrelated NULL-id doc but one).
 
     Semantics note: keep-best requires the TRANSITIVE cluster (argmax
     needs the whole duplicate family in one group), so this runs the
@@ -638,14 +643,20 @@ def dedup_keep_best(
         .withColumn("cluster_id", F.coalesce("component", F.col(id_col)))
         .drop("component")
     )
+    # NULL-id rows bypass the window (kept unconditionally, see
+    # docstring) — their cluster_id coalesced to NULL above, and one
+    # shared NULL window partition would wrongly argmax across them.
+    null_ids = labeled.where(F.col(id_col).isNull())
     w = Window.partitionBy("cluster_id").orderBy(
         F.col(quality_col).desc_nulls_last(), F.col(id_col).asc()
     )
-    return (
-        labeled.withColumn("_rn", F.row_number().over(w))
+    kept = (
+        labeled.where(F.col(id_col).isNotNull())
+        .withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") == 1)
         .drop("_rn")
     )
+    return kept.unionByName(null_ids)
 
 
 # -- n-gram Jaccard -----------------------------------------------------------

@@ -19,8 +19,9 @@ incremental design, so the invariant is normally the caller's.
   batch size, inside the sketch error of the large side — so the
   probe instead counts the overlap EXACTLY with one scan of the
   large part semi-joined against the broadcast distinct ids of the
-  small part, and raises when more than a quarter of the small
-  part's ids already exist in the large one.
+  small part, and raises when more than ``max_overlap_frac``
+  (default a quarter) of the small part's ids already exist in the
+  large one.
 """
 
 from __future__ import annotations
@@ -57,13 +58,29 @@ _EXACT_BROADCAST_CAP = 50_000_000
 
 
 def verify_disjoint_ids(
-    a: DataFrame, b: DataFrame, id_col: str, op_name: str
+    a: DataFrame,
+    b: DataFrame,
+    id_col: str,
+    op_name: str,
+    *,
+    max_overlap_frac: float = _EXACT_OVERLAP_FRAC,
 ) -> None:
     """Raise ``ValueError`` when the distinct ``id_col`` sets of ``a``
     and ``b`` grossly overlap (see module docstring for the two
     regimes). Runs three Spark actions in the sketch regime, two plus
     one large-side scan in the asymmetric one — call only behind an
-    explicit ``verify=True`` knob."""
+    explicit ``verify=True`` knob.
+
+    This is a gross-misuse tripwire, NOT an exact disjointness
+    validator: in the asymmetric (exact) regime it raises only when
+    MORE than ``max_overlap_frac`` (default 0.25) of the smaller
+    part's distinct ids already exist in the larger part — a
+    partially re-ingested batch below that fraction merges silently
+    and double-counts those documents. Pass ``max_overlap_frac=0.0``
+    to fail on ANY overlap when the batch is known to be fully fresh
+    (costs nothing extra — the overlap count is computed either way).
+    The sketch regime's tolerance is HLL-error-bound (``_TOLERANCE``)
+    and not configurable."""
     ea = a.agg(F.approx_count_distinct(id_col)).collect()[0][0]
     eb = b.agg(F.approx_count_distinct(id_col)).collect()[0][0]
     if min(ea, eb) * _MAX_SKETCH_ASYMMETRY < max(ea, eb):
@@ -80,7 +97,7 @@ def verify_disjoint_ids(
             .distinct()
             .count()
         )
-        if overlap > _EXACT_OVERLAP_FRAC * n_small:
+        if overlap > max_overlap_frac * n_small:
             raise ValueError(
                 f"{op_name}: {overlap} of the smaller part's "
                 f"{n_small} distinct {id_col}s already exist in the "

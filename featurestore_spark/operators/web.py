@@ -27,12 +27,15 @@ TRACKING_PARAMS = ["gclid", "fbclid", "msclkid", "igshid", "mc_eid"]
 
 # Built-in public-suffix snapshot used when the caller supplies no
 # list: the high-traffic exact rules (generic + country-code TLDs and
-# the frequent second-level registries) plus two private-section
-# entries (github.io, herokuapp.com) so multi-label suffixes are
-# exercised. This is a deliberately small SNAPSHOT of the Mozilla
-# Public Suffix List — at production scale pass the full PSL's exact
-# rules via ``suffixes=`` (wildcard `*.` and exception `!` rules are
-# out of scope; they are <2% of the list).
+# the frequent second-level registries), two private-section entries
+# (github.io, herokuapp.com) so multi-label suffixes are exercised,
+# and representative wildcard (`*.`) / exception (`!`) rules in PSL
+# file syntax — `*.ck`/`!www.ck` are the PSL's own canonical pair,
+# `*.compute.amazonaws.com` the highest-impact platform wildcard (it
+# is what keeps every EC2 customer's hosts from rolling up into one
+# "amazonaws.com" domain). This is a deliberately small SNAPSHOT of
+# the Mozilla Public Suffix List — at production scale pass the full
+# list via ``suffixes=`` (all three rule kinds are supported).
 PUBLIC_SUFFIXES = [
     # generic TLDs
     "com", "net", "org", "edu", "gov", "mil", "int", "info", "biz",
@@ -54,6 +57,8 @@ PUBLIC_SUFFIXES = [
     "com.tw",
     # private-section examples (hosting platforms)
     "github.io", "herokuapp.com",
+    # wildcard + exception rules (PSL file syntax)
+    "*.ck", "!www.ck", "*.bd", "*.compute.amazonaws.com",
 ]
 
 
@@ -116,9 +121,19 @@ def canonical_url(
       label (off by default: `www` and apex CAN serve different
       content; turn it on when keying a crawl frontier)
 
-    NULL url → NULL. No '%'-decoding: percent-encoding is
-    case-normalized nowhere and decoding can change semantics — a
-    canonicalizer must never map two DIFFERENT resources together.
+    NULL url → NULL, and so does any url whose parsed HOST is empty
+    (schemeless path-only inputs like ``/robots.txt``, empty-authority
+    forms like ``http:///x``): without a host there is no fetchable
+    resource, and mapping all such malformed rows to near-identical
+    ``http:///...`` keys would merge DISTINCT resources in
+    `url_dedup` (which drops NULL keys instead — the fail-safe
+    direction). IPv6 literal hosts (``[::1]:8080``) are out of scope:
+    they pass through unnormalized (the bracket form defeats the
+    port-stripping regex), so equivalent spellings of one v6 address
+    may key differently — irrelevant at crawl scale, where hosts are
+    names. No '%'-decoding: percent-encoding is case-normalized
+    nowhere and decoding can change semantics — a canonicalizer must
+    never map two DIFFERENT resources together.
     """
     p = url_parts(url_col)
     scheme = F.when(p["scheme"] == "", F.lit(default_scheme)).otherwise(
@@ -152,9 +167,31 @@ def canonical_url(
         F.size(params) > 0, F.concat(F.lit("?"), F.array_join(params, "&"))
     ).otherwise(F.lit(""))
     return F.when(
-        _col(url_col).isNotNull(),
+        _col(url_col).isNotNull() & (host != ""),
         F.concat(scheme, F.lit("://"), host, port, path, query),
     )
+
+
+def parse_suffix_rules(
+    suffixes: list[str],
+) -> tuple[list[str], list[str], list[str]]:
+    """Split a PSL-syntax rule list into (exact, wildcard-stems,
+    exception-rules), all lowercased: ``*.ck`` contributes stem
+    ``ck``; ``!www.ck`` contributes exception ``www.ck``; everything
+    else is an exact rule. Shared by the Spark operator and the
+    catalog's oracle-SQL generator so both sides parse identically."""
+    exact: list[str] = []
+    wildcard: list[str] = []
+    exception: list[str] = []
+    for s in suffixes:
+        s = s.lower()
+        if s.startswith("!"):
+            exception.append(s[1:])
+        elif s.startswith("*."):
+            wildcard.append(s[2:])
+        else:
+            exact.append(s)
+    return exact, wildcard, exception
 
 
 def registrable_domain(
@@ -163,27 +200,30 @@ def registrable_domain(
     suffixes: list[str] | None = None,
 ) -> Column:
     """eTLD+1 (the "registrable domain") of a hostname, as a pure
-    Column expression: the public suffix is the LONGEST entry of
-    ``suffixes`` (default :data:`PUBLIC_SUFFIXES`) matching the
-    host's trailing labels, and the registrable domain is that suffix
-    plus one label. A host that IS a bare suffix — or whose suffix
-    doesn't appear in the list AND has only one label — yields NULL.
-    Unlisted multi-label hosts fall back to the last-two-labels rule
-    (the PSL's prevailing `*` rule).
+    Column expression implementing the PSL algorithm over
+    ``suffixes`` (default :data:`PUBLIC_SUFFIXES`, PSL file syntax):
 
-    The suffix set is embedded as a literal array (membership via
+    - **exception rules** (``!www.ck``) prevail over everything: a
+      host whose trailing labels match one has public suffix = the
+      rule minus its leftmost label, so the rule itself IS the
+      registrable domain (``x.www.ck`` → ``www.ck``);
+    - otherwise the LONGEST matching rule wins, where a **wildcard
+      rule** (``*.ck``) matches any host ``<label>.ck`` with public
+      suffix ``<label>.ck`` (``shop.coral.ck`` → suffix ``coral.ck``
+      → domain needs one more label) and an **exact rule** matches
+      its own labels;
+    - the registrable domain is the matched suffix plus one label. A
+      host that IS a bare public suffix — or whose suffix doesn't
+      appear in the list AND has only one label — yields NULL.
+      Unlisted multi-label hosts fall back to the last-label rule
+      (the PSL's prevailing ``*`` default).
+
+    The rule sets are embedded as literal arrays (membership via
     `array_contains`), so extraction is join-free and shuffle-free —
-    the full PSL's ~9k exact rules embed fine; per-row cost is four
-    array lookups. Wildcard (`*.`) and exception (`!`) PSL rules are
-    not supported (<2% of the list)."""
+    the full PSL's ~9k rules embed fine; per-row cost is one array
+    lookup per distinct rule length."""
     sfx = suffixes if suffixes is not None else PUBLIC_SUFFIXES
-    # one membership lookup per candidate length, up to the longest
-    # entry actually in the list — never an artificial cap, or a
-    # 5-label PSL rule (s3.dualstack.<region>.amazonaws.com) would
-    # silently fall through to the 'com' rule and merge every bucket
-    # on that endpoint into one "domain"
-    max_k = max(len(s.split(".")) for s in sfx)
-    lit_sfx = F.array(*[F.lit(s.lower()) for s in sfx])
+    exact, wildcard, exception = parse_suffix_rules(sfx)
     host = F.lower(_col(host_col))
     labels = F.split(host, r"\.")
     n = F.size(labels)
@@ -192,11 +232,44 @@ def registrable_domain(
         return F.array_join(F.slice(labels, -k, k), ".")
 
     matched = F.lit(None).cast("int")
-    # longest suffix wins: check k = max_k .. 1, first hit sticks
-    for k in range(max_k, 0, -1):
+    # exception rules first (PSL: an exception rule prevails over any
+    # other matching rule, regardless of length); a tail of ke labels
+    # can only equal a rule with ke labels, so one membership lookup
+    # per DISTINCT exception length suffices
+    exc_lens = sorted({len(e.split(".")) for e in exception}, reverse=True)
+    if exception:
+        exc_arr = F.array(*[F.lit(e) for e in exception])
+        for ke in exc_lens:
+            matched = F.coalesce(
+                matched,
+                F.when(
+                    (n >= ke) & F.array_contains(exc_arr, tail(ke)),
+                    F.lit(ke - 1),
+                ),
+            )
+    # then longest-match across exact rules and wildcard stems: an
+    # effective suffix of L labels comes from an exact rule with L
+    # labels OR a wildcard stem with L-1 (tail(k) has exactly k
+    # labels, so a single combined array per kind is length-safe).
+    # Never cap the walk below the longest rule actually present, or
+    # a 4-label platform wildcard (*.compute.amazonaws.com) silently
+    # falls to the 'com' rule and merges every customer's hosts into
+    # one "domain".
+    max_l = max(
+        [len(s.split(".")) for s in exact]
+        + [len(w.split(".")) + 1 for w in wildcard]
+        or [1]
+    )
+    exact_arr = F.array(*[F.lit(s) for s in exact]) if exact else None
+    wc_arr = F.array(*[F.lit(w) for w in wildcard]) if wildcard else None
+    for k in range(max_l, 0, -1):
+        cond = F.lit(False)
+        if exact:
+            cond = cond | F.array_contains(exact_arr, tail(k))
+        if wildcard and k >= 2:
+            cond = cond | F.array_contains(wc_arr, tail(k - 1))
         matched = F.coalesce(
-            matched,
-            F.when((n >= k) & F.array_contains(lit_sfx, tail(k)), F.lit(k)),
+            matched, F.when((n >= k) & cond, F.lit(k))
         )
     # unlisted multi-label host: prevailing rule is suffix = last label
     matched = F.coalesce(matched, F.lit(1))
@@ -218,11 +291,12 @@ def url_dedup(
 
     (canonical_url, keep_id [minimum id], n_dups)
 
-    NULL urls are dropped (no fetchable resource). One hash-groupBy
-    on the canonical string — map-side combine collapses the
-    duplicate mass before the exchange, exactly like the text-level
-    collapse; join the keeper ids back to the corpus to materialize
-    the kept rows."""
+    NULL urls — and urls whose canonical form is NULL (empty parsed
+    host; see `canonical_url`) — are dropped (no fetchable resource).
+    One hash-groupBy on the canonical string — map-side combine
+    collapses the duplicate mass before the exchange, exactly like
+    the text-level collapse; join the keeper ids back to the corpus
+    to materialize the kept rows."""
     return (
         df.where(F.col(url_col).isNotNull())
         .select(
@@ -231,12 +305,127 @@ def url_dedup(
                 "canonical_url"
             ),
         )
+        .where(F.col("canonical_url").isNotNull())
         .groupBy("canonical_url")
         .agg(
             F.min(id_col).alias("keep_id"),
             F.count(F.lit(1)).alias("n_dups"),
         )
     )
+
+
+def url_word_score(
+    url_col: str | Column = "url",
+    terms: dict[str, float] | None = None,
+    *,
+    decimals: int | None = 4,
+) -> Column:
+    """Soft URL-content score (RefinedWeb §3.1's word-based URL
+    filtering): the URL is broken into words — lowercased, split on
+    runs of non-alphanumeric characters, so host labels, path
+    segments, query names and values all contribute — and the score
+    is the sum over word OCCURRENCES of each word's weight in
+    ``terms`` (unlisted words contribute 0). Callers drop pages whose
+    score crosses their threshold (`filter_urls`); weights encode
+    severity, the published recipe's "strict/soft/generic" term
+    tiers.
+
+    Pure Column expression: the term list rides the plan as a literal
+    map (RefinedWeb's curated lists are hundreds of terms — far below
+    literal-map limits; a million-term list belongs in
+    `filter_domains`-style table form instead). The fold runs
+    left-to-right over the token array, so an oracle replaying the
+    same order reproduces the float sum bit-for-bit; ``decimals``
+    rounds the result (None to disable). NULL url → NULL."""
+    if not terms:
+        raise ValueError("url_word_score: terms must be a non-empty dict")
+    toks = F.filter(
+        F.split(F.lower(_col(url_col)), "[^a-z0-9]+"),
+        lambda t: t != "",
+    )
+    m = F.create_map(
+        *[
+            x
+            for term, w in terms.items()
+            for x in (F.lit(term.lower()), F.lit(float(w)))
+        ]
+    )
+    score = F.aggregate(
+        toks,
+        F.lit(0.0),
+        lambda acc, t: acc + F.coalesce(F.try_element_at(m, t), F.lit(0.0)),
+    )
+    return F.round(score, decimals) if decimals is not None else score
+
+
+def filter_urls(
+    df: DataFrame,
+    url_col: str = "url",
+    *,
+    terms: dict[str, float],
+    threshold: float,
+    score_col: str = "url_score",
+) -> DataFrame:
+    """Keep rows whose `url_word_score` is strictly below
+    ``threshold`` (NULL urls score NULL and are KEPT — no URL
+    evidence against them; drop NULL urls upstream if unwanted).
+    Adds ``score_col`` to the output. Zero-exchange projection +
+    filter — composes into the web funnel between URL dedup and
+    text extraction, exactly where the published pipelines run it."""
+    scored = df.withColumn(score_col, url_word_score(url_col, terms))
+    return scored.where(
+        F.col(score_col).isNull() | (F.col(score_col) < F.lit(threshold))
+    )
+
+
+def filter_domains(
+    df: DataFrame,
+    blocklist: DataFrame,
+    url_col: str = "url",
+    *,
+    blocklist_col: str = "domain",
+    out_col: str = "domain",
+    suffixes: list[str] | None = None,
+    keep_unattributed: bool = True,
+    broadcast: bool = True,
+) -> DataFrame:
+    """Drop every row whose URL's registrable domain appears in
+    ``blocklist`` — the hard URL filter every published crawl
+    pipeline runs before text extraction (C4's RFC-badwords domains,
+    RefinedWeb's 4.6M-domain UT1 blocklist). Returns the SURVIVING
+    rows of `df` plus ``out_col`` (the registrable domain, kept for
+    downstream rollups).
+
+    `blocklist` is a DataFrame with ``blocklist_col`` (one domain per
+    row) — production blocklists are millions of rows, so membership
+    is a TABLE anti-join, never a literal array. Entries are
+    normalized (lower/trim) and deduplicated before the join;
+    ``broadcast=True`` (default) broadcasts them — a 4.6M-domain list
+    of short strings is ~100 MB, well inside executor budgets — and
+    `broadcast=False` falls back to a shuffled anti-join for
+    pathological lists. Rows with NO registrable domain (malformed or
+    empty hosts, bare public suffixes) can't be attributed to a
+    blocked domain and are KEPT by default; ``keep_unattributed=
+    False`` drops them instead (the strict variant)."""
+    p = url_parts(url_col)
+    with_dom = df.withColumn(
+        out_col, registrable_domain(p["host"], suffixes=suffixes)
+    )
+    if not keep_unattributed:
+        with_dom = with_dom.where(F.col(out_col).isNotNull())
+    bl = (
+        blocklist.select(
+            F.lower(F.trim(F.col(blocklist_col))).alias(out_col)
+        )
+        .where(F.col(out_col) != "")
+        .distinct()
+    )
+    if broadcast:
+        bl = F.broadcast(bl)
+    # left_anti: NULL domains never match a blocklist row, so
+    # unattributed rows survive the join (the keep_unattributed=True
+    # contract) without a special case
+    return with_dom.join(bl, out_col, "left_anti")
 
 
 def domain_rollup(

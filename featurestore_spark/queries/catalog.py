@@ -2292,8 +2292,10 @@ def q_dedup_pipeline(spark, sf_dir):
              row_number() OVER (PARTITION BY cluster_id
                                 ORDER BY n_chars DESC NULLS LAST,
                                          doc_id ASC) AS r
-      FROM lab)
+      FROM lab WHERE doc_id IS NOT NULL)
     SELECT doc_id, cluster_id FROM rn WHERE r = 1
+    UNION ALL  -- NULL-id rows are kept unconditionally (no graph id)
+    SELECT doc_id, cluster_id FROM lab WHERE doc_id IS NULL
     """,
     "Keep-BEST cluster dedup: LSH candidates + Jaccard>=0.8 verify "
     "over distinct texts, verified pairs + star edges contracted to "
@@ -5488,14 +5490,20 @@ def q_ivf_serve(spark, sf_dir):
 
 def _web_url_col():
     """The synthesized crawl URL as a Spark Column (engine-identical
-    to the `u` CTE of `_WEB_SQL`)."""
+    to the `u` CTE of `_WEB_SQL`). Hosts exercise the exact,
+    wildcard (*.ck, *.compute.amazonaws.com) and exception (!www.ck)
+    PSL rule kinds; every 11th-ish row is a schemeless path-only URL
+    (no host → NULL canonical form, dropped by url_dedup)."""
     d = F.col("doc_id")
     host = (
-        F.when(d % 5 == 0, F.lit("WWW.Example.COM"))
-        .when(d % 5 == 1, F.lit("news.Site.co.uk"))
-        .when(d % 5 == 2, F.lit("Blog.Example.GitHub.IO"))
-        .when(d % 5 == 3, F.lit("example.org."))
-        .otherwise(F.lit("sub.domain.example.net"))
+        F.when(d % 8 == 0, F.lit("WWW.Example.COM"))
+        .when(d % 8 == 1, F.lit("news.Site.co.uk"))
+        .when(d % 8 == 2, F.lit("Blog.Example.GitHub.IO"))
+        .when(d % 8 == 3, F.lit("example.org."))
+        .when(d % 8 == 4, F.lit("sub.domain.example.net"))
+        .when(d % 8 == 5, F.lit("Shop.Coral.CK"))
+        .when(d % 8 == 6, F.lit("WWW.CK"))
+        .otherwise(F.lit("vm-7.host.Compute.AmazonAWS.com"))
     )
     scheme = F.when(d % 2 == 0, F.lit("HTTP")).otherwise(F.lit("https"))
     port = (
@@ -5516,27 +5524,69 @@ def _web_url_col():
     frag = F.when(
         d % 2 == 1, F.concat(F.lit("#Section-"), d.cast("string"))
     ).otherwise(F.lit(""))
-    return F.concat(scheme, F.lit("://"), host, port, path, query, frag)
+    full = F.concat(scheme, F.lit("://"), host, port, path, query, frag)
+    return F.when(d % 11 == 7, F.lit("/robots.txt")).otherwise(full)
 
 
-def _web_sfx_literal() -> str:
-    from featurestore_spark.operators.web import PUBLIC_SUFFIXES
+def _web_matched_sql() -> str:
+    """The PSL `matched` suffix-length expression in DuckDB SQL,
+    generated from the same parsed rule sets the Spark operator
+    embeds (exception rules prevail, then longest match across exact
+    rules and wildcard stems, then the last-label default) — over
+    `labels` / `n` columns. `labels[n-k+1:n]` is DuckDB's 1-based
+    inclusive tail-of-k slice; every arm guards `n >= k` first, so a
+    clamped short slice can never satisfy a longer rule."""
+    from featurestore_spark.operators.web import (
+        PUBLIC_SUFFIXES,
+        parse_suffix_rules,
+    )
 
-    return "[" + ", ".join(f"'{s}'" for s in PUBLIC_SUFFIXES) + "]"
+    exact, wildcard, exception = parse_suffix_rules(PUBLIC_SUFFIXES)
 
+    def lit(xs: list[str]) -> str:
+        return "[" + ", ".join(f"'{x}'" for x in xs) + "]"
 
-_WEB_SFX = _web_sfx_literal()
+    def tail(k: int) -> str:
+        return f"array_to_string(labels[n-{k - 1}:n], '.')"
+
+    arms = []
+    for ke in sorted({len(e.split(".")) for e in exception}, reverse=True):
+        arms.append(
+            f"CASE WHEN n >= {ke} AND list_contains({lit(exception)}, "
+            f"{tail(ke)}) THEN {ke - 1} END"
+        )
+    max_l = max(
+        [len(s.split(".")) for s in exact]
+        + [len(w.split(".")) + 1 for w in wildcard]
+        or [1]
+    )
+    for k in range(max_l, 0, -1):
+        conds = []
+        if exact:
+            conds.append(f"list_contains({lit(exact)}, {tail(k)})")
+        if wildcard and k >= 2:
+            conds.append(f"list_contains({lit(wildcard)}, {tail(k - 1)})")
+        arms.append(
+            f"CASE WHEN n >= {k} AND ({' OR '.join(conds)}) THEN {k} END"
+        )
+    joined = ",\n               ".join(arms + ["1"])
+    return f"coalesce({joined})"
 
 _WEB_SQL = r"""
     WITH u AS (
       SELECT doc_id, text,
+             CASE WHEN doc_id % 11 = 7 THEN '/robots.txt' ELSE
              (CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'https' END)
              || '://'
-             || (CASE doc_id % 5 WHEN 0 THEN 'WWW.Example.COM'
+             || (CASE doc_id % 8 WHEN 0 THEN 'WWW.Example.COM'
                                  WHEN 1 THEN 'news.Site.co.uk'
                                  WHEN 2 THEN 'Blog.Example.GitHub.IO'
                                  WHEN 3 THEN 'example.org.'
-                                 ELSE 'sub.domain.example.net' END)
+                                 WHEN 4 THEN 'sub.domain.example.net'
+                                 WHEN 5 THEN 'Shop.Coral.CK'
+                                 WHEN 6 THEN 'WWW.CK'
+                                 ELSE 'vm-7.host.Compute.AmazonAWS.com'
+                  END)
              || (CASE doc_id % 4 WHEN 0 THEN ':80'
                                  WHEN 1 THEN ':8080' ELSE '' END)
              || '/Articles/' || CAST(doc_id % 13 AS VARCHAR)
@@ -5546,7 +5596,7 @@ _WEB_SQL = r"""
                    WHEN 1 THEN '?b=2&a=1&gclid=track' ELSE '' END)
              || (CASE WHEN doc_id % 2 = 1
                    THEN '#Section-' || CAST(doc_id AS VARCHAR)
-                   ELSE '' END) AS url
+                   ELSE '' END) END AS url
       FROM documents),
     pp AS (
       SELECT doc_id, text, url,
@@ -5567,7 +5617,9 @@ _WEB_SQL = r"""
             FROM pp)),
     canon AS (
       SELECT doc_id, text, url, host,
-             sch || '://' || host || prt || pth || qry AS canonical_url
+             CASE WHEN host <> ''
+                  THEN sch || '://' || host || prt || pth || qry
+             END AS canonical_url
       FROM (
         SELECT doc_id, text, url, host, sch,
                CASE WHEN port = '' OR (sch = 'http' AND port = '80')
@@ -5594,14 +5646,11 @@ _WEB_SQL = r"""
                   THEN array_to_string(labels[n-matched:n], '.') END AS domain
       FROM (
         SELECT *,
-               CASE WHEN n >= 2 AND list_contains(__SFX__,
-                      array_to_string(labels[n-1:n], '.')) THEN 2
-                    WHEN n >= 1 AND list_contains(__SFX__, labels[n]) THEN 1
-                    ELSE 1 END AS matched
+               __MATCHED__ AS matched
         FROM (SELECT *, string_split(host, '.') AS labels,
                      len(string_split(host, '.')) AS n
               FROM canon)))
-""".replace("__SFX__", _WEB_SFX)
+""".replace("__MATCHED__", _web_matched_sql())
 
 
 @_register(
@@ -5641,19 +5690,77 @@ def q_canonical_url(spark, sf_dir):
     + """
     SELECT canonical_url, min(doc_id) AS keep_id,
            CAST(count(*) AS BIGINT) AS n_dups
-    FROM dom GROUP BY canonical_url
+    FROM dom WHERE canonical_url IS NOT NULL
+    GROUP BY canonical_url
     """,
     "URL-level exact dedup keyed on the canonical form — the cheapest "
     "dedup in the ladder (fragments, utm tags, param order, case and "
     "default ports all collapse before a single byte of page text is "
-    "read). One hash-groupBy on the canonical string; map-side "
-    "combine collapses the duplicate mass pre-exchange.",
+    "read). Malformed no-host URLs canonicalize to NULL and are "
+    "dropped (never merged). One hash-groupBy on the canonical "
+    "string; map-side combine collapses the duplicate mass "
+    "pre-exchange.",
 )
 def q_url_dedup(spark, sf_dir):
     from featurestore_spark.operators.web import url_dedup
 
     docs = load_table(spark, sf_dir, "documents")
     return url_dedup(docs.select("doc_id", _web_url_col().alias("url")))
+
+
+# Shared URL-filtering fixture constants: the term weights and
+# threshold of the soft URL score, and the domain blocklists — kept
+# in one place so the Spark queries and the oracle SQL can never
+# drift. `_url_score_sql(col)` renders the identical fold in DuckDB.
+_URL_TERMS = {"amazonaws": 2.0, "ck": 1.0, "articles": 0.5}
+_URL_SCORE_THRESHOLD = 2.5
+_URL_BLOCKLIST = ["example.org", "site.co.uk"]
+_FUNNEL_BLOCKLIST = ["example.org"]
+
+
+def _url_score_sql(col: str) -> str:
+    arms = " ".join(
+        f"WHEN '{t}' THEN {w}" for t, w in _URL_TERMS.items()
+    )
+    return (
+        "round(list_sum(list_transform("
+        f"list_filter(string_split_regex(lower({col}), '[^a-z0-9]+'), "
+        "t -> t <> ''), "
+        f"t -> CASE t {arms} ELSE 0.0 END)), 4)"
+    )
+
+
+@_register(
+    "q_url_filter",
+    _WEB_SQL
+    + f"""
+    SELECT doc_id, url, domain, {_url_score_sql('url')} AS url_score
+    FROM dom
+    WHERE (domain IS NULL
+           OR domain NOT IN ({", ".join(f"'{d}'" for d in _URL_BLOCKLIST)}))
+      AND {_url_score_sql('url')} < {_URL_SCORE_THRESHOLD}
+    """,
+    "URL/domain filtering (the RefinedWeb §3.1 step between URL dedup "
+    "and text extraction): a registrable-domain BLOCKLIST applied as "
+    "a broadcast anti-join (blocklists are millions of rows — a "
+    "table, never a literal), then the soft word-based URL score "
+    "(weighted term hits over the tokenized URL) thresholded. "
+    "Unattributable rows (no registrable domain) survive the domain "
+    "stage — no evidence against them.",
+)
+def q_url_filter(spark, sf_dir):
+    from featurestore_spark.operators.web import filter_domains, filter_urls
+
+    docs = load_table(spark, sf_dir, "documents")
+    u = docs.select("doc_id", _web_url_col().alias("url"))
+    bl = spark.createDataFrame(
+        [(d,) for d in _URL_BLOCKLIST], "domain string"
+    )
+    kept = filter_domains(u, bl, "url")
+    kept = filter_urls(
+        kept, "url", terms=_URL_TERMS, threshold=_URL_SCORE_THRESHOLD
+    )
+    return kept.select("doc_id", "url", "domain", "url_score")
 
 
 @_register(
@@ -5663,10 +5770,15 @@ def q_url_dedup(spark, sf_dir):
     , grp AS (
       SELECT canonical_url, min(doc_id) AS keep_id,
              CAST(count(*) AS BIGINT) AS n_dups
-      FROM dom GROUP BY canonical_url),
+      FROM dom WHERE canonical_url IS NOT NULL
+      GROUP BY canonical_url),
     keep AS (
-      SELECT d.doc_id, d.text, d.domain, g.n_dups
+      SELECT d.doc_id, d.text, d.domain, d.canonical_url, g.n_dups
       FROM grp g JOIN dom d ON d.doc_id = g.keep_id),
+    filt AS (
+      SELECT * FROM keep
+      WHERE (domain IS NULL OR domain NOT IN (__FUNNEL_BLOCK__))
+        AND __CANON_SCORE__ < __SCORE_THRESHOLD__),
     stripped AS (
       SELECT doc_id, domain, n_dups,
              trim(regexp_replace(
@@ -5685,26 +5797,35 @@ def q_url_dedup(spark, sf_dir):
                  '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
                  '&quot;', '"'), '&#39;', chr(39)), '&amp;', '&'),
                '\s+', ' ', 'g')) AS text
-      FROM keep)
+      FROM filt)
     SELECT domain, CAST(count(*) AS BIGINT) AS n_pages,
            CAST(sum(n_dups) AS BIGINT) AS n_raw_urls,
            CAST(sum(len(list_filter(string_split_regex(trim(text), '\s+'),
                                     t -> t <> ''))) AS BIGINT) AS n_tokens,
            min(doc_id) AS min_id
     FROM stripped GROUP BY domain
-    """,
+    """.replace(
+        "__FUNNEL_BLOCK__",
+        ", ".join(f"'{d}'" for d in _FUNNEL_BLOCKLIST),
+    ).replace(
+        "__CANON_SCORE__", _url_score_sql("canonical_url")
+    ).replace(
+        "__SCORE_THRESHOLD__", str(_URL_SCORE_THRESHOLD)
+    ),
     "Web-ingest funnel capstone: URL canonical dedup FIRST (cheapest "
-    "— no page text read), then HTML→text over the keepers only, "
-    "rolled up per registrable domain (pages, raw-crawl dup mass, "
-    "token yield). Proves the web front composes ahead of strip_html "
+    "— no page text read), then the URL filters over the keepers "
+    "(domain blocklist anti-join + soft word-score threshold on the "
+    "canonical URL), then HTML→text over the survivors only, rolled "
+    "up per registrable domain (pages, raw-crawl dup mass, token "
+    "yield). Proves the web front composes ahead of strip_html "
     "exactly as a crawl pipeline runs it.",
 )
 def q_web_funnel(spark, sf_dir):
     from featurestore_spark.operators.text import strip_html
     from featurestore_spark.operators.web import (
-        registrable_domain,
+        filter_domains,
+        filter_urls,
         url_dedup,
-        url_parts,
     )
 
     docs = load_table(spark, sf_dir, "documents")
@@ -5715,6 +5836,16 @@ def q_web_funnel(spark, sf_dir):
         F.col("canonical_url"),
         "n_dups",
     ).join(u.select("doc_id", "text"), "doc_id")
+    bl = spark.createDataFrame(
+        [(d,) for d in _FUNNEL_BLOCKLIST], "domain string"
+    )
+    keep = filter_domains(keep, bl, "canonical_url")
+    keep = filter_urls(
+        keep,
+        "canonical_url",
+        terms=_URL_TERMS,
+        threshold=_URL_SCORE_THRESHOLD,
+    )
     html = F.concat(
         F.lit("<html><body><p>"),
         F.replace(F.col("text"), F.lit(" value "), F.lit("</p><p>")),
@@ -5723,9 +5854,7 @@ def q_web_funnel(spark, sf_dir):
     stripped = keep.select(
         "doc_id",
         "n_dups",
-        registrable_domain(url_parts("canonical_url")["host"]).alias(
-            "domain"
-        ),
+        "domain",
         strip_html(html).alias("text"),
     )
     n_tok = F.size(

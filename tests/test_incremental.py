@@ -764,6 +764,17 @@ def test_verify_disjoint_ids_asymmetric_exact_path(spark):
     verify_disjoint_ids(large, fresh, "doc_id", "extend_index")  # passes
     # empty batch is vacuously disjoint
     verify_disjoint_ids(large, fresh.where("doc_id < 0"), "doc_id", "x")
+    # the default 25% band is a documented tolerance, not a blind
+    # spot: a 20%-re-ingested batch passes by default but raises at
+    # max_overlap_frac=0.0 (ADVICE r8 #2)
+    partial = spark.range(0, 2).unionByName(spark.range(3000, 3008)).select(
+        F.col("id").alias("doc_id")
+    )
+    verify_disjoint_ids(large, partial, "doc_id", "extend_index")
+    with pytest.raises(ValueError, match="already exist"):
+        verify_disjoint_ids(
+            large, partial, "doc_id", "extend_index", max_overlap_frac=0.0
+        )
 
 
 def test_against_index_rejects_64bit_line_index(spark, corpus):

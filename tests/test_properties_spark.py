@@ -626,3 +626,167 @@ def test_fineweb_signals_match_independent_reimplementation(spark, texts):
         assert r["punct_line_frac"] == r4(punct / len(lines))
         assert r["short_line_frac"] == r4(short / len(lines))
         assert r["dup_line_char_frac"] == r4(dup / total)
+
+
+# -- registrable_domain vs an independent PSL walk (VERDICT r8 #8) ------------
+
+_psl_labels = st.lists(
+    st.sampled_from(["a", "b", "c", "www", "co"]), min_size=1, max_size=3
+)
+_psl_rule = st.builds(
+    lambda kind, labels: kind + ".".join(labels),
+    kind=st.sampled_from(["", "", "", "*.", "!"]),
+    labels=_psl_labels,
+)
+_psl_host = st.lists(
+    st.sampled_from(["a", "b", "c", "www", "co", "x"]),
+    min_size=1,
+    max_size=5,
+).map(".".join)
+
+
+def _py_registrable(host, rules):
+    """Independent walk of the PSL algorithm (publicsuffix.org/list):
+    collect ALL matching rules, exception rules prevail (longest
+    exception if several — the spec assumes one), else the rule with
+    the most labels wins (a wildcard `*.stem` counts stem+1 labels),
+    else the implicit `*` default (last label). The public suffix of
+    an exception match is the rule minus its leftmost label. The
+    registrable domain is the suffix plus one label, or None if the
+    host IS a suffix."""
+    if host is None or host == "":
+        return None
+    labels = host.lower().split(".")
+    n = len(labels)
+
+    def tail(k):
+        return ".".join(labels[n - k:])
+
+    exc_matches = []
+    other_matches = []
+    for r in rules:
+        r = r.lower()
+        if r.startswith("!"):
+            body = r[1:]
+            k = len(body.split("."))
+            if n >= k and tail(k) == body:
+                exc_matches.append(k)
+        elif r.startswith("*."):
+            stem = r[2:]
+            k = len(stem.split(".")) + 1
+            if n >= k and tail(k - 1) == stem:
+                other_matches.append(k)
+        else:
+            k = len(r.split("."))
+            if n >= k and tail(k) == r:
+                other_matches.append(k)
+    if exc_matches:
+        sfx = max(exc_matches) - 1
+    elif other_matches:
+        sfx = max(other_matches)
+    else:
+        sfx = 1
+    return ".".join(labels[n - sfx - 1:]) if n > sfx else None
+
+
+@given(
+    hosts=st.lists(_psl_host, min_size=1, max_size=25),
+    rules=st.lists(_psl_rule, min_size=1, max_size=8),
+)
+@settings(**SPARK_SETTINGS)
+def test_registrable_domain_matches_psl_walk(spark, hosts, rules):
+    from featurestore_spark.operators.web import registrable_domain
+
+    df = spark.createDataFrame(
+        list(enumerate(hosts)), "i long, h string"
+    )
+    got = {
+        r["i"]: r["d"]
+        for r in df.select(
+            "i", registrable_domain("h", suffixes=rules).alias("d")
+        ).collect()
+    }
+    for i, h in enumerate(hosts):
+        assert got[i] == _py_registrable(h, rules), (
+            f"host={h!r} rules={rules}"
+        )
+
+
+# -- ccnet bucket split vs manual token-mass thirds (VERDICT r8 #8) -----------
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.sampled_from(["s1", "s2", None]), _search_doc),
+        min_size=1,
+        max_size=15,
+    )
+)
+@settings(**SPARK_SETTINGS)
+def test_ccnet_buckets_match_manual_thirds(spark, rows):
+    """ccnet_perplexity_buckets' head/middle/tail split vs a manual
+    per-group cumulative token-mass walk. The Counter-based bigram
+    scorer is already fuzz-pinned against lm_cross_entropy (above) to
+    within 1.5e-6; the BUCKETING layer — per-group histogram walk,
+    value-level boundary assignment, NULL group as a real partition,
+    unscoreable docs to tail — is what this checks, so the reference
+    walks Spark's own rounded scores (boundary ties at the 6th
+    decimal would otherwise flake across engines) with independently
+    computed token masses and thirds arithmetic."""
+    import math
+
+    from featurestore_spark.operators.search import (
+        ccnet_perplexity_buckets,
+    )
+
+    frame = spark.createDataFrame(
+        [(i, g, " ".join(d)) for i, (g, d) in enumerate(rows)],
+        "doc_id long, source string, text string",
+    )
+    got = {r["doc_id"]: r for r in ccnet_perplexity_buckets(frame).collect()}
+
+    # independent token masses + the CE sanity bound
+    bigrams = Counter(p for _, d in rows for p in zip(d, d[1:]))
+    ctx = Counter()
+    for (w1, _), c in bigrams.items():
+        ctx[w1] += c
+    vocab = len({w for _, d in rows for w in d})
+    for i, (g, d) in enumerate(rows):
+        assert got[i]["n_tokens"] == len(d)
+        pairs = list(zip(d, d[1:]))
+        if not pairs:
+            assert got[i]["cross_entropy"] is None
+            assert got[i]["bucket"] == "tail"
+            continue
+        ref = sum(
+            -math.log((bigrams[p] + 1.0) / (ctx[p[0]] + vocab))
+            for p in pairs
+        ) / len(pairs)
+        assert abs(got[i]["cross_entropy"] - ref) <= 1.5e-6
+
+    # manual thirds per group over (rounded score -> token mass)
+    groups = {g for g, _ in rows}
+    for g in groups:
+        members = [
+            i
+            for i, (gg, _) in enumerate(rows)
+            if gg == g and got[i]["cross_entropy"] is not None
+        ]
+        mass = {}
+        for i in members:
+            ce = got[i]["cross_entropy"]
+            mass[ce] = mass.get(ce, 0) + len(rows[i][1])
+        tot = sum(mass.values())
+        cum, bucket_of = 0, {}
+        for v in sorted(mass):
+            cum += mass[v]
+            if 3 * cum <= tot:
+                bucket_of[v] = "head"
+            elif 3 * cum <= 2 * tot:
+                bucket_of[v] = "middle"
+            else:
+                bucket_of[v] = "tail"
+        for i in members:
+            assert got[i]["bucket"] == bucket_of[got[i]["cross_entropy"]], (
+                f"group={g!r} doc={i} ce={got[i]['cross_entropy']}"
+            )

@@ -1310,6 +1310,53 @@ def test_dedup_keep_best(spark):
     assert kept == {7}
 
 
+def test_dedup_keep_best_null_ids_kept_unconditionally(spark):
+    """NULL-id docs can never join the component graph, so keep-best
+    keeps them ALL (cluster_id NULL), matching dedup_keep_docs's
+    anti-join behavior — without the carve-out Spark's window would
+    group every NULL id into ONE partition and argmax across
+    unrelated docs (ADVICE r8 #1)."""
+    from featurestore_spark.operators.dedup import dedup_keep_best
+
+    docs = spark.createDataFrame(
+        [
+            (None, "first orphan row with its own words", 5),
+            (None, "second unrelated orphan text entirely", 9),
+            (1, "real text lives here quite nicely", 1),
+            (2, "real text lives here quite nicely", 3),  # exact dup of 1
+        ],
+        "doc_id long, text string, q int",
+    )
+    out = dedup_keep_best(docs, "q").collect()
+    texts = sorted(r["text"] for r in out)
+    assert len(out) == 3  # both NULL-id rows + the better exact dup
+    assert "first orphan row with its own words" in texts
+    assert "second unrelated orphan text entirely" in texts
+    for r in out:
+        if r["doc_id"] is None:
+            assert r["cluster_id"] is None
+        else:
+            assert r["doc_id"] == 2 and r["cluster_id"] == 1
+
+
+def test_seed_arrays_match_minhash_seeds_beyond_pinned(spark):
+    """_seed_arrays' in-plan Knuth/Weyl extension must stay
+    element-wise equal to _minhash_seeds' driver-side arithmetic for
+    k past the 32 pinned primes — a drift in either copy would
+    silently change every preset signature (ADVICE r8 #3)."""
+    from featurestore_spark.operators.dedup import (
+        _minhash_seeds,
+        _seed_arrays,
+    )
+
+    k = 450
+    a_col, b_col = _seed_arrays(k)
+    row = spark.range(1).select(a_col.alias("a"), b_col.alias("b")).collect()[0]
+    a_ref, b_ref = _minhash_seeds(k)
+    assert list(row["a"]) == a_ref
+    assert list(row["b"]) == b_ref
+
+
 def test_dedup_keep_best_null_texts(spark):
     """Two NULL-text docs form one exact-dup group (the collapse hashes
     NULLs together) — keep-best keeps exactly one of them, and the

@@ -8,9 +8,12 @@ from featurestore_spark.operators.web import (
     PUBLIC_SUFFIXES,
     canonical_url,
     domain_rollup,
+    filter_domains,
+    filter_urls,
     registrable_domain,
     url_dedup,
     url_parts,
+    url_word_score,
 )
 
 
@@ -117,6 +120,104 @@ def test_registrable_domain(spark):
         ).alias("d")
     ).collect()[0]["d"]
     assert deep == "bucket.s3.dualstack.ap-northeast-1.amazonaws.com"
+
+
+def test_registrable_domain_wildcard_and_exception_rules(spark):
+    """PSL wildcard (`*.`) and exception (`!`) rules (VERDICT r8 #3):
+    *.ck makes <label>.ck a public suffix, !www.ck carves www.ck back
+    out as registrable, and the amazonaws platform wildcard keeps
+    distinct customers' hosts from merging into one domain."""
+    hosts = [
+        (1, "shop.coral.ck"),  # *.ck: suffix coral.ck -> +1 label
+        (2, "coral.ck"),  # IS a wildcard-matched suffix -> NULL
+        (3, "ck"),  # bare last label -> NULL
+        (4, "www.ck"),  # exception rule: itself registrable
+        (5, "x.www.ck"),  # under the exception -> www.ck
+        (6, "a.b.www.ck"),
+        (7, "vm1.host.compute.amazonaws.com"),  # *.compute.amazonaws.com
+        (8, "host.compute.amazonaws.com"),  # IS the wildcard suffix
+        (9, "compute.amazonaws.com"),  # only 'com' matches -> eTLD+1
+        (10, "a.foo.bd"),
+        (11, "foo.bd"),
+    ]
+    df = spark.createDataFrame(hosts, "i long, h string")
+    out = {
+        r["i"]: r["d"]
+        for r in df.select("i", registrable_domain("h").alias("d")).collect()
+    }
+    assert out[1] == "shop.coral.ck"
+    assert out[2] is None
+    assert out[3] is None
+    assert out[4] == "www.ck"
+    assert out[5] == "www.ck"
+    assert out[6] == "www.ck"
+    assert out[7] == "vm1.host.compute.amazonaws.com"
+    assert out[8] is None
+    assert out[9] == "amazonaws.com"
+    assert out[10] == "a.foo.bd"
+    assert out[11] is None
+
+
+def test_canonical_url_empty_host_is_null(spark):
+    """Schemeless path-only and empty-authority URLs canonicalize to
+    NULL (ADVICE r8: 'http:///robots.txt'-style keys would merge
+    distinct malformed resources in url_dedup)."""
+    assert _canon(spark, "/robots.txt") is None
+    assert _canon(spark, "http:///x") is None
+    assert _canon(spark, "relative/path.html") is not None  # host-like
+    # ...and url_dedup drops the NULL-canonical rows entirely
+    df = spark.createDataFrame(
+        [(1, "/robots.txt"), (2, "/favicon.ico"), (3, "http://a.com/x")],
+        "doc_id long, url string",
+    )
+    out = url_dedup(df).collect()
+    assert len(out) == 1 and out[0]["canonical_url"] == "http://a.com/x"
+
+
+def test_url_word_score_and_filter_urls(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "http://ads.example.com/casino/slots?ref=spam"),
+            (2, "http://docs.example.com/guide"),
+            (3, None),
+        ],
+        "doc_id long, url string",
+    )
+    terms = {"casino": 2.0, "slots": 1.5, "spam": 1.0, "ads": 0.5}
+    scored = df.select(
+        "doc_id", url_word_score("url", terms).alias("s")
+    ).collect()
+    by_id = {r["doc_id"]: r["s"] for r in scored}
+    assert by_id[1] == 5.0  # 0.5 + 2.0 + 1.5 + 1.0
+    assert by_id[2] == 0.0
+    assert by_id[3] is None
+    kept = filter_urls(df, terms=terms, threshold=1.0)
+    ids = sorted(r["doc_id"] for r in kept.collect())
+    assert ids == [2, 3]  # NULL url kept (no evidence), spammy dropped
+    with pytest.raises(ValueError):
+        url_word_score("url", {})
+
+
+def test_filter_domains_blocklist_anti_join(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "http://bad.example.org/x"),
+            (2, "http://sub.bad.example.org/y"),  # same domain
+            (3, "http://good.example.com/z"),
+            (4, "/robots.txt"),  # no registrable domain
+            (5, "http://coral.ck/p"),  # bare wildcard suffix -> no domain
+        ],
+        "doc_id long, url string",
+    )
+    bl = spark.createDataFrame(
+        [("  Example.ORG ",), ("",)], "domain string"
+    )  # entries normalized; empties dropped
+    kept = filter_domains(df, bl)
+    rows = {r["doc_id"]: r["domain"] for r in kept.collect()}
+    assert sorted(rows) == [3, 4, 5]
+    assert rows[3] == "example.com" and rows[4] is None
+    strict = filter_domains(df, bl, keep_unattributed=False)
+    assert sorted(r["doc_id"] for r in strict.collect()) == [3]
 
 
 def test_url_dedup_collapses_tracking_variants(spark):
