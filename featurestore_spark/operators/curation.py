@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 
 from featurestore_spark.operators.dedup import hash128, shingles, zipped_ngrams
 from featurestore_spark.operators.materialize import materialize
-from featurestore_spark.operators.text import tokens
+from featurestore_spark.operators.text import clean_tokens, tokens
 
 # -- exact-collapse auto probe -------------------------------------------------
 
@@ -177,6 +177,215 @@ def repetition_metrics(
                 F.round(F.col("dup_ngram_count").cast("double") / total, 3),
             ),
         }
+    )
+
+
+def _dup_mass_fold(arr: Column) -> Column:
+    """Fold a unit array (lines, paragraphs, or n-grams) into
+    (n_units, dup_units, dup_chars, top_chars, total_chars) in one
+    pass over its SORTED form: equal neighbours form runs; a run of
+    length c contributes c-1 duplicate units and (c-1)*len(unit)
+    duplicate chars ("occurrences beyond the first"), and the top
+    char mass is max(c*len(unit)). Same run-walk as
+    `_run_length_metrics`, extended with char masses."""
+    zero = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("n"),
+        F.lit(0).cast("long").alias("dup_n"),
+        F.lit(0).cast("long").alias("dup_chars"),
+        F.lit(0).cast("long").alias("top_chars"),
+        F.lit(0).cast("long").alias("total_chars"),
+    )
+
+    def step(acc: Column, g: Column) -> Column:
+        same = acc.getField("prev").eqNullSafe(g)
+        run = F.when(same, acc.getField("run") + 1).otherwise(
+            F.lit(1).cast("long")
+        )
+        ended = ~same & (acc.getField("run") >= 2)
+        dup_n = F.when(
+            ended, acc.getField("dup_n") + acc.getField("run") - 1
+        ).otherwise(acc.getField("dup_n"))
+        dup_chars = F.when(
+            ended,
+            acc.getField("dup_chars")
+            + (acc.getField("run") - 1) * F.length(acc.getField("prev")),
+        ).otherwise(acc.getField("dup_chars"))
+        return F.struct(
+            g.alias("prev"),
+            run.alias("run"),
+            (acc.getField("n") + 1).alias("n"),
+            dup_n.alias("dup_n"),
+            dup_chars.alias("dup_chars"),
+            F.greatest(
+                acc.getField("top_chars"), run * F.length(g)
+            ).alias("top_chars"),
+            (acc.getField("total_chars") + F.length(g)).alias("total_chars"),
+        )
+
+    def finish(acc: Column) -> Column:
+        open_dup = acc.getField("run") >= 2
+        dup_n = F.when(
+            open_dup, acc.getField("dup_n") + acc.getField("run") - 1
+        ).otherwise(acc.getField("dup_n"))
+        dup_chars = F.when(
+            open_dup,
+            acc.getField("dup_chars")
+            + (acc.getField("run") - 1) * F.length(acc.getField("prev")),
+        ).otherwise(acc.getField("dup_chars"))
+        return F.struct(
+            acc.getField("n").alias("n"),
+            dup_n.alias("dup_n"),
+            dup_chars.alias("dup_chars"),
+            acc.getField("top_chars").alias("top_chars"),
+            acc.getField("total_chars").alias("total_chars"),
+        )
+
+    return F.aggregate(F.array_sort(arr), zero, step, finish)
+
+
+# Rae et al. 2021, Appendix A1.1 (Table A1), repetition half: the
+# published maximum fractions. Keys are the output column names.
+GOPHER_REPETITION_THRESHOLDS = {
+    "dup_line_frac": 0.30,
+    "dup_para_frac": 0.30,
+    "dup_line_char_frac": 0.20,
+    "dup_para_char_frac": 0.20,
+    "top_2gram_char_frac": 0.20,
+    "top_3gram_char_frac": 0.18,
+    "top_4gram_char_frac": 0.16,
+    "dup_5gram_char_frac": 0.15,
+    "dup_6gram_char_frac": 0.14,
+    "dup_7gram_char_frac": 0.13,
+    "dup_8gram_char_frac": 0.12,
+    "dup_9gram_char_frac": 0.11,
+    "dup_10gram_char_frac": 0.10,
+}
+
+
+def gopher_repetition_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    thresholds: dict[str, float] | None = None,
+    passthrough: tuple[str, ...] = (),
+) -> DataFrame:
+    """The REPETITION half of the Gopher filter table (Rae et al.
+    2021, Appendix A1.1) — the complement of `text.gopher_doc_rules`'
+    quality half. Emits all 13 published signals plus the conjunction
+    ``keep`` (every signal <= its threshold), at the paper's
+    thresholds by default (:data:`GOPHER_REPETITION_THRESHOLDS`;
+    pass ``thresholds=`` to re-cut):
+
+    - ``dup_line_frac`` / ``dup_para_frac``: unit occurrences beyond
+      the first over total units. Units are space-trimmed non-empty
+      segments of a ``\\n`` (lines) / ``\\n\\n`` (paragraphs) split —
+      blank-heavy layouts don't self-duplicate.
+    - ``dup_line_char_frac`` / ``dup_para_char_frac``: characters of
+      those beyond-first occurrences over total unit characters.
+    - ``top_{2,3,4}gram_char_frac``: the maximal char mass of one
+      word n-gram — max over distinct grams of count*len(gram) — over
+      the normalized text length (the space-joined token string).
+    - ``dup_{5..10}gram_char_frac``: char mass of beyond-first n-gram
+      occurrences over the normalized text length.
+
+    The paper computes the n-gram char coverage positionally (each
+    character position counted once); this implementation counts each
+    occurrence's characters declaratively — a deterministic upper
+    bound that needs no per-position scan and replays exactly in SQL
+    (grams are the space-joined `clean_tokens`; char masses use the
+    gram string's length). Docs whose signals are undefined (no
+    non-empty lines, or fewer than 10 tokens — no 10-grams) get NULL
+    fractions and keep=false; the Gopher preset's >= 50-word rule
+    already excludes them upstream.
+
+    Scale shape: pure Column folds over one scan — the tokens and
+    unit arrays are projected to attribute columns once (HOF-lambda
+    re-evaluation trap), each n-gram size is one in-plan
+    sort+run-walk over that doc's grams (O(L log L) per doc, never a
+    corpus aggregate); zero exchanges, zero UDFs."""
+    thr = dict(GOPHER_REPETITION_THRESHOLDS)
+    if thresholds:
+        unknown = set(thresholds) - set(thr)
+        if unknown:
+            raise ValueError(
+                f"gopher_repetition_rules: unknown thresholds {sorted(unknown)}"
+            )
+        thr.update(thresholds)
+    text = F.coalesce(F.col(text_col), F.lit(""))
+
+    def units(sep: str) -> Column:
+        return F.filter(
+            F.transform(F.split(text, sep), lambda u: F.trim(u)),
+            lambda u: u != F.lit(""),
+        )
+
+    out = df.withColumns(
+        {
+            "_toks": clean_tokens(text_col),
+            "_lines": units("\n"),
+            "_paras": units("\n\n"),
+        }
+    )
+    out = out.withColumns(
+        {
+            "_lm": _dup_mass_fold(F.col("_lines")),
+            "_pm": _dup_mass_fold(F.col("_paras")),
+            "_norm_len": F.length(F.array_join("_toks", " ")),
+        }
+    )
+    cols: dict[str, Column] = {}
+    for unit, m in (("line", "_lm"), ("para", "_pm")):
+        g = F.col(m)
+        cols[f"dup_{unit}_frac"] = F.round(
+            F.try_divide(g.getField("dup_n"), g.getField("n")), 4
+        )
+        cols[f"dup_{unit}_char_frac"] = F.round(
+            F.try_divide(g.getField("dup_chars"), g.getField("total_chars")),
+            4,
+        )
+    gram_structs = {}
+    for n in range(2, 11):
+        gram_structs[f"_gm{n}"] = _dup_mass_fold(
+            F.when(
+                F.size("_toks") >= n, zipped_ngrams(F.col("_toks"), n)
+            ).otherwise(F.array().cast("array<string>"))
+        )
+    out = out.withColumns(gram_structs)
+    for n in (2, 3, 4):
+        cols[f"top_{n}gram_char_frac"] = F.round(
+            F.try_divide(
+                F.when(
+                    F.col(f"_gm{n}").getField("n") > 0,
+                    F.col(f"_gm{n}").getField("top_chars"),
+                ),
+                F.col("_norm_len"),
+            ),
+            4,
+        )
+    for n in range(5, 11):
+        cols[f"dup_{n}gram_char_frac"] = F.round(
+            F.try_divide(
+                F.when(
+                    F.col(f"_gm{n}").getField("n") > 0,
+                    F.col(f"_gm{n}").getField("dup_chars"),
+                ),
+                F.col("_norm_len"),
+            ),
+            4,
+        )
+    out = out.withColumns(cols)
+    keep = None
+    for name, t in thr.items():
+        c = F.col(name) <= F.lit(t)
+        keep = c if keep is None else (keep & c)
+    return out.select(
+        id_col,
+        *passthrough,
+        *cols.keys(),
+        F.coalesce(keep, F.lit(False)).alias("keep"),
     )
 
 
@@ -482,16 +691,19 @@ def curate_corpus(
 
     * ``'c4'`` — `c4_line_filter` (Raffel et al. 2020 §2.2): line
       cleaning + the page rules, published defaults.
-    * ``'gopher'`` — `gopher_doc_rules` (Rae et al. 2021 A1.1)
-      document-quality keep; text unchanged. (The paper's repetition
-      rules are `repetition_metrics` signals; its dedup stage is
+    * ``'gopher'`` — BOTH halves of the paper's filter table (Rae et
+      al. 2021 A1.1): `gopher_doc_rules` (document quality) AND
+      `gopher_repetition_rules` (the 13 repetition signals), each at
+      the published thresholds; text unchanged. (Its dedup stage is
       ``dedup_corpus(df, 'gopher')``.)
     * ``'fineweb'`` — the FineWeb rule stack (Penedo et al. 2024)
       approximated with this repo's operators, in pipeline order:
       C4 line cleaning with the terminal-punctuation line rule
       DISABLED (FineWeb thresholds the punct-line fraction doc-level
-      instead), then `gopher_doc_rules` AND `fineweb_doc_rules` over
-      the CLEANED text; a doc survives only if every stage keeps it.
+      instead), then the MassiveText base filtering the paper
+      inherits (`gopher_doc_rules` + `gopher_repetition_rules`) AND
+      `fineweb_doc_rules`, all over the CLEANED text; a doc survives
+      only if every stage keeps it.
 
     Out of scope here, available separately: URL filtering (web.py),
     language id (`language_scores`), PII (`redact_pii`), dedup
@@ -507,26 +719,32 @@ def curate_corpus(
         gopher_doc_rules,
     )
 
+    def _gopher_both(frame: DataFrame) -> DataFrame:
+        q = (
+            gopher_doc_rules(frame, text_col, id_col, passthrough=(text_col,))
+            .where("keep")
+            .select(id_col, text_col)
+        )
+        return (
+            gopher_repetition_rules(
+                q, text_col, id_col, passthrough=(text_col,)
+            )
+            .where("keep")
+            .select(id_col, text_col)
+        )
+
     if preset == "c4":
         c4 = c4_line_filter(docs, text_col, id_col)
         return c4.where("keep").select(id_col, text_col)
     if preset == "gopher":
-        return (
-            gopher_doc_rules(docs, text_col, id_col, passthrough=(text_col,))
-            .where("keep")
-            .select(id_col, text_col)
-        )
+        return _gopher_both(docs)
     if preset == "fineweb":
         cleaned = (
             c4_line_filter(docs, text_col, id_col, require_terminal_punct=False)
             .where("keep")
             .select(id_col, text_col)
         )
-        g = (
-            gopher_doc_rules(cleaned, text_col, id_col, passthrough=(text_col,))
-            .where("keep")
-            .select(id_col, text_col)
-        )
+        g = _gopher_both(cleaned)
         return (
             fineweb_doc_rules(g, text_col, id_col, passthrough=(text_col,))
             .where("keep")

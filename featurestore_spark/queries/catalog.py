@@ -4797,6 +4797,142 @@ def q_gopher_rules(spark, sf_dir):
     return gopher_doc_rules(docs)
 
 
+def _grt_sql() -> str:
+    """q_gopher_repetition's oracle, with the 13 keep-thresholds
+    rendered from the SAME dict the operator defaults to
+    (GOPHER_REPETITION_THRESHOLDS) so the two can never drift."""
+    from featurestore_spark.operators.curation import (
+        GOPHER_REPETITION_THRESHOLDS as _T,
+    )
+
+    keep = " AND ".join(f"{name} <= {t}" for name, t in _T.items())
+    tops = ",\n           ".join(
+        f"max(CASE WHEN gn = {n} THEN top_chars END) AS top{n}"
+        for n in (2, 3, 4)
+    )
+    dups = ",\n           ".join(
+        f"max(CASE WHEN gn = {n} THEN dup_chars END) AS dup{n}"
+        for n in range(5, 11)
+    )
+    top_cols = ",\n           ".join(
+        f"round(gp.top{n} / CAST(nm.norm_len AS DOUBLE), 4)"
+        f" AS top_{n}gram_char_frac"
+        for n in (2, 3, 4)
+    )
+    dup_cols = ",\n           ".join(
+        f"round(gp.dup{n} / CAST(nm.norm_len AS DOUBLE), 4)"
+        f" AS dup_{n}gram_char_frac"
+        for n in range(5, 11)
+    )
+    return rf"""
+    WITH src AS (
+      SELECT doc_id,
+             replace(replace(coalesce(text, ''), ' table ', chr(10)),
+                     ' batch ', chr(10) || chr(10)) AS text
+      FROM documents),
+    toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                         t -> t <> '') AS tk
+      FROM src),
+    nm AS (SELECT doc_id, len(array_to_string(tk, ' ')) AS norm_len
+           FROM toks),
+    lines AS (
+      SELECT doc_id, u FROM (
+        SELECT doc_id, trim(unnest(string_split(text, chr(10)))) AS u
+        FROM src)
+      WHERE u <> ''),
+    paras AS (
+      SELECT doc_id, u FROM (
+        SELECT doc_id,
+               trim(unnest(string_split(text, chr(10) || chr(10)))) AS u
+        FROM src)
+      WHERE u <> ''),
+    lstats AS (
+      SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
+             CAST(sum(c - 1) AS BIGINT) AS dup_n,
+             CAST(sum((c - 1) * l) AS BIGINT) AS dup_chars,
+             CAST(sum(c * l) AS BIGINT) AS total_chars
+      FROM (SELECT doc_id, count(*) AS c, len(u) AS l
+            FROM lines GROUP BY doc_id, u)
+      GROUP BY doc_id),
+    pstats AS (
+      SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
+             CAST(sum(c - 1) AS BIGINT) AS dup_n,
+             CAST(sum((c - 1) * l) AS BIGINT) AS dup_chars,
+             CAST(sum(c * l) AS BIGINT) AS total_chars
+      FROM (SELECT doc_id, count(*) AS c, len(u) AS l
+            FROM paras GROUP BY doc_id, u)
+      GROUP BY doc_id),
+    glist AS (
+      SELECT t.doc_id, ns.n AS gn,
+             CASE WHEN len(tk) >= ns.n
+                  THEN list_transform(
+                         generate_series(1, len(tk) - ns.n + 1),
+                         i -> array_to_string(tk[i:i+ns.n-1], ' '))
+                  ELSE CAST([] AS VARCHAR[]) END AS gs
+      FROM toks t CROSS JOIN
+           (SELECT unnest([2,3,4,5,6,7,8,9,10]) AS n) ns),
+    grams AS (SELECT doc_id, gn, unnest(gs) AS g FROM glist),
+    gstats AS (
+      SELECT doc_id, gn,
+             CAST(max(c * l) AS BIGINT) AS top_chars,
+             CAST(sum((c - 1) * l) AS BIGINT) AS dup_chars
+      FROM (SELECT doc_id, gn, count(*) AS c, len(g) AS l
+            FROM grams GROUP BY doc_id, gn, g)
+      GROUP BY doc_id, gn),
+    gp AS (
+      SELECT doc_id,
+           {tops},
+           {dups}
+      FROM gstats GROUP BY doc_id),
+    final AS (
+      SELECT d.doc_id,
+           round(ls.dup_n / CAST(ls.n AS DOUBLE), 4) AS dup_line_frac,
+           round(ls.dup_chars / CAST(ls.total_chars AS DOUBLE), 4)
+             AS dup_line_char_frac,
+           round(ps.dup_n / CAST(ps.n AS DOUBLE), 4) AS dup_para_frac,
+           round(ps.dup_chars / CAST(ps.total_chars AS DOUBLE), 4)
+             AS dup_para_char_frac,
+           {top_cols},
+           {dup_cols}
+      FROM documents d
+      LEFT JOIN lstats ls USING (doc_id)
+      LEFT JOIN pstats ps USING (doc_id)
+      LEFT JOIN gp USING (doc_id)
+      LEFT JOIN nm USING (doc_id))
+    SELECT *, coalesce({keep}, FALSE) AS keep FROM final
+    """
+
+
+@_register(
+    "q_gopher_repetition",
+    _grt_sql(),
+    "The repetition half of the Gopher filter table (Rae et al. 2021 "
+    "A1.1): dup line/paragraph fractions by count and char mass, top "
+    "2/3/4-gram char mass, dup 5..10-gram char mass, conjunction "
+    "keep at the paper's 13 thresholds. Line/paragraph structure is "
+    "synthesized from the fixture text (' table ' -> newline, "
+    "' batch ' -> blank line) identically in both engines. Spark side "
+    "is one zero-exchange scan: per-doc in-plan sort+run-walk folds, "
+    "never a corpus aggregate; the oracle recomputes every signal "
+    "relationally (unnest -> per-unit counts -> char masses).",
+)
+def q_gopher_repetition(spark, sf_dir):
+    from featurestore_spark.operators.curation import gopher_repetition_rules
+
+    docs = load_table(spark, sf_dir, "documents")
+    src = docs.select(
+        "doc_id",
+        F.replace(
+            F.replace(F.col("text"), F.lit(" table "), F.lit("\n")),
+            F.lit(" batch "),
+            F.lit("\n\n"),
+        ).alias("text"),
+    )
+    return gopher_repetition_rules(src)
+
+
 @_register(
     "q_fineweb_rules",
     r"""

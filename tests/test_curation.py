@@ -593,14 +593,85 @@ def test_ngram_novelty_scores_duplicates_zero(spark):
     assert out[4]["novel_frac"] == 1.0
 
 
+def test_gopher_repetition_rules_signals(spark):
+    """Fixed-example checks of the 13 Gopher repetition signals
+    (VERDICT r8 #6): dup line/para fractions by count and char mass
+    (occurrences beyond the first), top n-gram char mass over the
+    normalized text length, undefined signals -> NULL + keep=false,
+    threshold overrides, zero-exchange plan."""
+    from featurestore_spark.operators.curation import (
+        GOPHER_REPETITION_THRESHOLDS,
+        gopher_repetition_rules,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            # 5 non-empty lines, 'dup line' twice (8 chars each);
+            # 2 paragraphs, distinct
+            (1, "dup line\ndup line\nother a\nother b\n\nsecond para"),
+            # 'spam ' x 8: every 2-gram is "spam spam" (7 repeats x 9
+            # chars), norm_len 39 -> top_2gram_char_frac > 1 possible
+            (2, "spam spam spam spam spam spam spam spam"),
+            (3, ""),
+            (4, None),
+            # varied text, no repeats at the unit or gram level
+            (5, "alpha beta gamma delta\nepsilon zeta eta theta."),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in gopher_repetition_rules(docs).collect()}
+
+    r1 = out[1]
+    assert r1["dup_line_frac"] == round(1 / 5, 4)  # 5 lines, 1 beyond-first
+    # dup chars 8 over total line chars (8+8+7+7+11=41)
+    assert r1["dup_line_char_frac"] == round(8 / 41, 4)
+    assert r1["dup_para_frac"] == 0.0
+    assert r1["dup_para_char_frac"] == 0.0
+
+    r2 = out[2]
+    assert r2["dup_line_frac"] == 0.0
+    # 7 x "spam spam" beyond-first occurrences of 6: top = 7*9 = 63
+    assert r2["top_2gram_char_frac"] == round(63 / 39, 4)
+    assert r2["dup_5gram_char_frac"] > 1  # overlap-mass upper bound
+    assert not r2["keep"]
+
+    for i in (3, 4):  # undefined signals -> NULL fracs, keep False
+        assert out[i]["dup_line_frac"] is None
+        assert out[i]["keep"] is False
+
+    r5 = out[5]
+    assert r5["dup_line_frac"] == 0.0 and r5["dup_5gram_char_frac"] == 0.0
+    # doc 5 has 8 tokens: no 9/10-grams -> NULL -> keep stays False
+    assert r5["dup_9gram_char_frac"] is None and not r5["keep"]
+
+    # threshold override re-cuts keep; unknown names fail fast
+    loose = gopher_repetition_rules(
+        docs.where("doc_id = 5"),
+        thresholds={"dup_9gram_char_frac": 1.0},
+    ).collect()[0]
+    assert not loose["keep"]  # still NULL-signal -> false
+    with pytest.raises(ValueError, match="unknown thresholds"):
+        gopher_repetition_rules(docs, thresholds={"nope": 1.0})
+    assert len(GOPHER_REPETITION_THRESHOLDS) == 13
+
+    plan = (
+        gopher_repetition_rules(docs)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan and "Join" not in plan
+
+
 def test_curate_corpus_presets(spark):
     """curate_corpus(preset) is pure composition: identical rows to
-    the hand-wired operator chains; the fineweb preset disables the
-    C4 terminal-punct line rule and conjoins Gopher + FineWeb keeps
-    over the CLEANED text; unknown presets fail fast."""
+    the hand-wired operator chains; 'gopher' applies BOTH halves of
+    the paper's table (doc-quality AND repetition rules, VERDICT r8
+    #6); the fineweb preset disables the C4 terminal-punct line rule
+    and conjoins the MassiveText base filtering + FineWeb keeps over
+    the CLEANED text; unknown presets fail fast."""
     from featurestore_spark.operators.curation import (
         c4_line_filter,
         curate_corpus,
+        gopher_repetition_rules,
     )
     from featurestore_spark.operators.text import (
         fineweb_doc_rules,
@@ -609,9 +680,14 @@ def test_curate_corpus_presets(spark):
 
     good = "\n".join(
         # distinct lines (FineWeb's dup-line filter), >= 5 words and
-        # terminal punct (C4), >= 2 stopwords / 50+ words (Gopher)
-        f"The sentence number {i} comes with plenty of distinct words."
-        for i in range(60)
+        # terminal punct (C4), >= 2 stopwords / 50+ words (Gopher);
+        # every adjacent word PAIR contains a line-unique token so no
+        # 2-gram repeats across the 15 lines (the repetition rules'
+        # top_2gram_char_frac <= 0.20 drops template-repetitive docs
+        # — which is exactly what a fixed sentence frame is)
+        f"The w{6 * i}q of w{6 * i + 1}q near w{6 * i + 2}q and "
+        f"w{6 * i + 3}q w{6 * i + 4}q w{6 * i + 5}q."
+        for i in range(15)
     )
     no_punct = "this line has many words but never ends with a mark\n" * 40
     docs = spark.createDataFrame(
@@ -624,20 +700,29 @@ def test_curate_corpus_presets(spark):
     assert sorted(got_c4.collect()) == sorted(hand_c4.collect())
 
     got_g = {r["doc_id"] for r in curate_corpus(docs, "gopher").collect()}
+    gq = (
+        gopher_doc_rules(docs, passthrough=("text",))
+        .where("keep")
+        .select("doc_id", "text")
+    )
     hand_g = {
-        r["doc_id"] for r in gopher_doc_rules(docs).where("keep").collect()
+        r["doc_id"]
+        for r in gopher_repetition_rules(gq).where("keep").collect()
     }
-    assert got_g == hand_g
+    assert got_g == hand_g and 1 in got_g
     # gopher preset returns the ORIGINAL text
     row = curate_corpus(docs, "gopher").where("doc_id = 1").collect()
-    if row:
-        assert row[0]["text"] == good
+    assert row and row[0]["text"] == good
 
     got_fw = curate_corpus(docs, "fineweb")
     cleaned = c4_line_filter(docs, require_terminal_punct=False).where("keep")
     hand_fw = (
         cleaned.join(
             gopher_doc_rules(cleaned).where("keep").select("doc_id"), "doc_id"
+        )
+        .join(
+            gopher_repetition_rules(cleaned).where("keep").select("doc_id"),
+            "doc_id",
         )
         .join(
             fineweb_doc_rules(cleaned).where("keep").select("doc_id"),
