@@ -1944,29 +1944,39 @@ _DUCK_SHINGLES = "\n    WITH " + _DUCK_SHINGLES_BODY.format(
 )
 
 
-def _melt_cte(name: str, bands_cte: str) -> str:
+def _melt_cte(name: str, bands_cte: str, bands: int = _MH_BANDS) -> str:
     return (
         f"\n {name} AS ("
         + " UNION ALL ".join(
             f"SELECT doc_id, {i} AS band_idx, band_{i} AS band_hash"
             f" FROM {bands_cte}"
-            for i in range(_MH_BANDS)
+            for i in range(bands)
         )
         + ")"
     )
 
 
 def _duck_minhash_bands(
-    src: str = "documents", prelude: str = "", sfx: str = "", lead: bool = True
+    src: str = "documents",
+    prelude: str = "",
+    sfx: str = "",
+    lead: bool = True,
+    n: int = _MH_N,
+    k: int = _MH_K,
+    bands: int = _MH_BANDS,
 ) -> str:
     """Shingle→signature→band CTE chain over `src` (any CTE or table
     with doc_id + text). `prelude` = extra CTEs injected right after
     WITH (so callers can define `src` itself). `sfx` suffixes every
     CTE name so two chains (e.g. base corpus + incoming batch) can
     share one WITH clause; `lead=False` emits a continuation (no WITH
-    keyword) for the second chain."""
-    from featurestore_spark.operators.dedup import MINHASH_A, MINHASH_B, MINHASH_P
+    keyword) for the second chain. `n`/`k`/`bands` default to the
+    fixture constants; preset queries pass the published recipe's
+    values — seeds come from `_minhash_seeds(k)` (the pinned 32-prime
+    prefix plus the Knuth/Weyl extension), embedded as literals."""
+    from featurestore_spark.operators.dedup import MINHASH_P, _minhash_seeds
 
+    seeds_a, seeds_b = _minhash_seeds(k)
     # Same affine family as operators.dedup: h = first 7 md5 hex digits,
     # mh_i = min((A[i]*h + B[i]) mod P).
     hs = (
@@ -1974,26 +1984,26 @@ def _duck_minhash_bands(
         "CAST(CAST(('0x' || substr(md5(s), 1, 7)) AS UBIGINT) AS BIGINT))"
     )
     sigs = ", ".join(
-        f"list_min(list_transform(hs, h -> ({MINHASH_A[i]} * h + {MINHASH_B[i]})"
+        f"list_min(list_transform(hs, h -> ({seeds_a[i]} * h + {seeds_b[i]})"
         f" % {MINHASH_P})) AS mh_{i}"
-        for i in range(_MH_K)
+        for i in range(k)
     )
-    r = _MH_K // _MH_BANDS
-    bands = ", ".join(
+    r = k // bands
+    band_exprs = ", ".join(
         "md5("
         + " || '|' || ".join(f"CAST(mh_{b * r + j} AS VARCHAR)" for j in range(r))
         + f") AS band_{b}"
-        for b in range(_MH_BANDS)
+        for b in range(bands)
     )
     shingles = (
         ("\n    WITH " if lead else "\n    ")
         + (f"{prelude},\n    " if prelude else "")
-        + _DUCK_SHINGLES_BODY.format(src=src, n=_MH_N, nm1=_MH_N - 1, sfx=sfx)
+        + _DUCK_SHINGLES_BODY.format(src=src, n=n, nm1=n - 1, sfx=sfx)
     )
     return (
         f"{shingles}, hashed{sfx} AS (SELECT doc_id, {hs} AS hs FROM shingled{sfx}),"
         f" sigs{sfx} AS (SELECT doc_id, {sigs} FROM hashed{sfx}),"
-        f" bands{sfx} AS (SELECT doc_id, {bands} FROM sigs{sfx})"
+        f" bands{sfx} AS (SELECT doc_id, {band_exprs} FROM sigs{sfx})"
     )
 
 
@@ -2239,6 +2249,75 @@ def q_dedup_pipeline(spark, sf_dir):
     return dedup_keep_docs(
         docs, n=_MH_N, k=_MH_K, bands=_MH_BANDS, max_bucket=_MH_MAX_BUCKET
     ).select("doc_id")
+
+
+# FineWeb fuzzy-dedup preset constants (Penedo et al. 2024 §3.4) —
+# mirrored from DEDUP_PRESETS['fineweb'] (asserted equal in tests):
+# 5-grams, 112 hashes in 14 bands of 8, verify threshold 0.75.
+_FW_N, _FW_K, _FW_BANDS, _FW_THR = 5, 112, 14, 0.75
+
+
+@_register(
+    "q_dedup_preset",
+    _duck_minhash_bands(
+        src="rep_docs",
+        prelude="""grp AS (
+      SELECT text, min(doc_id) AS rep_id FROM documents GROUP BY text),
+    rep_docs AS (SELECT rep_id AS doc_id, text FROM grp)""",
+        n=_FW_N,
+        k=_FW_K,
+        bands=_FW_BANDS,
+    )
+    + ","
+    + _melt_cte("melted", "bands", bands=_FW_BANDS)
+    + f""",
+    kept AS (
+      SELECT band_idx, band_hash FROM melted
+      GROUP BY band_idx, band_hash HAVING count(*) <= {_MH_MAX_BUCKET}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+      FROM melted a JOIN melted b USING (band_idx, band_hash)
+      JOIN kept USING (band_idx, band_hash)
+      WHERE a.doc_id < b.doc_id),
+    verified AS (
+      SELECT c.a_id, c.b_id
+      FROM cand c JOIN shingled sa ON sa.doc_id = c.a_id
+                  JOIN shingled sb ON sb.doc_id = c.b_id
+      WHERE round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+            / len(list_distinct(list_concat(sa.sh, sb.sh))), 4)
+            >= {_FW_THR}),
+    drops AS (
+      SELECT db.doc_id AS d FROM verified v
+        JOIN grp gb ON gb.rep_id = v.b_id
+        JOIN documents db ON db.text IS NOT DISTINCT FROM gb.text
+      WHERE db.doc_id > v.a_id
+      UNION
+      SELECT da.doc_id FROM verified v
+        JOIN grp ga ON ga.rep_id = v.a_id
+        JOIN documents da ON da.text IS NOT DISTINCT FROM ga.text
+      WHERE da.doc_id > v.b_id
+      UNION
+      SELECT d.doc_id FROM documents d
+        JOIN grp g ON g.text IS NOT DISTINCT FROM d.text
+      WHERE d.doc_id > g.rep_id)
+    SELECT d.doc_id FROM documents d
+    LEFT JOIN drops ON d.doc_id = drops.d
+    WHERE drops.d IS NULL
+    """,
+    "One-call published-recipe dedup: dedup_corpus('fineweb') — the "
+    "full collapse->LSH->verify->keep ladder at Penedo et al. 2024 "
+    "§3.4 constants (5-grams, 112 hashes / 14 bands of 8, Jaccard "
+    ">= 0.75), exercising the MinHash seed extension past the 32 "
+    "pinned primes with a value oracle (the 'refinedweb' k=9000 "
+    "preset shares the code path and stays pytest-pinned; VERDICT r8 "
+    "#7). Oracle replays the identical pipeline with the same "
+    "Knuth/Weyl-extended seed literals.",
+)
+def q_dedup_preset(spark, sf_dir):
+    from featurestore_spark.operators.dedup import dedup_corpus
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup_corpus(docs, "fineweb").select("doc_id")
 
 
 @_register(
@@ -5485,6 +5564,164 @@ def q_bpe_segment(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     merges = learn_bpe(word_frequencies(docs), 50)
+    seg = apply_bpe(docs, merges)
+    return seg.select(
+        "doc_id",
+        F.col("n_bpe_tokens").cast("int").alias("n_bpe_tokens"),
+        F.concat_ws(" ", F.slice("bpe_tokens", 1, 8)).alias("head_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# BPE APPLY with a value oracle (VERDICT r8 #4): the fit runs on a
+# FIXED literal word-frequency fixture (deterministic, so the learned
+# ranks embed in static SQL), on the Spark side through the
+# PRODUCTION incremental heap fit (learn_bpe) and on the oracle side
+# through an independent naive rescan-argmax fit — if the two fits
+# ever disagree, the downstream segmentation hashes differ, so this
+# query value-checks BOTH the fit (on the fixture) and the apply
+# stage (on the corpus). Segmentation replays in a recursive CTE:
+# per distinct word, repeatedly merge the lowest-ranked present pair
+# left-to-right non-overlapping (run parity), exactly segment_word's
+# greedy rule.
+# ---------------------------------------------------------------------------
+
+# Counts chosen to force cascades (multi-step merges through 'the',
+# 'table', 'a</w>') and count ties (lexicographic tie-break on the
+# pair) over the documents fixture's actual vocabulary.
+_BPE_FIX_FREQS = [
+    ("a", 70), ("the", 58), ("table", 44), ("value", 40), ("batch", 33),
+    ("scan", 30), ("spark", 28), ("stream", 25), ("sort", 24),
+    ("slow", 22), ("small", 21), ("fast", 20), ("hash", 18),
+    ("row", 16), ("group", 14), ("order", 12), ("data", 11), ("agg", 9),
+]
+_BPE_FIX_MERGES = 24
+_BPE_EOW = "</w>"
+
+
+def _bpe_fit_naive(
+    freqs: list[tuple[str, int]], num_merges: int
+) -> list[tuple[str, str]]:
+    """Independent BPE fit for the oracle: full rescan argmax each
+    round (highest weighted pair count, ties to the lexicographically
+    smallest pair), left-to-right non-overlapping merge — the
+    textbook Sennrich et al. loop, sharing NO code with learn_bpe's
+    incremental heap implementation."""
+    syms_list = [(list(w) + [_BPE_EOW], c) for w, c in freqs]
+    merges: list[tuple[str, str]] = []
+    for _ in range(num_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for syms, c in syms_list:
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] = counts.get(p, 0) + c
+        if not counts:
+            break
+        maxc = max(counts.values())
+        best = min(p for p, c in counts.items() if c == maxc)
+        merges.append(best)
+        merged = best[0] + best[1]
+        for j, (syms, c) in enumerate(syms_list):
+            out, i = [], 0
+            while i < len(syms):
+                if i < len(syms) - 1 and (syms[i], syms[i + 1]) == best:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms_list[j] = (out, c)
+    return merges
+
+
+def _bpe_apply_sql() -> str:
+    ranks = _bpe_fit_naive(_BPE_FIX_FREQS, _BPE_FIX_MERGES)
+    arms = " ".join(
+        f"WHEN '{l} {r}' THEN {i}" for i, (l, r) in enumerate(ranks)
+    )
+    # rank of the pair at position i (symbols never contain spaces —
+    # words come from a whitespace split — so ' ' is a safe joiner)
+    rank_i = f"(CASE syms[i] || ' ' || syms[i+1] {arms} END)"
+    rank_j = f"(CASE syms[j] || ' ' || syms[j+1] {arms} END)"
+    return rf"""
+    WITH RECURSIVE dws AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(coalesce(text, '')),
+                                            '\s+'), t -> t <> '') AS ws
+      FROM documents),
+    vocab AS (SELECT DISTINCT unnest(ws) AS word FROM dws),
+    seg(word, syms) AS (
+      SELECT word,
+             list_transform(generate_series(1, len(word)),
+                            i -> word[i:i]) || ['</w>']
+      FROM vocab
+      UNION ALL
+      SELECT word,
+             list_filter(list_transform(generate_series(1, len(syms)), i ->
+               CASE WHEN mg[i] THEN syms[i] || syms[i+1]
+                    WHEN i > 1 AND mg[i-1] THEN NULL
+                    ELSE syms[i] END), x -> x IS NOT NULL)
+      FROM (
+        SELECT word, syms,
+               -- merge flag: position holds the best pair AND sits at
+               -- an even offset from its run start (left-to-right
+               -- non-overlapping within runs of identical pairs)
+               list_transform(generate_series(1, len(syms)), i ->
+                 i < len(syms)
+                 AND pr[i] IS NOT DISTINCT FROM best
+                 AND (i - (coalesce(list_max(list_filter(
+                        generate_series(1, i - 1),
+                        j -> pr[j] IS DISTINCT FROM best)), 0) + 1))
+                     % 2 = 0) AS mg
+        FROM (
+          SELECT word, syms, pr,
+                 list_min(list_filter(pr, x -> x IS NOT NULL)) AS best
+          FROM (SELECT word, syms,
+                  list_transform(generate_series(1, len(syms) - 1),
+                                 i -> {rank_i}) AS pr
+                FROM seg))
+        WHERE best IS NOT NULL)),
+    final AS (
+      SELECT word, syms FROM (
+        SELECT word, syms,
+               list_transform(generate_series(1, len(syms) - 1),
+                              j -> {rank_j}) AS pr
+        FROM seg)
+      WHERE len(list_filter(pr, x -> x IS NOT NULL)) = 0),
+    doc_syms AS (
+      SELECT doc_id, flatten(list(f.syms ORDER BY w.pos)) AS toks
+      FROM (SELECT doc_id, u.p AS pos, u.w AS word
+            FROM (SELECT doc_id,
+                    unnest(list_transform(generate_series(1, len(ws)),
+                      i -> struct_pack(p := i, w := ws[i]))) AS u
+                  FROM dws)) w
+      JOIN final f USING (word)
+      GROUP BY doc_id)
+    SELECT d.doc_id,
+           CAST(coalesce(len(s.toks), 0) AS INTEGER) AS n_bpe_tokens,
+           coalesce(array_to_string(s.toks[1:8], ' '), '') AS head_tokens
+    FROM documents d LEFT JOIN doc_syms s USING (doc_id)
+    """
+
+
+@_register(
+    "q_bpe_apply",
+    _bpe_apply_sql(),
+    "BPE segmentation with a VALUE oracle: merges learned from a "
+    "fixed literal word-frequency fixture (Spark: the production "
+    "incremental heap fit; oracle: an independent naive rescan-argmax "
+    "fit — a fit divergence would hash-mismatch downstream), then the "
+    "full-corpus Arrow segmentation pass vs a recursive-CTE replay of "
+    "the greedy lowest-rank merge rule per distinct word. Upgrades "
+    "the BPE apply stage from rows-only evidence (q_bpe_segment "
+    "remains the corpus-fit production twin).",
+)
+def q_bpe_apply(spark, sf_dir):
+    from featurestore_spark.operators.tokenize import apply_bpe, learn_bpe
+
+    freqs = spark.createDataFrame(_BPE_FIX_FREQS, "word string, count long")
+    merges = learn_bpe(freqs, _BPE_FIX_MERGES)
+    docs = load_table(spark, sf_dir, "documents")
     seg = apply_bpe(docs, merges)
     return seg.select(
         "doc_id",

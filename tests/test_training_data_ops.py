@@ -596,6 +596,17 @@ def test_dedup_corpus_presets(spark):
         n=5, k=9000, bands=450, threshold=0.8
     )
     assert DEDUP_PRESETS["fineweb"] == dict(n=5, k=112, bands=14, threshold=0.75)
+    # ...and q_dedup_preset's oracle constants mirror the preset dict
+    from featurestore_spark.queries.catalog import (
+        _FW_BANDS,
+        _FW_K,
+        _FW_N,
+        _FW_THR,
+    )
+
+    assert DEDUP_PRESETS["fineweb"] == dict(
+        n=_FW_N, k=_FW_K, bands=_FW_BANDS, threshold=_FW_THR
+    )
     # an override replaces one knob without touching the rest: at
     # 0.99 the ~0.96-Jaccard near-dup survives, the exact dup doesn't
     relaxed = {
