@@ -153,6 +153,12 @@ HEADLINE = [
     "q_ccnet_buckets",
     "q_ccnet_external",
     "q_dedup_best",
+    # Round 9: URL/domain filtering, the Gopher repetition half, the
+    # fineweb dedup preset, the BPE-apply value oracle
+    "q_url_filter",
+    "q_gopher_repetition",
+    "q_dedup_preset",
+    "q_bpe_apply",
 ]
 
 # Zero-code-change drift control (VERDICT r6 #8): the TPC-H block has
@@ -211,6 +217,14 @@ def main():
         spec = QUERIES.get(name)
         if spec is None:
             continue
+        # Discarded per-query warm-up run (VERDICT r8 #5): with
+        # repeats=3 the cold first run sits one slot from the median,
+        # which is how q_minhash_pairs printed a 2x "regression" in
+        # r8 while its steady state was FASTER (judge's A/B). The
+        # warm-up takes codegen/broadcast/page-cache cold costs
+        # outside the timed window, so the median is a steady-state
+        # statistic and the min stays the regression-call default.
+        spec.spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
         runs = []
         for _ in range(repeats):
             t0 = time.perf_counter()

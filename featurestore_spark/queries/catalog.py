@@ -6261,88 +6261,75 @@ def q_web_funnel(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 _DRIVER_PRIORITY = [
-    # Round-8 rotation (VERDICT r7 #1): the 17 rotation-tail queries —
-    # the last entries in the catalog with no driver evidence since r5
-    # (each spent r6-r7 represented by an in-window superset sibling) —
-    # lead, completing the cadence goal: after this artifact every
-    # catalog entry has a driver row at most two rounds old.
-    "q_dedup_exact",
-    "q_chunk_documents",
-    "q_token_count",
-    "q_binary_meta",
-    "q_mixture_sample",
-    "q_text_quality",
-    "q_doc_fingerprint",
-    "q_ngram_jaccard",
-    "q_minhash_bands",
-    "q_minhash_pairs",
-    "q_pq_encode",
-    "q_pq_topk",
-    "q_ivf_assign",
-    "q_embedding_topk",
-    "q_embedding_near_dups",
-    "q_corpus_stats",
-    "q_vocab_topk",
-    # ...the four queries NEW this round (web-ingest URL front +
-    # the value-checked IVF serving stage)...
-    "q_canonical_url",
-    "q_url_dedup",
-    "q_web_funnel",
-    "q_ivf_serve",
-    "q_fineweb_rules",
-    "q_ccnet_buckets",
-    "q_ccnet_external",
-    "q_dedup_best",
-    # ...every query whose code path CHANGED this round: the C4/Gopher
-    # published-threshold alignment (q_gopher_rules, q_c4_filter,
-    # q_curation_funnel), the MinHash band-slice + seed-extension
-    # rewrite (q_dedup_pipeline/clusters/ladder + the two q_minhash_*
-    # above), dedup_against_index's containment-mode verify
-    # (q_incremental_dedup), and train_centroids/ivf_topk's
-    # serving-stage split (q_ivf_topk, rows-only)...
-    "q_gopher_rules",
-    "q_c4_filter",
-    "q_curation_funnel",
-    "q_dedup_pipeline",
-    "q_dedup_clusters",
-    "q_dedup_ladder",
-    "q_incremental_dedup",
-    "q_ivf_topk",
-    # ...then 21 of the 50 r6-window queries (driver evidence now two
-    # rounds old — the stalest in the catalog): the vault/star core,
-    # the event-path family, and the span/line curation block. The 29
-    # r6-window queries left out (TPC-H block + window aggregates +
-    # the remaining event/meta queries) are the longest-unchanged code
-    # in the repo (r2-r4 vintage, untouched since) and lead the r9
-    # rotation.
-    "q_vault_full_cycle",
-    "q_hub_customer",
-    "q_satellite_classify",
-    "q_star_dim_order_priority",
-    "q_star_fact_order_counts",
-    "q_sessionize",
-    "q_session_stats",
-    "q_chords",
-    "q_chord_path",
-    "q_chord_path_all",
-    "q_collapse_runs",
-    "q_unique_path",
-    "q_pivot_snapshot",
-    "q_pivot_registry",
-    "q_dedup_lines",
-    "q_decontaminate",
-    "q_shared_spans",
-    # --- driver window ends here (first 50); q_sniff_csv,
-    # q_dq_assertion, q_pack_chunks and q_boilerplate ceded their
-    # slots to the round-8 q_fineweb_rules, q_ccnet_buckets,
-    # q_ccnet_external and q_dedup_best (new queries outrank
-    # stale-evidence refresh; the ceded paths are pytest/invariant-
-    # covered and lead the r9 rotation with the other r6-window
-    # queries) ---
+    # Round-9 rotation (VERDICT r8 #1): the 32 queries whose last
+    # driver evidence is r6 — the full TPC-H block, the event-window
+    # aggregate family, and the four r8 cessions — lead, stalest
+    # first. These are the longest-unchanged code paths in the repo
+    # (r2-r4 vintage); every one is also green in the per-round
+    # check_oracle sweeps at sf0.01 and sf0.1.
+    "q_tpch_q1",
+    "q_tpch_q2",
+    "q_tpch_q3",
+    "q_tpch_q4",
+    "q_tpch_q5",
+    "q_tpch_q6",
+    "q_tpch_q7",
+    "q_tpch_q8",
+    "q_tpch_q9",
+    "q_tpch_q10",
+    "q_tpch_q12",
+    "q_tpch_q13",
+    "q_tpch_q14",
+    "q_tpch_q15",
+    "q_tpch_q18",
+    "q_tpch_q19",
+    "q_tpch_q22",
+    "q_event_count_window",
+    "q_event_distinct_window",
+    "q_event_sum_window",
+    "q_days_since_latest",
+    "q_days_since_earliest",
+    "q_full_paths",
+    "q_previous_interactions",
+    "q_top_customers",
+    "q_hash_split",
+    "q_image_meta",
+    "q_pivot_chord",
     "q_boilerplate",
     "q_pack_chunks",
     "q_dq_assertion",
     "q_sniff_csv",
+    # ...the four queries NEW this round (URL/domain filtering, the
+    # Gopher repetition half, the fineweb dedup preset, the BPE-apply
+    # value oracle)...
+    "q_url_filter",
+    "q_gopher_repetition",
+    "q_dedup_preset",
+    "q_bpe_apply",
+    # ...every query whose code path or oracle CHANGED this round:
+    # the web fixture/PSL/NULL-host re-pin (q_canonical_url,
+    # q_url_dedup, q_web_funnel now with the filter stages) and
+    # dedup_keep_best's NULL-id carve-out (q_dedup_best)...
+    "q_canonical_url",
+    "q_url_dedup",
+    "q_web_funnel",
+    "q_dedup_best",
+    # ...then 10 of the 43 r7-window queries (next-stalest): the
+    # remaining TPC-H five — completing the whole block in ONE
+    # artifact — plus the event/vault/graph/text representatives.
+    "q_tpch_q11",
+    "q_tpch_q16",
+    "q_tpch_q17",
+    "q_tpch_q20",
+    "q_tpch_q21",
+    "q_current_events",
+    "q_link_customer_order",
+    "q_entity_resolution",
+    "q_lang_id",
+    "q_simhash_near_dups",
+    # --- driver window ends here (first 50). The other 33 r7-window
+    # queries (BM25/LM/temporal/incremental/sampling families) have
+    # one-round-old evidence and lead the r10 rotation.
 ]
 
 
