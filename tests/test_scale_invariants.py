@@ -227,3 +227,18 @@ def test_round8_web_query_plan_shapes(spark):
     p = plan("q_fineweb_rules")
     assert "Exchange" not in p, "q_fineweb_rules gained a shuffle"
     assert "Join" not in p
+
+    # Round-9 URL filtering: the domain blocklist is a BROADCAST
+    # anti-join (a shuffled anti-join on the corpus would be the
+    # 100-TB regression this pin guards), the soft word-score is a
+    # pure projection on the same scan
+    p = plan("q_url_filter")
+    assert "BroadcastHashJoin" in p and "LeftAnti" in p
+    assert "SortMergeJoin" not in p, "blocklist join degraded to SMJ"
+
+    # Round-9 Gopher repetition half: 13 signals over 9 n-gram sizes,
+    # still ONE zero-exchange scan (per-doc in-plan folds, never a
+    # corpus aggregate)
+    p = plan("q_gopher_repetition")
+    assert "Exchange" not in p, "q_gopher_repetition gained a shuffle"
+    assert "Join" not in p
