@@ -156,6 +156,7 @@ HEADLINE = [
     # Round 9: URL/domain filtering, the Gopher repetition half, the
     # fineweb dedup preset, the BPE-apply value oracle
     "q_url_filter",
+    "q_domain_rollup",
     "q_gopher_repetition",
     "q_dedup_preset",
     "q_bpe_apply",

@@ -5549,11 +5549,14 @@ def q_hard_negatives(spark, sf_dir):
     None,
     "BPE end-to-end: word-frequency sufficient statistic -> "
     "incremental merge induction (driver-side over the capped "
-    "aggregate) -> shuffle-free Arrow segmentation pass. Iterative "
-    "global-argmax fit is not SQL-expressible; value semantics are "
-    "pinned by the hypothesis fuzz vs an independent implementation "
-    "(tests/test_properties_spark.py::test_bpe_learn_and_apply_match_"
-    "reference) plus the fixed-example suite (tests/test_tokenize.py).",
+    "aggregate) -> shuffle-free Arrow segmentation pass. The "
+    "CORPUS-fit loop is the one remaining rows-only stage (iterative "
+    "global-argmax over data-dependent counts is not static-SQL-"
+    "expressible); the fit algorithm and the apply stage both carry "
+    "value evidence elsewhere — q_bpe_apply hash-checks fit+apply on "
+    "a fixed fixture, and the hypothesis fuzz checks both vs an "
+    "independent implementation (tests/test_properties_spark.py::"
+    "test_bpe_learn_and_apply_match_reference).",
 )
 def q_bpe_segment(spark, sf_dir):
     from featurestore_spark.operators.tokenize import (
@@ -6137,6 +6140,29 @@ def q_url_filter(spark, sf_dir):
 
 
 @_register(
+    "q_domain_rollup",
+    _WEB_SQL
+    + """
+    SELECT domain, CAST(count(*) AS BIGINT) AS n_urls,
+           CAST(count(DISTINCT canonical_url) AS BIGINT) AS n_canonical,
+           min(doc_id) AS min_id
+    FROM dom GROUP BY domain
+    """,
+    "Per-registrable-domain corpus profile (the signal behind "
+    "domain-level quality decisions: blocklists, per-domain caps, "
+    "crawl-budget allocation): raw URL count, distinct canonical "
+    "count (the gap is the crawl's per-domain duplicate mass), min "
+    "id. One groupBy on the domain key; hosts with no registrable "
+    "domain land in the NULL group.",
+)
+def q_domain_rollup(spark, sf_dir):
+    from featurestore_spark.operators.web import domain_rollup
+
+    docs = load_table(spark, sf_dir, "documents")
+    return domain_rollup(docs.select("doc_id", _web_url_col().alias("url")))
+
+
+@_register(
     "q_web_funnel",
     _WEB_SQL
     + r"""
@@ -6299,13 +6325,14 @@ _DRIVER_PRIORITY = [
     "q_pack_chunks",
     "q_dq_assertion",
     "q_sniff_csv",
-    # ...the four queries NEW this round (URL/domain filtering, the
-    # Gopher repetition half, the fineweb dedup preset, the BPE-apply
-    # value oracle)...
+    # ...the five queries NEW this round (URL/domain filtering, the
+    # domain rollup, the Gopher repetition half, the fineweb dedup
+    # preset, the BPE-apply value oracle)...
     "q_url_filter",
     "q_gopher_repetition",
     "q_dedup_preset",
     "q_bpe_apply",
+    "q_domain_rollup",
     # ...every query whose code path or oracle CHANGED this round:
     # the web fixture/PSL/NULL-host re-pin (q_canonical_url,
     # q_url_dedup, q_web_funnel now with the filter stages) and
@@ -6314,7 +6341,7 @@ _DRIVER_PRIORITY = [
     "q_url_dedup",
     "q_web_funnel",
     "q_dedup_best",
-    # ...then 10 of the 43 r7-window queries (next-stalest): the
+    # ...then 9 of the 43 r7-window queries (next-stalest): the
     # remaining TPC-H five — completing the whole block in ONE
     # artifact — plus the event/vault/graph/text representatives.
     "q_tpch_q11",
@@ -6326,8 +6353,7 @@ _DRIVER_PRIORITY = [
     "q_link_customer_order",
     "q_entity_resolution",
     "q_lang_id",
-    "q_simhash_near_dups",
-    # --- driver window ends here (first 50). The other 33 r7-window
+    # --- driver window ends here (first 50). The other 34 r7-window
     # queries (BM25/LM/temporal/incremental/sampling families) have
     # one-round-old evidence and lead the r10 rotation.
 ]
