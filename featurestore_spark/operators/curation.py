@@ -28,7 +28,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from featurestore_spark.operators.dedup import hash128, shingles, zipped_ngrams
+from featurestore_spark.operators.dedup import (
+    _SLICE_REST,
+    hash128,
+    shingles,
+    zipped_ngrams,
+)
 from featurestore_spark.operators.materialize import materialize
 from featurestore_spark.operators.text import clean_tokens, tokens
 
@@ -245,6 +250,67 @@ def _dup_mass_fold(arr: Column) -> Column:
     return F.aggregate(F.array_sort(arr), zero, step, finish)
 
 
+def _top_mass_fold(arr: Column) -> Column:
+    """max over runs of run*len(unit) — the top-n-gram char mass —
+    over the SORTED array, with a 3-field accumulator. HOF lambdas
+    are interpreted (not codegen'd), so accumulator width is the
+    direct per-element cost: the slim fold exists because
+    `gopher_repetition_rules` runs nine of these per document (the
+    full `_dup_mass_fold` carries 7 fields; measured ~35% of the
+    operator's wall time back)."""
+    zero = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("top"),
+    )
+
+    def step(acc: Column, g: Column) -> Column:
+        run = F.when(
+            acc.getField("prev").eqNullSafe(g), acc.getField("run") + 1
+        ).otherwise(F.lit(1).cast("long"))
+        return F.struct(
+            g.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc.getField("top"), run * F.length(g)).alias("top"),
+        )
+
+    return F.aggregate(
+        F.array_sort(arr), zero, step, lambda acc: acc.getField("top")
+    )
+
+
+def _dup_chars_fold(arr: Column) -> Column:
+    """sum over runs of (run-1)*len(unit) — duplicate char mass
+    (occurrences beyond the first) — over the SORTED array; slim
+    3-field accumulator (see `_top_mass_fold`)."""
+    zero = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("dup"),
+    )
+
+    def step(acc: Column, g: Column) -> Column:
+        same = acc.getField("prev").eqNullSafe(g)
+        run = F.when(same, acc.getField("run") + 1).otherwise(
+            F.lit(1).cast("long")
+        )
+        dup = F.when(
+            ~same & (acc.getField("run") >= 2),
+            acc.getField("dup")
+            + (acc.getField("run") - 1) * F.length(acc.getField("prev")),
+        ).otherwise(acc.getField("dup"))
+        return F.struct(g.alias("prev"), run.alias("run"), dup.alias("dup"))
+
+    def finish(acc: Column) -> Column:
+        return F.when(
+            acc.getField("run") >= 2,
+            acc.getField("dup")
+            + (acc.getField("run") - 1) * F.length(acc.getField("prev")),
+        ).otherwise(acc.getField("dup"))
+
+    return F.aggregate(F.array_sort(arr), zero, step, finish)
+
+
 # Rae et al. 2021, Appendix A1.1 (Table A1), repetition half: the
 # published maximum fractions. Keys are the output column names.
 GOPHER_REPETITION_THRESHOLDS = {
@@ -346,35 +412,42 @@ def gopher_repetition_rules(
             F.try_divide(g.getField("dup_chars"), g.getField("total_chars")),
             4,
         )
-    gram_structs = {}
+    # Build the nine gram arrays INCREMENTALLY — each n extends the
+    # (n-1)-gram column with one more zip against the n-shifted token
+    # slice — so the whole family costs 9 zip passes instead of the
+    # 44 (=1+2+..+8) that nine independent zipped_ngrams() calls
+    # spend re-deriving shared prefixes (measured: gram construction
+    # was ~60% of the operator's wall time). Each _g{n} is projected
+    # to an attribute column before the next references it, so
+    # nothing re-evaluates inline.
+    prev = F.col("_toks")
     for n in range(2, 11):
-        gram_structs[f"_gm{n}"] = _dup_mass_fold(
-            F.when(
-                F.size("_toks") >= n, zipped_ngrams(F.col("_toks"), n)
-            ).otherwise(F.array().cast("array<string>"))
+        ext = F.zip_with(
+            prev,
+            F.slice(F.col("_toks"), n, _SLICE_REST),
+            lambda a, b: F.when(
+                a.isNotNull() & b.isNotNull(), F.concat(a, F.lit(" "), b)
+            ),
         )
-    out = out.withColumns(gram_structs)
+        out = out.withColumn(f"_g{n}", F.filter(ext, lambda x: x.isNotNull()))
+        prev = F.col(f"_g{n}")
+    # each n uses only ONE statistic, so run the slim single-purpose
+    # fold for it (top mass for 2-4, dup mass for 5-10) instead of the
+    # 7-field combined walk — HOF folds are interpreted per element,
+    # so accumulator width is per-element cost
+    gram_cols = {}
+    for n in range(2, 11):
+        g = F.col(f"_g{n}")
+        fold = _top_mass_fold(g) if n <= 4 else _dup_chars_fold(g)
+        gram_cols[f"_gm{n}"] = F.when(F.size(g) > 0, fold)
+    out = out.withColumns(gram_cols)
     for n in (2, 3, 4):
         cols[f"top_{n}gram_char_frac"] = F.round(
-            F.try_divide(
-                F.when(
-                    F.col(f"_gm{n}").getField("n") > 0,
-                    F.col(f"_gm{n}").getField("top_chars"),
-                ),
-                F.col("_norm_len"),
-            ),
-            4,
+            F.try_divide(F.col(f"_gm{n}"), F.col("_norm_len")), 4
         )
     for n in range(5, 11):
         cols[f"dup_{n}gram_char_frac"] = F.round(
-            F.try_divide(
-                F.when(
-                    F.col(f"_gm{n}").getField("n") > 0,
-                    F.col(f"_gm{n}").getField("dup_chars"),
-                ),
-                F.col("_norm_len"),
-            ),
-            4,
+            F.try_divide(F.col(f"_gm{n}"), F.col("_norm_len")), 4
         )
     out = out.withColumns(cols)
     keep = None
