@@ -157,6 +157,7 @@ HEADLINE = [
     # fineweb dedup preset, the BPE-apply value oracle
     "q_url_filter",
     "q_domain_rollup",
+    "q_domain_cap",
     "q_gopher_repetition",
     "q_dedup_preset",
     "q_bpe_apply",

@@ -428,6 +428,63 @@ def filter_domains(
     return with_dom.join(bl, out_col, "left_anti")
 
 
+def cap_per_domain(
+    df: DataFrame,
+    cap: int,
+    url_col: str = "url",
+    *,
+    order_col: str | None = None,
+    id_col: str = "doc_id",
+    out_col: str = "domain",
+    suffixes: list[str] | None = None,
+    keep_unattributed: bool = True,
+) -> DataFrame:
+    """Keep at most ``cap`` rows per registrable domain — the
+    per-domain cap the published crawl pipelines apply after URL
+    dedup (RefinedWeb limits URLs per domain; C4-style pipelines cap
+    dominant hosts) so no single site floods the corpus. Returns the
+    kept rows plus ``out_col`` (the registrable domain).
+
+    Within a domain, rows are ranked by ``order_col`` DESCENDING
+    (NULLs last — pass the quality/length signal to keep the best
+    pages) with ``id_col`` ascending as the tiebreak; ``order_col=
+    None`` ranks by id alone (keep-first). Rows with NO registrable
+    domain bypass the cap and are kept by default — besides having no
+    domain to attribute, funneling them into one shared NULL window
+    partition would both mis-cap unrelated pages as one "site" and
+    build the exact skewed partition this operator exists to avoid;
+    ``keep_unattributed=False`` drops them instead.
+
+    Scale shape: one `row_number` window keyed on the domain. Spark
+    plans a WindowGroupLimit below the exchange (rank-limit pushdown),
+    so each map task pre-prunes to its local top-``cap`` per domain
+    before shuffling — a billion-page domain ships ~cap rows per
+    input partition, not a billion, and AQE handles what skew
+    remains."""
+    from pyspark.sql import Window
+
+    if cap < 1:
+        raise ValueError(f"cap_per_domain: cap must be >= 1, got {cap}")
+    p = url_parts(url_col)
+    with_dom = df.withColumn(
+        out_col, registrable_domain(p["host"], suffixes=suffixes)
+    )
+    unattributed = with_dom.where(F.col(out_col).isNull())
+    attributed = with_dom.where(F.col(out_col).isNotNull())
+    order = [F.col(id_col).asc()]
+    if order_col is not None:
+        order = [F.col(order_col).desc_nulls_last()] + order
+    w = Window.partitionBy(out_col).orderBy(*order)
+    capped = (
+        attributed.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= cap)
+        .drop("_rn")
+    )
+    if not keep_unattributed:
+        return capped
+    return capped.unionByName(unattributed)
+
+
 def domain_rollup(
     df: DataFrame,
     url_col: str = "url",

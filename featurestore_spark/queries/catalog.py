@@ -6163,6 +6163,41 @@ def q_domain_rollup(spark, sf_dir):
 
 
 @_register(
+    "q_domain_cap",
+    _WEB_SQL
+    + """
+    , ranked AS (
+      SELECT doc_id, domain, n_chars,
+             row_number() OVER (PARTITION BY domain
+                                ORDER BY n_chars DESC NULLS LAST,
+                                         doc_id ASC) AS rn
+      FROM (SELECT d.doc_id, d.domain, o.n_chars
+            FROM dom d JOIN documents o USING (doc_id))
+      WHERE domain IS NOT NULL)
+    SELECT doc_id, domain FROM ranked WHERE rn <= 20
+    UNION ALL  -- unattributable rows bypass the cap
+    SELECT d.doc_id, d.domain FROM dom d
+    WHERE d.domain IS NULL
+    """,
+    "Per-domain cap (the RefinedWeb/C4 step after URL dedup: no "
+    "single site floods the corpus): keep the top-20 pages per "
+    "registrable domain by length (n_chars desc, id tiebreak); rows "
+    "with no registrable domain bypass the cap. ONE row_number "
+    "window on the domain key — Spark plans a WindowGroupLimit below "
+    "the exchange, so each map task pre-prunes to its local top-20 "
+    "per domain before shuffling.",
+)
+def q_domain_cap(spark, sf_dir):
+    from featurestore_spark.operators.web import cap_per_domain
+
+    docs = load_table(spark, sf_dir, "documents")
+    u = docs.select("doc_id", "n_chars", _web_url_col().alias("url"))
+    return cap_per_domain(u, 20, order_col="n_chars").select(
+        "doc_id", "domain"
+    )
+
+
+@_register(
     "q_web_funnel",
     _WEB_SQL
     + r"""
@@ -6325,14 +6360,15 @@ _DRIVER_PRIORITY = [
     "q_pack_chunks",
     "q_dq_assertion",
     "q_sniff_csv",
-    # ...the five queries NEW this round (URL/domain filtering, the
-    # domain rollup, the Gopher repetition half, the fineweb dedup
-    # preset, the BPE-apply value oracle)...
+    # ...the seven queries NEW this round (URL/domain filtering, the
+    # domain rollup + per-domain cap, the Gopher repetition half, the
+    # fineweb dedup preset, the BPE-apply value oracle)...
     "q_url_filter",
     "q_gopher_repetition",
     "q_dedup_preset",
     "q_bpe_apply",
     "q_domain_rollup",
+    "q_domain_cap",
     # ...every query whose code path or oracle CHANGED this round:
     # the web fixture/PSL/NULL-host re-pin (q_canonical_url,
     # q_url_dedup, q_web_funnel now with the filter stages) and
@@ -6341,7 +6377,7 @@ _DRIVER_PRIORITY = [
     "q_url_dedup",
     "q_web_funnel",
     "q_dedup_best",
-    # ...then 9 of the 43 r7-window queries (next-stalest): the
+    # ...then 8 of the 43 r7-window queries (next-stalest): the
     # remaining TPC-H five — completing the whole block in ONE
     # artifact — plus the event/vault/graph/text representatives.
     "q_tpch_q11",
@@ -6352,8 +6388,7 @@ _DRIVER_PRIORITY = [
     "q_current_events",
     "q_link_customer_order",
     "q_entity_resolution",
-    "q_lang_id",
-    # --- driver window ends here (first 50). The other 34 r7-window
+    # --- driver window ends here (first 50). The other 35 r7-window
     # queries (BM25/LM/temporal/incremental/sampling families) have
     # one-round-old evidence and lead the r10 rotation.
 ]

@@ -220,6 +220,43 @@ def test_filter_domains_blocklist_anti_join(spark):
     assert sorted(r["doc_id"] for r in strict.collect()) == [3]
 
 
+def test_cap_per_domain(spark):
+    from featurestore_spark.operators.web import cap_per_domain
+
+    rows = [
+        # example.com: 3 pages, quality 5/9/7 -> cap 2 keeps ids 2, 3
+        (1, "http://a.example.com/x", 5),
+        (2, "http://b.example.com/y", 9),
+        (3, "http://c.example.com/z", 7),
+        # other.org: 1 page, under the cap
+        (4, "http://other.org/", 1),
+        # no registrable domain: bypasses the cap (both kept)
+        (5, "/robots.txt", 0),
+        (6, "/favicon.ico", 0),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string, q int")
+    out = {r["doc_id"]: r["domain"] for r in
+           cap_per_domain(df, 2, order_col="q").collect()}
+    assert sorted(out) == [2, 3, 4, 5, 6]
+    assert out[2] == "example.com" and out[5] is None
+    strict = cap_per_domain(df, 2, order_col="q", keep_unattributed=False)
+    assert sorted(r["doc_id"] for r in strict.collect()) == [2, 3, 4]
+    # order_col=None -> keep-first by id
+    first = cap_per_domain(df, 2)
+    kept = {r["doc_id"] for r in first.collect()}
+    assert {1, 2}.issubset(kept) and 3 not in kept
+    with pytest.raises(ValueError, match="cap must be"):
+        cap_per_domain(df, 0)
+    # rank-limit pushdown: the window must plan a WindowGroupLimit
+    # (each map task pre-prunes to its local top-cap per domain
+    # before the shuffle — the 100-TB shape)
+    plan = (
+        cap_per_domain(df, 2, order_col="q")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "WindowGroupLimit" in plan
+
+
 def test_url_dedup_collapses_tracking_variants(spark):
     df = spark.createDataFrame(
         [
