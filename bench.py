@@ -159,6 +159,7 @@ HEADLINE = [
     "q_domain_rollup",
     "q_domain_cap",
     "q_gopher_repetition",
+    "q_curate_gopher",
     "q_dedup_preset",
     "q_bpe_apply",
 ]
