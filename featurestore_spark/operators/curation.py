@@ -34,7 +34,7 @@ from featurestore_spark.operators.dedup import (
     shingles,
     zipped_ngrams,
 )
-from featurestore_spark.operators.materialize import materialize
+from featurestore_spark.operators.materialize import materialize, plan_fence
 from featurestore_spark.operators.text import clean_tokens, tokens
 
 # -- exact-collapse auto probe -------------------------------------------------
@@ -454,12 +454,15 @@ def gopher_repetition_rules(
     for name, t in thr.items():
         c = F.col(name) <= F.lit(t)
         keep = c if keep is None else (keep & c)
-    return out.select(
+    # plan_fence: a downstream .where("keep") must evaluate the
+    # computed conjunction, not inline 13 HOF-fold trees into the
+    # predicate (measured 5x; see materialize.plan_fence)
+    return plan_fence(out.select(
         id_col,
         *passthrough,
         *cols.keys(),
         F.coalesce(keep, F.lit(False)).alias("keep"),
-    )
+    ))
 
 
 # -- benchmark decontamination ------------------------------------------------
@@ -739,14 +742,16 @@ def c4_line_filter(
         & ~lowered.contains("lorem ipsum")
         & ~lowered.contains("{")
     )
-    return base.select(
+    # plan_fence: .where("keep") downstream must not inline the line
+    # machinery into the predicate (see materialize.plan_fence)
+    return plan_fence(base.select(
         id_col,
         F.col("_cleaned").alias(text_col),
         F.size("_lines").cast("int").alias("n_lines"),
         F.size("_kept").cast("int").alias("n_kept_lines"),
         n_sentences.cast("int").alias("n_sentences"),
         keep.alias("keep"),
-    )
+    ))
 
 
 def curate_corpus(

@@ -62,3 +62,32 @@ def materialize(df: DataFrame) -> DataFrame:
     raise ValueError(
         f"unknown {MATERIALIZE_CONF}={mode!r}; expected one of {_MODES}"
     )
+
+
+def plan_fence(df: DataFrame) -> DataFrame:
+    """Zero-cost Catalyst fence: re-emit every column through a
+    one-element ``explode`` (a Generate node), so downstream filters
+    evaluate the columns AS COMPUTED instead of inlining their
+    definitions.
+
+    Why: when a filter references an expensive derived column — the
+    rule operators' ``keep``, a conjunction over a dozen interpreted
+    HOF folds — Catalyst substitutes the alias chain into the
+    predicate while pushing it down, duplicating every shared
+    subexpression across the conjuncts (HOF expressions are
+    interpreted, so there is no runtime common-subexpression
+    elimination to save it). Measured on `gopher_repetition_rules`
+    at sf0.1: ``.where("keep")`` turned a 9-zip/11-fold plan into a
+    90-zip/28-fold one and 10s into 46s. Generator outputs cannot be
+    substituted, so the fence pins the filter above the projection
+    pipeline with all sharing intact — unlike `materialize`, the plan
+    stays lazy and single-scan, and the fence costs one one-element
+    explode per row.
+
+    Trade-off: EXTERNAL cheap predicates (partition pruning on source
+    columns) also stop at the fence — filter source columns BEFORE a
+    fenced operator, not after."""
+    from pyspark.sql import functions as F
+
+    row = F.explode(F.array(F.struct(*[F.col(c) for c in df.columns])))
+    return df.select(row.alias("_fenced")).select("_fenced.*")

@@ -216,13 +216,18 @@ def gopher_doc_rules(
     )
     # passthrough keeps filter pipelines (curate_corpus) single-scan:
     # carrying e.g. the text column through lets the next stage chain
-    # on this projection instead of re-joining the source by id
-    return out.select(
+    # on this projection instead of re-joining the source by id;
+    # plan_fence so a downstream .where("keep") evaluates the computed
+    # column instead of inlining the whole signal tree (see
+    # materialize.plan_fence)
+    from featurestore_spark.operators.materialize import plan_fence
+
+    return plan_fence(out.select(
         id_col,
         *passthrough,
         *ratios.keys(),
         F.coalesce(keep, F.lit(False)).alias("keep"),
-    )
+    ))
 
 
 def fineweb_doc_rules(
@@ -327,12 +332,14 @@ def fineweb_doc_rules(
         & (F.col("dup_line_char_frac") < max_dup_line_char_frac)
         & (F.col("short_line_frac") < max_short_line_frac)
     )
-    return out.select(
+    from featurestore_spark.operators.materialize import plan_fence
+
+    return plan_fence(out.select(
         id_col,
         *passthrough,
         *sig.keys(),
         F.coalesce(keep, F.lit(False)).alias("keep"),
-    )
+    ))
 
 
 # (entity, replacement) in decode order — &amp; LAST, so '&amp;lt;'
