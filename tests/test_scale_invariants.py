@@ -242,3 +242,34 @@ def test_round8_web_query_plan_shapes(spark):
     p = plan("q_gopher_repetition")
     assert "Exchange" not in p, "q_gopher_repetition gained a shuffle"
     assert "Join" not in p
+
+
+def test_rule_keep_filter_does_not_inline_signal_trees(spark):
+    """plan_fence regression net (PLANS r9c): a .where('keep') on a
+    rule operator must evaluate the COMPUTED keep column, not inline
+    the 13-conjunct signal tree into the predicate — without the
+    fence the gopher-repetition plan went 9-zip/11-fold to
+    90-zip/28-fold and 10s to 46s at sf0.1. The fence is a Generate
+    (one-element explode) whose outputs Catalyst cannot substitute;
+    if a Spark upgrade ever starts substituting through Generate,
+    this fails loudly."""
+    from pyspark.sql import functions as F
+
+    from featurestore_spark.operators.curation import (
+        gopher_repetition_rules,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta iota kappa")],
+        "doc_id long, text string",
+    )
+    out = gopher_repetition_rules(df, passthrough=("text",)).where(
+        "keep"
+    ).select("doc_id", "text")
+    p = out._jdf.queryExecution().executedPlan().toString()
+    assert "Generate" in p, "the rule operator lost its plan fence"
+    assert p.count("zip_with") <= 9, (
+        f"keep-filter inlined the gram chains ({p.count('zip_with')} "
+        "zip_with sites; the shared-prefix build has exactly 9)"
+    )
+    assert p.count("aggregate(") <= 11, "signal folds duplicated"
