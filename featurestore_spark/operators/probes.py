@@ -63,7 +63,7 @@ def verify_disjoint_ids(
     id_col: str,
     op_name: str,
     *,
-    max_overlap_frac: float = _EXACT_OVERLAP_FRAC,
+    max_overlap_frac: float | None = None,
 ) -> None:
     """Raise ``ValueError`` when the distinct ``id_col`` sets of ``a``
     and ``b`` grossly overlap (see module docstring for the two
@@ -80,7 +80,14 @@ def verify_disjoint_ids(
     to fail on ANY overlap when the batch is known to be fully fresh
     (costs nothing extra — the overlap count is computed either way).
     The sketch regime's tolerance is HLL-error-bound (``_TOLERANCE``)
-    and not configurable."""
+    and not configurable — so when ``max_overlap_frac`` is passed
+    EXPLICITLY but the size ratio routes the call to the sketch
+    regime, a ``UserWarning`` says the strict contract isn't in force
+    (the regime choice depends on data sizes the caller may not
+    control; the probe itself must never crash the merge it guards)."""
+    explicit = max_overlap_frac is not None
+    if max_overlap_frac is None:
+        max_overlap_frac = _EXACT_OVERLAP_FRAC
     ea = a.agg(F.approx_count_distinct(id_col)).collect()[0][0]
     eb = b.agg(F.approx_count_distinct(id_col)).collect()[0][0]
     if min(ea, eb) * _MAX_SKETCH_ASYMMETRY < max(ea, eb):
@@ -107,6 +114,20 @@ def verify_disjoint_ids(
                 "existing part replaced) before the merge."
             )
         return
+    if explicit:
+        import warnings
+
+        warnings.warn(
+            f"{op_name}: max_overlap_frac={max_overlap_frac} was passed "
+            "explicitly, but the parts are similarly sized so the "
+            "HLL-sketch regime runs instead of the exact overlap count "
+            "— the sketch tolerance is error-bound, not configurable, "
+            "so overlap below the sketch's detection floor (~15% of "
+            "the union) can pass. For a strict any-overlap guarantee, "
+            "run an exact anti-join check yourself.",
+            UserWarning,
+            stacklevel=2,
+        )
     eu = (
         a.select(F.col(id_col).alias("_id"))
         .unionByName(b.select(F.col(id_col).alias("_id")))

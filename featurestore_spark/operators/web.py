@@ -178,13 +178,20 @@ def parse_suffix_rules(
     """Split a PSL-syntax rule list into (exact, wildcard-stems,
     exception-rules), all lowercased: ``*.ck`` contributes stem
     ``ck``; ``!www.ck`` contributes exception ``www.ck``; everything
-    else is an exact rule. Shared by the Spark operator and the
-    catalog's oracle-SQL generator so both sides parse identically."""
+    else is an exact rule. Follows the PSL file format, so the raw
+    Mozilla list feeds in verbatim: blank lines and ``//`` comment
+    lines are skipped, and each rule reads up to its first whitespace
+    (the spec's "only up to the first whitespace" clause). Shared by
+    the Spark operator and the catalog's oracle-SQL generator so both
+    sides parse identically."""
     exact: list[str] = []
     wildcard: list[str] = []
     exception: list[str] = []
     for s in suffixes:
-        s = s.lower()
+        s = s.strip().lower()
+        if not s or s.startswith("//"):
+            continue
+        s = s.split()[0]
         if s.startswith("!"):
             exception.append(s[1:])
         elif s.startswith("*."):
@@ -339,6 +346,22 @@ def url_word_score(
     rounds the result (None to disable). NULL url → NULL."""
     if not terms:
         raise ValueError("url_word_score: terms must be a non-empty dict")
+    # lowercase-dedupe the term keys in Python: two keys differing
+    # only in case would otherwise become duplicate map keys, which
+    # Spark's default mapKeyDedupPolicy=EXCEPTION turns into an opaque
+    # executor failure at runtime. Equal-weight collisions merge;
+    # conflicting weights are a caller bug — fail with a clear error.
+    lowered: dict[str, float] = {}
+    for term, w in terms.items():
+        lt, fw = term.lower(), float(w)
+        if lt in lowered and lowered[lt] != fw:
+            raise ValueError(
+                f"url_word_score: terms {term!r} collides with another "
+                f"key on lowercase form {lt!r} but carries a different "
+                f"weight ({fw} vs {lowered[lt]}) — terms are matched "
+                "case-insensitively, so merge or rename them"
+            )
+        lowered[lt] = fw
     toks = F.filter(
         F.split(F.lower(_col(url_col)), "[^a-z0-9]+"),
         lambda t: t != "",
@@ -346,8 +369,8 @@ def url_word_score(
     m = F.create_map(
         *[
             x
-            for term, w in terms.items()
-            for x in (F.lit(term.lower()), F.lit(float(w)))
+            for term, w in lowered.items()
+            for x in (F.lit(term), F.lit(w))
         ]
     )
     score = F.aggregate(

@@ -775,6 +775,18 @@ def test_verify_disjoint_ids_asymmetric_exact_path(spark):
         verify_disjoint_ids(
             large, partial, "doc_id", "extend_index", max_overlap_frac=0.0
         )
+    # an EXPLICIT max_overlap_frac that lands in the sketch regime
+    # (similar sizes) warns that the strict contract isn't in force
+    # (ADVICE r9 #4); the default (None) stays silent there
+    import warnings
+
+    a = spark.range(0, 1000).select(F.col("id").alias("doc_id"))
+    b = spark.range(1000, 2000).select(F.col("id").alias("doc_id"))
+    with pytest.warns(UserWarning, match="sketch regime"):
+        verify_disjoint_ids(a, b, "doc_id", "merge", max_overlap_frac=0.0)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        verify_disjoint_ids(a, b, "doc_id", "merge")
 
 
 def test_against_index_rejects_64bit_line_index(spark, corpus):

@@ -257,6 +257,43 @@ def test_cap_per_domain(spark):
     assert "WindowGroupLimit" in plan
 
 
+def test_parse_suffix_rules_psl_file_format():
+    """A raw PSL file feeds in verbatim (ADVICE r9 #3): `//` comment
+    lines and blank lines are skipped, rules read up to the first
+    whitespace, and the three rule kinds still split correctly."""
+    from featurestore_spark.operators.web import parse_suffix_rules
+
+    raw = [
+        "// ===BEGIN ICANN DOMAINS===",
+        "",
+        "   ",
+        "com",
+        "CO.UK  // not a real PSL comment form, but trailing ws happens",
+        "*.ck",
+        "!www.ck",
+        "// ===END===",
+    ]
+    exact, wildcard, exception = parse_suffix_rules(raw)
+    assert exact == ["com", "co.uk"]
+    assert wildcard == ["ck"]
+    assert exception == ["www.ck"]
+    # ...and an empty-string rule can no longer arise from blank lines
+    assert "" not in exact
+
+
+def test_url_word_score_case_colliding_terms(spark):
+    """Keys differing only in case must not become duplicate map keys
+    (ADVICE r9 #1): equal weights merge, conflicting weights raise a
+    clear ValueError instead of an opaque executor error."""
+    df = spark.createDataFrame([(1, "http://x.com/casino")], "doc_id long, url string")
+    merged = df.select(
+        url_word_score("url", {"Casino": 2.0, "casino": 2.0}).alias("s")
+    ).collect()[0]["s"]
+    assert merged == 2.0  # counted once, not twice
+    with pytest.raises(ValueError, match="lowercase form"):
+        url_word_score("url", {"Casino": 2.0, "casino": 3.0})
+
+
 def test_url_dedup_collapses_tracking_variants(spark):
     df = spark.createDataFrame(
         [
