@@ -311,6 +311,108 @@ def _dup_chars_fold(arr: Column) -> Column:
     return F.aggregate(F.array_sort(arr), zero, step, finish)
 
 
+def _top_value_fold(arr: Column) -> Column:
+    """The most frequent value of the array (ties broken toward the
+    lexicographically SMALLEST, deterministically in both engines):
+    run-walk over the sorted array keeping the first run that is
+    strictly longest."""
+    zero = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("best_run"),
+        F.lit(None).cast("string").alias("best"),
+    )
+
+    def step(acc: Column, g: Column) -> Column:
+        run = F.when(
+            acc.getField("prev").eqNullSafe(g), acc.getField("run") + 1
+        ).otherwise(F.lit(1).cast("long"))
+        better = run > acc.getField("best_run")
+        return F.struct(
+            g.alias("prev"),
+            run.alias("run"),
+            F.when(better, run).otherwise(acc.getField("best_run")).alias(
+                "best_run"
+            ),
+            F.when(better, g).otherwise(acc.getField("best")).alias("best"),
+        )
+
+    return F.aggregate(
+        F.array_sort(arr), zero, step, lambda acc: acc.getField("best")
+    )
+
+
+def _dup_values_fold(arr: Column) -> Column:
+    """The DISTINCT values occurring >= 2 times, as a sorted array:
+    run-walk over the sorted array appending each value once, the
+    moment its run reaches 2. The result is bounded by the number of
+    duplicated distinct values (on natural text a handful), not the
+    array length."""
+    zero = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.array().cast("array<string>").alias("vals"),
+    )
+
+    def step(acc: Column, g: Column) -> Column:
+        run = F.when(
+            acc.getField("prev").eqNullSafe(g), acc.getField("run") + 1
+        ).otherwise(F.lit(1).cast("long"))
+        return F.struct(
+            g.alias("prev"),
+            run.alias("run"),
+            F.when(
+                run == 2, F.array_append(acc.getField("vals"), g)
+            ).otherwise(acc.getField("vals")).alias("vals"),
+        )
+
+    return F.aggregate(
+        F.array_sort(arr), zero, step, lambda acc: acc.getField("vals")
+    )
+
+
+def _positional_coverage_fold(toks: Column, grams: Column, target) -> Column:
+    """Characters of the normalized text (the space-joined token
+    string) covered by at least one TARGET n-gram occurrence, each
+    position counted ONCE — Rae et al.'s positional char coverage.
+
+    ``grams`` must be positionally aligned with ``toks`` (gram at
+    index i starts at token i; shorter tails are fine — `arrays_zip`
+    pads with NULL and NULL grams never hit). ``target(g)`` is a
+    boolean Column predicate selecting the occurrences to cover.
+
+    One left-to-right fold: occurrence intervals [pos, pos+len(gram))
+    have non-decreasing starts (token order), so the union length is
+    the classic sweep — add the part of each interval beyond the
+    running max end. Zero exchanges, zero UDFs, O(L) per doc plus the
+    per-element cost of ``target``."""
+    zero = F.struct(
+        F.lit(0).cast("long").alias("pos"),
+        F.lit(0).cast("long").alias("last"),
+        F.lit(0).cast("long").alias("cov"),
+    )
+    zipped = F.arrays_zip(toks.alias("t"), grams.alias("g"))
+
+    def step(acc: Column, e: Column) -> Column:
+        g = e.getField("g")
+        hit = g.isNotNull() & target(g)
+        newend = acc.getField("pos") + F.length(g)
+        clipped_start = F.greatest(acc.getField("last"), acc.getField("pos"))
+        cov = F.when(
+            hit & (newend > clipped_start),
+            acc.getField("cov") + newend - clipped_start,
+        ).otherwise(acc.getField("cov"))
+        last = F.when(hit, F.greatest(acc.getField("last"), newend)).otherwise(
+            acc.getField("last")
+        )
+        pos = acc.getField("pos") + F.length(e.getField("t")) + 1
+        return F.struct(pos.alias("pos"), last.alias("last"), cov.alias("cov"))
+
+    return F.aggregate(
+        zipped, zero, step, lambda acc: acc.getField("cov")
+    )
+
+
 # Rae et al. 2021, Appendix A1.1 (Table A1), repetition half: the
 # published maximum fractions. Keys are the output column names.
 GOPHER_REPETITION_THRESHOLDS = {
@@ -337,6 +439,7 @@ def gopher_repetition_rules(
     *,
     thresholds: dict[str, float] | None = None,
     passthrough: tuple[str, ...] = (),
+    positional: bool = False,
 ) -> DataFrame:
     """The REPETITION half of the Gopher filter table (Rae et al.
     2021, Appendix A1.1) — the complement of `text.gopher_doc_rules`'
@@ -358,11 +461,28 @@ def gopher_repetition_rules(
       occurrences over the normalized text length.
 
     The paper computes the n-gram char coverage positionally (each
-    character position counted once); this implementation counts each
-    occurrence's characters declaratively — a deterministic upper
-    bound that needs no per-position scan and replays exactly in SQL
-    (grams are the space-joined `clean_tokens`; char masses use the
-    gram string's length). Docs whose signals are undefined (no
+    character position counted once); by default this implementation
+    counts each occurrence's characters declaratively — no
+    per-position scan, replays exactly in SQL (grams are the
+    space-joined `clean_tokens`; char masses use the gram string's
+    length). ``positional=True`` computes the paper-exact coverage
+    instead: for ``top_{2,3,4}gram`` the characters covered by
+    occurrences of THE most frequent gram (ties broken toward the
+    lexicographically smallest), for ``dup_{5..10}gram`` the
+    characters covered by any gram occurring more than once — each
+    character position counted once even under overlapping
+    occurrences (one extra left-to-right interval-sweep fold per n;
+    still zero exchanges). How the two modes relate (fuzz-pinned in
+    test_properties_spark): for the top grams the default mass
+    ``count*len`` is a true upper bound of positional coverage; for
+    the dup grams the default counts occurrences BEYOND the first
+    (``(count-1)*len`` — the same convention as the line/paragraph
+    char fractions) while the paper covers ALL occurrences of a
+    duplicated gram, so the two sit on EITHER side of each other
+    (a clean two-copy duplication: default len vs paper 2*len; heavy
+    overlapped repetition: default (c-1)*len vs paper ~len). Users
+    validating against published keep-rates should pass
+    ``positional=True``. Docs whose signals are undefined (no
     non-empty lines, or fewer than 10 tokens — no 10-grams) get NULL
     fractions and keep=false; the Gopher preset's >= 50-word rule
     already excludes them upstream.
@@ -435,11 +555,34 @@ def gopher_repetition_rules(
     # fold for it (top mass for 2-4, dup mass for 5-10) instead of the
     # 7-field combined walk — HOF folds are interpreted per element,
     # so accumulator width is per-element cost
-    gram_cols = {}
-    for n in range(2, 11):
-        g = F.col(f"_g{n}")
-        fold = _top_mass_fold(g) if n <= 4 else _dup_chars_fold(g)
-        gram_cols[f"_gm{n}"] = F.when(F.size(g) > 0, fold)
+    if positional:
+        # paper-exact coverage: first extract the target grams per n
+        # (top value for 2-4, duplicated-value set for 5-10) as
+        # ATTRIBUTE columns (they're referenced once per element in
+        # the coverage sweep — the HOF inlining trap), then sweep the
+        # positionally-aligned gram array once per n
+        tcols = {}
+        for n in range(2, 11):
+            g = F.col(f"_g{n}")
+            tcols[f"_t{n}"] = (
+                _top_value_fold(g) if n <= 4 else _dup_values_fold(g)
+            )
+        out = out.withColumns(tcols)
+        gram_cols = {}
+        for n in range(2, 11):
+            g = F.col(f"_g{n}")
+            if n <= 4:
+                target = lambda x, n=n: x == F.col(f"_t{n}")
+            else:
+                target = lambda x, n=n: F.array_contains(F.col(f"_t{n}"), x)
+            fold = _positional_coverage_fold(F.col("_toks"), g, target)
+            gram_cols[f"_gm{n}"] = F.when(F.size(g) > 0, fold)
+    else:
+        gram_cols = {}
+        for n in range(2, 11):
+            g = F.col(f"_g{n}")
+            fold = _top_mass_fold(g) if n <= 4 else _dup_chars_fold(g)
+            gram_cols[f"_gm{n}"] = F.when(F.size(g) > 0, fold)
     out = out.withColumns(gram_cols)
     for n in (2, 3, 4):
         cols[f"top_{n}gram_char_frac"] = F.round(
@@ -759,6 +902,8 @@ def curate_corpus(
     preset: str,
     text_col: str = "text",
     id_col: str = "doc_id",
+    *,
+    positional: bool = False,
 ) -> DataFrame:
     """One-call rule-based curation at a PUBLISHED recipe's filters —
     the `dedup_corpus` counterpart for the quality-rule surface.
@@ -783,6 +928,15 @@ def curate_corpus(
       `fineweb_doc_rules`, all over the CLEANED text; a doc survives
       only if every stage keeps it.
 
+    Threshold-fidelity note (ADVICE r9): the repetition half's n-gram
+    char fractions default to occurrence-counted masses, which
+    diverge from the papers' positional coverage near the thresholds
+    (stricter on the top-gram signals; either direction on the
+    dup-gram signals — see `gopher_repetition_rules`), so keep-rates
+    at the published thresholds won't exactly reproduce the papers'.
+    ``positional=True`` switches the repetition stage to the
+    paper-exact positional coverage.
+
     Out of scope here, available separately: URL filtering (web.py),
     language id (`language_scores`), PII (`redact_pii`), dedup
     (`dedup_corpus`).
@@ -805,7 +959,11 @@ def curate_corpus(
         )
         return (
             gopher_repetition_rules(
-                q, text_col, id_col, passthrough=(text_col,)
+                q,
+                text_col,
+                id_col,
+                passthrough=(text_col,),
+                positional=positional,
             )
             .where("keep")
             .select(id_col, text_col)

@@ -575,6 +575,7 @@ def fit_nb_classifier(
     label_col: str,
     *,
     text_col: str = "text",
+    tokens: Column | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Fit a multinomial Naive Bayes text classifier — the
     SQL-expressible stand-in for the fastText-style linear classifiers
@@ -586,9 +587,15 @@ def fit_nb_classifier(
     n_tokens). Rows with NULL labels are excluded (same documented
     rule as the other per-group operators). Tokens come from the
     shared `clean_tokens`, so fit and classify can never disagree on
-    word boundaries."""
+    word boundaries — or pass ``tokens=`` (an array<string> Column
+    over `docs`) to fit on a different feature set (e.g. the char
+    n-grams of `text.lid_fit`); pass the SAME expression to
+    `nb_classify`. If the expression derives from a computed column,
+    project that column to an attribute on `docs` first (the
+    HOF-inlining trap)."""
+    feats = tokens if tokens is not None else _clean_tokens(text_col)
     labeled = docs.where(F.col(label_col).isNotNull()).select(
-        F.col(label_col).alias("label"), _clean_tokens(text_col).alias("_toks")
+        F.col(label_col).alias("label"), feats.alias("_toks")
     )
     toks = labeled.select("label", F.size("_toks").alias("_nt"), "_toks")
     word_counts = (
@@ -611,6 +618,7 @@ def nb_classify(
     id_col: str = "doc_id",
     smoothing: float = 1.0,
     score_decimals: int = 4,
+    tokens: Column | None = None,
 ) -> DataFrame:
     """Classify documents with a fitted :func:`fit_nb_classifier`
     model: label = argmax over classes of ``ln p(c) + Σ_w m_w ln
@@ -618,6 +626,8 @@ def nb_classify(
     vocabulary. Returns (id, label_pred, score); zero-token docs get
     the max-prior class. Scores are rounded BEFORE the argmax so
     ranking is stable across engines; ties break on the label.
+    ``tokens=`` overrides the feature extractor — pass the SAME
+    expression the model was fitted with (see `fit_nb_classifier`).
 
     Scale shape: the smoothed-default mass factors out per class
     (``t_d · ln(k/(n_c+kV))``), so the corpus only joins the model for
@@ -640,13 +650,22 @@ def nb_classify(
         .select(
             "label",
             F.log(F.col("n_docs") / F.col("_nd")).alias("_prior"),
-            F.log(
-                F.lit(k) / (F.col("n_tokens") + F.lit(k) * F.col("_v"))
-            ).alias("_base"),
+            # a model with NO features at all (every labeled doc had
+            # zero tokens: n_tokens = V = 0) degrades to prior-only
+            # classification instead of ln(k/0)
+            F.when(
+                F.col("n_tokens") + F.lit(k) * F.col("_v") > 0,
+                F.log(
+                    F.lit(k) / (F.col("n_tokens") + F.lit(k) * F.col("_v"))
+                ),
+            ).otherwise(F.lit(0.0)).alias("_base"),
         )
     )
     toked = docs.select(
-        F.col(id_col).alias("_id"), _clean_tokens(text_col).alias("_toks")
+        F.col(id_col).alias("_id"),
+        (tokens if tokens is not None else _clean_tokens(text_col)).alias(
+            "_toks"
+        ),
     )
     td = toked.select("_id", F.size("_toks").alias("_td"))
     tok = (

@@ -67,6 +67,91 @@ def language_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
     return out.withColumn("lang_pred", pred.otherwise(langs[-1]))
 
 
+def lid_normalize(text_col: str | Column = "text") -> Column:
+    """LID text normalization: lowercase, whitespace runs collapsed to
+    one space, space-trimmed (line structure must not change a doc's
+    language), NULL -> ''. Shared by `lid_fit` and `lid_classify` so
+    fit and apply can never disagree on the character stream."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.trim(
+        F.regexp_replace(F.lower(F.coalesce(c, F.lit(""))), r"\s+", " ")
+    )
+
+
+def char_ngrams(norm_col: Column, n: int = 3) -> Column:
+    """Character n-grams of an ALREADY-PROJECTED normalized text
+    attribute (project `lid_normalize` to a column first — an inlined
+    expression would re-evaluate the regex collapse once per gram,
+    the HOF-inlining trap). Texts shorter than ``n`` yield the empty
+    array. Pure Column expression."""
+    return F.when(
+        F.length(norm_col) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.length(norm_col) - (n - 1)),
+            lambda i: norm_col.substr(i, F.lit(n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def lid_fit(
+    docs: DataFrame,
+    label_col: str = "lang",
+    *,
+    text_col: str = "text",
+    n: int = 3,
+) -> tuple[DataFrame, DataFrame]:
+    """Fit a TRAINED language-ID model — multinomial Naive Bayes over
+    character ``n``-grams, the CLD/fastText-style classifier shape
+    every multilingual pipeline runs as its first gate (CCNet §4.1,
+    RefinedWeb §3.1); `language_scores` is the train-free stopword
+    heuristic fallback. Pure composition: `search.fit_nb_classifier`
+    over `char_ngrams(lid_normalize(text))` — fitting is one counting
+    scan, so a 100 TB labeled corpus fits without a collect. Returns
+    the (gram_counts, class_stats) model frames; persist them like
+    any other model table and classify with `lid_classify` (same
+    ``n``)."""
+    from featurestore_spark.operators.search import fit_nb_classifier
+
+    normed = docs.select(
+        F.col(label_col), lid_normalize(text_col).alias("_lid_norm")
+    )
+    return fit_nb_classifier(
+        normed, label_col, tokens=char_ngrams(F.col("_lid_norm"), n)
+    )
+
+
+def lid_classify(
+    docs: DataFrame,
+    model: tuple[DataFrame, DataFrame],
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    smoothing: float = 1.0,
+) -> DataFrame:
+    """Classify documents with a `lid_fit` model: (id, lang_pred,
+    score), argmax of the per-language NB log-likelihood over the
+    doc's character n-grams (scores rounded before the argmax; ties
+    break on the language code — deterministic across engines).
+    Scale shape inherited from `search.nb_classify`: the corpus joins
+    the model only on grams that occur (sparse gram-keyed join, AQE
+    broadcast for real-size models), everything downstream is
+    (docs × languages)-bounded."""
+    from featurestore_spark.operators.search import nb_classify
+
+    normed = docs.select(
+        F.col(id_col), lid_normalize(text_col).alias("_lid_norm")
+    )
+    out = nb_classify(
+        normed,
+        model,
+        id_col=id_col,
+        smoothing=smoothing,
+        tokens=char_ngrams(F.col("_lid_norm"), n),
+    )
+    return out.withColumnRenamed("label_pred", "lang_pred")
+
+
 def quality_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Length / punctuation / alpha-ratio style quality scores."""
     text = F.col(text_col)

@@ -5043,6 +5043,117 @@ def q_gopher_repetition(spark, sf_dir):
     return gopher_repetition_rules(src)
 
 
+def _grt_pos_ctes() -> str:
+    """Positional-coverage continuation of `_grt_ctes` (appended after
+    its `final` CTE): per (doc, n), the characters of the normalized
+    text covered by occurrences of the TARGET grams — the top gram by
+    count (ties toward the lexicographically smallest) for n in 2..4,
+    every gram occurring >= 2 times for n in 5..10 — each position
+    counted ONCE. Classic gaps-and-islands: occurrence intervals
+    [token-char-start, start+len(gram)) have non-decreasing starts in
+    token order, so the union length sums each interval's part beyond
+    the running max end."""
+    return r"""
+    tokpos AS (  -- 0-based char start of each token in the normalized text
+      SELECT doc_id, i,
+             coalesce(sum(l + 1) OVER (PARTITION BY doc_id ORDER BY i
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0) AS st
+      FROM (SELECT doc_id,
+                   unnest(generate_series(1, len(tk))) AS i,
+                   unnest(list_transform(tk, x -> len(x))) AS l
+            FROM toks)),
+    pgrams AS (  -- positionally-indexed grams, all 9 sizes
+      SELECT doc_id, gn, unnest(generate_series(1, ni)) AS i, tk
+      FROM (SELECT t.doc_id, ns.n AS gn, t.tk,
+                   len(t.tk) - ns.n + 1 AS ni
+            FROM toks t CROSS JOIN
+                 (SELECT unnest([2,3,4,5,6,7,8,9,10]) AS n) ns)
+      WHERE ni >= 1),
+    pg AS (
+      SELECT doc_id, gn, i,
+             array_to_string(tk[i:i+gn-1], ' ') AS g
+      FROM pgrams),
+    tsel AS (  -- target grams per (doc, n)
+      SELECT doc_id, gn, g FROM (
+        SELECT doc_id, gn, g, cnt,
+               row_number() OVER (PARTITION BY doc_id, gn
+                                  ORDER BY cnt DESC, g ASC) AS rn
+        FROM (SELECT doc_id, gn, g, count(*) AS cnt
+              FROM pg GROUP BY doc_id, gn, g))
+      WHERE (gn <= 4 AND rn = 1) OR (gn >= 5 AND cnt >= 2)),
+    occ AS (
+      SELECT p.doc_id, p.gn, p.i, tp.st AS s, tp.st + len(p.g) AS e
+      FROM pg p
+      JOIN tsel USING (doc_id, gn, g)
+      JOIN tokpos tp ON tp.doc_id = p.doc_id AND tp.i = p.i),
+    covp AS (  -- union length of the occurrence intervals
+      SELECT doc_id, gn,
+             CAST(sum(greatest(0, e - greatest(s, coalesce(pmax, s))))
+                  AS BIGINT) AS cov
+      FROM (SELECT *, max(e) OVER (PARTITION BY doc_id, gn ORDER BY i
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+            FROM occ)
+      GROUP BY doc_id, gn),
+    gpp AS (
+      SELECT doc_id,
+           """ + ",\n           ".join(
+        f"max(CASE WHEN gn = {n} THEN cov END) AS cov{n}"
+        for n in range(2, 11)
+    ) + r"""
+      FROM covp GROUP BY doc_id),
+    ntk AS (SELECT doc_id, len(tk) AS ntk FROM toks),
+    posfinal AS (
+      SELECT f.doc_id, f.dup_line_frac, f.dup_line_char_frac,
+             f.dup_para_frac, f.dup_para_char_frac,
+           """ + ",\n           ".join(
+        f"CASE WHEN nt.ntk >= {n} THEN round(coalesce(gpp.cov{n}, 0)"
+        f" / CAST(nm.norm_len AS DOUBLE), 4) END AS "
+        + (f"top_{n}gram_char_frac" if n <= 4 else f"dup_{n}gram_char_frac")
+        for n in range(2, 11)
+    ) + r"""
+      FROM final f
+      JOIN ntk nt USING (doc_id)
+      JOIN nm USING (doc_id)
+      LEFT JOIN gpp USING (doc_id))"""
+
+
+@_register(
+    "q_gopher_positional",
+    "\n    WITH "
+    + _grt_ctes(_GRT_SYNTH)
+    + ","
+    + _grt_pos_ctes()
+    + f"""
+    SELECT *, coalesce({_grt_keep()}, FALSE) AS keep FROM posfinal
+    """,
+    "gopher_repetition_rules(positional=True): the PAPER-EXACT n-gram "
+    "char coverage (Rae et al. count each character position once; "
+    "the default occurrence-counted masses are a documented upper "
+    "bound, so the default filter is slightly stricter near the "
+    "thresholds — this variant closes that divergence, VERDICT r9 "
+    "#4). top_{2,3,4}: characters covered by THE most frequent gram "
+    "(ties toward the lexicographically smallest); dup_{5..10}: "
+    "characters covered by any gram occurring twice — overlapping "
+    "occurrences counted once, via one left-to-right interval-sweep "
+    "fold per n (zero exchanges). Oracle replays the union length "
+    "with gaps-and-islands over token char positions.",
+)
+def q_gopher_positional(spark, sf_dir):
+    from featurestore_spark.operators.curation import gopher_repetition_rules
+
+    docs = load_table(spark, sf_dir, "documents")
+    src = docs.select(
+        "doc_id",
+        F.replace(
+            F.replace(F.col("text"), F.lit(" table "), F.lit("\n")),
+            F.lit(" batch "),
+            F.lit("\n\n"),
+        ).alias("text"),
+    )
+    return gopher_repetition_rules(src, positional=True)
+
+
 # q_curate_gopher's long-form fixture text: the raw docs are under
 # Gopher's 50-word minimum, so both engines synthesize "text + a
 # position-suffixed copy + a stopword tail" — doubles the word count
@@ -5495,6 +5606,73 @@ def q_nb_classify(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     model = fit_nb_classifier(docs, "lang")
     return nb_classify(docs, model)
+
+
+@_register(
+    "q_lid_classify",
+    r"""
+    WITH normed AS (
+      SELECT doc_id, lang,
+             trim(regexp_replace(lower(coalesce(text, '')), '\s+', ' ',
+                                 'g')) AS s
+      FROM documents),
+    toked AS (
+      SELECT doc_id, lang,
+             CASE WHEN len(s) >= 3
+                  THEN list_transform(generate_series(1, len(s) - 2),
+                                      i -> s[i:i+2])
+                  ELSE CAST([] AS VARCHAR[]) END AS toks
+      FROM normed),
+    tok AS (
+      SELECT doc_id, w, count(*) AS m
+      FROM (SELECT doc_id, unnest(toks) AS w FROM toked)
+      GROUP BY doc_id, w),
+    wc AS (
+      SELECT lang AS label, w, count(*) AS c
+      FROM (SELECT lang, unnest(toks) AS w FROM toked WHERE lang IS NOT NULL)
+      GROUP BY lang, w),
+    cs AS (SELECT lang AS label, count(*) AS n_docs,
+                  sum(len(toks)) AS n_tokens
+           FROM toked WHERE lang IS NOT NULL GROUP BY lang),
+    v AS (SELECT count(DISTINCT w)::DOUBLE AS v FROM wc),
+    nd AS (SELECT sum(n_docs)::DOUBLE AS nd FROM cs),
+    consts AS (SELECT label, ln(n_docs / nd.nd) AS prior,
+                      ln(1.0 / (n_tokens + 1.0 * v.v)) AS base
+               FROM cs CROSS JOIN v CROSS JOIN nd),
+    td AS (SELECT doc_id, len(toks) AS td FROM toked),
+    corr AS (SELECT t.doc_id, wc.label,
+                    sum(t.m * ln((wc.c + 1.0) / 1.0)) AS corr
+             FROM tok t JOIN wc USING (w) GROUP BY t.doc_id, wc.label),
+    scored AS (
+      SELECT td.doc_id, consts.label,
+             round(consts.prior + td.td * consts.base
+                   + coalesce(corr.corr, 0.0), 4) AS score
+      FROM td CROSS JOIN consts
+      LEFT JOIN corr ON corr.doc_id = td.doc_id
+                    AND corr.label = consts.label)
+    SELECT doc_id, label AS lang_pred, score
+    FROM (SELECT doc_id, label, score,
+                 row_number() OVER (PARTITION BY doc_id
+                                    ORDER BY score DESC, label) AS rn
+          FROM scored)
+    WHERE rn = 1
+    """,
+    "TRAINED language-ID (VERDICT r9 #3): lid_fit/lid_classify — "
+    "multinomial Naive Bayes over character 3-grams of the "
+    "normalized text (lowercase, whitespace collapsed), the "
+    "CLD/fastText classifier shape CCNet/RefinedWeb run as the first "
+    "multilingual gate; language_scores stays as the train-free "
+    "heuristic fallback. Pure composition over fit_nb_classifier/"
+    "nb_classify with a char-ngram feature Column: fit is one "
+    "counting scan, classify a sparse gram-keyed join, scores "
+    "rounded before the argmax (ties on the language code).",
+)
+def q_lid_classify(spark, sf_dir):
+    from featurestore_spark.operators.text import lid_classify, lid_fit
+
+    docs = load_table(spark, sf_dir, "documents")
+    model = lid_fit(docs, "lang")
+    return lid_classify(docs, model)
 
 
 @_register(

@@ -790,3 +790,261 @@ def test_ccnet_buckets_match_manual_thirds(spark, rows):
             assert got[i]["bucket"] == bucket_of[got[i]["cross_entropy"]], (
                 f"group={g!r} doc={i} ce={got[i]['cross_entropy']}"
             )
+
+
+# -- gopher_repetition_rules (both modes) vs a Counter/interval walk ----------
+# (VERDICT r9 #5: fuzz the branchy r9 operators against independent
+# Python — this evidence class caught r8's only real bug while the
+# oracles stayed green.)
+
+def _r4(x):
+    """Spark F.round semantics: BigDecimal HALF_UP over the double's
+    exact binary expansion (Python round() is half-even)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(Decimal(x).quantize(Decimal("0.0001"), ROUND_HALF_UP))
+
+
+def _grt_reference(text, positional):
+    """Independent Python computation of all 13 Gopher repetition
+    signals: Counter-based unit/gram stats; positional coverage via a
+    literal covered-character-position set (the definitionally
+    obvious formulation, vs the operator's sweep fold)."""
+    import re as _re
+
+    t = text or ""
+    toks = [w for w in _re.split(r"\s+", t.strip().lower()) if w]
+    out = {}
+    for name, sep in (("line", "\n"), ("para", "\n\n")):
+        # Spark's F.trim trims 0x20 ONLY — a paragraph keeps its
+        # inner/leading newline (same convention as the fineweb test)
+        units = [u.strip(" ") for u in _re.split(sep, t)]
+        units = [u for u in units if u]
+        c = Counter(units)
+        n = sum(c.values())
+        dup_n = sum(v - 1 for v in c.values())
+        dup_chars = sum((v - 1) * len(u) for u, v in c.items())
+        total = sum(v * len(u) for u, v in c.items())
+        out[f"dup_{name}_frac"] = _r4(dup_n / n) if n else None
+        out[f"dup_{name}_char_frac"] = _r4(dup_chars / total) if total else None
+    L = len(" ".join(toks))
+    starts = []
+    p = 0
+    for w in toks:
+        starts.append(p)
+        p += len(w) + 1
+    for nn in range(2, 11):
+        grams = [" ".join(toks[i : i + nn]) for i in range(len(toks) - nn + 1)]
+        key = (
+            f"top_{nn}gram_char_frac" if nn <= 4 else f"dup_{nn}gram_char_frac"
+        )
+        if not grams:
+            out[key] = None
+            continue
+        c = Counter(grams)
+        if not positional:
+            if nn <= 4:
+                mass = max(v * len(g) for g, v in c.items())
+            else:
+                mass = sum((v - 1) * len(g) for g, v in c.items())
+        else:
+            if nn <= 4:
+                top = max(c.values())
+                targets = {min(g for g, v in c.items() if v == top)}
+            else:
+                targets = {g for g, v in c.items() if v >= 2}
+            covered = set()
+            for i, g in enumerate(grams):
+                if g in targets:
+                    covered.update(range(starts[i], starts[i] + len(g)))
+            mass = len(covered)
+        out[key] = _r4(mass / L)
+    return out
+
+
+# tiny alphabet + newline injection: heavy gram repetition AND real
+# line/paragraph structure
+_grt_piece = st.sampled_from(
+    ["aa", "bb", "cc", "aa bb", "\n", "\n\n", "aa\naa", "bb cc bb cc"]
+)
+_grt_text = st.lists(_grt_piece, min_size=0, max_size=18).map(" ".join)
+
+
+@given(texts=st.lists(_grt_text, min_size=1, max_size=10))
+@settings(**SPARK_SETTINGS)
+def test_gopher_repetition_matches_reference_both_modes(spark, texts):
+    from featurestore_spark.operators.curation import (
+        GOPHER_REPETITION_THRESHOLDS,
+        gopher_repetition_rules,
+    )
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    signal_names = list(GOPHER_REPETITION_THRESHOLDS)
+    by_mode = {}
+    for positional in (False, True):
+        got = {
+            r["doc_id"]: r
+            for r in gopher_repetition_rules(
+                df, positional=positional
+            ).collect()
+        }
+        by_mode[positional] = got
+        for i, t in enumerate(texts):
+            want = _grt_reference(t, positional)
+            for name in signal_names:
+                assert got[i][name] == want[name], (
+                    f"positional={positional} doc={i} {name} "
+                    f"text={t!r}: {got[i][name]} != {want[name]}"
+                )
+            keep = all(
+                want[name] is not None and want[name] <= thr
+                for name, thr in GOPHER_REPETITION_THRESHOLDS.items()
+            )
+            assert got[i]["keep"] == keep, (positional, i, t)
+    # the documented ordering: for the TOP grams the occurrence mass
+    # count*len IS an upper bound of positional coverage. (For the
+    # dup grams the two modes are incomparable — the default counts
+    # beyond-first occurrences while the paper covers ALL occurrences
+    # of a duplicated gram — which this fuzz originally FALSIFIED
+    # when the docs claimed a blanket upper bound.)
+    occ, pos = by_mode[False], by_mode[True]
+    for i in occ:
+        for name in signal_names:
+            if name.startswith("top_") and occ[i][name] is not None:
+                assert occ[i][name] >= pos[i][name], (i, name)
+
+
+# -- cap_per_domain vs a Python groupby-head walk (VERDICT r9 #5) -------------
+
+_cap_host = st.sampled_from(
+    ["a.example.com", "b.example.com", "c.other.org", "other.org", ""]
+)
+_cap_rows = st.lists(
+    st.tuples(_cap_host, st.one_of(st.none(), st.integers(0, 3))),
+    min_size=1,
+    max_size=25,
+)
+_CAP_SUFFIXES = ["com", "org"]
+
+
+def _py_cap(rows, cap, use_order):
+    """Independent keep-set walk: NULL-domain rows bypass the cap;
+    within a domain rank by (order desc nulls last, id asc —
+    Spark asc = nulls first, irrelevant here: ids are never NULL)."""
+    kept = set()
+    groups = {}
+    for doc_id, host, q in rows:
+        dom = _py_registrable(host, _CAP_SUFFIXES) if host else None
+        if dom is None:
+            kept.add(doc_id)
+        else:
+            groups.setdefault(dom, []).append((doc_id, q))
+    for dom, mem in groups.items():
+        if use_order:
+            mem.sort(key=lambda x: (x[1] is None, -(x[1] or 0), x[0]))
+        else:
+            mem.sort(key=lambda x: x[0])
+        kept.update(d for d, _ in mem[:cap])
+    return kept
+
+
+@given(rows=_cap_rows, cap=st.integers(1, 3), use_order=st.booleans())
+@settings(**SPARK_SETTINGS)
+def test_cap_per_domain_matches_python_walk(spark, rows, cap, use_order):
+    from featurestore_spark.operators.web import cap_per_domain
+
+    data = [
+        (i, f"http://{h}/p" if h else "/p", q)
+        for i, (h, q) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(data, "doc_id long, url string, q int")
+    out = cap_per_domain(
+        df,
+        cap,
+        order_col="q" if use_order else None,
+        suffixes=_CAP_SUFFIXES,
+    )
+    got = {r["doc_id"] for r in out.collect()}
+    want = _py_cap(
+        [(i, h, q) for i, (h, q) in enumerate(rows)], cap, use_order
+    )
+    assert got == want, (rows, cap, use_order)
+
+
+# -- lid_fit/lid_classify vs an independent Python char-ngram NB --------------
+
+
+def _py_lid(train, test, n=3, k=1.0):
+    """Independent char-ngram multinomial NB (Counter-based): same
+    smoothed-default factorization as nb_classify's docstring — score
+    = prior + n_grams*base + sum over in-vocab grams of
+    m*ln((c+k)/k); rounded HALF_UP at 4dp BEFORE the argmax, ties on
+    the label."""
+    import math
+    import re as _re
+
+    def grams(t):
+        s = _re.sub(r"\s+", " ", (t or "").lower()).strip()
+        return [s[i : i + n] for i in range(len(s) - n + 1)]
+
+    wc = Counter()
+    cs = {}
+    for lab, t in train:
+        if lab is None:
+            continue
+        gs = grams(t)
+        cs.setdefault(lab, [0, 0])
+        cs[lab][0] += 1
+        cs[lab][1] += len(gs)
+        for g in gs:
+            wc[(lab, g)] += 1
+    V = len({g for (_, g) in wc})
+    ND = sum(v[0] for v in cs.values())
+    out = {}
+    for i, t in test:
+        gm = Counter(grams(t))
+        scored = []
+        for lab in sorted(cs):
+            prior = math.log(cs[lab][0] / ND)
+            denom = cs[lab][1] + k * V
+            base = math.log(k / denom) if denom > 0 else 0.0
+            corr = sum(
+                m * math.log((wc[(lab, g)] + k) / k)
+                for g, m in gm.items()
+                if (lab, g) in wc
+            )
+            scored.append((lab, _r4(prior + sum(gm.values()) * base + corr)))
+        best = max(scored, key=lambda x: (x[1], [-ord(c) for c in x[0]]))
+        out[i] = best
+    return out
+
+
+_lid_text = st.lists(
+    st.sampled_from(["aba", "bab", "ccc", "ab", " "]), min_size=0, max_size=8
+).map("".join)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.sampled_from(["xx", "yy", None]), _lid_text),
+        min_size=1,
+        max_size=12,
+    ).filter(lambda rs: any(lab is not None for lab, _ in rs))
+)
+@settings(**SPARK_SETTINGS)
+def test_lid_classify_matches_python_nb(spark, rows):
+    from featurestore_spark.operators.text import lid_classify, lid_fit
+
+    df = spark.createDataFrame(
+        [(i, lab, t) for i, (lab, t) in enumerate(rows)],
+        "doc_id long, lang string, text string",
+    )
+    model = lid_fit(df, "lang")
+    got = {
+        r["doc_id"]: (r["lang_pred"], r["score"])
+        for r in lid_classify(df, model).collect()
+    }
+    want = _py_lid(rows, [(i, t) for i, (lab, t) in enumerate(rows)])
+    assert got == want, (rows, got, want)

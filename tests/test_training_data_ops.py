@@ -150,6 +150,42 @@ def test_quality_metrics(docs):
     assert 0 < row["alpha_ratio"] <= 1.0
 
 
+def test_lid_fit_classify_learns_languages(spark):
+    """The trained char-ngram NB actually LEARNS: fit on distinct
+    character distributions, classify held-out docs of each language
+    correctly (incl. a doc with unseen grams mixed in), NULL labels
+    excluded from fitting, NULL/short text falls back to the
+    max-prior class."""
+    from featurestore_spark.operators.text import lid_classify, lid_fit
+
+    train = [
+        (0, "en", "the cat and the dog and then the hat"),
+        (1, "en", "and then another thing came over there"),
+        (2, "en", "the other end of the thread"),
+        (3, "fi", "kissa ja koira ja sitten katto"),
+        (4, "fi", "jokin muu asia tuli sinne sitten"),
+        (5, None, "unlabeled noise zzz qqq"),
+    ]
+    df = spark.createDataFrame(train, "doc_id long, lang string, text string")
+    model = lid_fit(df, "lang")
+    test = [
+        (10, "the hat and the thread"),       # en
+        (11, "koira ja kissa sitten"),        # fi
+        (12, "XYZW the and then QQ"),          # en with unseen grams
+        (13, None),                            # NULL -> max-prior (en: 3 docs)
+        (14, "ab"),                            # < 3 chars: no grams -> prior
+    ]
+    tdf = spark.createDataFrame(test, "doc_id long, text string")
+    got = {r["doc_id"]: r["lang_pred"] for r in lid_classify(tdf, model).collect()}
+    assert got[10] == "en" and got[11] == "fi" and got[12] == "en"
+    assert got[13] == "en" and got[14] == "en"
+    # fit frames have the documented model shape
+    wc, cs = model
+    assert set(wc.columns) == {"label", "w", "c"}
+    assert set(cs.columns) == {"label", "n_docs", "n_tokens"}
+    assert {r["label"] for r in cs.collect()} == {"en", "fi"}
+
+
 def test_cosine_vs_bucketed_ann(spark):
     import random
 
