@@ -4830,7 +4830,7 @@ _GDR_CTES_TMPL = r"""toked AS (
       SELECT doc_id, __SRC__ AS t,
              list_filter(string_split_regex(trim(lower(__SRC__)),
                                             '\s+'), x -> x <> '') AS toks
-      FROM documents),
+      FROM __TBL__),
     lined AS (
       SELECT doc_id, t, toks,
              list_filter(list_transform(string_split(t, chr(10)),
@@ -4864,8 +4864,13 @@ _GDR_CTES_TMPL = r"""toked AS (
       FROM lined)"""
 
 
-def _gdr_ctes(src_text_expr: str = "coalesce(text, '')") -> str:
-    return _GDR_CTES_TMPL.replace("__SRC__", src_text_expr)
+def _gdr_ctes(
+    src_text_expr: str = "coalesce(text, '')",
+    src_table: str = "documents",
+) -> str:
+    return _GDR_CTES_TMPL.replace("__SRC__", src_text_expr).replace(
+        "__TBL__", src_table
+    )
 
 
 @_register(
@@ -4903,12 +4908,13 @@ def _grt_keep() -> str:
     return " AND ".join(f"{name} <= {t}" for name, t in _T.items())
 
 
-def _grt_ctes(src_text_expr: str) -> str:
-    """Gopher-repetition signal CTE chain over ``documents`` with the
+def _grt_ctes(src_text_expr: str, src_table: str = "documents") -> str:
+    """Gopher-repetition signal CTE chain over ``src_table`` with the
     text column given by ``src_text_expr`` (q_gopher_repetition
     synthesizes line/paragraph structure; q_curate_gopher runs the
-    raw text). Ends with the 13-frac ``final`` CTE, unterminated —
-    callers append their own final SELECT."""
+    raw text; q_refinedweb_e2e feeds its line-deduped stage CTE).
+    Ends with the 13-frac ``final`` CTE, unterminated — callers
+    append their own final SELECT."""
     tops = ",\n           ".join(
         f"max(CASE WHEN gn = {n} THEN top_chars END) AS top{n}"
         for n in (2, 3, 4)
@@ -4929,7 +4935,7 @@ def _grt_ctes(src_text_expr: str) -> str:
     )
     return rf"""src AS (
       SELECT doc_id, {src_text_expr} AS text
-      FROM documents),
+      FROM {src_table}),
     toks AS (
       SELECT doc_id,
              list_filter(string_split_regex(trim(lower(text)), '\s+'),
@@ -4996,7 +5002,7 @@ def _grt_ctes(src_text_expr: str) -> str:
              AS dup_para_char_frac,
            {top_cols},
            {dup_cols}
-      FROM documents d
+      FROM {src_table} d
       LEFT JOIN lstats ls USING (doc_id)
       LEFT JOIN pstats ps USING (doc_id)
       LEFT JOIN gp USING (doc_id)
@@ -6570,6 +6576,301 @@ def q_web_funnel(spark, sf_dir):
         F.sum("n_dups").alias("n_raw_urls"),
         F.sum(n_tok).alias("n_tokens"),
         F.min("doc_id").alias("min_id"),
+    )
+
+
+def _strip_html_sql(expr: str) -> str:
+    """The strip_html replay (script/style/comment removal, tag
+    strip, entity decode, whitespace collapse) over an arbitrary SQL
+    expression — the same chain q_web_funnel inlines."""
+    return (
+        r"""trim(regexp_replace(
+               replace(replace(replace(replace(replace(replace(
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_replace(
+                       regexp_replace(
+                         __E__,
+                         '(?is)<script[^>]*>.*?</script\s*>', ' ', 'g'),
+                       '(?is)<style[^>]*>.*?</style\s*>', ' ', 'g'),
+                     '(?s)<!--.*?-->', ' ', 'g'),
+                   '<[^>]*>', ' ', 'g'),
+                 '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+                 '&quot;', '"'), '&#39;', chr(39)), '&amp;', '&'),
+               '\s+', ' ', 'g'))"""
+    ).replace("__E__", expr)
+
+
+# The capstone's published-pipeline constants: per-domain cap and the
+# html page template shared by the Spark query and the oracle.
+_E2E_CAP = 20
+_E2E_HTML_PRE = "<html><body><p>"
+_E2E_HTML_POST = "</p><script>var x = 1;</script></body></html>"
+
+
+def _e2e_sql() -> str:
+    """Assemble the capstone oracle from the shared stage builders
+    (web chain, curate CTE generators, parameterized minhash chain) —
+    the same constants the component queries pin, so the capstone can
+    never drift from the pieces."""
+    body = r"""
+    , ugrp AS (
+      SELECT canonical_url, min(doc_id) AS keep_id
+      FROM dom WHERE canonical_url IS NOT NULL
+      GROUP BY canonical_url),
+    ukeep AS (
+      SELECT d.doc_id, d.text, d.domain, d.canonical_url
+      FROM ugrp g JOIN dom d ON d.doc_id = g.keep_id),
+    filt AS (
+      SELECT * FROM ukeep
+      WHERE (domain IS NULL OR domain NOT IN (__FUNNEL_BLOCK__))
+        AND __CANON_SCORE__ < __SCORE_THRESHOLD__),
+    ranked AS (
+      SELECT f.doc_id, f.text, f.domain,
+             row_number() OVER (PARTITION BY f.domain
+                                ORDER BY o.n_chars DESC NULLS LAST,
+                                         f.doc_id ASC) AS rn
+      FROM filt f JOIN documents o USING (doc_id)
+      WHERE f.domain IS NOT NULL),
+    capped AS (
+      SELECT doc_id, text, domain FROM ranked WHERE rn <= __CAP__
+      UNION ALL
+      SELECT doc_id, text, domain FROM filt WHERE domain IS NULL),
+    synth AS (  -- long-form page body (the q_curate_gopher synthesis)
+      SELECT doc_id, domain, __CURATE_SYNTH__ AS t FROM capped),
+    page AS (
+      SELECT doc_id, domain,
+             '__HTML_PRE__' || replace(t, ' value ', '</p><p>')
+             || '__HTML_POST__' AS html
+      FROM synth),
+    strp AS (
+      SELECT doc_id, domain, __STRIP__ AS s FROM page),
+    lsynth AS (  -- line structure for the line-dedup stage
+      SELECT doc_id, domain, replace(s, ' table ', chr(10)) AS text
+      FROM strp),
+    lns AS (
+      SELECT doc_id, pos, ls[pos] AS line
+      FROM (SELECT doc_id, ls, unnest(generate_series(1, len(ls))) AS pos
+            FROM (SELECT doc_id, string_split(text, chr(10)) AS ls
+                  FROM lsynth))),
+    lfreq AS (
+      SELECT lower(trim(line)) AS norm
+      FROM lns WHERE lower(trim(line)) <> ''
+      GROUP BY 1 HAVING count(DISTINCT doc_id) > 1),
+    keptln AS (
+      SELECT l.doc_id, l.pos, l.line FROM lns l
+      LEFT JOIN lfreq f ON lower(trim(l.line)) = f.norm
+      WHERE f.norm IS NULL),
+    rebuilt AS (
+      SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
+      FROM keptln GROUP BY doc_id),
+    ld AS (
+      SELECT c.doc_id, coalesce(r.text, '') AS text
+      FROM lsynth c LEFT JOIN rebuilt r USING (doc_id)),
+    __GDR__,
+    __GRT__,
+    dkeep AS (SELECT doc_id FROM sig WHERE __GDR_KEEP__),
+    rkeep AS (SELECT doc_id FROM final WHERE __GRT_KEEP__),
+    cur AS (SELECT t.doc_id, t.t AS text FROM toked t
+            JOIN dkeep USING (doc_id) JOIN rkeep USING (doc_id)),
+    __MINHASH__,
+    __MELT__,
+    bkept_f AS (
+      SELECT band_idx, band_hash FROM melted_f
+      GROUP BY band_idx, band_hash HAVING count(*) <= __MAX_BUCKET__),
+    cand_f AS (
+      SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+      FROM melted_f a JOIN melted_f b USING (band_idx, band_hash)
+      JOIN bkept_f USING (band_idx, band_hash)
+      WHERE a.doc_id < b.doc_id),
+    verified_f AS (
+      SELECT c.a_id, c.b_id
+      FROM cand_f c JOIN shingled_f sa ON sa.doc_id = c.a_id
+                    JOIN shingled_f sb ON sb.doc_id = c.b_id
+      WHERE round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+            / len(list_distinct(list_concat(sa.sh, sb.sh))), 4)
+            >= __FW_THR__),
+    drops_f AS (
+      SELECT db.doc_id AS d FROM verified_f v
+        JOIN grpx gb ON gb.rep_id = v.b_id
+        JOIN cur db ON db.text IS NOT DISTINCT FROM gb.text
+      WHERE db.doc_id > v.a_id
+      UNION
+      SELECT da.doc_id FROM verified_f v
+        JOIN grpx ga ON ga.rep_id = v.a_id
+        JOIN cur da ON da.text IS NOT DISTINCT FROM ga.text
+      WHERE da.doc_id > v.b_id
+      UNION
+      SELECT c.doc_id FROM cur c
+        JOIN grpx g ON g.text IS NOT DISTINCT FROM c.text
+      WHERE c.doc_id > g.rep_id),
+    surv AS (
+      SELECT c.doc_id, c.text FROM cur c
+      LEFT JOIN drops_f ON c.doc_id = drops_f.d
+      WHERE drops_f.d IS NULL)
+    SELECT o.source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(len(list_filter(string_split_regex(trim(s.text),
+                                                       '\s+'),
+                                    x -> x <> ''))) AS BIGINT) AS n_tokens,
+           min(s.doc_id) AS min_id
+    FROM surv s JOIN documents o USING (doc_id)
+    GROUP BY o.source
+    """
+    body = (
+        body.replace(
+            "__FUNNEL_BLOCK__",
+            ", ".join(f"'{d}'" for d in _FUNNEL_BLOCKLIST),
+        )
+        .replace("__CANON_SCORE__", _url_score_sql("canonical_url"))
+        .replace("__SCORE_THRESHOLD__", str(_URL_SCORE_THRESHOLD))
+        .replace("__CAP__", str(_E2E_CAP))
+        .replace("__CURATE_SYNTH__", _CURATE_SYNTH)
+        .replace("__HTML_PRE__", _E2E_HTML_PRE)
+        .replace("__HTML_POST__", _E2E_HTML_POST)
+        .replace("__STRIP__", _strip_html_sql("html"))
+        .replace("__GDR__", _gdr_ctes(src_table="ld"))
+        .replace("__GRT__", _grt_ctes("coalesce(text, '')", src_table="ld"))
+        .replace("__GDR_KEEP__", _GDR_KEEP)
+        .replace("__GRT_KEEP__", _grt_keep())
+        .replace(
+            "__MINHASH__",
+            _duck_minhash_bands(
+                src="rep_docs",
+                prelude="""grpx AS (
+      SELECT text, min(doc_id) AS rep_id FROM cur GROUP BY text),
+    rep_docs AS (SELECT rep_id AS doc_id, text FROM grpx)""",
+                sfx="_f",
+                lead=False,
+                n=_FW_N,
+                k=_FW_K,
+                bands=_FW_BANDS,
+            ),
+        )
+        .replace("__MELT__", _melt_cte("melted_f", "bands_f", bands=_FW_BANDS))
+        .replace("__MAX_BUCKET__", str(_MH_MAX_BUCKET))
+        .replace("__FW_THR__", str(_FW_THR))
+    )
+    # DuckDB 1.0 INLINES every CTE reference — with this depth of
+    # chain, a multi-referenced CTE re-executes the entire upstream
+    # funnel per reference (measured: the un-hinted oracle ran >10
+    # minutes at sf0.001). Materialize each multi-referenced stage
+    # boundary so the oracle evaluates each stage once, like the
+    # engine does.
+    for cte in (
+        "filt", "lsynth", "lns", "ld", "cur", "shingled_f", "bands_f"
+    ):
+        body = body.replace(f"{cte} AS (", f"{cte} AS MATERIALIZED (", 1)
+    return _WEB_SQL + body
+
+
+@_register(
+    "q_refinedweb_e2e",
+    _e2e_sql(),
+    "END-TO-END published-pipeline capstone (VERDICT r9 #2): the "
+    "FULL RefinedWeb-shaped recipe in ONE oracled plan — URL "
+    "canonical dedup -> domain blocklist anti-join -> soft URL word "
+    "score -> per-domain cap (WindowGroupLimit) -> HTML strip -> "
+    "corpus-wide line dedup -> curate_corpus('gopher') (BOTH Gopher "
+    "halves at published thresholds) -> dedup_corpus('fineweb') "
+    "(published MinHash constants) -> per-source yield. Every stage "
+    "is individually oracled elsewhere; this query exists because "
+    "composition bugs (column collisions, passthrough breaks, "
+    "fence/collapse interactions across SEVEN operators) are what "
+    "per-stage oracles cannot see. Fixture: the q_canonical_url "
+    "synthesized crawl URL; the page body is the q_curate_gopher "
+    "long-form synthesis (raw + position-suffixed copy + stopword "
+    "tail — past Gopher's 50-word minimum) html-wrapped, with "
+    "' value ' as the paragraph boundary and ' table ' as the "
+    "line boundary.",
+)
+def q_refinedweb_e2e(spark, sf_dir):
+    from featurestore_spark.operators.curation import (
+        curate_corpus,
+        dedup_lines,
+    )
+    from featurestore_spark.operators.dedup import dedup_corpus
+    from featurestore_spark.operators.text import strip_html
+    from featurestore_spark.operators.web import (
+        cap_per_domain,
+        filter_domains,
+        filter_urls,
+        url_dedup,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    u = docs.select(
+        "doc_id", "text", "n_chars", _web_url_col().alias("url")
+    )
+    # 1. URL-level exact dedup on the canonical form
+    dd = url_dedup(u)
+    keep = dd.select(
+        F.col("keep_id").alias("doc_id"), "canonical_url"
+    ).join(u.select("doc_id", "text", "n_chars"), "doc_id")
+    # 2. domain blocklist + 3. soft URL word score
+    bl = spark.createDataFrame(
+        [(d,) for d in _FUNNEL_BLOCKLIST], "domain string"
+    )
+    keep = filter_domains(keep, bl, "canonical_url")
+    keep = filter_urls(
+        keep,
+        "canonical_url",
+        terms=_URL_TERMS,
+        threshold=_URL_SCORE_THRESHOLD,
+    )
+    # 4. per-domain cap, best pages by length
+    capped = cap_per_domain(
+        keep, _E2E_CAP, "canonical_url", order_col="n_chars"
+    )
+    # 5. long-form page synthesis + HTML strip + line structure
+    raw = F.coalesce(F.col("text"), F.lit(""))
+    toks = F.split(raw, " ")
+    pos = F.array_join(
+        F.transform(
+            toks,
+            lambda t, i: F.concat(t, F.lit("_"), (i + F.lit(1)).cast("string")),
+        ),
+        " ",
+    )
+    synth = capped.select(
+        "doc_id",
+        F.concat(
+            raw, F.lit(" "), pos, F.lit(" of and that have with")
+        ).alias("text"),
+    )
+    html = F.concat(
+        F.lit(_E2E_HTML_PRE),
+        F.replace(F.col("text"), F.lit(" value "), F.lit("</p><p>")),
+        F.lit(_E2E_HTML_POST),
+    )
+    lined = synth.select(
+        "doc_id",
+        F.replace(strip_html(html), F.lit(" table "), F.lit("\n")).alias(
+            "text"
+        ),
+    )
+    # 6. corpus-wide line dedup (collapse_exact=True: chained stage —
+    # the collapse doubles as the stage-boundary materialization)
+    ld = dedup_lines(lined, max_docs=1, collapse_exact=True).select(
+        "doc_id", "text"
+    )
+    # 7. BOTH Gopher halves at the published thresholds
+    cur = curate_corpus(ld, "gopher")
+    # 8. published-constant fuzzy dedup
+    ded = dedup_corpus(cur, "fineweb")
+    # 9. per-source yield
+    n_tok = F.size(
+        F.filter(
+            F.split(F.trim(F.col("text")), r"\s+"), lambda t: t != F.lit("")
+        )
+    )
+    return (
+        ded.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(n_tok).alias("n_tokens"),
+            F.min("doc_id").alias("min_id"),
+        )
     )
 
 
