@@ -813,6 +813,70 @@ def hamming64(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
+def banded_hamming_rep_pairs(
+    sig: DataFrame,
+    sig_col: str,
+    max_hamming: int,
+    *,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Pigeonhole-blocked near-dup pairs over a frame of 64-bit
+    signatures (``rep_id``, ``sig_col``) — EXACT within
+    ``max_hamming``: the signature splits into ``max_hamming + 1``
+    disjoint bit blocks, two signatures within distance d differ in
+    at most d blocks so they agree on at least one; candidates come
+    from the per-(block_idx, block_value) equi-join (never
+    all-pairs), then exact `hamming64` verify. ``max_bucket`` drops
+    degenerate blocks (e.g. the all-zeros block) at a documented
+    recall cost — the 100 TB skew guard. Returns (ra, rb, hamming),
+    ra < rb. Shared by `simhash_near_dups` (text) and
+    `multimodal.media_near_dups` (byte-dhash signatures); callers
+    collapse exact duplicates first and expand members after."""
+    nb = max_hamming + 1
+    bw, rem = divmod(64, nb)
+    widths = [bw + (1 if i < rem else 0) for i in range(nb)]
+    offsets = [sum(widths[:i]) for i in range(nb)]
+    s = F.col(sig_col)
+    blocks = sig.select(
+        "rep_id",
+        s.alias("_sig"),
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(s, offsets[i]).bitwiseAND(
+                        F.lit((1 << widths[i]) - 1)
+                    )
+                    for i in range(nb)
+                ]
+            )
+        ).alias("_bi", "_bv"),
+    )
+    if max_bucket is not None:
+        big = (
+            blocks.groupBy("_bi", "_bv")
+            .count()
+            .where(F.col("count") > max_bucket)
+            .select("_bi", "_bv")
+        )
+        blocks = blocks.join(big, ["_bi", "_bv"], "left_anti")
+    a = blocks.select(
+        "_bi", "_bv", F.col("rep_id").alias("ra"), F.col("_sig").alias("sh_a")
+    )
+    b = blocks.select(
+        "_bi", "_bv", F.col("rep_id").alias("rb"), F.col("_sig").alias("sh_b")
+    )
+    return (
+        a.join(b, ["_bi", "_bv"])
+        .where(F.col("ra") < F.col("rb"))
+        .select("ra", "rb", "sh_a", "sh_b")
+        .distinct()  # a pair may agree on several blocks
+        .select(
+            "ra", "rb", hamming64(F.col("sh_a"), F.col("sh_b")).alias("hamming")
+        )
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
 def simhash_near_dups(
     df: DataFrame,
     *,
@@ -850,11 +914,6 @@ def simhash_near_dups(
     the end via membership joins — linear in the output, with no
     per-group array held in a single row.
     """
-    nb = max_hamming + 1
-    bw, rem = divmod(64, nb)
-    widths = [bw + (1 if i < rem else 0) for i in range(nb)]
-    offsets = [sum(widths[:i]) for i in range(nb)]
-
     groups, members = _collapse_exact_texts(df, text_col, id_col, "simhash_near_dups")
     # materialized: sig feeds both self-join sides (and the bucket
     # census when max_bucket is set), ReuseExchange does not fire
@@ -866,43 +925,8 @@ def simhash_near_dups(
             groups.select("rep_id", F.col("_text").alias(text_col)), text_col
         ).select("rep_id", "simhash")
     )
-    blocks = sig.select(
-        "rep_id",
-        "simhash",
-        F.posexplode(
-            F.array(
-                *[
-                    F.shiftrightunsigned(F.col("simhash"), offsets[i]).bitwiseAND(
-                        F.lit((1 << widths[i]) - 1)
-                    )
-                    for i in range(nb)
-                ]
-            )
-        ).alias("_bi", "_bv"),
-    )
-    if max_bucket is not None:
-        big = (
-            blocks.groupBy("_bi", "_bv")
-            .count()
-            .where(F.col("count") > max_bucket)
-            .select("_bi", "_bv")
-        )
-        blocks = blocks.join(big, ["_bi", "_bv"], "left_anti")
-    a = blocks.select(
-        "_bi", "_bv", F.col("rep_id").alias("ra"), F.col("simhash").alias("sh_a")
-    )
-    b = blocks.select(
-        "_bi", "_bv", F.col("rep_id").alias("rb"), F.col("simhash").alias("sh_b")
-    )
-    rep_pairs = (
-        a.join(b, ["_bi", "_bv"])
-        .where(F.col("ra") < F.col("rb"))
-        .select("ra", "rb", "sh_a", "sh_b")
-        .distinct()  # a pair may agree on several blocks
-        .select(
-            "ra", "rb", hamming64(F.col("sh_a"), F.col("sh_b")).alias("hamming")
-        )
-        .where(F.col("hamming") <= max_hamming)
+    rep_pairs = banded_hamming_rep_pairs(
+        sig, "simhash", max_hamming, max_bucket=max_bucket
     )
     # cross-group expansion: every member pair inherits its reps'
     # distance (signatures depend only on the text)

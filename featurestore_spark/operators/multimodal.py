@@ -170,6 +170,163 @@ def build_image(fmt: str, width: int, height: int, channels: int = 3) -> bytes:
     raise ValueError(f"unsupported fixture format {fmt!r}")
 
 
+def dedup_media_exact(
+    df: DataFrame,
+    binary_col: str = "content",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Bytes-level exact dedup of a media column — the `exact_dedup` /
+    `url_dedup` analog for binary payloads (web image corpora are
+    dominated by byte-identical re-hosted files): one row per
+    distinct payload digest,
+
+    (content_md5, n_bytes, keep_id [minimum id], n_dups).
+
+    NULL payloads are dropped (no content to keep). One hash-groupBy
+    on the md5 STRING (never the payload itself) — the multi-MB bytes
+    stay in place; map-side combine collapses the duplicate mass
+    before the exchange. Join keep_id back to materialize kept rows.
+    """
+    c = F.col(binary_col)
+    return (
+        df.where(c.isNotNull())
+        .select(
+            F.col(id_col),
+            F.md5(c).alias("content_md5"),
+            F.length(c).cast("long").alias("n_bytes"),
+        )
+        .groupBy("content_md5")
+        .agg(
+            F.min("n_bytes").alias("n_bytes"),
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_dups"),
+        )
+    )
+
+
+def with_byte_dhash(
+    df: DataFrame, binary_col: str = "content", out_col: str = "byte_dhash"
+) -> DataFrame:
+    """64-bit difference-hash over the payload BYTE stream: the bytes
+    split into 65 equal spans (bounds ``floor(i*n/65)``), bit i set
+    when mean(span i+1) > mean(span i) — the 1-D analog of the
+    classic image dHash (gradient signs over a downsampled signal).
+    On raw/uncompressed payloads this IS a perceptual signature; on
+    compressed formats it is a coarse content signature that still
+    clusters byte-similar files (truncations, appended metadata).
+    Pixel-level dHash (decode, grayscale, 9x8 resize) would slot into
+    the same Arrow shape but needs an imaging library the sandbox
+    lacks — the signature definition is the documented stand-in,
+    everything downstream (banding, Hamming verify, member
+    expansion) is the real 100 TB machinery. NULL/empty payloads
+    hash to 0. Arrow-batched pandas UDF (numpy span means), no
+    shuffle."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _dhash(payloads):
+        import numpy as np
+        import pandas as pd
+
+        out = []
+        for p in payloads:
+            if p is None or len(p) == 0:
+                out.append(0)
+                continue
+            b = np.frombuffer(bytes(p), dtype=np.uint8)
+            n = len(b)
+            bounds = [(i * n) // 65 for i in range(66)]
+            means = [
+                b[bounds[i] : bounds[i + 1]].mean()
+                if bounds[i + 1] > bounds[i]
+                else 0.0
+                for i in range(65)
+            ]
+            val = 0
+            for i in range(64):
+                if means[i + 1] > means[i]:
+                    val |= 1 << i
+            out.append(val - (1 << 64) if val >= 1 << 63 else val)
+        return pd.Series(out)
+
+    return df.withColumn(out_col, _dhash(F.col(binary_col)))
+
+
+def media_near_dups(
+    df: DataFrame,
+    binary_col: str = "content",
+    id_col: str = "doc_id",
+    *,
+    max_hamming: int = 3,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Perceptual near-dup pairs over a media column — the
+    `simhash_near_dups` analog for binary payloads: byte-dhash
+    signatures with pigeonhole blocking, EXACT within
+    ``max_hamming``. Returns (a_id, b_id, hamming), a_id < b_id.
+
+    Scale shape mirrors the text path exactly: byte-identical
+    payloads are collapsed FIRST (groupBy on the md5 string; one
+    representative payload per distinct digest rides the exchange —
+    map-side combine drops the duplicate copies before the shuffle,
+    same convention as `_collapse_exact_texts` shipping min(_text) —
+    and the dhash UDF runs once per distinct payload), the block
+    self-join is
+    quadratic only in distinct-payload bucket sizes
+    (`dedup.banded_hamming_rep_pairs`, ``max_bucket`` guards
+    degenerate blocks), and duplicate groups re-expand at the end via
+    membership joins; exact-duplicate (intra-group) pairs are
+    emitted unconditionally at hamming 0."""
+    from featurestore_spark.operators.dedup import (
+        banded_hamming_rep_pairs,
+        intra_group_pairs,
+        member_side,
+    )
+    from featurestore_spark.operators.materialize import materialize
+
+    c = F.col(binary_col)
+    hashed = df.where(c.isNotNull()).select(
+        F.col(id_col).alias("_mid"),
+        F.md5(c).alias("_md5"),
+        c.alias("_payload"),
+    )
+    groups = hashed.groupBy("_md5").agg(
+        F.min("_mid").alias("rep_id"),
+        F.first("_payload").alias("_payload"),
+    )
+    # membership frame (3 consumers: two pair sides + intra pairs) —
+    # materialized so the md5 groupBy runs once
+    members = materialize(
+        hashed.select(F.col("_md5"), F.col("_mid").alias("member_id"))
+        .join(groups.select("_md5", "rep_id"), "_md5")
+        .select("rep_id", "member_id")
+    )
+    # materialized for the same reason as simhash_near_dups: the
+    # signature feeds both self-join sides, and the UDF must run once
+    # per distinct payload
+    sig = materialize(
+        with_byte_dhash(groups, "_payload", "byte_dhash").select(
+            "rep_id", "byte_dhash"
+        )
+    )
+    rep_pairs = banded_hamming_rep_pairs(
+        sig, "byte_dhash", max_hamming, max_bucket=max_bucket
+    )
+    cross = (
+        rep_pairs.join(member_side(members, "ra", "xa"), "ra")
+        .join(member_side(members, "rb", "xb"), "rb")
+        .select(
+            F.least("xa", "xb").alias("a_id"),
+            F.greatest("xa", "xb").alias("b_id"),
+            "hamming",
+        )
+    )
+    intra = intra_group_pairs(members).withColumn(
+        "hamming", F.lit(0).cast("int")
+    )
+    return cross.unionByName(intra)
+
+
 def sample_frames(
     df: DataFrame,
     binary_col: str = "content",

@@ -2600,6 +2600,70 @@ def q_image_meta(spark, sf_dir):
 
 
 @_register(
+    "q_image_dedup",
+    """
+    WITH eligible AS (
+      SELECT doc_id, doc_id % 97 AS g FROM documents
+      WHERE doc_id % 31 <> 0),
+    par AS (
+      SELECT doc_id, g,
+             CASE WHEN g % 3 = 0 THEN 3 + g % 2
+                  WHEN g % 3 = 1 THEN
+                       CASE WHEN g % 5 = 0 THEN 1 ELSE 3 END
+                  ELSE 3 END AS ch
+      FROM eligible)
+    SELECT min(doc_id) AS keep_id,
+           CAST(CASE g % 3 WHEN 0 THEN 33
+                           WHEN 1 THEN 30 + 3 * ch
+                           ELSE 13 END AS BIGINT) AS n_bytes,
+           CAST(count(*) AS BIGINT) AS n_dups
+    FROM par GROUP BY g, ch
+    """,
+    "Bytes-level exact image dedup (the multimodal analog of "
+    "url_dedup/exact_dedup): spec-correct PNG/JPEG/GIF payloads "
+    "synthesized in 97 duplicate groups (every 31st doc carries a "
+    "NULL payload and must drop), then deduped on the md5 digest — "
+    "one narrow groupBy, the multi-MB bytes never shuffle. The "
+    "oracle can't build the binary (PNG CRC), so it verifies the "
+    "exact group structure arithmetically: keeper id, duplicate "
+    "count, and the payload byte length (header math: PNG 33, JPEG "
+    "30+3*channels, GIF 13) per distinct payload. The perceptual "
+    "half (byte-dhash + pigeonhole banding, media_near_dups) is "
+    "pytest/invariant-covered — its signature has no SQL form.",
+)
+def q_image_dedup(spark, sf_dir):
+    from featurestore_spark.operators.multimodal import (
+        build_image,
+        dedup_media_exact,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(it):
+        for pdf in it:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                if did % 31 == 0:
+                    payloads.append(None)
+                    continue
+                g = did % 97
+                fmt = ("png", "jpeg", "gif")[g % 3]
+                w, h = 16 + (g * 7) % 240, 16 + (g * 13) % 240
+                if fmt == "png":
+                    c = 3 + g % 2
+                elif fmt == "jpeg":
+                    c = 1 if g % 5 == 0 else 3
+                else:
+                    c = 3
+                payloads.append(build_image(fmt, w, h, c))
+            yield pdf.assign(content=payloads)
+
+    with_img = docs.mapInPandas(synth, schema="doc_id long, content binary")
+    return dedup_media_exact(with_img).select("keep_id", "n_bytes", "n_dups")
+
+
+@_register(
     "q_embedding_topk",
     """
     WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 3),

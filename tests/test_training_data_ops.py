@@ -304,6 +304,94 @@ def test_decode_images_round_trip(spark):
     assert parse_image_header(b"\xff\xd8\xff") == (None, None, None, None)
 
 
+def test_dedup_media_exact_and_byte_dhash(spark):
+    """Bytes-level media dedup: exact half drops NULLs and keys on
+    the digest; byte-dhash is deterministic, 0 on empty/NULL, and
+    flips few bits under a small byte perturbation while a reversed
+    payload lands far away."""
+    from featurestore_spark.operators.multimodal import (
+        dedup_media_exact,
+        with_byte_dhash,
+    )
+
+    base = bytes(range(256)) * 8  # 2048 bytes, strong gradient
+    perturbed = bytearray(base)
+    perturbed[100] ^= 0xFF  # one byte flipped
+    rows = [
+        (1, bytearray(base)),
+        (2, bytearray(base)),       # exact dup of 1
+        (3, bytes(perturbed)),      # near dup of 1
+        (4, bytearray(base[::-1])),  # reversed: far signature
+        (5, None),
+        (6, b""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, content binary")
+    exact = {r["keep_id"]: r for r in dedup_media_exact(df).collect()}
+    assert exact[1]["n_dups"] == 2 and exact[1]["n_bytes"] == 2048
+    assert 3 in exact and 4 in exact and 6 in exact  # NULL (5) dropped
+    sigs = {
+        r["doc_id"]: r["byte_dhash"]
+        for r in with_byte_dhash(df).collect()
+    }
+    assert sigs[1] == sigs[2]  # identical bytes -> identical signature
+    assert sigs[5] == 0 and sigs[6] == 0
+    from featurestore_spark.operators.dedup import hamming64
+
+    d = spark.createDataFrame(
+        [(sigs[1], sigs[3]), (sigs[1], sigs[4])], "a long, b long"
+    ).select(hamming64(F.col("a"), F.col("b")).alias("h")).collect()
+    near, far = d[0]["h"], d[1]["h"]
+    assert near <= 3, near  # one flipped byte moves <= a few gradient signs
+    assert far > 16, far  # reversed gradient flips most bits
+
+
+def test_media_near_dups_exact_within_hamming(spark):
+    """media_near_dups == brute-force byte-dhash Hamming within
+    max_hamming (pigeonhole recall is exact by construction), with
+    intra-group (byte-identical) pairs at hamming 0 regardless of
+    bucket caps — and replication-invariant signatures (the dhash
+    runs per DISTINCT payload; duplicating a payload changes no
+    cross-group distance)."""
+    import itertools
+    import random
+
+    from featurestore_spark.operators.dedup import hamming64
+    from featurestore_spark.operators.multimodal import (
+        media_near_dups,
+        with_byte_dhash,
+    )
+
+    random.seed(11)
+    payloads = []
+    for i in range(12):
+        b = bytearray(bytes(range(256)) * 4)
+        for _ in range(i % 4):  # progressively perturbed variants
+            b[random.randrange(len(b))] ^= 0xFF
+        payloads.append((i, bytes(b)))
+    payloads.append((12, payloads[3][1]))  # exact duplicate of 3
+    df = spark.createDataFrame(payloads, "doc_id long, content binary")
+    sigs = {
+        r["doc_id"]: r["byte_dhash"] for r in with_byte_dhash(df).collect()
+    }
+    want = set()
+    for (a, _), (b, _) in itertools.combinations(payloads, 2):
+        h = bin((sigs[a] ^ sigs[b]) & ((1 << 64) - 1)).count("1")
+        if h <= 3:
+            want.add((min(a, b), max(a, b), h))
+    got = {
+        (r["a_id"], r["b_id"], r["hamming"])
+        for r in media_near_dups(df, max_hamming=3).collect()
+    }
+    assert got == want and (3, 12, 0) in got
+    # exact-dup pairs survive even a zero bucket cap (docs 0/4/8 are
+    # byte-identical too: i % 4 == 0 applies zero perturbations)
+    capped = {
+        (r["a_id"], r["b_id"])
+        for r in media_near_dups(df, max_hamming=3, max_bucket=0).collect()
+    }
+    assert capped == {(0, 4), (0, 8), (4, 8), (3, 12)}
+
+
 def test_train_centroids_round_decimals_is_negligible(spark):
     """round_decimals=6 (the oracle-replay knob behind q_ivf_serve)
     perturbs each centroid coordinate by < 1e-6 and leaves the
