@@ -6956,76 +6956,76 @@ def q_refinedweb_e2e(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 _DRIVER_PRIORITY = [
-    # Round-9 rotation (VERDICT r8 #1): the 32 queries whose last
-    # driver evidence is r6 — the full TPC-H block, the event-window
-    # aggregate family, and the four r8 cessions — lead, stalest
-    # first. These are the longest-unchanged code paths in the repo
-    # (r2-r4 vintage); every one is also green in the per-round
-    # check_oracle sweeps at sf0.01 and sf0.1.
-    "q_tpch_q1",
-    "q_tpch_q2",
-    "q_tpch_q3",
-    "q_tpch_q4",
-    "q_tpch_q5",
-    "q_tpch_q6",
-    "q_tpch_q7",
-    "q_tpch_q8",
-    "q_tpch_q9",
-    "q_tpch_q10",
-    "q_tpch_q12",
-    "q_tpch_q13",
-    "q_tpch_q14",
-    "q_tpch_q15",
-    "q_tpch_q18",
-    "q_tpch_q19",
-    "q_tpch_q22",
-    "q_event_count_window",
-    "q_event_distinct_window",
-    "q_event_sum_window",
-    "q_days_since_latest",
-    "q_days_since_earliest",
-    "q_full_paths",
-    "q_previous_interactions",
-    "q_top_customers",
-    "q_hash_split",
-    "q_image_meta",
-    "q_pivot_chord",
-    "q_boilerplate",
-    "q_pack_chunks",
-    "q_dq_assertion",
-    "q_sniff_csv",
-    # ...the eight queries NEW this round (URL/domain filtering, the
-    # domain rollup + per-domain cap, the Gopher repetition half and
-    # its one-call preset capstone, the fineweb dedup preset, the
-    # BPE-apply value oracle)...
-    "q_url_filter",
-    "q_gopher_repetition",
-    "q_dedup_preset",
-    "q_bpe_apply",
-    "q_domain_rollup",
-    "q_domain_cap",
-    "q_curate_gopher",
-    # ...every query whose code path or oracle CHANGED this round:
-    # the web fixture/PSL/NULL-host re-pin (q_canonical_url,
-    # q_url_dedup, q_web_funnel now with the filter stages) and
-    # dedup_keep_best's NULL-id carve-out (q_dedup_best)...
+    # Round-10 rotation (VERDICT r9 #1): the 36 queries whose last
+    # driver evidence is r7 — the BM25/LM, temporal, incremental,
+    # sampling, quantize and r7-curation families — lead, stalest
+    # first. Every one is also green in the per-round check_oracle
+    # sweeps at sf0.01 and sf0.1.
+    "q_current_events",
+    "q_lang_id",
+    "q_ngram_containment",
+    "q_simhash_near_dups",
+    "q_embedding_ann_lsh",
+    "q_incremental_embedding_dedup",
+    "q_repetition",
+    "q_redact_pii",
+    "q_quality_filter",
+    "q_asof_purchase",
+    "q_interval_join",
+    "q_time_rollup",
+    "q_attribution",
+    "q_quality_buckets",
+    "q_incremental_line_dedup",
+    "q_shard_corpus",
+    "q_incremental_spans",
+    "q_normalize_text",
+    "q_cluster_balance",
+    "q_decontaminate_spans",
+    "q_token_budget_sample",
+    "q_embedding_clusters",
+    "q_ivf_pq_topk",
+    "q_semantic_dedup",
+    "q_bm25_topk",
+    "q_bm25_index_topk",
+    "q_lm_perplexity",
+    "q_source_divergence",
+    "q_ngram_novelty",
+    "q_dsir_weights",
+    "q_strip_html",
+    "q_temperature_mixture",
+    "q_repeat_epochs",
+    "q_nb_classify",
+    "q_hard_negatives",
+    "q_bpe_segment",
+    # ...the four queries NEW this round (the end-to-end published-
+    # pipeline capstone, the paper-exact positional repetition
+    # variant, the trained char-ngram language-ID, the bytes-level
+    # image dedup)...
+    "q_refinedweb_e2e",
+    "q_gopher_positional",
+    "q_lid_classify",
+    "q_image_dedup",
+    # ...every query whose code path changed this round: web.py
+    # (PSL file-format parsing, url_word_score case-dedup) re-pins
+    # the six web queries; curation.py (positional branch) re-pins
+    # the two gopher queries; search.py (tokens= generalization +
+    # the empty-model base guard) re-pins q_nb_classify (already in
+    # the stale block above) — note q_simhash_near_dups (dedup.py
+    # banding refactor) is also already in the stale block...
     "q_canonical_url",
     "q_url_dedup",
+    "q_url_filter",
+    "q_domain_rollup",
+    "q_domain_cap",
     "q_web_funnel",
-    "q_dedup_best",
-    # ...then 7 of the 43 r7-window queries (next-stalest): the
-    # remaining TPC-H five — completing the whole block in ONE
-    # artifact — plus the event/vault/graph/text representatives.
-    "q_tpch_q11",
-    "q_tpch_q16",
-    "q_tpch_q17",
-    "q_tpch_q20",
-    "q_tpch_q21",
-    "q_link_customer_order",
-    "q_entity_resolution",
-    # --- driver window ends here (first 50). The other 36 r7-window
-    # queries (BM25/LM/temporal/incremental/sampling families) have
-    # one-round-old evidence and lead the r10 rotation.
+    "q_gopher_repetition",
+    "q_curate_gopher",
+    # ...then the next-stalest r8 queries up to the 50-slot window.
+    "q_sessionize",
+    "q_session_stats",
+    # --- driver window ends here (first 50). The 46-query r8 block
+    # (events/vault/star + the dedup/embedding families) is
+    # two-rounds-old at r10 close and leads the r11 rotation.
 ]
 
 

@@ -97,6 +97,64 @@ def ensure_stress(factor: int, base: str) -> str:
     return out
 
 
+def check_window_cadence(max_stale_rounds: int = 2) -> bool:
+    """Driver-evidence cadence guard (VERDICT r9 #8): every catalog
+    query's last driver-green round must be at most
+    ``max_stale_rounds`` old AFTER this round's artifact lands —
+    i.e. each query either appears in some CORRECTNESS_r*.json
+    recently enough, or sits in the CURRENT first-50 driver window
+    (which becomes this round's artifact). Fails the round when the
+    rotation discipline would let a query's driver evidence go stale,
+    instead of leaving the discipline by-convention."""
+    import glob
+    import json
+    import re
+
+    sys.path.insert(0, REPO)
+    from featurestore_spark.queries.catalog import (
+        QUERIES,
+        _DRIVER_PRIORITY,
+    )
+
+    last: dict[str, int] = {}
+    rounds = []
+    for f in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")):
+        m = re.search(r"r(\d+)", os.path.basename(f))
+        if not m:
+            continue
+        r = int(m.group(1))
+        rounds.append(r)
+        d = json.load(open(f))
+        qs = d.get("queries", d) if isinstance(d, dict) else d
+        names = qs.keys() if isinstance(qs, dict) else [
+            row["name"] if isinstance(row, dict) else row for row in qs
+        ]
+        for q in names:
+            last[q] = max(last.get(q, 0), r)
+    current = (max(rounds) if rounds else 0) + 1
+    window = set(_DRIVER_PRIORITY[:50])
+    stale = sorted(
+        q
+        for q in QUERIES
+        if q not in window
+        and current - last.get(q, -(10**6)) > max_stale_rounds
+    )
+    if stale:
+        print(
+            f"FAIL  window_cadence: {len(stale)} queries would exceed "
+            f"{max_stale_rounds}-round driver staleness at r{current} "
+            f"close and are NOT in the current 50-slot window: "
+            f"{stale[:10]}{'...' if len(stale) > 10 else ''}"
+        )
+        return False
+    n_cov = sum(1 for q in QUERIES if q in window or q in last)
+    print(
+        f"PASS  window_cadence              {0.0:7.1f}s  "
+        f"(window 50, {n_cov}/{len(QUERIES)} covered, r{current})"
+    )
+    return True
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--factors", type=int, nargs="*", default=[3, 10])
@@ -107,6 +165,7 @@ def main() -> int:
     args = ap.parse_args()
 
     results: list[tuple[str, bool, float]] = []
+    results.append(("window_cadence", check_window_cadence(), 0.0))
 
     if not args.skip_sweeps:
         for sf in ("/root/testdata/sf0.01", "/root/testdata/sf0.1"):
