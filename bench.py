@@ -162,6 +162,13 @@ HEADLINE = [
     "q_curate_gopher",
     "q_dedup_preset",
     "q_bpe_apply",
+    # Round 10: the end-to-end published-pipeline capstone, the
+    # paper-exact positional repetition variant, the trained
+    # char-ngram language-ID, the bytes-level image dedup
+    "q_refinedweb_e2e",
+    "q_gopher_positional",
+    "q_lid_classify",
+    "q_image_dedup",
 ]
 
 # Zero-code-change drift control (VERDICT r6 #8): the TPC-H block has
