@@ -327,6 +327,35 @@ def media_near_dups(
     return cross.unionByName(intra)
 
 
+def dedup_media_docs(
+    df: DataFrame,
+    binary_col: str = "content",
+    id_col: str = "doc_id",
+    *,
+    max_hamming: int = 3,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """One-call media dedup — the `dedup_keep_docs` analog for binary
+    payloads: drop every row whose payload is byte-identical OR
+    byte-dhash-near (within ``max_hamming``) to a LOWER-id row's,
+    keep everything else. Returns the kept rows of `df` (all
+    columns). Same keep-lowest-id rule as the text ladder: a doc
+    drops when ANY verified pair links it to a smaller id, so chains
+    collapse toward their minimum without an explicit
+    connected-components pass. NULL payloads are kept (nothing to
+    compare; drop them upstream if unwanted). Cost is
+    `media_near_dups` plus one anti-join on the id."""
+    pairs = media_near_dups(
+        df,
+        binary_col,
+        id_col,
+        max_hamming=max_hamming,
+        max_bucket=max_bucket,
+    )
+    drops = pairs.select(F.col("b_id").alias(id_col)).distinct()
+    return df.join(drops, id_col, "left_anti")
+
+
 def sample_frames(
     df: DataFrame,
     binary_col: str = "content",

@@ -390,6 +390,19 @@ def test_media_near_dups_exact_within_hamming(spark):
         for r in media_near_dups(df, max_hamming=3, max_bucket=0).collect()
     }
     assert capped == {(0, 4), (0, 8), (4, 8), (3, 12)}
+    # one-call keep-docs: every doc with a pair to a lower id drops
+    from featurestore_spark.operators.multimodal import dedup_media_docs
+
+    want_drop = {b for _, b, _ in want}
+    kept = {r["doc_id"] for r in dedup_media_docs(df, max_hamming=3).collect()}
+    assert kept == {i for i, _ in payloads} - want_drop
+    # NULL payloads pass through untouched
+    with_null = df.unionByName(
+        spark.createDataFrame([(99, None)], "doc_id long, content binary")
+    )
+    assert 99 in {
+        r["doc_id"] for r in dedup_media_docs(with_null, max_hamming=3).collect()
+    }
 
 
 def test_train_centroids_round_decimals_is_negligible(spark):
