@@ -169,6 +169,7 @@ HEADLINE = [
     "q_gopher_positional",
     "q_lid_classify",
     "q_image_dedup",
+    "q_gif_frames",
 ]
 
 # Zero-code-change drift control (VERDICT r6 #8): the TPC-H block has

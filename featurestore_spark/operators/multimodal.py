@@ -356,16 +356,147 @@ def dedup_media_docs(
     return df.join(drops, id_col, "left_anti")
 
 
+def parse_gif_frames(payload: bytes | None, max_frames: int = 64):
+    """REAL multi-frame parse of a GIF payload (stdlib-only, the
+    `parse_image_header` analog for the animation structure): walk
+    the GIF block stream — header, logical screen descriptor,
+    optional global color table, then extension blocks (0x21, length-
+    prefixed sub-blocks) and image descriptors (0x2C, local color
+    table + LZW minimum code size + data sub-blocks) — and return a
+    list of (byte_offset, left, top, width, height) per frame, capped
+    at ``max_frames``. Corrupt/truncated payloads return the frames
+    parsed so far (possibly []); non-GIF payloads return None — the
+    same nulls-not-failures contract as the image header decoder."""
+    if not payload or len(payload) < 13 or bytes(payload[:6]) not in (
+        b"GIF87a",
+        b"GIF89a",
+    ):
+        return None
+    b = bytes(payload)
+    frames = []
+    try:
+        # logical screen descriptor: 7 bytes after the 6-byte header
+        packed = b[10]
+        i = 13
+        if packed & 0x80:  # global color table present
+            i += 3 * (2 << (packed & 0x07))
+        while i < len(b) and len(frames) < max_frames:
+            block = b[i]
+            if block == 0x3B:  # trailer
+                break
+            if block == 0x21:  # extension: label + sub-blocks
+                i += 2
+                while i < len(b) and b[i] != 0:
+                    i += 1 + b[i]
+                i += 1  # block terminator
+            elif block == 0x2C:  # image descriptor
+                left, top, w, h = struct.unpack("<HHHH", b[i + 1 : i + 9])
+                frames.append((i, left, top, w, h))
+                lpacked = b[i + 9]
+                i += 10
+                if lpacked & 0x80:  # local color table
+                    i += 3 * (2 << (lpacked & 0x07))
+                i += 1  # LZW minimum code size
+                while i < len(b) and b[i] != 0:
+                    i += 1 + b[i]
+                i += 1
+            else:  # unknown block: stop (corrupt stream)
+                break
+    except (IndexError, struct.error):
+        pass
+    return frames
+
+
+def sample_gif_frames(
+    df: DataFrame,
+    binary_col: str = "content",
+    *,
+    every_k: int = 1,
+    max_frames: int = 64,
+) -> DataFrame:
+    """One output row per sampled GIF frame — the REAL frame-sampling
+    path for the one multi-frame format parseable without a codec
+    library: `parse_gif_frames` walks the block stream inside
+    Arrow-batched mapInPandas (header/descriptor bytes only, no LZW
+    decode), emitting (frame_idx, frame_offset, frame_left,
+    frame_top, frame_width, frame_height) for every ``every_k``-th
+    frame. Non-GIF or frameless payloads produce no rows (filter
+    upstream to keep them). Video formats stay on the `sample_frames`
+    byte-offset stub — their containers need codec libraries the
+    sandbox lacks; this operator is the shape they would slot into."""
+    fields = [
+        ("frame_idx", "int"),
+        ("frame_offset", "long"),
+        ("frame_left", "int"),
+        ("frame_top", "int"),
+        ("frame_width", "int"),
+        ("frame_height", "int"),
+    ]
+    out_schema = ", ".join(
+        [f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields]
+        + [f"{n} {t}" for n, t in fields]
+    )
+
+    def batches(it):
+        for pdf in it:
+            rows = []
+            for _, row in pdf.iterrows():
+                frames = parse_gif_frames(row[binary_col], max_frames=max_frames)
+                if not frames:
+                    continue
+                for idx in range(0, len(frames), every_k):
+                    off, left, top, w, h = frames[idx]
+                    r = row.to_dict()
+                    r.update(
+                        frame_idx=idx,
+                        frame_offset=off,
+                        frame_left=left,
+                        frame_top=top,
+                        frame_width=w,
+                        frame_height=h,
+                    )
+                    rows.append(r)
+            import pandas as pd
+
+            cols = list(pdf.columns) + [n for n, _ in fields]
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.mapInPandas(batches, schema=out_schema)
+
+
+def build_gif_animation(
+    width: int, height: int, frames: list[tuple[int, int, int, int]]
+) -> bytes:
+    """Minimal VALID multi-frame GIF89a payload — the fixture side of
+    the frame-walk round-trip: logical screen (no global color
+    table), a graphic-control extension before each frame, each frame
+    an image descriptor at (left, top, w, h) with a 2-color local
+    color table and a minimal LZW data stream."""
+    out = bytearray(b"GIF89a" + struct.pack("<HH", width, height) + bytes(3))
+    for left, top, w, h in frames:
+        # graphic control extension (exercises the extension walker)
+        out += b"\x21\xf9\x04" + bytes(4) + b"\x00"
+        out += b"\x2c" + struct.pack("<HHHH", left, top, w, h)
+        out += bytes([0x80])  # local color table, 2 entries
+        out += bytes(6)  # 2 RGB entries
+        out += bytes([2])  # LZW minimum code size
+        out += bytes([1, 0x44, 0])  # one data sub-block + terminator
+    out += b"\x3b"
+    return bytes(out)
+
+
 def sample_frames(
     df: DataFrame,
     binary_col: str = "content",
     every_n_bytes: int = 1024,
     max_frames: int = 8,
 ) -> DataFrame:
-    """Frame-sampling plumbing: one output row per sampled "frame"
-    offset (a real video sampler would decode at timestamps; the
-    offsets + explode shape are identical). Deterministic stub over
-    payload length."""
+    """Frame-sampling plumbing for codec-bound formats (video): one
+    output row per sampled "frame" offset (a real video sampler would
+    decode at timestamps; the offsets + explode shape are identical).
+    Deterministic stub over payload length — see `sample_gif_frames`
+    for the REAL walker over the one container parseable without a
+    codec library."""
     n = F.length(F.col(binary_col)).cast("long")
     n_frames = F.least(F.lit(max_frames), F.greatest((n / every_n_bytes).cast("int"), F.lit(1)))
     offsets = F.sequence(F.lit(0), n_frames - 1)

@@ -2664,6 +2664,70 @@ def q_image_dedup(spark, sf_dir):
 
 
 @_register(
+    "q_gif_frames",
+    """
+    WITH f AS (
+      SELECT doc_id, unnest(generate_series(0, doc_id % 4)) AS fi
+      FROM documents)
+    SELECT doc_id, CAST(fi AS INTEGER) AS frame_idx,
+           CAST(21 + 28 * fi AS BIGINT) AS frame_offset,
+           CAST(fi AS INTEGER) AS frame_left,
+           CAST((doc_id + fi) % 7 AS INTEGER) AS frame_top,
+           CAST(4 + (doc_id + fi) % 9 AS INTEGER) AS frame_width,
+           CAST(3 + (doc_id + 2 * fi) % 5 AS INTEGER) AS frame_height
+    FROM f
+    """,
+    "REAL multi-frame GIF walk round-trip (closes the r9 "
+    "sample_frames-is-a-stub residual for the one multi-frame format "
+    "parseable without a codec): spec-correct GIF89a animations "
+    "synthesized per doc_id (1 + doc_id%4 frames, graphic-control "
+    "extension + 2-color local table + minimal LZW stream per "
+    "frame), then sample_gif_frames walks the block stream inside "
+    "mapInPandas emitting per-frame (offset, left, top, w, h). The "
+    "oracle recomputes every descriptor arithmetically (frame k "
+    "starts at byte 21 + 28k in this fixture), so any walker drift — "
+    "extension skip, local-color-table sizing, sub-block walk — "
+    "hash-mismatches. Video containers stay on the documented "
+    "byte-offset stub (codec-bound).",
+)
+def q_gif_frames(spark, sf_dir):
+    from featurestore_spark.operators.multimodal import (
+        build_gif_animation,
+        sample_gif_frames,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(it):
+        for pdf in it:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                frames = [
+                    (
+                        i,
+                        (did + i) % 7,
+                        4 + (did + i) % 9,
+                        3 + (did + 2 * i) % 5,
+                    )
+                    for i in range(1 + did % 4)
+                ]
+                payloads.append(build_gif_animation(16, 12, frames))
+            yield pdf.assign(content=payloads)
+
+    with_gif = docs.mapInPandas(synth, schema="doc_id long, content binary")
+    return sample_gif_frames(with_gif).select(
+        "doc_id",
+        "frame_idx",
+        "frame_offset",
+        "frame_left",
+        "frame_top",
+        "frame_width",
+        "frame_height",
+    )
+
+
+@_register(
     "q_embedding_topk",
     """
     WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 3),
@@ -7005,6 +7069,7 @@ _DRIVER_PRIORITY = [
     "q_gopher_positional",
     "q_lid_classify",
     "q_image_dedup",
+    "q_gif_frames",
     # ...every query whose code path changed this round: web.py
     # (PSL file-format parsing, url_word_score case-dedup) re-pins
     # the six web queries; curation.py (positional branch) re-pins
@@ -7020,9 +7085,8 @@ _DRIVER_PRIORITY = [
     "q_web_funnel",
     "q_gopher_repetition",
     "q_curate_gopher",
-    # ...then the next-stalest r8 queries up to the 50-slot window.
+    # ...then the next-stalest r8 query up to the 50-slot window.
     "q_sessionize",
-    "q_session_stats",
     # --- driver window ends here (first 50). The 46-query r8 block
     # (events/vault/star + the dedup/embedding families) is
     # two-rounds-old at r10 close and leads the r11 rotation.

@@ -405,6 +405,45 @@ def test_media_near_dups_exact_within_hamming(spark):
     }
 
 
+def test_gif_frame_walk_round_trip(spark):
+    """Real GIF block-stream walk: multi-frame payloads built by
+    build_gif_animation parse back to their exact frame descriptors;
+    non-GIF payloads yield None; single-frame build_image GIFs have
+    exactly one frame; every_k sampling takes every k-th frame."""
+    from featurestore_spark.operators.multimodal import (
+        build_gif_animation,
+        build_image,
+        parse_gif_frames,
+        sample_gif_frames,
+    )
+
+    spec = [(0, 0, 10, 8), (2, 1, 5, 4), (7, 3, 3, 2)]
+    anim = build_gif_animation(16, 12, spec)
+    frames = parse_gif_frames(anim)
+    assert [(f[1], f[2], f[3], f[4]) for f in frames] == spec
+    assert all(anim[f[0]] == 0x2C for f in frames)  # offsets land on 0x2C
+    assert parse_gif_frames(build_image("png", 4, 4)) is None
+    assert parse_gif_frames(None) is None
+    assert parse_gif_frames(anim[:20]) == [] or parse_gif_frames(anim[:20])
+    single = parse_gif_frames(build_image("gif", 7, 9))
+    assert single == []  # build_image's GIF has no image descriptor
+    # Spark path: one row per sampled frame, schema appended
+    df = spark.createDataFrame(
+        [(1, bytearray(anim)), (2, bytearray(build_image("png", 4, 4))), (3, None)],
+        "doc_id long, content binary",
+    )
+    rows = sample_gif_frames(df).collect()
+    assert {(r["doc_id"], r["frame_idx"]) for r in rows} == {
+        (1, 0), (1, 1), (1, 2)
+    }
+    got = {r["frame_idx"]: (r["frame_left"], r["frame_top"],
+                            r["frame_width"], r["frame_height"])
+           for r in rows}
+    assert got == {i: s for i, s in enumerate(spec)}
+    every2 = sample_gif_frames(df, every_k=2).collect()
+    assert {r["frame_idx"] for r in every2} == {0, 2}
+
+
 def test_train_centroids_round_decimals_is_negligible(spark):
     """round_decimals=6 (the oracle-replay knob behind q_ivf_serve)
     perturbs each centroid coordinate by < 1e-6 and leaves the
