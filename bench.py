@@ -170,6 +170,7 @@ HEADLINE = [
     "q_lid_classify",
     "q_image_dedup",
     "q_gif_frames",
+    "q_incremental_url_dedup",
 ]
 
 # Zero-code-change drift control (VERDICT r6 #8): the TPC-H block has

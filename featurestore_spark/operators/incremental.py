@@ -707,6 +707,92 @@ def extend_index(
     return index.unionByName(new_rows)
 
 
+# -- canonical-URL index (incremental recrawl dedup) ---------------------------
+
+
+def url_index(
+    df: DataFrame, url_col: str = "url", *, strip_www: bool = False
+) -> DataFrame:
+    """Distinct-canonical-URL index for incremental recrawl dedup:
+    one ``url_hash`` row (the 128-bit two-seeded struct,
+    `dedup.hash128`) per distinct canonical URL — 16 bytes per seen
+    page, the only state a recrawl needs to skip already-fetched
+    resources. Persist as parquet (ideally bucketed by url_hash so
+    batch joins co-locate); extend per accepted batch with
+    `extend_url_index`. 128-bit keys for the same reason as the
+    line/span indexes: a frontier index holds billions of distinct
+    URLs, where 64-bit birthday collisions are expected and each one
+    silently DROPS a never-fetched page. NULL-canonical rows (no
+    host) are excluded — `canonical_url` semantics."""
+    from featurestore_spark.operators.dedup import hash128
+    from featurestore_spark.operators.web import canonical_url
+
+    canon = canonical_url(url_col, strip_www=strip_www)
+    return (
+        df.select(canon.alias("_cu"))
+        .where(F.col("_cu").isNotNull())
+        .select(hash128(F.col("_cu")).alias("url_hash"))
+        .distinct()
+    )
+
+
+def dedup_urls_against_index(
+    batch: DataFrame,
+    index: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    *,
+    strip_www: bool = False,
+    out_col: str = "canonical_url",
+) -> DataFrame:
+    """URL-level dedup of a crawl batch against a persisted
+    `url_index`, without re-reading the corpus — the recrawl shape of
+    `web.url_dedup`: keep each batch row whose canonical URL is (a)
+    NEW to the index and (b) first within the batch (minimum id among
+    the batch rows sharing the canonical form). Returns the kept
+    batch rows (all columns) plus ``out_col``; NULL-canonical rows
+    drop (no fetchable resource), same contract as `url_dedup`.
+
+    Scale shape: the batch-internal collapse is one groupBy on the
+    canonical string (map-side combine) + a semi-join back; the index
+    probe is an equi-anti-join on the 16-byte hash key — the index's
+    billions of rows never broadcast, and only hashes move."""
+    from featurestore_spark.operators.dedup import hash128
+    from featurestore_spark.operators.web import canonical_url
+
+    _require_hash128(index, "url_hash", "dedup_urls_against_index")
+    canon = batch.withColumn(
+        out_col, canonical_url(url_col, strip_www=strip_www)
+    ).where(F.col(out_col).isNotNull())
+    first = canon.groupBy(out_col).agg(F.min(id_col).alias(id_col))
+    kept = canon.join(first, [id_col, out_col], "left_semi")
+    return (
+        kept.withColumn("_uh", hash128(F.col(out_col)))
+        .join(
+            index.select(F.col("url_hash").alias("_uh")), "_uh", "left_anti"
+        )
+        .drop("_uh")
+    )
+
+
+def extend_url_index(index: DataFrame, kept: DataFrame,
+                     url_col: str = "canonical_url") -> DataFrame:
+    """Append the accepted batch's canonical URLs to the index for
+    the next batch (union + distinct here for in-session chaining;
+    production appends just the new hash rows to the parquet index).
+    ``url_col`` must already BE canonical (pass
+    `dedup_urls_against_index`'s output through)."""
+    from featurestore_spark.operators.dedup import hash128
+
+    _require_hash128(index, "url_hash", "extend_url_index")
+    new_rows = (
+        kept.select(F.col(url_col).alias("_cu"))
+        .where(F.col("_cu").isNotNull())
+        .select(hash128(F.col("_cu")).alias("url_hash"))
+    )
+    return index.unionByName(new_rows).distinct()
+
+
 # -- line-frequency index (incremental line-level dedup) ----------------------
 
 

@@ -6487,6 +6487,46 @@ def q_url_dedup(spark, sf_dir):
     return url_dedup(docs.select("doc_id", _web_url_col().alias("url")))
 
 
+@_register(
+    "q_incremental_url_dedup",
+    _WEB_SQL
+    + """
+    , corpus AS (
+      SELECT DISTINCT canonical_url FROM dom
+      WHERE doc_id % 7 = 0 AND canonical_url IS NOT NULL),
+    batch AS (
+      SELECT doc_id, canonical_url FROM dom
+      WHERE doc_id % 7 <> 0 AND canonical_url IS NOT NULL),
+    keepers AS (
+      SELECT canonical_url, min(doc_id) AS doc_id FROM batch
+      GROUP BY canonical_url)
+    SELECT k.doc_id, k.canonical_url
+    FROM keepers k LEFT JOIN corpus c USING (canonical_url)
+    WHERE c.canonical_url IS NULL
+    """,
+    "Incremental recrawl URL dedup: the batch (doc_id % 7 <> 0) "
+    "deduped against a persisted distinct-canonical-URL index of the "
+    "accepted corpus (doc_id % 7 = 0) — the corpus URLs are never "
+    "re-canonicalized; a batch row survives when its canonical form "
+    "is new to the index AND first within the batch. Index rows are "
+    "16-byte 128-bit hashes (billions of frontier URLs make 64-bit "
+    "collisions expected, and each one silently drops a never-"
+    "fetched page); the probe is an equi-anti-join on the hash — "
+    "the index never broadcasts, only hashes move.",
+)
+def q_incremental_url_dedup(spark, sf_dir):
+    from featurestore_spark.operators.incremental import (
+        dedup_urls_against_index,
+        url_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    u = docs.select("doc_id", _web_url_col().alias("url"))
+    idx = url_index(u.where(F.col("doc_id") % 7 == 0))
+    out = dedup_urls_against_index(u.where(F.col("doc_id") % 7 != 0), idx)
+    return out.select("doc_id", "canonical_url")
+
+
 # Shared URL-filtering fixture constants: the term weights and
 # threshold of the soft URL score, and the domain blocklists — kept
 # in one place so the Spark queries and the oracle SQL can never
@@ -7070,6 +7110,7 @@ _DRIVER_PRIORITY = [
     "q_lid_classify",
     "q_image_dedup",
     "q_gif_frames",
+    "q_incremental_url_dedup",
     # ...every query whose code path changed this round: web.py
     # (PSL file-format parsing, url_word_score case-dedup) re-pins
     # the six web queries; curation.py (positional branch) re-pins
@@ -7085,8 +7126,6 @@ _DRIVER_PRIORITY = [
     "q_web_funnel",
     "q_gopher_repetition",
     "q_curate_gopher",
-    # ...then the next-stalest r8 query up to the 50-slot window.
-    "q_sessionize",
     # --- driver window ends here (first 50). The 46-query r8 block
     # (events/vault/star + the dedup/embedding families) is
     # two-rounds-old at r10 close and leads the r11 rotation.

@@ -789,6 +789,48 @@ def test_verify_disjoint_ids_asymmetric_exact_path(spark):
         verify_disjoint_ids(a, b, "doc_id", "merge")
 
 
+def test_url_index_recrawl_round_trip(spark):
+    """Incremental recrawl URL dedup: a batch row survives iff its
+    canonical form is new to the index AND first within the batch;
+    NULL-canonical rows drop; extend_url_index makes a re-crawled
+    batch fully collapse on the next pass; an old-format index fails
+    fast."""
+    from featurestore_spark.operators.incremental import (
+        dedup_urls_against_index,
+        extend_url_index,
+        url_index,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, "http://A.com/x?utm_s=1"), (2, "http://a.com/y#frag")],
+        "doc_id long, url string",
+    )
+    idx = url_index(corpus)
+    batch = spark.createDataFrame(
+        [
+            (10, "HTTP://a.COM:80/x/"),   # canonical dup of corpus 1
+            (11, "http://a.com/z"),        # new
+            (12, "http://a.com/z?utm_a=1"),  # batch-internal dup of 11
+            (13, "/robots.txt"),            # NULL canonical -> drop
+            (14, "http://b.org/w"),         # new
+        ],
+        "doc_id long, url string",
+    )
+    kept = dedup_urls_against_index(batch, idx)
+    got = {r["doc_id"]: r["canonical_url"] for r in kept.collect()}
+    assert got == {11: "http://a.com/z", 14: "http://b.org/w"}
+    # extend, then the SAME batch is fully seen
+    idx2 = extend_url_index(idx, kept)
+    assert dedup_urls_against_index(batch, idx2).count() == 0
+    # idempotent extension (distinct), 128-bit contract enforced
+    assert extend_url_index(idx2, kept).count() == idx2.count()
+    import pytest as _pytest
+
+    old = spark.createDataFrame([], "url_hash bigint")
+    with _pytest.raises(ValueError, match="128-bit"):
+        dedup_urls_against_index(batch, old)
+
+
 def test_against_index_rejects_64bit_line_index(spark, corpus):
     """A pre-round-6 bigint-keyed index fails fast with the rebuild
     instruction, not an opaque join type-mismatch (ADVICE r6)."""
