@@ -252,6 +252,52 @@ def with_byte_dhash(
     return df.withColumn(out_col, _dhash(F.col(binary_col)))
 
 
+def _media_rep_pairs(
+    df: DataFrame,
+    binary_col: str,
+    id_col: str,
+    max_hamming: int,
+    max_bucket: int | None,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared core of the media near-dup family: collapse
+    byte-identical payloads on the md5 digest, byte-dhash once per
+    distinct payload, pigeonhole-block. Returns (rep_pairs, members):
+    rep_pairs = (ra, rb, hamming) over representatives, members =
+    (rep_id, member_id) with the representative mapping to itself."""
+    from featurestore_spark.operators.dedup import banded_hamming_rep_pairs
+    from featurestore_spark.operators.materialize import materialize
+
+    c = F.col(binary_col)
+    hashed = df.where(c.isNotNull()).select(
+        F.col(id_col).alias("_mid"),
+        F.md5(c).alias("_md5"),
+        c.alias("_payload"),
+    )
+    groups = hashed.groupBy("_md5").agg(
+        F.min("_mid").alias("rep_id"),
+        F.first("_payload").alias("_payload"),
+    )
+    # membership frame (multiple consumers) — materialized so the md5
+    # groupBy runs once
+    members = materialize(
+        hashed.select(F.col("_md5"), F.col("_mid").alias("member_id"))
+        .join(groups.select("_md5", "rep_id"), "_md5")
+        .select("rep_id", "member_id")
+    )
+    # materialized for the same reason as simhash_near_dups: the
+    # signature feeds both self-join sides, and the UDF must run once
+    # per distinct payload
+    sig = materialize(
+        with_byte_dhash(groups, "_payload", "byte_dhash").select(
+            "rep_id", "byte_dhash"
+        )
+    )
+    rep_pairs = banded_hamming_rep_pairs(
+        sig, "byte_dhash", max_hamming, max_bucket=max_bucket
+    )
+    return rep_pairs, members
+
+
 def media_near_dups(
     df: DataFrame,
     binary_col: str = "content",
@@ -278,39 +324,12 @@ def media_near_dups(
     membership joins; exact-duplicate (intra-group) pairs are
     emitted unconditionally at hamming 0."""
     from featurestore_spark.operators.dedup import (
-        banded_hamming_rep_pairs,
         intra_group_pairs,
         member_side,
     )
-    from featurestore_spark.operators.materialize import materialize
 
-    c = F.col(binary_col)
-    hashed = df.where(c.isNotNull()).select(
-        F.col(id_col).alias("_mid"),
-        F.md5(c).alias("_md5"),
-        c.alias("_payload"),
-    )
-    groups = hashed.groupBy("_md5").agg(
-        F.min("_mid").alias("rep_id"),
-        F.first("_payload").alias("_payload"),
-    )
-    # membership frame (3 consumers: two pair sides + intra pairs) —
-    # materialized so the md5 groupBy runs once
-    members = materialize(
-        hashed.select(F.col("_md5"), F.col("_mid").alias("member_id"))
-        .join(groups.select("_md5", "rep_id"), "_md5")
-        .select("rep_id", "member_id")
-    )
-    # materialized for the same reason as simhash_near_dups: the
-    # signature feeds both self-join sides, and the UDF must run once
-    # per distinct payload
-    sig = materialize(
-        with_byte_dhash(groups, "_payload", "byte_dhash").select(
-            "rep_id", "byte_dhash"
-        )
-    )
-    rep_pairs = banded_hamming_rep_pairs(
-        sig, "byte_dhash", max_hamming, max_bucket=max_bucket
+    rep_pairs, members = _media_rep_pairs(
+        df, binary_col, id_col, max_hamming, max_bucket
     )
     cross = (
         rep_pairs.join(member_side(members, "ra", "xa"), "ra")
@@ -343,16 +362,46 @@ def dedup_media_docs(
     drops when ANY verified pair links it to a smaller id, so chains
     collapse toward their minimum without an explicit
     connected-components pass. NULL payloads are kept (nothing to
-    compare; drop them upstream if unwanted). Cost is
-    `media_near_dups` plus one anti-join on the id."""
-    pairs = media_near_dups(
-        df,
-        binary_col,
-        id_col,
-        max_hamming=max_hamming,
-        max_bucket=max_bucket,
+    compare; drop them upstream if unwanted).
+
+    Unlike `media_near_dups`, this never materializes the intra-group
+    pair product: exact-duplicate drops come straight off the
+    membership frame (every member above its group's rep — LINEAR in
+    the dup factor; web image corpora are dominated by re-hosted
+    byte-identical files, where the pair list would be quadratic),
+    and cross-group drops expand the rep pairs through membership
+    with the same member > min-other rule as `dedup_keep_docs`."""
+    rep_pairs, members = _media_rep_pairs(
+        df, binary_col, id_col, max_hamming, max_bucket
     )
-    drops = pairs.select(F.col("b_id").alias(id_col)).distinct()
+    # rep_id IS each group's minimum id, so for a verified rep pair
+    # (ra < rb): rb's members above ra drop, and ra's members above
+    # rb drop (keep-lowest-id across the linked groups)
+    drops_b = (
+        rep_pairs.select(
+            F.col("rb").alias("rep_id"), F.col("ra").alias("_min_other")
+        )
+        .join(members, "rep_id")
+        .where(F.col("member_id") > F.col("_min_other"))
+        .select("member_id")
+    )
+    drops_a = (
+        rep_pairs.select(
+            F.col("ra").alias("rep_id"), F.col("rb").alias("_min_other")
+        )
+        .join(members, "rep_id")
+        .where(F.col("member_id") > F.col("_min_other"))
+        .select("member_id")
+    )
+    intra = members.where(F.col("member_id") > F.col("rep_id")).select(
+        "member_id"
+    )
+    drops = (
+        drops_a.unionByName(drops_b)
+        .unionByName(intra)
+        .distinct()
+        .withColumnRenamed("member_id", id_col)
+    )
     return df.join(drops, id_col, "left_anti")
 
 
@@ -424,6 +473,10 @@ def sample_gif_frames(
     upstream to keep them). Video formats stay on the `sample_frames`
     byte-offset stub — their containers need codec libraries the
     sandbox lacks; this operator is the shape they would slot into."""
+    if every_k < 1:
+        raise ValueError(
+            f"sample_gif_frames: every_k must be >= 1, got {every_k}"
+        )
     fields = [
         ("frame_idx", "int"),
         ("frame_offset", "long"),

@@ -5302,6 +5302,23 @@ _CURATE_SYNTH = (
 )
 
 
+def _curate_synth_col():
+    """The Spark Column equivalent of `_CURATE_SYNTH` (raw text + a
+    position-suffixed copy + a stopword tail) — ONE definition shared
+    by q_curate_gopher and q_refinedweb_e2e so the two Spark fixtures
+    can never drift from the oracle constant."""
+    raw = F.coalesce(F.col("text"), F.lit(""))
+    toks = F.split(raw, " ")
+    pos = F.array_join(
+        F.transform(
+            toks,
+            lambda t, i: F.concat(t, F.lit("_"), (i + F.lit(1)).cast("string")),
+        ),
+        " ",
+    )
+    return F.concat(raw, F.lit(" "), pos, F.lit(" of and that have with"))
+
+
 @_register(
     "q_curate_gopher",
     "\n    WITH "
@@ -5330,21 +5347,7 @@ def q_curate_gopher(spark, sf_dir):
     from featurestore_spark.operators.curation import curate_corpus
 
     docs = load_table(spark, sf_dir, "documents")
-    raw = F.coalesce(F.col("text"), F.lit(""))
-    toks = F.split(raw, " ")
-    pos = F.array_join(
-        F.transform(
-            toks,
-            lambda t, i: F.concat(t, F.lit("_"), (i + F.lit(1)).cast("string")),
-        ),
-        " ",
-    )
-    synth = docs.select(
-        "doc_id",
-        F.concat(
-            raw, F.lit(" "), pos, F.lit(" of and that have with")
-        ).alias("text"),
-    )
+    synth = docs.select("doc_id", _curate_synth_col().alias("text"))
     return curate_corpus(synth, "gopher")
 
 
@@ -5571,6 +5574,30 @@ def q_dsir_weights(spark, sf_dir):
     )
 
 
+def _strip_html_sql(expr: str) -> str:
+    """The strip_html replay (script/style/comment removal, tag
+    strip, entity decode, whitespace collapse) over an arbitrary SQL
+    expression — ONE definition shared by q_strip_html, q_web_funnel
+    and the q_refinedweb_e2e capstone, so a change to the operator
+    has exactly one oracle site to update in lockstep."""
+    return (
+        r"""trim(regexp_replace(
+               replace(replace(replace(replace(replace(replace(
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_replace(
+                       regexp_replace(
+                         __E__,
+                         '(?is)<script[^>]*>.*?</script\s*>', ' ', 'g'),
+                       '(?is)<style[^>]*>.*?</style\s*>', ' ', 'g'),
+                     '(?s)<!--.*?-->', ' ', 'g'),
+                   '<[^>]*>', ' ', 'g'),
+                 '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+                 '&quot;', '"'), '&#39;', chr(39)), '&amp;', '&'),
+               '\s+', ' ', 'g'))"""
+    ).replace("__E__", expr)
+
+
 @_register(
     "q_strip_html",
     r"""
@@ -5583,20 +5610,9 @@ def q_dsir_weights(spark, sf_dir):
              || '</body></html>' AS html
       FROM documents),
     stripped AS (
-      SELECT doc_id,
-             trim(regexp_replace(
-               replace(replace(replace(replace(replace(replace(
-                 regexp_replace(
-                   regexp_replace(
-                     regexp_replace(
-                       regexp_replace(html,
-                         '(?is)<script[^>]*>.*?</script\s*>', ' ', 'g'),
-                       '(?is)<style[^>]*>.*?</style\s*>', ' ', 'g'),
-                     '(?s)<!--.*?-->', ' ', 'g'),
-                   '<[^>]*>', ' ', 'g'),
-                 '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
-                 '&quot;', '"'), '&#39;', chr(39)), '&amp;', '&'),
-               '\s+', ' ', 'g')) AS text
+      SELECT doc_id, """
+    + _strip_html_sql("html")
+    + r""" AS text
       FROM src)
     SELECT doc_id, text,
            CAST(length(text) AS INTEGER) AS n_chars
@@ -6657,23 +6673,7 @@ def q_domain_cap(spark, sf_dir):
       WHERE (domain IS NULL OR domain NOT IN (__FUNNEL_BLOCK__))
         AND __CANON_SCORE__ < __SCORE_THRESHOLD__),
     stripped AS (
-      SELECT doc_id, domain, n_dups,
-             trim(regexp_replace(
-               replace(replace(replace(replace(replace(replace(
-                 regexp_replace(
-                   regexp_replace(
-                     regexp_replace(
-                       regexp_replace(
-                         '<html><body><p>'
-                         || replace(text, ' value ', '</p><p>')
-                         || '</p><script>var x = 1;</script></body></html>',
-                         '(?is)<script[^>]*>.*?</script\s*>', ' ', 'g'),
-                       '(?is)<style[^>]*>.*?</style\s*>', ' ', 'g'),
-                     '(?s)<!--.*?-->', ' ', 'g'),
-                   '<[^>]*>', ' ', 'g'),
-                 '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
-                 '&quot;', '"'), '&#39;', chr(39)), '&amp;', '&'),
-               '\s+', ' ', 'g')) AS text
+      SELECT doc_id, domain, n_dups, __STRIP_PAGE__ AS text
       FROM filt)
     SELECT domain, CAST(count(*) AS BIGINT) AS n_pages,
            CAST(sum(n_dups) AS BIGINT) AS n_raw_urls,
@@ -6688,6 +6688,13 @@ def q_domain_cap(spark, sf_dir):
         "__CANON_SCORE__", _url_score_sql("canonical_url")
     ).replace(
         "__SCORE_THRESHOLD__", str(_URL_SCORE_THRESHOLD)
+    ).replace(
+        "__STRIP_PAGE__",
+        _strip_html_sql(
+            "'<html><body><p>'"
+            " || replace(text, ' value ', '</p><p>')"
+            " || '</p><script>var x = 1;</script></body></html>'"
+        ),
     ),
     "Web-ingest funnel capstone: URL canonical dedup FIRST (cheapest "
     "— no page text read), then the URL filters over the keepers "
@@ -6745,28 +6752,6 @@ def q_web_funnel(spark, sf_dir):
         F.sum(n_tok).alias("n_tokens"),
         F.min("doc_id").alias("min_id"),
     )
-
-
-def _strip_html_sql(expr: str) -> str:
-    """The strip_html replay (script/style/comment removal, tag
-    strip, entity decode, whitespace collapse) over an arbitrary SQL
-    expression — the same chain q_web_funnel inlines."""
-    return (
-        r"""trim(regexp_replace(
-               replace(replace(replace(replace(replace(replace(
-                 regexp_replace(
-                   regexp_replace(
-                     regexp_replace(
-                       regexp_replace(
-                         __E__,
-                         '(?is)<script[^>]*>.*?</script\s*>', ' ', 'g'),
-                       '(?is)<style[^>]*>.*?</style\s*>', ' ', 'g'),
-                     '(?s)<!--.*?-->', ' ', 'g'),
-                   '<[^>]*>', ' ', 'g'),
-                 '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
-                 '&quot;', '"'), '&#39;', chr(39)), '&amp;', '&'),
-               '\s+', ' ', 'g'))"""
-    ).replace("__E__", expr)
 
 
 # The capstone's published-pipeline constants: per-domain cap and the
@@ -6989,22 +6974,10 @@ def q_refinedweb_e2e(spark, sf_dir):
     capped = cap_per_domain(
         keep, _E2E_CAP, "canonical_url", order_col="n_chars"
     )
-    # 5. long-form page synthesis + HTML strip + line structure
-    raw = F.coalesce(F.col("text"), F.lit(""))
-    toks = F.split(raw, " ")
-    pos = F.array_join(
-        F.transform(
-            toks,
-            lambda t, i: F.concat(t, F.lit("_"), (i + F.lit(1)).cast("string")),
-        ),
-        " ",
-    )
-    synth = capped.select(
-        "doc_id",
-        F.concat(
-            raw, F.lit(" "), pos, F.lit(" of and that have with")
-        ).alias("text"),
-    )
+    # 5. long-form page synthesis + HTML strip + line structure (the
+    # shared q_curate_gopher synthesis — one definition, one oracle
+    # constant)
+    synth = capped.select("doc_id", _curate_synth_col().alias("text"))
     html = F.concat(
         F.lit(_E2E_HTML_PRE),
         F.replace(F.col("text"), F.lit(" value "), F.lit("</p><p>")),

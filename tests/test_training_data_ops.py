@@ -442,6 +442,10 @@ def test_gif_frame_walk_round_trip(spark):
     assert got == {i: s for i, s in enumerate(spec)}
     every2 = sample_gif_frames(df, every_k=2).collect()
     assert {r["frame_idx"] for r in every2} == {0, 2}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="every_k must be >= 1"):
+        sample_gif_frames(df, every_k=0)
 
 
 def test_train_centroids_round_decimals_is_negligible(spark):
