@@ -831,7 +831,19 @@ def banded_hamming_rep_pairs(
     recall cost — the 100 TB skew guard. Returns (ra, rb, hamming),
     ra < rb. Shared by `simhash_near_dups` (text) and
     `multimodal.media_near_dups` (byte-dhash signatures); callers
-    collapse exact duplicates first and expand members after."""
+    collapse exact duplicates first and expand members after.
+
+    ``max_hamming`` must be in [1, 63] (ADVICE r10): 0 would need a
+    single 64-bit block whose mask literal overflows LongType, and
+    >= 64 yields zero-width blocks (mask 0) collapsing every row into
+    one degenerate bucket — use an exact equi-join (`dedup_media_exact`
+    / exact dedup) for distance 0 instead."""
+    if not 1 <= max_hamming <= 63:
+        raise ValueError(
+            f"max_hamming must be in [1, 63], got {max_hamming}; "
+            "for exact (distance-0) matching use an equi-join on the "
+            "signature instead"
+        )
     nb = max_hamming + 1
     bw, rem = divmod(64, nb)
     widths = [bw + (1 if i < rem else 0) for i in range(nb)]

@@ -776,12 +776,23 @@ def dedup_urls_against_index(
 
 
 def extend_url_index(index: DataFrame, kept: DataFrame,
-                     url_col: str = "canonical_url") -> DataFrame:
+                     url_col: str = "canonical_url", *,
+                     verify: bool = False) -> DataFrame:
     """Append the accepted batch's canonical URLs to the index for
-    the next batch (union + distinct here for in-session chaining;
+    the next batch (plain union here for in-session chaining;
     production appends just the new hash rows to the parquet index).
     ``url_col`` must already BE canonical (pass
-    `dedup_urls_against_index`'s output through)."""
+    `dedup_urls_against_index`'s output through) — that contract
+    guarantees the batch's hashes are NEW to the index (anti-join)
+    and batch-internally unique (first-per-canonical collapse), so no
+    distinct runs here: re-shuffling billions of index rows per batch
+    to re-prove the contract is the family anti-pattern (`extend_index`
+    is a plain union for the same reason; VERDICT r10 #5 removed the
+    full-index distinct this function used to run). ``verify=True``
+    runs the shared sketch/exact probe
+    (:func:`featurestore_spark.operators.probes.verify_disjoint_ids`)
+    against the index's hashes and raises on gross overlap — the
+    double-ingestion misuse tripwire, a few aggregates' cost."""
     from featurestore_spark.operators.dedup import hash128
 
     _require_hash128(index, "url_hash", "extend_url_index")
@@ -790,7 +801,13 @@ def extend_url_index(index: DataFrame, kept: DataFrame,
         .where(F.col("_cu").isNotNull())
         .select(hash128(F.col("_cu")).alias("url_hash"))
     )
-    return index.unionByName(new_rows).distinct()
+    if verify:
+        from featurestore_spark.operators.probes import verify_disjoint_ids
+
+        verify_disjoint_ids(
+            index, new_rows, "url_hash", "extend_url_index"
+        )
+    return index.unionByName(new_rows)
 
 
 # -- line-frequency index (incremental line-level dedup) ----------------------

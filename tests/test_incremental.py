@@ -819,12 +819,17 @@ def test_url_index_recrawl_round_trip(spark):
     kept = dedup_urls_against_index(batch, idx)
     got = {r["doc_id"]: r["canonical_url"] for r in kept.collect()}
     assert got == {11: "http://a.com/z", 14: "http://b.org/w"}
-    # extend, then the SAME batch is fully seen
-    idx2 = extend_url_index(idx, kept)
+    # extend (verify probe green on a genuinely-new batch), then the
+    # SAME batch is fully seen
+    idx2 = extend_url_index(idx, kept, verify=True)
     assert dedup_urls_against_index(batch, idx2).count() == 0
-    # idempotent extension (distinct), 128-bit contract enforced
-    assert extend_url_index(idx2, kept).count() == idx2.count()
+    # plain union (family convention — no full-index distinct per
+    # batch); the double-ingestion misuse trips the verify probe
+    assert extend_url_index(idx2, kept).count() == idx2.count() + kept.count()
     import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="overlap|double-count"):
+        extend_url_index(idx2, kept, verify=True)
 
     old = spark.createDataFrame([], "url_hash bigint")
     with _pytest.raises(ValueError, match="128-bit"):

@@ -1016,7 +1016,11 @@ def _py_lid(train, test, n=3, k=1.0):
                 if (lab, g) in wc
             )
             scored.append((lab, _r4(prior + sum(gm.values()) * base + corr)))
-        best = max(scored, key=lambda x: (x[1], [-ord(c) for c in x[0]]))
+        # tie-break toward the ASCENDING label (matching nb_classify);
+        # the old [-ord(c)] key preferred the LONGER of two tied labels
+        # when one is a strict prefix of the other (ADVICE r10)
+        top = max(s for _, s in scored)
+        best = min((e for e in scored if e[1] == top), key=lambda x: x[0])
         out[i] = best
     return out
 

@@ -405,6 +405,21 @@ def test_media_near_dups_exact_within_hamming(spark):
     }
 
 
+def test_banded_hamming_rejects_degenerate_max_hamming(spark):
+    """banded_hamming_rep_pairs fails fast outside [1, 63] (ADVICE
+    r10): 0 would overflow the single-block LongType mask; >= 64
+    yields zero-width blocks collapsing every row into one bucket."""
+    import pytest
+
+    from featurestore_spark.operators.dedup import banded_hamming_rep_pairs
+
+    sig = spark.createDataFrame([(1, 5), (2, 5)], "rep_id long, s long")
+    for bad in (0, -1, 64, 100):
+        with pytest.raises(ValueError, match="max_hamming"):
+            banded_hamming_rep_pairs(sig, "s", bad)
+    assert banded_hamming_rep_pairs(sig, "s", 1).count() == 1
+
+
 def test_gif_frame_walk_round_trip(spark):
     """Real GIF block-stream walk: multi-frame payloads built by
     build_gif_animation parse back to their exact frame descriptors;
@@ -424,7 +439,9 @@ def test_gif_frame_walk_round_trip(spark):
     assert all(anim[f[0]] == 0x2C for f in frames)  # offsets land on 0x2C
     assert parse_gif_frames(build_image("png", 4, 4)) is None
     assert parse_gif_frames(None) is None
-    assert parse_gif_frames(anim[:20]) == [] or parse_gif_frames(anim[:20])
+    # truncated mid-stream: frames parsed so far (none before the
+    # first complete image descriptor survives the 20-byte cut)
+    assert parse_gif_frames(anim[:20]) == []
     single = parse_gif_frames(build_image("gif", 7, 9))
     assert single == []  # build_image's GIF has no image descriptor
     # Spark path: one row per sampled frame, schema appended

@@ -117,22 +117,33 @@ def check_window_cadence(max_stale_rounds: int = 2) -> bool:
     )
 
     last: dict[str, int] = {}
-    rounds = []
+    per_round: dict[int, set] = {}
     for f in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")):
         m = re.search(r"r(\d+)", os.path.basename(f))
         if not m:
             continue
         r = int(m.group(1))
-        rounds.append(r)
         d = json.load(open(f))
         qs = d.get("queries", d) if isinstance(d, dict) else d
-        names = qs.keys() if isinstance(qs, dict) else [
-            row["name"] if isinstance(row, dict) else row for row in qs
-        ]
+        names = set(
+            qs.keys() if isinstance(qs, dict) else (
+                row["name"] if isinstance(row, dict) else row for row in qs
+            )
+        )
+        per_round[r] = names
         for q in names:
             last[q] = max(last.get(q, 0), r)
-    current = (max(rounds) if rounds else 0) + 1
     window = set(_DRIVER_PRIORITY[:50])
+    newest = max(per_round) if per_round else 0
+    # Idempotent at a closed round (ADVICE r10): once this round's
+    # artifact lands, its query set equals the current window — the
+    # window already BECAME that round's evidence, so re-runs must
+    # evaluate staleness at that round, not demand next round's
+    # rotation before _DRIVER_PRIORITY has moved.
+    if per_round.get(newest) == window:
+        current = newest
+    else:
+        current = newest + 1
     stale = sorted(
         q
         for q in QUERIES
