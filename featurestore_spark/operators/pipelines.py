@@ -1,0 +1,164 @@
+"""One-call published-pipeline presets (VERDICT r10 #2).
+
+The full RefinedWeb-shaped recipe — URL dedup, domain blocklist, soft
+URL scoring, per-domain cap, text extraction, corpus-wide line dedup,
+rule-based curation, fuzzy dedup — previously existed only as a
+hand-assembled chain of eight operators (the q_refinedweb_e2e capstone
+query). Copying 40 lines of stage wiring by hand is exactly how users
+get the fence / collapse placements wrong, so the chain lives HERE as
+the product artifact, and the capstone query calls this function — the
+same end-to-end oracle pins the library path.
+
+Public recipe: Penedo et al. 2024, "The RefinedWeb dataset for Falcon
+LLM" §3 (URL filtering → text extraction → line-wise corrections →
+fuzzy dedup), composed from this repo's individually-oracled
+operators at their published constants.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def refinedweb_pipeline(
+    df: DataFrame,
+    *,
+    url_col: str = "url",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    html_col: str | None = None,
+    extract: Callable[[Column], Column] | None = None,
+    strip_www: bool = False,
+    blocklist: DataFrame | None = None,
+    keep_unattributed: bool = True,
+    terms: dict[str, float] | None = None,
+    url_threshold: float | None = None,
+    cap: int | None = None,
+    cap_order_col: str | None = None,
+    line_max_docs: int | None = 1,
+    curate: str | None = "gopher",
+    positional: bool = False,
+    dedup: str | None = "fineweb",
+    max_bucket: int = 1000,
+    **dedup_overrides,
+) -> DataFrame:
+    """The full RefinedWeb-shaped ingest funnel in one call, stages in
+    the published order, each individually-oracled operator at its
+    documented placement. Returns the kept documents as
+    ``(id_col, text_col)`` — join metadata back by id (upstream
+    columns cannot survive the curation stage, which rewrites the
+    corpus down to id + cleaned text).
+
+    Stages (a ``None`` knob skips its stage):
+
+    1. **URL exact dedup** — `web.url_dedup` on the canonical form;
+       the minimum-id page per canonical URL survives, NULL-canonical
+       rows drop.
+    2. **Domain blocklist** (``blocklist=`` DataFrame of domains) —
+       `web.filter_domains`, broadcast anti-join on the registrable
+       domain.
+    3. **Soft URL word score** (``terms=`` + ``url_threshold=``) —
+       `web.filter_urls`; RefinedWeb §3.1's word-based URL rule.
+    4. **Per-domain cap** (``cap=``, best rows by ``cap_order_col``) —
+       `web.cap_per_domain`; WindowGroupLimit, no full sort.
+    5. **Text extraction** — when ``html_col`` is given, ``text_col``
+       becomes `text.strip_html(html_col)`; pass ``extract=`` to
+       override with a custom Column expression (it receives the
+       ``html_col`` column, or the raw ``text_col`` when no
+       ``html_col``). Runs AFTER the URL stages so extraction cost is
+       paid only for surviving pages — the published order, and the
+       100 TB-relevant placement.
+    6. **Corpus-wide line dedup** (``line_max_docs=``, default 1) —
+       `curation.dedup_lines` with ``collapse_exact=True``: in a
+       CHAINED plan the exact-dup collapse doubles as the
+       stage-boundary materialization barrier (the r6 placement
+       lesson; 'auto' would probe and re-execute upstream lineage).
+    7. **Rule-based curation** (``curate=`` preset name, default
+       ``'gopher'``) — `curation.curate_corpus`; ``positional=True``
+       opts into the paper-exact positional repetition signals.
+    8. **Fuzzy dedup** (``dedup=`` preset name, default
+       ``'fineweb'``) — `dedup.dedup_corpus` at the published MinHash
+       constants; ``max_bucket`` and ``**dedup_overrides`` pass
+       through.
+
+    Scale shape: the URL stages move only ids + canonical strings
+    (page bodies join back once, after the cap, when most rows are
+    already gone); every stage keeps its audited plan — one
+    hash-groupBy for the URL collapse, broadcast anti-join for the
+    blocklist, zero-exchange projection for the score, partial+final
+    WindowGroupLimit for the cap, and the bucketed
+    never-all-pairs MinHash ladder for the dedup tail.
+    """
+    from featurestore_spark.operators.curation import (
+        curate_corpus,
+        dedup_lines,
+    )
+    from featurestore_spark.operators.dedup import dedup_corpus
+    from featurestore_spark.operators.text import strip_html
+    from featurestore_spark.operators.web import (
+        cap_per_domain,
+        filter_domains,
+        filter_urls,
+        url_dedup,
+    )
+
+    if (terms is None) != (url_threshold is None):
+        raise ValueError(
+            "terms and url_threshold enable the URL-score stage "
+            "together — pass both or neither"
+        )
+
+    # 1. URL-level exact dedup; keeper ids pull the page rows back in.
+    # The groupBy side carries only (canonical_url, id) — page bodies
+    # never enter the collapse shuffle.
+    dd = url_dedup(df, url_col, id_col, strip_www=strip_www)
+    kept = dd.select(
+        F.col("keep_id").alias(id_col), "canonical_url"
+    ).join(df.drop("canonical_url").drop(url_col), id_col)
+
+    # 2. domain blocklist + 3. soft URL word score + 4. per-domain cap
+    if blocklist is not None:
+        kept = filter_domains(
+            kept, blocklist, "canonical_url",
+            keep_unattributed=keep_unattributed,
+        )
+    if terms is not None:
+        kept = filter_urls(
+            kept, "canonical_url", terms=terms, threshold=url_threshold
+        )
+    if cap is not None:
+        kept = cap_per_domain(
+            kept, cap, "canonical_url",
+            order_col=cap_order_col, id_col=id_col,
+            keep_unattributed=keep_unattributed,
+        )
+
+    # 5. text extraction — only the surviving pages pay for it
+    if html_col is not None:
+        fn = extract if extract is not None else strip_html
+        kept = kept.withColumn(text_col, fn(F.col(html_col)))
+    elif extract is not None:
+        kept = kept.withColumn(text_col, extract(F.col(text_col)))
+    kept = kept.select(id_col, text_col)
+
+    # 6. corpus-wide line dedup (collapse_exact=True: chained stage)
+    if line_max_docs is not None:
+        kept = dedup_lines(
+            kept, text_col, id_col,
+            max_docs=line_max_docs, collapse_exact=True,
+        ).select(id_col, text_col)
+
+    # 7. rule-based curation + 8. published-constant fuzzy dedup
+    if curate is not None:
+        kept = curate_corpus(
+            kept, curate, text_col, id_col, positional=positional
+        )
+    if dedup is not None:
+        kept = dedup_corpus(
+            kept, dedup, text_col, id_col,
+            max_bucket=max_bucket, **dedup_overrides,
+        )
+    return kept.select(id_col, text_col)

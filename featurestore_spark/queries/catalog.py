@@ -6937,67 +6937,50 @@ def _e2e_sql() -> str:
     "line boundary.",
 )
 def q_refinedweb_e2e(spark, sf_dir):
-    from featurestore_spark.operators.curation import (
-        curate_corpus,
-        dedup_lines,
-    )
-    from featurestore_spark.operators.dedup import dedup_corpus
+    # Since r11 this query calls the LIBRARY preset (VERDICT r10 #2):
+    # the eight-stage chain lives in operators/pipelines.py as the
+    # product artifact, and the same end-to-end oracle now pins the
+    # library path (stage order, fence/collapse placements included).
+    from featurestore_spark.operators.pipelines import refinedweb_pipeline
     from featurestore_spark.operators.text import strip_html
-    from featurestore_spark.operators.web import (
-        cap_per_domain,
-        filter_domains,
-        filter_urls,
-        url_dedup,
-    )
 
     docs = load_table(spark, sf_dir, "documents")
     u = docs.select(
         "doc_id", "text", "n_chars", _web_url_col().alias("url")
     )
-    # 1. URL-level exact dedup on the canonical form
-    dd = url_dedup(u)
-    keep = dd.select(
-        F.col("keep_id").alias("doc_id"), "canonical_url"
-    ).join(u.select("doc_id", "text", "n_chars"), "doc_id")
-    # 2. domain blocklist + 3. soft URL word score
     bl = spark.createDataFrame(
         [(d,) for d in _FUNNEL_BLOCKLIST], "domain string"
     )
-    keep = filter_domains(keep, bl, "canonical_url")
-    keep = filter_urls(
-        keep,
-        "canonical_url",
+
+    def _extract(_c):
+        # fixture-only extraction: the shared q_curate_gopher
+        # long-form synthesis (one definition, one oracle constant),
+        # html-wrapped with ' value ' as the paragraph boundary, then
+        # stripped, with ' table ' as the line boundary — runs at the
+        # pipeline's extraction slot, i.e. only on capped survivors
+        html = F.concat(
+            F.lit(_E2E_HTML_PRE),
+            F.replace(
+                _curate_synth_col(), F.lit(" value "), F.lit("</p><p>")
+            ),
+            F.lit(_E2E_HTML_POST),
+        )
+        return F.replace(strip_html(html), F.lit(" table "), F.lit("\n"))
+
+    # stages 1-8: URL dedup -> blocklist -> URL score -> per-domain
+    # cap -> extraction -> line dedup -> gopher curation -> fineweb
+    # fuzzy dedup, all inside the one-call preset
+    ded = refinedweb_pipeline(
+        u,
+        blocklist=bl,
         terms=_URL_TERMS,
-        threshold=_URL_SCORE_THRESHOLD,
+        url_threshold=_URL_SCORE_THRESHOLD,
+        cap=_E2E_CAP,
+        cap_order_col="n_chars",
+        extract=_extract,
+        curate="gopher",
+        dedup="fineweb",
     )
-    # 4. per-domain cap, best pages by length
-    capped = cap_per_domain(
-        keep, _E2E_CAP, "canonical_url", order_col="n_chars"
-    )
-    # 5. long-form page synthesis + HTML strip + line structure (the
-    # shared q_curate_gopher synthesis — one definition, one oracle
-    # constant)
-    synth = capped.select("doc_id", _curate_synth_col().alias("text"))
-    html = F.concat(
-        F.lit(_E2E_HTML_PRE),
-        F.replace(F.col("text"), F.lit(" value "), F.lit("</p><p>")),
-        F.lit(_E2E_HTML_POST),
-    )
-    lined = synth.select(
-        "doc_id",
-        F.replace(strip_html(html), F.lit(" table "), F.lit("\n")).alias(
-            "text"
-        ),
-    )
-    # 6. corpus-wide line dedup (collapse_exact=True: chained stage —
-    # the collapse doubles as the stage-boundary materialization)
-    ld = dedup_lines(lined, max_docs=1, collapse_exact=True).select(
-        "doc_id", "text"
-    )
-    # 7. BOTH Gopher halves at the published thresholds
-    cur = curate_corpus(ld, "gopher")
-    # 8. published-constant fuzzy dedup
-    ded = dedup_corpus(cur, "fineweb")
     # 9. per-source yield
     n_tok = F.size(
         F.filter(

@@ -347,3 +347,80 @@ def test_web_ops_are_shuffle_free(spark):
     dd.collect()
     plan = dd._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") <= 2  # partial+final agg of ONE groupBy
+
+
+def test_refinedweb_pipeline_matches_hand_wired_chain(spark):
+    """refinedweb_pipeline == the hand-wired stage chain (composition
+    identity), with None knobs skipping their stages and the
+    terms/threshold pairing enforced — the library preset must be
+    byte-equivalent to what a user would assemble by hand (the
+    q_refinedweb_e2e oracle pins the full chain end-to-end; this pins
+    the knob plumbing)."""
+    from featurestore_spark.operators.curation import dedup_lines
+    from featurestore_spark.operators.pipelines import refinedweb_pipeline
+    from featurestore_spark.operators.web import cap_per_domain
+
+    rows = [
+        # example.com: three canonical-distinct pages (one a tracking
+        # dup of doc 1), one blocked-domain page, one scored-out page
+        (1, "http://a.example.com/x?utm_s=1", "shared line\nkeep a1", 20),
+        (2, "http://a.example.com/x", "dup of 1 by canonical", 19),
+        (3, "http://a.example.com/y", "shared line\nkeep a3", 30),
+        (4, "http://a.example.com/z", "keep a4 shortest", 10),
+        (5, "http://bad.org/p", "blocked domain", 25),
+        (6, "http://ok.net/casino/p", "scored out", 25),
+        (7, None, "null url drops", 25),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string, text string, n_chars int")
+    bl = spark.createDataFrame([("bad.org",)], "domain string")
+    terms = {"casino": 1.0}
+
+    got = refinedweb_pipeline(
+        df, blocklist=bl, terms=terms, url_threshold=0.5,
+        cap=2, cap_order_col="n_chars", curate=None, dedup=None,
+    )
+    # hand-wired: url_dedup -> blocklist -> score -> cap -> line dedup
+    from featurestore_spark.operators.web import (
+        filter_domains,
+        filter_urls,
+        url_dedup,
+    )
+
+    dd = url_dedup(df)
+    keep = dd.select(F.col("keep_id").alias("doc_id"), "canonical_url").join(
+        df.select("doc_id", "text", "n_chars"), "doc_id"
+    )
+    keep = filter_domains(keep, bl, "canonical_url")
+    keep = filter_urls(keep, "canonical_url", terms=terms, threshold=0.5)
+    capped = cap_per_domain(keep, 2, "canonical_url", order_col="n_chars")
+    want = dedup_lines(
+        capped.select("doc_id", "text"), max_docs=1, collapse_exact=True
+    ).select("doc_id", "text")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    # the cap kept the two LONGEST example.com pages; the shared line
+    # (2 docs) dropped from both
+    out = dict(got.collect())
+    assert set(out) == {1, 3}
+    assert out[1] == "keep a1" and out[3] == "keep a3"
+
+    # None knobs skip stages: no blocklist/score/cap/line-dedup ->
+    # every canonical-distinct page survives with text untouched
+    raw = refinedweb_pipeline(df, line_max_docs=None, curate=None, dedup=None)
+    assert {r["doc_id"] for r in raw.collect()} == {1, 3, 4, 5, 6}
+    assert dict(raw.collect())[1] == "shared line\nkeep a1"
+
+    # html_col: default extraction is strip_html
+    hdf = spark.createDataFrame(
+        [(1, "http://a.com/x", "<p>Hello <b>world</b></p>")],
+        "doc_id long, url string, page string",
+    )
+    stripped = refinedweb_pipeline(
+        hdf, html_col="page", line_max_docs=None, curate=None, dedup=None
+    )
+    assert stripped.collect()[0]["text"] == "Hello world"
+
+    # terms without threshold (and vice versa) fails fast
+    with pytest.raises(ValueError, match="url_threshold"):
+        refinedweb_pipeline(df, terms=terms)
+    with pytest.raises(ValueError, match="url_threshold"):
+        refinedweb_pipeline(df, url_threshold=0.5)
