@@ -610,7 +610,7 @@ def fit_nb_classifier(
     return word_counts, class_stats
 
 
-def nb_classify(
+def nb_scores(
     docs: DataFrame,
     model: tuple[DataFrame, DataFrame],
     *,
@@ -620,14 +620,15 @@ def nb_classify(
     score_decimals: int = 4,
     tokens: Column | None = None,
 ) -> DataFrame:
-    """Classify documents with a fitted :func:`fit_nb_classifier`
-    model: label = argmax over classes of ``ln p(c) + Σ_w m_w ln
+    """Per-(document, class) Naive Bayes log-likelihood frame for a
+    fitted :func:`fit_nb_classifier` model: ``ln p(c) + Σ_w m_w ln
     p(w|c)`` with add-``smoothing`` estimates over the training
-    vocabulary. Returns (id, label_pred, score); zero-token docs get
-    the max-prior class. Scores are rounded BEFORE the argmax so
-    ranking is stable across engines; ties break on the label.
-    ``tokens=`` overrides the feature extractor — pass the SAME
-    expression the model was fitted with (see `fit_nb_classifier`).
+    vocabulary. Returns (id, label, score, n_tokens) — one row per
+    doc × class, scores rounded to ``score_decimals`` (stable across
+    engines). :func:`nb_classify` is the argmax over this frame;
+    binary gates (`text.quality_classify`) consume the raw scores to
+    form calibrated log-odds. ``tokens=`` overrides the feature
+    extractor — pass the SAME expression the model was fitted with.
 
     Scale shape: the smoothed-default mass factors out per class
     (``t_d · ln(k/(n_c+kV))``), so the corpus only joins the model for
@@ -684,11 +685,11 @@ def nb_classify(
             ).alias("_corr")
         )
     )
-    scored = (
+    return (
         td.crossJoin(F.broadcast(consts))
         .join(corr, ["_id", "label"], "left")
         .select(
-            "_id",
+            F.col("_id").alias(id_col),
             "label",
             F.round(
                 F.col("_prior")
@@ -696,16 +697,45 @@ def nb_classify(
                 + F.coalesce(F.col("_corr"), F.lit(0.0)),
                 score_decimals,
             ).alias("score"),
+            F.col("_td").alias("n_tokens"),
         )
+    )
+
+
+def nb_classify(
+    docs: DataFrame,
+    model: tuple[DataFrame, DataFrame],
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    smoothing: float = 1.0,
+    score_decimals: int = 4,
+    tokens: Column | None = None,
+) -> DataFrame:
+    """Classify documents with a fitted :func:`fit_nb_classifier`
+    model: label = argmax over classes of the :func:`nb_scores`
+    log-likelihoods. Returns (id, label_pred, score); zero-token docs
+    get the max-prior class. Scores are rounded BEFORE the argmax so
+    ranking is stable across engines; ties break on the label.
+    ``tokens=`` overrides the feature extractor — pass the SAME
+    expression the model was fitted with (see `fit_nb_classifier`).
+    Scale shape: see `nb_scores`; the argmax window runs over
+    (docs × classes)-bounded rows."""
+    scored = nb_scores(
+        docs, model,
+        text_col=text_col, id_col=id_col, smoothing=smoothing,
+        score_decimals=score_decimals, tokens=tokens,
     )
     from pyspark.sql import Window
 
-    w = Window.partitionBy("_id").orderBy(F.col("score").desc(), F.col("label"))
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score").desc(), F.col("label")
+    )
     return (
         scored.withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") == 1)
         .select(
-            F.col("_id").alias(id_col),
+            id_col,
             F.col("label").alias("label_pred"),
             "score",
         )

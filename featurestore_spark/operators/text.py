@@ -152,6 +152,186 @@ def lid_classify(
     return out.withColumnRenamed("label_pred", "lang_pred")
 
 
+def word_ngrams(tokens_col: Column, *, bigrams: bool = True) -> Column:
+    """Word unigrams (+ adjacent-pair bigrams, fastText's default
+    feature shape) of an ALREADY-PROJECTED token-array attribute —
+    project `clean_tokens` to a column first; an inlined expression
+    would re-evaluate the split once per gram (the HOF-inlining
+    trap). Arrays shorter than 2 contribute no bigrams. Pure Column
+    expression, shared by `quality_fit` and `quality_classify` so fit
+    and apply can never disagree on the feature set."""
+    if not bigrams:
+        return tokens_col
+    bi = F.when(
+        F.size(tokens_col) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(tokens_col) - 1),
+            lambda i: F.concat(
+                F.element_at(tokens_col, i),
+                F.lit(" "),
+                F.element_at(tokens_col, i + 1),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.concat(tokens_col, bi)
+
+
+def quality_fit(
+    seeds: DataFrame,
+    label_col: str = "label",
+    *,
+    text_col: str = "text",
+    bigrams: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """Fit a TRAINED model-based quality gate — the DCLM /
+    FineWeb-Edu stage of the modern published stack (rules → LID →
+    **model-based quality filter** → dedup): a binary classifier over
+    labeled seed documents (positives = instruction/reference-grade
+    pages, negatives = random crawl), later thresholded by
+    `quality_gate`. The classifier is multinomial Naive Bayes over
+    word unigrams + adjacent bigrams (fastText's feature shape, the
+    SQL-expressible stand-in for its linear model) — pure composition
+    over `search.fit_nb_classifier`, so fitting is ONE counting scan:
+    a 100 TB seed corpus fits without a collect. Returns the
+    (word_counts, class_stats) model frames; persist like any model
+    table and score with `quality_classify` (same ``bigrams``).
+
+    The label column may hold any two values; `quality_classify`
+    names the positive one. More than two classes fail fast there —
+    the gate's calibrated log-odds need exactly one alternative."""
+    from featurestore_spark.operators.search import fit_nb_classifier
+
+    toked = seeds.select(
+        F.col(label_col), clean_tokens(text_col).alias("_qtoks")
+    )
+    return fit_nb_classifier(
+        toked, label_col, tokens=word_ngrams(F.col("_qtoks"), bigrams=bigrams)
+    )
+
+
+def _quality_labels(
+    model: tuple[DataFrame, DataFrame], positive_label: str, op: str
+) -> str:
+    """The negative label of a binary `quality_fit` model (bounded
+    collect: class_stats has one row per class by construction)."""
+    labels = sorted(
+        r["label"] for r in model[1].select("label").distinct().collect()
+    )
+    if len(labels) != 2:
+        raise ValueError(
+            f"{op}: the quality gate needs a BINARY model, got "
+            f"classes {labels} — fit on exactly two label values"
+        )
+    if positive_label not in labels:
+        raise ValueError(
+            f"{op}: positive_label={positive_label!r} is not a model "
+            f"class (classes: {labels})"
+        )
+    return next(l for l in labels if l != positive_label)
+
+
+def quality_classify(
+    docs: DataFrame,
+    model: tuple[DataFrame, DataFrame],
+    *,
+    positive_label: str = "hq",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bigrams: bool = True,
+    smoothing: float = 1.0,
+    score_decimals: int = 4,
+) -> DataFrame:
+    """Score documents with a `quality_fit` model: (id,
+    quality_score, n_features) where quality_score is the per-feature
+    log-odds ``(ln p(pos|d) − ln p(neg|d)) / max(features, 1)`` —
+    length-normalized so a threshold calibrated on held-out seeds
+    transfers across document lengths (the fastText-score analog
+    DCLM thresholds at the top ~10%). Zero-feature docs score the
+    prior log-odds. Scores round to ``score_decimals`` (stable across
+    engines).
+
+    Scale shape inherited from `search.nb_scores` (sparse word-keyed
+    model join); the pivot to log-odds is one (docs × 2)-bounded
+    groupBy — never a second pass over the corpus."""
+    from featurestore_spark.operators.search import nb_scores
+
+    neg = _quality_labels(model, positive_label, "quality_classify")
+    toked = docs.select(
+        F.col(id_col), clean_tokens(text_col).alias("_qtoks")
+    )
+    s = nb_scores(
+        toked, model,
+        id_col=id_col, smoothing=smoothing, score_decimals=score_decimals,
+        tokens=word_ngrams(F.col("_qtoks"), bigrams=bigrams),
+    )
+    return s.groupBy(id_col).agg(
+        F.round(
+            (
+                F.max(F.when(F.col("label") == positive_label, F.col("score")))
+                - F.max(F.when(F.col("label") == neg, F.col("score")))
+            )
+            / F.greatest(F.max("n_tokens"), F.lit(1)).cast("double"),
+            score_decimals,
+        ).alias("quality_score"),
+        F.max("n_tokens").alias("n_features"),
+    )
+
+
+def quality_gate(
+    docs: DataFrame,
+    model: tuple[DataFrame, DataFrame],
+    *,
+    positive_label: str = "hq",
+    threshold: float | None = None,
+    top_frac: float | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bigrams: bool = True,
+    smoothing: float = 1.0,
+    score_decimals: int = 4,
+) -> DataFrame:
+    """The model-based quality FILTER (DCLM / FineWeb-Edu shape):
+    keep documents whose `quality_classify` log-odds pass the gate.
+    Returns the kept rows of ``docs`` (all columns) plus
+    ``quality_score``. Exactly one of:
+
+    * ``threshold=`` — keep ``quality_score >= threshold`` (exact,
+      oracle-able; the production shape once the threshold has been
+      calibrated on held-out seeds).
+    * ``top_frac=`` — keep the top fraction by score via an
+      ``approx_percentile`` cutoff (documented approximate — the
+      100 TB shape; an exact global quantile would need a full sort).
+      The cutoff rides the plan as a broadcast single-row scalar, and
+      ties AT the cutoff are kept, so the realized fraction can
+      slightly exceed ``top_frac``.
+    """
+    if (threshold is None) == (top_frac is None):
+        raise ValueError(
+            "quality_gate: pass exactly one of threshold= / top_frac="
+        )
+    scored = quality_classify(
+        docs, model,
+        positive_label=positive_label, text_col=text_col, id_col=id_col,
+        bigrams=bigrams, smoothing=smoothing, score_decimals=score_decimals,
+    ).select(id_col, "quality_score")
+    if threshold is not None:
+        kept = scored.where(F.col("quality_score") >= F.lit(threshold))
+    else:
+        if not 0.0 < top_frac <= 1.0:
+            raise ValueError(
+                f"quality_gate: top_frac must be in (0, 1], got {top_frac}"
+            )
+        cut = scored.agg(
+            F.percentile_approx(
+                "quality_score", F.lit(1.0 - top_frac)
+            ).alias("_cut")
+        )
+        kept = scored.crossJoin(F.broadcast(cut)).where(
+            F.col("quality_score") >= F.col("_cut")
+        ).select(id_col, "quality_score")
+    return docs.join(kept, id_col)
+
+
 def quality_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Length / punctuation / alpha-ratio style quality scores."""
     text = F.col(text_col)

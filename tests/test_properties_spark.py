@@ -1052,3 +1052,88 @@ def test_lid_classify_matches_python_nb(spark, rows):
     }
     want = _py_lid(rows, [(i, t) for i, (lab, t) in enumerate(rows)])
     assert got == want, (rows, got, want)
+
+
+def _py_quality(rows, k=1.0):
+    """Independent Python reimplementation of quality_fit +
+    quality_classify (binary NB over word unigrams + adjacent
+    bigrams, per-feature log-odds) — deliberately naive dict
+    counting, no Spark idioms."""
+    import math
+    from collections import Counter
+
+    def feats(t):
+        toks = [w for w in (t or "").strip().lower().split() if w]
+        return toks + [
+            f"{toks[i]} {toks[i + 1]}" for i in range(len(toks) - 1)
+        ]
+
+    wc = Counter()
+    cs = {}
+    for _, lab, t in rows:
+        if lab is None:
+            continue
+        fs = feats(t)
+        cs.setdefault(lab, [0, 0])
+        cs[lab][0] += 1
+        cs[lab][1] += len(fs)
+        for g in fs:
+            wc[(lab, g)] += 1
+    V = len({g for (_, g) in wc})
+    ND = sum(v[0] for v in cs.values())
+    out = {}
+    for i, _, t in rows:
+        fm = Counter(feats(t))
+        td = sum(fm.values())
+        s = {}
+        for lab in cs:
+            prior = math.log(cs[lab][0] / ND)
+            denom = cs[lab][1] + k * V
+            base = math.log(k / denom) if denom > 0 else 0.0
+            corr = sum(
+                m * math.log((wc[(lab, g)] + k) / k)
+                for g, m in fm.items()
+                if (lab, g) in wc
+            )
+            s[lab] = _r4(prior + td * base + corr)
+        out[i] = (_r4((s["hq"] - s["lq"]) / max(td, 1)), td)
+    return out
+
+
+_q_text = st.lists(
+    st.sampled_from(["good", "clean", "spam", "junk", "word"]),
+    min_size=0,
+    max_size=6,
+).map(" ".join)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.sampled_from(["hq", "lq", None]), _q_text),
+        min_size=2,
+        max_size=12,
+    ).filter(
+        lambda rs: {lab for lab, _ in rs if lab is not None} == {"hq", "lq"}
+    )
+)
+@settings(**SPARK_SETTINGS)
+def test_quality_classify_matches_python_nb(spark, rows):
+    """quality_fit/quality_classify == an independent Python binary
+    NB over word unigrams + bigrams (VERDICT r10 #3's fuzz leg — the
+    evidence class that falsified the r9 docs claim)."""
+    from featurestore_spark.operators.text import (
+        quality_classify,
+        quality_fit,
+    )
+
+    df = spark.createDataFrame(
+        [(i, lab, t) for i, (lab, t) in enumerate(rows)],
+        "doc_id long, label string, text string",
+    )
+    model = quality_fit(df, "label")
+    got = {
+        r["doc_id"]: (r["quality_score"], r["n_features"])
+        for r in quality_classify(df, model).collect()
+    }
+    want = _py_quality([(i, lab, t) for i, (lab, t) in enumerate(rows)])
+    assert got == want, (rows, got, want)

@@ -186,6 +186,78 @@ def test_lid_fit_classify_learns_languages(spark):
     assert {r["label"] for r in cs.collect()} == {"en", "fi"}
 
 
+def test_quality_gate_trained_classifier(spark):
+    """The trained quality gate LEARNS and FILTERS (VERDICT r10 #3):
+    fit a binary NB on hq/lq seeds, high-quality-looking held-out
+    docs score above low-quality ones; threshold= keeps exactly the
+    score-filtered set; top_frac= keeps the approx-percentile top;
+    non-binary models and bad knob pairings fail fast."""
+    import pytest
+
+    from featurestore_spark.operators.text import (
+        quality_classify,
+        quality_fit,
+        quality_gate,
+    )
+
+    seeds = [
+        (0, "hq", "the theorem follows from careful analysis of the proof"),
+        (1, "hq", "we derive the result with a careful proof sketch"),
+        (2, "hq", "analysis of the equation yields the theorem"),
+        (3, "lq", "click here buy now cheap pills free offer"),
+        (4, "lq", "free offer click now buy cheap stuff here"),
+        (5, None, "unlabeled noise"),
+    ]
+    sdf = spark.createDataFrame(seeds, "doc_id long, label string, text string")
+    model = quality_fit(sdf, "label")
+    held = [
+        (10, "a careful proof of the theorem and its analysis"),
+        (11, "buy cheap pills click the free offer now"),
+        (12, None),  # zero features -> prior log-odds
+    ]
+    hdf = spark.createDataFrame(held, "doc_id long, text string")
+    scores = {
+        r["doc_id"]: r["quality_score"]
+        for r in quality_classify(hdf, model).collect()
+    }
+    assert scores[10] > 0 > scores[11]
+    # zero-feature doc scores the prior log-odds: ln(3/5) - ln(2/5)
+    import math
+
+    assert scores[12] == pytest.approx(
+        round(math.log(3 / 5), 4) - round(math.log(2 / 5), 4), abs=2e-4
+    )
+    # threshold gate == filter of the classify output, docs cols kept
+    kept = quality_gate(hdf, model, threshold=0.0)
+    assert {r["doc_id"] for r in kept.collect()} == {10, 12}
+    assert set(kept.columns) == {"doc_id", "text", "quality_score"}
+    # top_frac keeps the best-scoring fraction (approximate cutoff:
+    # ties at the cutoff kept, realized fraction can exceed the ask)
+    top = quality_gate(hdf, model, top_frac=0.01)
+    assert {r["doc_id"] for r in top.collect()} == {10}
+    assert {
+        r["doc_id"] for r in quality_gate(hdf, model, top_frac=1.0).collect()
+    } == {10, 11, 12}
+    # knob pairing + binary contract fail fast
+    with pytest.raises(ValueError, match="exactly one"):
+        quality_gate(hdf, model)
+    with pytest.raises(ValueError, match="exactly one"):
+        quality_gate(hdf, model, threshold=0.0, top_frac=0.5)
+    with pytest.raises(ValueError, match="top_frac"):
+        quality_gate(hdf, model, top_frac=1.5)
+    with pytest.raises(ValueError, match="positive_label"):
+        quality_classify(hdf, model, positive_label="nope")
+    tri = quality_fit(
+        spark.createDataFrame(
+            [(0, "a", "x y"), (1, "b", "y z"), (2, "c", "z x")],
+            "doc_id long, label string, text string",
+        ),
+        "label",
+    )
+    with pytest.raises(ValueError, match="BINARY"):
+        quality_classify(hdf, tri)
+
+
 def test_cosine_vs_bucketed_ann(spark):
     import random
 
