@@ -813,6 +813,89 @@ def hamming64(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
+def _hamming_block_rows(
+    df: DataFrame, sig_col: str, keep_cols: list[str], max_hamming: int
+) -> DataFrame:
+    """Pigeonhole block decomposition shared by the intra-frame pair
+    finder (`banded_hamming_rep_pairs`) and the against-index probe
+    (`banded_hamming_probe`): the 64-bit signature splits into
+    ``max_hamming + 1`` disjoint bit blocks (two signatures within
+    distance d differ in at most d blocks, so they agree on at least
+    one). Returns ``keep_cols`` + (_sig, _bi, _bv) — one row per
+    (input row, block). Validates ``max_hamming`` in [1, 63]
+    (ADVICE r10): 0 would need a single 64-bit block whose mask
+    literal overflows LongType; >= 64 yields zero-width blocks
+    collapsing every row into one degenerate bucket."""
+    if not 1 <= max_hamming <= 63:
+        raise ValueError(
+            f"max_hamming must be in [1, 63], got {max_hamming}; "
+            "for exact (distance-0) matching use an equi-join on the "
+            "signature instead"
+        )
+    nb = max_hamming + 1
+    bw, rem = divmod(64, nb)
+    widths = [bw + (1 if i < rem else 0) for i in range(nb)]
+    offsets = [sum(widths[:i]) for i in range(nb)]
+    s = F.col(sig_col)
+    return df.select(
+        *keep_cols,
+        s.alias("_sig"),
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(s, offsets[i]).bitwiseAND(
+                        F.lit((1 << widths[i]) - 1)
+                    )
+                    for i in range(nb)
+                ]
+            )
+        ).alias("_bi", "_bv"),
+    )
+
+
+def banded_hamming_probe(
+    sig: DataFrame,
+    index_sigs: DataFrame,
+    sig_col: str,
+    max_hamming: int,
+    *,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Against-index variant of the pigeonhole machinery: which rows
+    of ``sig`` (``rep_id``, ``sig_col``) have at least one signature
+    in ``index_sigs`` (``sig_col`` only — an index stores signatures,
+    not ids) within ``max_hamming``? EXACT within the bound, same
+    argument as `banded_hamming_rep_pairs`: candidates come from the
+    per-(block_idx, block_value) equi-join of the two decompositions
+    — batch blocks against index blocks, never all-pairs — then exact
+    `hamming64` verify. Returns (rep_id, hamming [minimum across
+    matches]). ``max_bucket`` drops degenerate INDEX blocks (the
+    all-zeros block of billions of near-black thumbnails) at a
+    documented recall cost — the skew guard for a batch probing a
+    corpus-scale index."""
+    probe = _hamming_block_rows(sig, sig_col, ["rep_id"], max_hamming)
+    idx = _hamming_block_rows(
+        index_sigs.select(sig_col), sig_col, [], max_hamming
+    ).select("_bi", "_bv", F.col("_sig").alias("_isig"))
+    if max_bucket is not None:
+        big = (
+            idx.groupBy("_bi", "_bv")
+            .count()
+            .where(F.col("count") > max_bucket)
+            .select("_bi", "_bv")
+        )
+        idx = idx.join(big, ["_bi", "_bv"], "left_anti")
+    return (
+        probe.join(idx, ["_bi", "_bv"])
+        .select(
+            "rep_id", hamming64(F.col("_sig"), F.col("_isig")).alias("hamming")
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .groupBy("rep_id")
+        .agg(F.min("hamming").alias("hamming"))
+    )
+
+
 def banded_hamming_rep_pairs(
     sig: DataFrame,
     sig_col: str,
@@ -838,31 +921,7 @@ def banded_hamming_rep_pairs(
     >= 64 yields zero-width blocks (mask 0) collapsing every row into
     one degenerate bucket — use an exact equi-join (`dedup_media_exact`
     / exact dedup) for distance 0 instead."""
-    if not 1 <= max_hamming <= 63:
-        raise ValueError(
-            f"max_hamming must be in [1, 63], got {max_hamming}; "
-            "for exact (distance-0) matching use an equi-join on the "
-            "signature instead"
-        )
-    nb = max_hamming + 1
-    bw, rem = divmod(64, nb)
-    widths = [bw + (1 if i < rem else 0) for i in range(nb)]
-    offsets = [sum(widths[:i]) for i in range(nb)]
-    s = F.col(sig_col)
-    blocks = sig.select(
-        "rep_id",
-        s.alias("_sig"),
-        F.posexplode(
-            F.array(
-                *[
-                    F.shiftrightunsigned(s, offsets[i]).bitwiseAND(
-                        F.lit((1 << widths[i]) - 1)
-                    )
-                    for i in range(nb)
-                ]
-            )
-        ).alias("_bi", "_bv"),
-    )
+    blocks = _hamming_block_rows(sig, sig_col, ["rep_id"], max_hamming)
     if max_bucket is not None:
         big = (
             blocks.groupBy("_bi", "_bv")

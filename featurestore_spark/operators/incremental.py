@@ -810,6 +810,146 @@ def extend_url_index(index: DataFrame, kept: DataFrame,
     return index.unionByName(new_rows)
 
 
+# -- media digest index (incremental recrawl media dedup) ---------------------
+
+
+def _require_media_index(index: DataFrame, op_name: str) -> None:
+    if "content_md5" not in index.columns:
+        raise ValueError(
+            f"{op_name}: supplied index has no 'content_md5' column "
+            f"(columns: {index.columns}) — build it with media_index"
+        )
+
+
+def media_index(
+    df: DataFrame, binary_col: str = "content", *, signatures: bool = False
+) -> DataFrame:
+    """Distinct-payload digest index for incremental recrawl media
+    dedup — the `url_index` rung for the multimodal surface
+    (re-hosted byte-identical images are the dominant media-dup
+    class): one ``content_md5`` row (32-char hex, 16 bytes of
+    entropy) per distinct non-NULL payload. ``signatures=True`` adds
+    the 64-bit ``byte_dhash`` per distinct digest, enabling the
+    near-dup probe of `dedup_media_against_index` (8 extra bytes per
+    distinct payload). Persist as parquet (ideally bucketed by
+    content_md5); extend per accepted batch with `extend_media_index`.
+
+    Scale shape: digests and signatures are computed per ROW in one
+    scan (the dhash UDF is a linear byte pass) and deduplicated on
+    the 40-byte (digest, signature) pair — the multi-MB payloads
+    never shuffle; collapsing to a representative payload first would
+    move them. MD5 for the exact key, not a 64-bit hash: a crawl
+    index holds billions of distinct payloads, where 64-bit birthday
+    collisions silently drop never-fetched media."""
+    base = df.where(F.col(binary_col).isNotNull())
+    if not signatures:
+        return base.select(
+            F.md5(F.col(binary_col)).alias("content_md5")
+        ).distinct()
+    from featurestore_spark.operators.multimodal import with_byte_dhash
+
+    return (
+        with_byte_dhash(base, binary_col)
+        .select(F.md5(F.col(binary_col)).alias("content_md5"), "byte_dhash")
+        .distinct()
+    )
+
+
+def dedup_media_against_index(
+    batch: DataFrame,
+    index: DataFrame,
+    binary_col: str = "content",
+    id_col: str = "doc_id",
+    *,
+    max_hamming: int | None = None,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Media-level dedup of a crawl batch against a persisted
+    `media_index`, without re-reading the corpus — the recrawl shape
+    of `multimodal.dedup_media_exact`: keep each batch row whose
+    payload is (a) NEW to the index (md5 anti-join) and (b) first
+    within the batch (minimum id among batch rows sharing the
+    digest). Returns the kept batch rows (all columns) plus
+    ``content_md5``; NULL payloads drop (no content), same contract
+    as `dedup_media_exact`.
+
+    ``max_hamming=`` adds the PERCEPTUAL probe (needs a
+    ``signatures=True`` index): kept rows whose `byte_dhash` sits
+    within ``max_hamming`` of ANY index signature also drop —
+    re-encoded/truncated variants of already-crawled media. The
+    probe is `dedup.banded_hamming_probe`: pigeonhole block
+    equi-join + exact Hamming verify, EXACT within the bound, never
+    all-pairs; ``max_bucket`` caps degenerate index blocks (recall
+    cost documented there). Batch-INTERNAL near-dups are out of
+    scope here — run `multimodal.dedup_media_docs` on the batch
+    first, exactly as `dedup_against_index` expects within-batch
+    text dedup to have run.
+
+    Scale shape: the exact probe is an equi-anti-join on the digest
+    string — the index's billions of rows never broadcast, payloads
+    never shuffle (only digests and 8-byte signatures move)."""
+    _require_media_index(index, "dedup_media_against_index")
+    b = batch.where(F.col(binary_col).isNotNull()).withColumn(
+        "content_md5", F.md5(F.col(binary_col))
+    )
+    first = b.groupBy("content_md5").agg(F.min(id_col).alias(id_col))
+    kept = b.join(first, [id_col, "content_md5"], "left_semi")
+    kept = kept.join(
+        index.select("content_md5"), "content_md5", "left_anti"
+    )
+    if max_hamming is not None:
+        if "byte_dhash" not in index.columns:
+            raise ValueError(
+                "dedup_media_against_index: max_hamming needs an index "
+                "built with media_index(signatures=True) — this one has "
+                f"columns {index.columns}"
+            )
+        from featurestore_spark.operators.dedup import banded_hamming_probe
+        from featurestore_spark.operators.multimodal import with_byte_dhash
+
+        sigs = with_byte_dhash(kept, binary_col).select(
+            F.col(id_col).alias("rep_id"), "byte_dhash"
+        )
+        near = banded_hamming_probe(
+            sigs,
+            index.select("byte_dhash"),
+            "byte_dhash",
+            max_hamming,
+            max_bucket=max_bucket,
+        ).select(F.col("rep_id").alias(id_col))
+        kept = kept.join(near, id_col, "left_anti")
+    return kept
+
+
+def extend_media_index(
+    index: DataFrame,
+    kept: DataFrame,
+    binary_col: str = "content",
+    *,
+    verify: bool = False,
+) -> DataFrame:
+    """Append the accepted batch's digests (and signatures, when the
+    index carries them) for the next batch — plain union, the family
+    convention (`extend_index`/`extend_url_index`):
+    `dedup_media_against_index`'s contract already guarantees the
+    batch digests are NEW (anti-join) and batch-internally unique
+    (first-per-digest collapse), so no per-batch re-distinct of a
+    billion-row index. ``verify=True`` runs the shared probe
+    (:func:`featurestore_spark.operators.probes.verify_disjoint_ids`)
+    on the digests — the double-ingestion tripwire."""
+    _require_media_index(index, "extend_media_index")
+    new_rows = media_index(
+        kept, binary_col, signatures="byte_dhash" in index.columns
+    )
+    if verify:
+        from featurestore_spark.operators.probes import verify_disjoint_ids
+
+        verify_disjoint_ids(
+            index, new_rows, "content_md5", "extend_media_index"
+        )
+    return index.unionByName(new_rows)
+
+
 # -- line-frequency index (incremental line-level dedup) ----------------------
 
 

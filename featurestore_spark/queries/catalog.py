@@ -2632,10 +2632,21 @@ def q_image_meta(spark, sf_dir):
     "pytest/invariant-covered — its signature has no SQL form.",
 )
 def q_image_dedup(spark, sf_dir):
-    from featurestore_spark.operators.multimodal import (
-        build_image,
-        dedup_media_exact,
-    )
+    from featurestore_spark.operators.multimodal import dedup_media_exact
+
+    with_img = _grouped_image_payloads(spark, sf_dir)
+    return dedup_media_exact(with_img).select("keep_id", "n_bytes", "n_dups")
+
+
+def _grouped_image_payloads(spark, sf_dir):
+    """Shared media-dedup fixture (q_image_dedup +
+    q_incremental_media_dedup — one definition, one oracle constant):
+    spec-correct PNG/JPEG/GIF payloads in 97 duplicate groups
+    (g = doc_id % 97 fully determines the bytes), every 31st doc a
+    NULL payload. The oracles verify the group structure
+    arithmetically (header math: PNG 33 B, JPEG 30+3*channels,
+    GIF 13) since they cannot build the binary (PNG CRC)."""
+    from featurestore_spark.operators.multimodal import build_image
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
 
@@ -2659,8 +2670,56 @@ def q_image_dedup(spark, sf_dir):
                 payloads.append(build_image(fmt, w, h, c))
             yield pdf.assign(content=payloads)
 
-    with_img = docs.mapInPandas(synth, schema="doc_id long, content binary")
-    return dedup_media_exact(with_img).select("keep_id", "n_bytes", "n_dups")
+    return docs.mapInPandas(synth, schema="doc_id long, content binary")
+
+
+@_register(
+    "q_incremental_media_dedup",
+    """
+    WITH batch AS (
+      SELECT doc_id, doc_id % 97 AS g FROM documents
+      WHERE doc_id % 7 <> 0 AND doc_id % 31 <> 0),
+    corpus_g AS (
+      SELECT DISTINCT doc_id % 97 AS g FROM documents
+      WHERE doc_id % 7 = 0 AND doc_id % 31 <> 0),
+    firsts AS (SELECT g, min(doc_id) AS doc_id FROM batch GROUP BY g)
+    SELECT f.doc_id,
+           CAST(CASE f.g % 3
+                WHEN 0 THEN 33
+                WHEN 1 THEN 30 + 3 * (CASE WHEN f.g % 5 = 0
+                                           THEN 1 ELSE 3 END)
+                ELSE 13 END AS BIGINT) AS n_bytes
+    FROM firsts f
+    WHERE f.g NOT IN (SELECT g FROM corpus_g)
+    """,
+    "Incremental recrawl MEDIA dedup (VERDICT r10 #4 — completes the "
+    "against-index family for the multimodal surface; re-hosted "
+    "byte-identical images are the dominant media-dup class): "
+    "media_index on the corpus slice (doc_id%7=0), then "
+    "dedup_media_against_index keeps each batch payload that is new "
+    "to the index (md5 anti-join) and first within the batch. Same "
+    "97-group synthesized payload fixture as q_image_dedup (one "
+    "definition); the oracle replays the keep-set arithmetically "
+    "(group membership + header byte math) since it cannot build "
+    "the binary. The perceptual probe (byte-dhash banding vs the "
+    "index, banded_hamming_probe) is pytest-covered — its signature "
+    "has no SQL form. Index probe = equi-anti-join on the digest; "
+    "payloads never shuffle.",
+)
+def q_incremental_media_dedup(spark, sf_dir):
+    from featurestore_spark.operators.incremental import (
+        dedup_media_against_index,
+        media_index,
+    )
+
+    with_img = _grouped_image_payloads(spark, sf_dir)
+    corpus = with_img.where(F.col("doc_id") % 7 == 0)
+    batch = with_img.where(F.col("doc_id") % 7 != 0)
+    idx = media_index(corpus)
+    kept = dedup_media_against_index(batch, idx)
+    return kept.select(
+        "doc_id", F.length("content").cast("long").alias("n_bytes")
+    )
 
 
 @_register(

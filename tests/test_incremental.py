@@ -853,3 +853,61 @@ def test_against_index_rejects_64bit_line_index(spark, corpus):
     missing = spark.createDataFrame([], "wrong_col bigint, doc_freq long")
     with pytest.raises(ValueError, match="no 'line_hash' column"):
         dedup_lines_against_index(corpus, missing)
+
+
+def test_media_index_recrawl_round_trip(spark):
+    """Incremental recrawl media dedup (VERDICT r10 #4): a batch row
+    survives iff its payload digest is new to the index AND first
+    within the batch; NULL payloads drop; the perceptual probe
+    (max_hamming) drops near-variants of indexed media; extension is
+    a plain union whose double-ingestion misuse trips verify=; an
+    index without signatures fails fast on the perceptual ask."""
+    import pytest
+
+    from featurestore_spark.operators.incremental import (
+        dedup_media_against_index,
+        extend_media_index,
+        media_index,
+    )
+
+    base = bytes(range(256)) * 4
+    var = bytearray(base)
+    var[100] ^= 0xFF  # one flipped byte: dhash-near base, md5-far
+    far = bytes(reversed(base))
+    corpus = spark.createDataFrame(
+        [(1, base)], "doc_id long, content binary"
+    )
+    idx = media_index(corpus, signatures=True)
+    assert set(idx.columns) == {"content_md5", "byte_dhash"}
+    batch = spark.createDataFrame(
+        [
+            (10, base),        # exact dup of corpus -> drop
+            (11, bytes(var)),  # near-dup of corpus (dhash) -> drop at probe
+            (12, far),         # genuinely new
+            (13, far),         # batch-internal dup of 12 -> drop
+            (14, None),        # NULL payload -> drop
+        ],
+        "doc_id long, content binary",
+    )
+    # md5-only probe: near-variant survives, exact dups drop
+    kept_exact = dedup_media_against_index(batch, idx)
+    assert {r["doc_id"] for r in kept_exact.collect()} == {11, 12}
+    # perceptual probe: the near-variant drops too
+    kept = dedup_media_against_index(batch, idx, max_hamming=3)
+    assert {r["doc_id"] for r in kept.collect()} == {12}
+    assert "content_md5" in kept.columns
+    # extend (verify green on a fresh batch), then the batch is seen
+    idx2 = extend_media_index(idx, kept, verify=True)
+    assert dedup_media_against_index(batch, idx2, max_hamming=3).count() == 0
+    assert idx2.count() == idx.count() + 1
+    # double-ingestion misuse trips the probe; plain union otherwise
+    with pytest.raises(ValueError, match="overlap|double-count"):
+        extend_media_index(idx2, kept, verify=True)
+    assert extend_media_index(idx2, kept).count() == idx2.count() + 1
+    # signature-less index: exact probe fine, perceptual ask fails fast
+    plain = media_index(corpus)
+    assert plain.columns == ["content_md5"]
+    with pytest.raises(ValueError, match="signatures=True"):
+        dedup_media_against_index(batch, plain, max_hamming=3)
+    with pytest.raises(ValueError, match="content_md5"):
+        dedup_media_against_index(batch, spark.range(1), max_hamming=3)
