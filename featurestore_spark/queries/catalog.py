@@ -2787,6 +2787,76 @@ def q_gif_frames(spark, sf_dir):
 
 
 @_register(
+    "q_mp4_frames",
+    """
+    WITH f AS (
+      SELECT doc_id, unnest(generate_series(0, doc_id % 4)) AS fi
+      FROM documents),
+    sized AS (
+      SELECT doc_id, fi,
+             10 + (doc_id + fi) % 5 AS sz,
+             1 + (doc_id + 2 * fi) % 3 AS dlt
+      FROM f)
+    SELECT doc_id, CAST(fi AS INTEGER) AS frame_idx,
+           CAST(24 + coalesce(sum(sz) OVER w, 0) AS BIGINT) AS frame_offset,
+           CAST(sz AS BIGINT) AS frame_bytes,
+           CAST(coalesce(sum(dlt) OVER w, 0) AS BIGINT) AS frame_dts,
+           CAST(600 + doc_id % 10 AS BIGINT) AS timescale
+    FROM sized
+    WINDOW w AS (PARTITION BY doc_id ORDER BY fi
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    """,
+    "REAL MP4/ISO-BMFF sample-table walk round-trip (VERDICT r10 #6 "
+    "— retires the video byte-offset stub the way q_gif_frames did "
+    "for animations): spec-correct fixtures built per doc_id "
+    "(1 + doc_id%4 samples, arithmetic sizes/deltas, samples "
+    "chunked in PAIRS so the stsc/stco resolution is genuinely "
+    "exercised), walked back by parse_mp4_frames inside "
+    "mapInPandas. The oracle recomputes every sample arithmetically "
+    "— contiguous layout puts sample i at 24 + Σ sizes<i with DTS "
+    "Σ deltas<i — so any drift in the box walk, stts/stsc run "
+    "expansion, stsz table, or chunk-offset math hash-mismatches. "
+    "Pure header arithmetic, no codec; payload bytes never shuffle "
+    "(frames carry six small ints).",
+)
+def q_mp4_frames(spark, sf_dir):
+    from featurestore_spark.operators.multimodal import (
+        build_mp4_fixture,
+        sample_mp4_frames,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(it):
+        for pdf in it:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                n = 1 + did % 4
+                samples = [
+                    (10 + (did + i) % 5, 1 + (did + 2 * i) % 3)
+                    for i in range(n)
+                ]
+                chunk_lens = [2] * (n // 2) + ([1] if n % 2 else [])
+                payloads.append(
+                    build_mp4_fixture(
+                        600 + did % 10, samples, chunk_lens=chunk_lens
+                    )
+                )
+            yield pdf.assign(content=payloads)
+
+    with_mp4 = docs.mapInPandas(synth, schema="doc_id long, content binary")
+    return sample_mp4_frames(with_mp4).select(
+        "doc_id",
+        "frame_idx",
+        "frame_offset",
+        "frame_bytes",
+        "frame_dts",
+        "timescale",
+    )
+
+
+@_register(
     "q_embedding_topk",
     """
     WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 3),
