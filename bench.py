@@ -171,6 +171,11 @@ HEADLINE = [
     "q_image_dedup",
     "q_gif_frames",
     "q_incremental_url_dedup",
+    # Round 11: the trained quality-classifier gate, the incremental
+    # media-dedup rung, the MP4 sample-table walker
+    "q_quality_classify",
+    "q_incremental_media_dedup",
+    "q_mp4_frames",
 ]
 
 # Zero-code-change drift control (VERDICT r6 #8): the TPC-H block has

@@ -7231,75 +7231,76 @@ def q_refinedweb_e2e(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 _DRIVER_PRIORITY = [
-    # Round-10 rotation (VERDICT r9 #1): the 36 queries whose last
-    # driver evidence is r7 — the BM25/LM, temporal, incremental,
-    # sampling, quantize and r7-curation families — lead, stalest
-    # first. Every one is also green in the per-round check_oracle
+    # Round-11 rotation (VERDICT r10 #1): the 46 queries whose last
+    # driver evidence is r8 — the events/vault/star/pivot block, the
+    # exact/minhash/embedding dedup families, PQ/IVF, the r7-r8
+    # curation + sampling representatives — lead, stalest first
+    # (union recomputed from the CORRECTNESS_r* artifacts at rotation
+    # time). Every one is also green in the per-round check_oracle
     # sweeps at sf0.01 and sf0.1.
-    "q_current_events",
-    "q_lang_id",
-    "q_ngram_containment",
-    "q_simhash_near_dups",
-    "q_embedding_ann_lsh",
-    "q_incremental_embedding_dedup",
-    "q_repetition",
-    "q_redact_pii",
-    "q_quality_filter",
-    "q_asof_purchase",
-    "q_interval_join",
-    "q_time_rollup",
-    "q_attribution",
-    "q_quality_buckets",
-    "q_incremental_line_dedup",
-    "q_shard_corpus",
-    "q_incremental_spans",
-    "q_normalize_text",
-    "q_cluster_balance",
-    "q_decontaminate_spans",
-    "q_token_budget_sample",
-    "q_embedding_clusters",
-    "q_ivf_pq_topk",
-    "q_semantic_dedup",
-    "q_bm25_topk",
-    "q_bm25_index_topk",
-    "q_lm_perplexity",
-    "q_source_divergence",
-    "q_ngram_novelty",
-    "q_dsir_weights",
-    "q_strip_html",
-    "q_temperature_mixture",
-    "q_repeat_epochs",
-    "q_nb_classify",
-    "q_hard_negatives",
-    "q_bpe_segment",
-    # ...the four queries NEW this round (the end-to-end published-
-    # pipeline capstone, the paper-exact positional repetition
-    # variant, the trained char-ngram language-ID, the bytes-level
-    # image dedup)...
+    "q_vault_full_cycle",
+    "q_hub_customer",
+    "q_satellite_classify",
+    "q_star_dim_order_priority",
+    "q_star_fact_order_counts",
+    "q_pivot_snapshot",
+    "q_pivot_registry",
+    "q_sessionize",
+    "q_session_stats",
+    "q_chords",
+    "q_chord_path",
+    "q_chord_path_all",
+    "q_unique_path",
+    "q_collapse_runs",
+    "q_dedup_exact",
+    "q_dedup_lines",
+    "q_dedup_clusters",
+    "q_dedup_ladder",
+    "q_dedup_pipeline",
+    "q_minhash_bands",
+    "q_minhash_pairs",
+    "q_embedding_near_dups",
+    "q_embedding_topk",
+    "q_incremental_dedup",
+    "q_ivf_assign",
+    "q_ivf_serve",
+    "q_ivf_topk",
+    "q_pq_encode",
+    "q_pq_topk",
+    "q_gopher_rules",
+    "q_c4_filter",
+    "q_fineweb_rules",
+    "q_curation_funnel",
+    "q_mixture_sample",
+    "q_ccnet_buckets",
+    "q_ccnet_external",
+    "q_corpus_stats",
+    "q_vocab_topk",
+    "q_token_count",
+    "q_text_quality",
+    "q_chunk_documents",
+    "q_decontaminate",
+    "q_shared_spans",
+    "q_doc_fingerprint",
+    "q_ngram_jaccard",
+    "q_binary_meta",
+    # ...the three queries NEW this round (the trained quality-
+    # classifier gate, the incremental media-dedup rung, the MP4
+    # sample-table walker)...
+    "q_quality_classify",
+    "q_incremental_media_dedup",
+    "q_mp4_frames",
+    # ...and the one changed-path re-pin the 50-slot window has room
+    # for: q_refinedweb_e2e now exercises the LIBRARY preset
+    # (operators/pipelines.refinedweb_pipeline) instead of the
+    # hand-wired chain. The other r11-touched paths keep r10 driver
+    # evidence (within the 2-round cadence) plus this round's full
+    # check_oracle sweeps: q_nb_classify/q_lid_classify (nb_scores
+    # factoring), q_simhash_near_dups (_hamming_block_rows
+    # factoring), q_image_dedup (shared fixture helper).
     "q_refinedweb_e2e",
-    "q_gopher_positional",
-    "q_lid_classify",
-    "q_image_dedup",
-    "q_gif_frames",
-    "q_incremental_url_dedup",
-    # ...every query whose code path changed this round: web.py
-    # (PSL file-format parsing, url_word_score case-dedup) re-pins
-    # the six web queries; curation.py (positional branch) re-pins
-    # the two gopher queries; search.py (tokens= generalization +
-    # the empty-model base guard) re-pins q_nb_classify (already in
-    # the stale block above) — note q_simhash_near_dups (dedup.py
-    # banding refactor) is also already in the stale block...
-    "q_canonical_url",
-    "q_url_dedup",
-    "q_url_filter",
-    "q_domain_rollup",
-    "q_domain_cap",
-    "q_web_funnel",
-    "q_gopher_repetition",
-    "q_curate_gopher",
-    # --- driver window ends here (first 50). The 46-query r8 block
-    # (events/vault/star + the dedup/embedding families) is
-    # two-rounds-old at r10 close and leads the r11 rotation.
+    # --- driver window ends here (first 50). The 42-query r9 block
+    # is two-rounds-old at r11 close and leads the r12 rotation.
 ]
 
 
