@@ -38,9 +38,16 @@ def refinedweb_pipeline(
     url_threshold: float | None = None,
     cap: int | None = None,
     cap_order_col: str | None = None,
+    lid_model: tuple[DataFrame, DataFrame] | None = None,
+    lid_keep: str | list[str] | None = None,
+    lid_n: int = 3,
     line_max_docs: int | None = 1,
     curate: str | None = "gopher",
     positional: bool = False,
+    quality_model: tuple[DataFrame, DataFrame] | None = None,
+    quality_threshold: float | None = None,
+    quality_top_frac: float | None = None,
+    positive_label: str = "hq",
     dedup: str | None = "fineweb",
     max_bucket: int = 1000,
     **dedup_overrides,
@@ -71,18 +78,32 @@ def refinedweb_pipeline(
        ``html_col``). Runs AFTER the URL stages so extraction cost is
        paid only for surviving pages — the published order, and the
        100 TB-relevant placement.
-    6. **Corpus-wide line dedup** (``line_max_docs=``, default 1) —
+    6. **Trained language-ID gate** (``lid_model=`` from
+       `text.lid_fit` + ``lid_keep=`` language code(s), optional) —
+       keep documents `text.lid_classify` predicts in the kept
+       set; runs right after extraction, where CCNet/RefinedWeb run
+       their fastText LID.
+    7. **Corpus-wide line dedup** (``line_max_docs=``, default 1) —
        `curation.dedup_lines` with ``collapse_exact=True``: in a
        CHAINED plan the exact-dup collapse doubles as the
        stage-boundary materialization barrier (the r6 placement
        lesson; 'auto' would probe and re-execute upstream lineage).
-    7. **Rule-based curation** (``curate=`` preset name, default
+    8. **Rule-based curation** (``curate=`` preset name, default
        ``'gopher'``) — `curation.curate_corpus`; ``positional=True``
        opts into the paper-exact positional repetition signals.
-    8. **Fuzzy dedup** (``dedup=`` preset name, default
+    9. **Trained quality gate** (``quality_model=`` from
+       `text.quality_fit` + exactly one of ``quality_threshold=`` /
+       ``quality_top_frac=``, optional) — `text.quality_gate` after
+       the rules and before the fuzzy dedup, the DCLM/FineWeb-Edu
+       placement of the model-based filter.
+    10. **Fuzzy dedup** (``dedup=`` preset name, default
        ``'fineweb'``) — `dedup.dedup_corpus` at the published MinHash
        constants; ``max_bucket`` and ``**dedup_overrides`` pass
        through.
+
+    With every knob set, the call covers the FULL modern published
+    stack: URL front → extraction → LID → line dedup → rules →
+    model quality filter → fuzzy dedup.
 
     Scale shape: the URL stages move only ids + canonical strings
     (page bodies join back once, after the cap, when most rows are
@@ -109,6 +130,24 @@ def refinedweb_pipeline(
         raise ValueError(
             "terms and url_threshold enable the URL-score stage "
             "together — pass both or neither"
+        )
+    if (lid_model is None) != (lid_keep is None):
+        raise ValueError(
+            "lid_model and lid_keep enable the language-ID gate "
+            "together — pass both or neither"
+        )
+    if quality_model is not None and (
+        (quality_threshold is None) == (quality_top_frac is None)
+    ):
+        raise ValueError(
+            "quality_model needs exactly one of quality_threshold= / "
+            "quality_top_frac="
+        )
+    if quality_model is None and not (
+        quality_threshold is None and quality_top_frac is None
+    ):
+        raise ValueError(
+            "quality_threshold/quality_top_frac need quality_model="
         )
 
     # 1. URL-level exact dedup; keeper ids pull the page rows back in.
@@ -144,18 +183,47 @@ def refinedweb_pipeline(
         kept = kept.withColumn(text_col, extract(F.col(text_col)))
     kept = kept.select(id_col, text_col)
 
-    # 6. corpus-wide line dedup (collapse_exact=True: chained stage)
+    # 6. trained language-ID gate (the CCNet/RefinedWeb placement:
+    # right after extraction, before any text-level correction)
+    if lid_model is not None:
+        from featurestore_spark.operators.text import lid_classify
+
+        langs = [lid_keep] if isinstance(lid_keep, str) else list(lid_keep)
+        keep_ids = (
+            lid_classify(
+                kept, lid_model, text_col=text_col, id_col=id_col, n=lid_n
+            )
+            .where(F.col("lang_pred").isin(langs))
+            .select(id_col)
+        )
+        kept = kept.join(keep_ids, id_col, "left_semi")
+
+    # 7. corpus-wide line dedup (collapse_exact=True: chained stage)
     if line_max_docs is not None:
         kept = dedup_lines(
             kept, text_col, id_col,
             max_docs=line_max_docs, collapse_exact=True,
         ).select(id_col, text_col)
 
-    # 7. rule-based curation + 8. published-constant fuzzy dedup
+    # 8. rule-based curation
     if curate is not None:
         kept = curate_corpus(
             kept, curate, text_col, id_col, positional=positional
         )
+
+    # 9. trained quality gate (DCLM placement: after the rules,
+    # before the fuzzy dedup)
+    if quality_model is not None:
+        from featurestore_spark.operators.text import quality_gate
+
+        kept = quality_gate(
+            kept, quality_model,
+            positive_label=positive_label,
+            threshold=quality_threshold, top_frac=quality_top_frac,
+            text_col=text_col, id_col=id_col,
+        ).select(id_col, text_col)
+
+    # 10. published-constant fuzzy dedup
     if dedup is not None:
         kept = dedup_corpus(
             kept, dedup, text_col, id_col,

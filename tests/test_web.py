@@ -424,3 +424,66 @@ def test_refinedweb_pipeline_matches_hand_wired_chain(spark):
         refinedweb_pipeline(df, terms=terms)
     with pytest.raises(ValueError, match="url_threshold"):
         refinedweb_pipeline(df, url_threshold=0.5)
+
+
+def test_refinedweb_pipeline_full_stack_gates(spark):
+    """The optional trained gates (round 11): lid_model/lid_keep
+    filters by lid_classify prediction right after extraction;
+    quality_model/quality_threshold gates after the rules — each
+    equal to the hand-wired composition; knob pairings fail fast."""
+    from featurestore_spark.operators.pipelines import refinedweb_pipeline
+    from featurestore_spark.operators.text import (
+        lid_classify,
+        lid_fit,
+        quality_fit,
+        quality_gate,
+    )
+
+    seeds = spark.createDataFrame(
+        [
+            (0, "en", "hq", "the cat and the dog and the hat then"),
+            (1, "en", "lq", "click the free offer now buy cheap here"),
+            (2, "fi", "hq", "kissa ja koira ja sitten katto tuli"),
+            (3, "fi", "lq", "osta nyt halpa tarjous klikkaa tasta heti"),
+        ],
+        "doc_id long, lang string, label string, text string",
+    )
+    lid_m = lid_fit(seeds, "lang")
+    q_m = quality_fit(seeds, "label")
+    docs = spark.createDataFrame(
+        [
+            (10, "http://a.com/1", "the cat and the dog sat then"),
+            (11, "http://a.com/2", "kissa ja koira katto sitten"),
+            (12, "http://a.com/3", "click the free offer buy now"),
+        ],
+        "doc_id long, url string, text string",
+    )
+    got = refinedweb_pipeline(
+        docs,
+        lid_model=lid_m, lid_keep="en",
+        quality_model=q_m, quality_threshold=0.0,
+        line_max_docs=None, curate=None, dedup=None,
+    )
+    # hand-wired: url dedup is a no-op here (distinct urls); LID keeps
+    # the en docs (10, 12); the quality gate then drops the spammy 12
+    base = docs.select("doc_id", "text")
+    lid_keep = lid_classify(base, lid_m).where("lang_pred = 'en'").select("doc_id")
+    gated = quality_gate(
+        base.join(lid_keep, "doc_id", "left_semi"), q_m, threshold=0.0
+    ).select("doc_id", "text")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, gated.collect()))
+    assert {r["doc_id"] for r in got.collect()} == {10}
+    # knob pairing contracts
+    with pytest.raises(ValueError, match="lid_keep"):
+        refinedweb_pipeline(docs, lid_model=lid_m)
+    with pytest.raises(ValueError, match="lid_keep"):
+        refinedweb_pipeline(docs, lid_keep="en")
+    with pytest.raises(ValueError, match="exactly one"):
+        refinedweb_pipeline(docs, quality_model=q_m)
+    with pytest.raises(ValueError, match="exactly one"):
+        refinedweb_pipeline(
+            docs, quality_model=q_m, quality_threshold=0.0,
+            quality_top_frac=0.5,
+        )
+    with pytest.raises(ValueError, match="need quality_model"):
+        refinedweb_pipeline(docs, quality_threshold=0.0)
