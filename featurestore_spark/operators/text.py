@@ -332,6 +332,127 @@ def quality_gate(
     return docs.join(kept, id_col)
 
 
+def quality_calibrate(
+    scored: DataFrame,
+    label_col: str,
+    *,
+    positive_label: str = "hq",
+    score_col: str = "quality_score",
+    target_precision: float | None = None,
+    beta: float = 1.0,
+) -> dict:
+    """Calibrate the `quality_gate` threshold on HELD-OUT labeled
+    documents — the step between `quality_classify` on a labeled
+    holdout and `quality_gate` on the corpus ("filter by calibrated
+    threshold", the DCLM workflow). Sweeps every distinct score as a
+    candidate ``score >= t`` cut and returns::
+
+        {"threshold": t, "precision": p, "recall": r, "f": f,
+         "n_candidates": k}
+
+    choosing the cut that maximizes F-beta (default F1), or — with
+    ``target_precision=`` — the LOWEST threshold (highest recall)
+    whose precision meets the target; falls back to the max-precision
+    cut (with a ``UserWarning``) when no cut reaches it. Ties on the
+    objective break toward the lower threshold (more data kept).
+
+    Scale shape: one groupBy on the ROUNDED score (quality_classify
+    rounds to ``score_decimals``, so distinct cuts are bounded —
+    thousands, not corpus-sized) + cumulative windows over those
+    distinct cuts + a single-row collect. NULL labels and NULL scores
+    are excluded."""
+    from pyspark.sql import Window
+
+    pos = F.col(label_col) == positive_label
+    per_score = (
+        scored.where(F.col(label_col).isNotNull())
+        .where(F.col(score_col).isNotNull())
+        .groupBy(F.col(score_col).alias("_t"))
+        .agg(
+            F.sum(pos.cast("long")).alias("_pos"),
+            F.sum((~pos).cast("long")).alias("_neg"),
+        )
+    )
+    # cumulative counts at cut 'score >= _t': window ordered score
+    # DESC over the bounded distinct-cut frame (single task by
+    # design — thousands of rows)
+    w = Window.orderBy(F.col("_t").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    total_pos = F.sum("_pos").over(
+        Window.rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+    )
+    b2 = float(beta) * float(beta)
+    curves = per_score.select(
+        "_t",
+        F.sum("_pos").over(w).alias("_tp"),
+        F.sum("_neg").over(w).alias("_fp"),
+        total_pos.alias("_np"),
+    ).select(
+        "_t",
+        (F.col("_tp") / (F.col("_tp") + F.col("_fp"))).alias("_prec"),
+        F.when(F.col("_np") > 0, F.col("_tp") / F.col("_np"))
+        .otherwise(F.lit(0.0))
+        .alias("_rec"),
+    ).select(
+        "_t",
+        "_prec",
+        "_rec",
+        F.when(
+            (b2 * F.col("_prec") + F.col("_rec")) > 0,
+            (1 + b2)
+            * F.col("_prec")
+            * F.col("_rec")
+            / (b2 * F.col("_prec") + F.col("_rec")),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("_f"),
+    )
+    if target_precision is not None:
+        want = curves.where(F.col("_prec") >= F.lit(target_precision))
+        row = (
+            want.orderBy(F.col("_t").asc()).limit(1).collect()
+            or curves.orderBy(
+                F.col("_prec").desc(), F.col("_t").asc()
+            ).limit(1).collect()
+        )
+        if not row:
+            raise ValueError(
+                "quality_calibrate: no labeled scored rows to calibrate on"
+            )
+        row = row[0]
+        if row["_prec"] < target_precision:
+            import warnings
+
+            warnings.warn(
+                f"quality_calibrate: no cut reaches precision "
+                f"{target_precision} (best {row['_prec']:.4f} at "
+                f"threshold {row['_t']}) — returning the max-precision "
+                "cut; refit the model or lower the target",
+                UserWarning,
+                stacklevel=2,
+            )
+    else:
+        rows = curves.orderBy(
+            F.col("_f").desc(), F.col("_t").asc()
+        ).limit(1).collect()
+        if not rows:
+            raise ValueError(
+                "quality_calibrate: no labeled scored rows to calibrate on"
+            )
+        row = rows[0]
+    n = curves.count()
+    return {
+        "threshold": row["_t"],
+        "precision": float(row["_prec"]),
+        "recall": float(row["_rec"]),
+        "f": float(row["_f"]),
+        "n_candidates": n,
+    }
+
+
 def quality_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Length / punctuation / alpha-ratio style quality scores."""
     text = F.col(text_col)

@@ -1714,3 +1714,71 @@ def test_mp4_frame_walk_round_trip(spark):
         sample_mp4_frames(df, every_k=0)
     with pytest.raises(ValueError, match="chunk_lens"):
         build_mp4_fixture(600, samples, chunk_lens=[2, 2])
+
+
+def test_quality_calibrate_matches_brute_force(spark):
+    """quality_calibrate == a brute-force Python sweep of every
+    distinct cut (F1 and F0.5 objectives, and the target-precision
+    mode incl. its unreachable-target fallback warning)."""
+    import warnings
+
+    import pytest
+
+    from featurestore_spark.operators.text import quality_calibrate
+
+    rows = [
+        ("hq", 0.9), ("hq", 0.7), ("lq", 0.7), ("hq", 0.4),
+        ("lq", 0.3), ("hq", 0.2), ("lq", 0.1), ("lq", 0.1),
+        (None, 5.0), ("hq", None),  # excluded
+    ]
+    df = spark.createDataFrame(rows, "label string, quality_score double")
+
+    def brute(beta):
+        lab = [(l, s) for l, s in rows if l is not None and s is not None]
+        np_ = sum(1 for l, _ in lab if l == "hq")
+        best = None
+        for t in sorted({s for _, s in lab}):
+            tp = sum(1 for l, s in lab if s >= t and l == "hq")
+            fp = sum(1 for l, s in lab if s >= t and l == "lq")
+            prec = tp / (tp + fp) if tp + fp else 0.0
+            rec = tp / np_
+            b2 = beta * beta
+            f = (
+                (1 + b2) * prec * rec / (b2 * prec + rec)
+                if (b2 * prec + rec) > 0
+                else 0.0
+            )
+            if best is None or f > best[1] + 1e-12:
+                best = (t, f, prec, rec)
+        return best
+
+    for beta in (1.0, 0.5):
+        got = quality_calibrate(df, "label", beta=beta)
+        t, f, prec, rec = brute(beta)
+        assert got["threshold"] == t
+        assert got["f"] == pytest.approx(f)
+        assert got["precision"] == pytest.approx(prec)
+        assert got["recall"] == pytest.approx(rec)
+        assert got["n_candidates"] == 6
+    # target-precision mode: LOWEST cut meeting the target (0.2 keeps
+    # 4 hq + 2 lq -> precision 2/3; 0.4's 3/4 also qualifies but keeps
+    # less data)
+    got = quality_calibrate(df, "label", target_precision=0.66)
+    assert got["threshold"] == 0.2 and got["precision"] >= 0.66
+    got = quality_calibrate(df, "label", target_precision=0.7)
+    assert got["threshold"] == 0.4 and got["precision"] == pytest.approx(0.75)
+    # perfect precision requires the top cut
+    got = quality_calibrate(df, "label", target_precision=1.0)
+    assert got["threshold"] == 0.9
+    # unreachable target falls back to max precision with a warning
+    noisy = spark.createDataFrame(
+        [("hq", 0.5), ("lq", 0.5)], "label string, quality_score double"
+    )
+    with pytest.warns(UserWarning, match="no cut reaches"):
+        got = quality_calibrate(noisy, "label", target_precision=0.9)
+    assert got["precision"] == pytest.approx(0.5)
+    # empty holdout fails fast
+    with pytest.raises(ValueError, match="no labeled"):
+        quality_calibrate(
+            noisy.where("label IS NULL"), "label", target_precision=0.5
+        )
