@@ -1137,3 +1137,73 @@ def test_quality_classify_matches_python_nb(spark, rows):
     }
     want = _py_quality([(i, lab, t) for i, (lab, t) in enumerate(rows)])
     assert got == want, (rows, got, want)
+
+
+# -- domain_pagerank vs an independent Python power iteration -----------------
+
+
+def _py_pagerank(edges, iters, d=0.85):
+    """Independent PageRank with uniform dangling-mass
+    redistribution: same formulation as the docstring, plain dicts."""
+    nodes = sorted({s for s, _, _ in edges} | {t for _, t, _ in edges})
+    n = len(nodes)
+    outw: dict[str, float] = {}
+    for s, _, w in edges:
+        outw[s] = outw.get(s, 0.0) + w
+    pr = {v: 1.0 / n for v in nodes}
+    for _ in range(iters):
+        dang = sum(pr[v] for v in nodes if outw.get(v, 0.0) == 0.0)
+        contrib = {v: 0.0 for v in nodes}
+        for s, t, w in edges:
+            contrib[t] += pr[s] * w / outw[s]
+        pr = {v: (1 - d) / n + d * (contrib[v] + dang / n) for v in nodes}
+    return pr
+
+
+_pr_nodes = st.sampled_from(["a", "b", "c", "d", "e", "f"])
+_pr_edges_strategy = st.lists(
+    st.tuples(_pr_nodes, _pr_nodes, st.integers(1, 3)),
+    min_size=1,
+    max_size=15,
+)
+
+
+@given(
+    raw=_pr_edges_strategy,
+    iters=st.integers(1, 4),
+    weighted=st.booleans(),
+)
+@settings(**SPARK_SETTINGS)
+def test_domain_pagerank_matches_python_power_iteration(
+    spark, raw, iters, weighted
+):
+    from featurestore_spark.operators.web import domain_pagerank
+
+    # collapse parallel edges the way link_graph's groupBy would
+    agg: dict[tuple[str, str], int] = {}
+    for s, t, w in raw:
+        agg[(s, t)] = agg.get((s, t), 0) + w
+    edges = [(s, t, w) for (s, t), w in agg.items()]
+    df = spark.createDataFrame(
+        edges, "src_domain string, dst_domain string, n_links int"
+    )
+    out = domain_pagerank(
+        df,
+        weight_col="n_links" if weighted else None,
+        iterations=iters,
+    )
+    got = {r["domain"]: r["pr"] for r in out.collect()}
+    want = _py_pagerank(
+        [(s, t, w if weighted else 1.0) for s, t, w in edges], iters
+    )
+    assert set(got) == set(want), (edges, iters, weighted)
+    assert all(abs(got[v] - want[v]) < 1e-9 for v in want), (
+        edges,
+        iters,
+        weighted,
+        got,
+        want,
+    )
+    # mass conservation: the dangling term makes each iteration a
+    # proper stochastic redistribution
+    assert abs(sum(got.values()) - 1.0) < 1e-9

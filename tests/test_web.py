@@ -487,3 +487,119 @@ def test_refinedweb_pipeline_full_stack_gates(spark):
         )
     with pytest.raises(ValueError, match="need quality_model"):
         refinedweb_pipeline(docs, quality_threshold=0.0)
+
+
+# -- outlink graph + domain ranking -------------------------------------------
+
+
+def test_extract_links_quotes_filters_and_order(spark):
+    from featurestore_spark.operators.web import extract_links
+
+    html = (
+        '<a href="https://b.com/1">x</a>'
+        "<A HREF='https://c.com/2'>y</A>"   # single quotes, upper attr
+        '<a href="/relative">r</a>'
+        '<a href="mailto:z@q.com">m</a>'
+        '<a href="javascript:void(0)">j</a>'
+        '<a href = "HTTPS://b.com/3">spaced eq, upper scheme</a>'
+    )
+    df = spark.createDataFrame([(html,)], "html string")
+    [row] = df.select(extract_links("html").alias("l")).collect()
+    assert row["l"] == ["https://b.com/1", "https://c.com/2", "HTTPS://b.com/3"]
+    [raw] = df.select(
+        extract_links("html", absolute_only=False).alias("l")
+    ).collect()
+    assert "/relative" in raw["l"] and "mailto:z@q.com" in raw["l"]
+    # no hrefs / NULL html -> empty / NULL, never an error
+    df2 = spark.createDataFrame([("<p>none</p>",), (None,)], "html string")
+    got = [r["l"] for r in df2.select(extract_links("html").alias("l")).collect()]
+    assert got == [[], None]
+
+
+def test_link_graph_edges_weights_and_drops(spark):
+    from featurestore_spark.operators.web import link_graph
+
+    rows = [
+        # a.com -> b.com twice (one edge, n_links=2), -> a.com self-loop
+        (1, "https://a.com/x",
+         '<a href="https://b.com/1">1</a><a href="https://sub.b.com/2">2</a>'
+         '<a href="https://a.com/self">s</a>'),
+        # malformed src URL -> dropped
+        (2, "/robots.txt", '<a href="https://b.com/3">3</a>'),
+        # dst with no registrable domain (bare suffix) -> dropped
+        (3, "https://b.com/y", '<a href="https://com/">tld</a>'
+         '<a href="https://a.com/back">b</a>'),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string, html string")
+    got = {
+        (r["src_domain"], r["dst_domain"]): r["n_links"]
+        for r in link_graph(df).collect()
+    }
+    assert got == {("a.com", "b.com"): 2, ("b.com", "a.com"): 1}
+    loops = link_graph(df, drop_self_loops=False)
+    assert (
+        "a.com",
+        "a.com",
+    ) in {(r["src_domain"], r["dst_domain"]) for r in loops.collect()}
+
+
+def _pr_edges(spark):
+    from featurestore_spark.operators.web import link_graph
+
+    rows = [
+        (1, "https://a.com/x",
+         '<a href="https://b.com/1">1</a><a href="https://b.com/2">2</a>'
+         '<a href="https://c.com/1">3</a>'),
+        (2, "https://b.com/y", '<a href="https://a.com/z">back</a>'),
+        (3, "https://c.com/z", "no links: dangling node"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string, html string")
+    return link_graph(df)
+
+
+def test_domain_pagerank_conserves_mass_and_ranks_sensibly(spark):
+    from featurestore_spark.operators.web import domain_pagerank
+
+    edges = _pr_edges(spark)
+    out = {
+        r["domain"]: r["pr"]
+        for r in domain_pagerank(edges, iterations=20).collect()
+    }
+    assert set(out) == {"a.com", "b.com", "c.com"}
+    # dangling redistribution keeps total rank mass at exactly 1
+    assert abs(sum(out.values()) - 1.0) < 1e-12
+    # near the fixpoint: a.com receives b.com's WHOLE vote while
+    # b.com and c.com each receive half of a.com's — so a outranks
+    # both and b == c (they have identical in-link structure)
+    assert out["a.com"] > out["b.com"]
+    assert abs(out["b.com"] - out["c.com"]) < 1e-9
+    # weighted variant splits a.com's vote 2:1 toward b.com
+    w = {
+        r["domain"]: r["pr"]
+        for r in domain_pagerank(
+            edges, weight_col="n_links", iterations=20
+        ).collect()
+    }
+    assert w["b.com"] > w["c.com"]
+    assert abs(sum(w.values()) - 1.0) < 1e-12
+
+
+def test_domain_pagerank_validation_and_plan_shape(spark):
+    from featurestore_spark.operators.web import domain_pagerank
+
+    edges = _pr_edges(spark)
+    with pytest.raises(ValueError, match="damping"):
+        domain_pagerank(edges, damping=1.0)
+    with pytest.raises(ValueError, match="iterations"):
+        domain_pagerank(edges, iterations=0)
+    with pytest.raises(ValueError, match="checkpoint_every"):
+        domain_pagerank(edges, checkpoint_every=0)
+    # one un-truncated iteration stays a pure plan: the only
+    # nested-loop joins are the broadcast one-row scalar attaches
+    # (N, dangling mass) — never a full cartesian product
+    plan = (
+        domain_pagerank(edges, iterations=1, checkpoint_every=None)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
