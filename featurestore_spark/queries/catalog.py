@@ -6758,6 +6758,119 @@ def q_incremental_url_dedup(spark, sf_dir):
     return out.select("doc_id", "canonical_url")
 
 
+
+# -- outlink graph + domain ranking -------------------------------------------
+
+
+def _pagerank_iter_sql(prev: str, cur: str) -> str:
+    """One PageRank iteration as a DuckDB CTE over the previous rank
+    CTE — the exact recurrence domain_pagerank unrolls (same operand
+    order and grouping, `(1.0 - 0.85)` left for the engine to fold so
+    both sides use the identical double). AS MATERIALIZED because each
+    iteration references its predecessor twice (contribution join +
+    dangling mass) — the r10 oracle lesson: DuckDB inlines CTEs, so an
+    un-materialized 5-deep chain re-evaluates exponentially."""
+    return f"""
+    {cur} AS MATERIALIZED (
+      SELECT b.domain, b.outw, b.n,
+             (1.0 - 0.85) / b.n
+             + 0.85 * (coalesce(c.c, 0.0) + dg.dang / b.n) AS pr
+      FROM base b
+      LEFT JOIN (SELECT e.dst_domain AS domain,
+                        sum((r.pr / r.outw) * CAST(e.n_links AS DOUBLE)) AS c
+                 FROM edges e JOIN {prev} r ON r.domain = e.src_domain
+                 GROUP BY e.dst_domain) c USING (domain)
+      CROSS JOIN (SELECT coalesce(sum(pr), 0.0) AS dang
+                  FROM {prev} WHERE outw = 0.0) dg),"""
+
+
+@_register(
+    "q_domain_pagerank",
+    _WEB_SQL
+    + """
+    , outlinks AS (
+      SELECT domain AS src_domain,
+             unnest(
+               ['out' || CAST(doc_id % 7 AS VARCHAR) || '-rank.com']
+               || (CASE WHEN doc_id % 2 = 0
+                   THEN ['out' || CAST((doc_id * 3 + 1) % 7 AS VARCHAR)
+                         || '-rank.com']
+                   ELSE CAST([] AS VARCHAR[]) END)
+               || (CASE WHEN doc_id % 5 = 0 THEN ['example.com']
+                   ELSE CAST([] AS VARCHAR[]) END)
+             ) AS dst_domain
+      FROM dom
+      WHERE domain IS NOT NULL),
+    edges AS MATERIALIZED (
+      SELECT src_domain, dst_domain, count(*) AS n_links
+      FROM outlinks
+      WHERE src_domain <> dst_domain
+      GROUP BY src_domain, dst_domain),
+    nodes AS MATERIALIZED (
+      SELECT src_domain AS domain FROM edges
+      UNION
+      SELECT dst_domain FROM edges),
+    nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+    base AS MATERIALIZED (
+      SELECT nodes.domain, coalesce(ow.outw, 0.0) AS outw, nn.n
+      FROM nodes
+      LEFT JOIN (SELECT src_domain AS domain,
+                        CAST(sum(n_links) AS DOUBLE) AS outw
+                 FROM edges GROUP BY src_domain) ow USING (domain)
+      CROSS JOIN nn),
+    r0 AS MATERIALIZED (SELECT domain, outw, n, 1.0 / n AS pr FROM base),"""
+    + "".join(
+        _pagerank_iter_sql(f"r{k}", f"r{k + 1}") for k in range(5)
+    ).rstrip(",")
+    + """
+    SELECT domain, round(pr, 6) AS pr FROM r5
+    """,
+    "Domain-ranking capstone (the Common-Crawl-published artifact a "
+    "crawler allocates fetch budget by): outlink extraction from "
+    "synthesized per-doc HTML (both quote kinds, a relative href and "
+    "a mailto that the absolute-URL filter drops), domain-level "
+    "weighted edges through the SAME PSL registrable-domain chain "
+    "the other web queries pin (self-loops dropped), then 5 "
+    "iterations of weighted PageRank with uniform dangling-mass "
+    "redistribution. The oracle replays the recurrence as unrolled "
+    "MATERIALIZED CTEs; dst domains are closed-form (2-label .com "
+    "hosts are their own registrable domain) while src domains ride "
+    "the shared _WEB_SQL dom CTE. Per iteration the plan is one "
+    "src-keyed join + one dst-keyed groupBy + two broadcast one-row "
+    "scalar attaches; rank lineage is localCheckpoint-truncated so "
+    "the analyzed plan stays linear in the iteration count.",
+)
+def q_domain_pagerank(spark, sf_dir):
+    from featurestore_spark.operators.web import domain_pagerank, link_graph
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    html = F.concat(
+        F.lit('<p><a href="https://out'),
+        (d % 7).cast("string"),
+        F.lit('-rank.com/a?x=1">one</a>'),
+        F.when(
+            d % 2 == 0,
+            F.concat(
+                F.lit("<a href='http://out"),
+                ((d * 3 + 1) % 7).cast("string"),
+                F.lit("-rank.com/b'>two</a>"),
+            ),
+        ).otherwise(F.lit('<a href="/relative">rel</a>')),
+        F.when(
+            d % 5 == 0,
+            F.lit('<a href="https://WWW.Example.COM/x">home</a>'),
+        ).otherwise(F.lit('<a href="mailto:a@b.c">m</a>')),
+        F.lit("</p>"),
+    )
+    crawl = docs.select(
+        "doc_id", _web_url_col().alias("url"), html.alias("html")
+    )
+    edges = link_graph(crawl)
+    pr = domain_pagerank(edges, weight_col="n_links", iterations=5)
+    return pr.select("domain", F.round("pr", 6).alias("pr"))
+
+
 # Shared URL-filtering fixture constants: the term weights and
 # threshold of the soft URL score, and the domain blocklists — kept
 # in one place so the Spark queries and the oracle SQL can never
@@ -7290,15 +7403,19 @@ _DRIVER_PRIORITY = [
     "q_quality_classify",
     "q_incremental_media_dedup",
     "q_mp4_frames",
-    # ...and the one changed-path re-pin the 50-slot window has room
-    # for: q_refinedweb_e2e now exercises the LIBRARY preset
-    # (operators/pipelines.refinedweb_pipeline) instead of the
-    # hand-wired chain. The other r11-touched paths keep r10 driver
-    # evidence (within the 2-round cadence) plus this round's full
-    # check_oracle sweeps: q_nb_classify/q_lid_classify (nb_scores
-    # factoring), q_simhash_near_dups (_hamming_block_rows
-    # factoring), q_image_dedup (shared fixture helper).
-    "q_refinedweb_e2e",
+    # ...and the round's other NEW query takes the last slot: the
+    # outlink-graph + domain-PageRank capstone (a never-driver-checked
+    # query outranks a re-pin — q_refinedweb_e2e keeps its r10 driver
+    # green, which hash-matched the IDENTICAL oracle, plus the
+    # composition-identity pytest proving the library preset equals
+    # the hand-wired chain it replaced, plus this round's full
+    # check_oracle sweeps on the library path at both scale factors).
+    # The other r11-touched paths likewise keep r10 driver evidence
+    # (within the 2-round cadence) plus this round's sweeps:
+    # q_nb_classify/q_lid_classify (nb_scores factoring),
+    # q_simhash_near_dups (_hamming_block_rows factoring),
+    # q_image_dedup (shared fixture helper).
+    "q_domain_pagerank",
     # --- driver window ends here (first 50). The 42-query r9 block
     # is two-rounds-old at r11 close and leads the r12 rotation.
 ]
