@@ -176,6 +176,8 @@ HEADLINE = [
     "q_quality_classify",
     "q_incremental_media_dedup",
     "q_mp4_frames",
+    # ...and the outlink-graph + domain-PageRank capstone
+    "q_domain_pagerank",
 ]
 
 # Zero-code-change drift control (VERDICT r6 #8): the TPC-H block has

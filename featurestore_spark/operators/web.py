@@ -647,6 +647,7 @@ def domain_pagerank(
     iterations: int = 5,
     damping: float = 0.85,
     checkpoint_every: int | None = 1,
+    seed_ranks: DataFrame | None = None,
 ) -> DataFrame:
     """Fixed-iteration PageRank over a (src, dst[, weight]) edge
     frame → (domain, pr). The crawl-budget / frontier-prioritization
@@ -684,7 +685,19 @@ def domain_pagerank(
     EXPONENTIALLY in the iteration count, the classic iterative-
     algorithm failure mode on Spark. ``None`` disables truncation
     (keeps the whole dataflow one inspectable pure plan — fine for
-    1-2 iterations in plan tests; do not run deep loops with it)."""
+    1-2 iterations in plan tests; do not run deep loops with it).
+
+    ``seed_ranks`` (a previous output's (domain, pr) frame) resumes
+    iteration instead of restarting from uniform — the against-index
+    convention applied to ranking: after a recrawl extends the edge
+    frame, seed with last round's ranks and a handful of iterations
+    re-converges instead of paying the full power iteration again.
+    Domains new to the graph seed at 1/N; the seeded vector is then
+    renormalized to total mass 1 (one broadcast scalar attach), so
+    the per-iteration Σ pr == 1 invariant holds from the first step.
+    Seeding with an output over the SAME graph continues the same
+    trajectory (up to float renormalization noise), so k then m
+    iterations ≈ k+m in one call."""
     if not 0.0 <= damping < 1.0:
         raise ValueError(f"damping must be in [0, 1): {damping}")
     if iterations < 1:
@@ -721,7 +734,23 @@ def domain_pagerank(
         .select("domain", F.coalesce("_outw", F.lit(0.0)).alias("_outw"))
         .crossJoin(n_row)
     )
-    ranks = base.withColumn("pr", F.lit(1.0) / F.col("_n"))
+    if seed_ranks is None:
+        ranks = base.withColumn("pr", F.lit(1.0) / F.col("_n"))
+    else:
+        seeded = base.join(
+            seed_ranks.select("domain", F.col("pr").alias("_seed_pr")),
+            "domain",
+            "left",
+        ).withColumn(
+            "_pr0", F.coalesce("_seed_pr", F.lit(1.0) / F.col("_n"))
+        )
+        tot = F.broadcast(seeded.agg(F.sum("_pr0").alias("_tot")))
+        ranks = seeded.crossJoin(tot).select(
+            "domain",
+            "_outw",
+            "_n",
+            (F.col("_pr0") / F.col("_tot")).alias("pr"),
+        )
     for it in range(iterations):
         contrib = (
             e.join(

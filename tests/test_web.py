@@ -603,3 +603,36 @@ def test_domain_pagerank_validation_and_plan_shape(spark):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_domain_pagerank_seeded_continuation(spark):
+    from featurestore_spark.operators.web import domain_pagerank
+
+    edges = _pr_edges(spark)
+    full = {
+        r["domain"]: r["pr"]
+        for r in domain_pagerank(edges, iterations=5).collect()
+    }
+    # 3 iterations, then resume with the output as the seed for 2
+    # more: same trajectory as 5 in one call (up to the float
+    # renormalization of the seed vector)
+    stage1 = domain_pagerank(edges, iterations=3)
+    resumed = {
+        r["domain"]: r["pr"]
+        for r in domain_pagerank(
+            edges, iterations=2, seed_ranks=stage1
+        ).collect()
+    }
+    assert set(resumed) == set(full)
+    assert all(abs(resumed[v] - full[v]) < 1e-12 for v in full)
+    # recrawl expansion: a new dangling node enters the graph; it
+    # seeds at 1/N, the vector renormalizes, and mass stays 1
+    grown = edges.unionByName(
+        spark.createDataFrame(
+            [("a.com", "new.org", 1)],
+            "src_domain string, dst_domain string, n_links int",
+        )
+    )
+    out = domain_pagerank(grown, iterations=1, seed_ranks=stage1).collect()
+    assert {r["domain"] for r in out} >= {"new.org"}
+    assert abs(sum(r["pr"] for r in out) - 1.0) < 1e-12
