@@ -764,6 +764,132 @@ def strip_html(text_col: str | Column = "text") -> Column:
     return F.trim(F.regexp_replace(c, r"\s+", " "))
 
 
+# Small English stopword snapshot for the jusText-style stopword-
+# density signal (Pomikalek 2011 uses full per-language lists; at
+# production scale pass your language's list via ``stopwords=``).
+EN_STOPWORDS = [
+    "the", "of", "and", "a", "an", "to", "in", "is", "it", "that",
+    "for", "on", "with", "as", "was", "were", "at", "by", "be",
+    "this", "are", "from", "or", "but", "not", "we", "you", "they",
+    "he", "she", "his", "her", "have", "has", "had", "i", "its",
+    "their", "will", "would", "can", "all", "there", "been", "if",
+    "more", "when", "which", "who", "what", "about", "one", "out",
+    "up", "so", "no", "do", "my", "your", "our",
+]
+
+# Block-level HTML boundaries: any open/close tag of a block element,
+# plus <br>/<hr>. RE2-portable (single leading (?i), no backrefs) so
+# an oracle can replay the identical split.
+BLOCK_TAG_SPLIT = (
+    r"(?i)<(?:/?(?:p|div|h[1-6]|li|ul|ol|dl|dt|dd|table|thead|tbody|tr"
+    r"|td|th|section|article|main|header|footer|nav|aside|blockquote"
+    r"|pre|form|fieldset|figure|figcaption|title)\b[^>]*"
+    r"|br\s*/?|hr\s*/?)>"
+)
+
+
+def _strip_tags_collapse(c: Column) -> Column:
+    """Tag strip + entity decode + whitespace collapse over an
+    already script/style/comment-free fragment (the per-block half of
+    :func:`strip_html`)."""
+    c = F.regexp_replace(c, r"<[^>]*>", " ")
+    for ent, ch in _HTML_ENTITIES:
+        c = F.replace(c, F.lit(ent), F.lit(ch))
+    return F.trim(F.regexp_replace(c, r"\s+", " "))
+
+
+def main_content_blocks(
+    html_col: str | Column = "html",
+    *,
+    stopwords: list[str] | None = None,
+) -> Column:
+    """jusText-style block decomposition of raw HTML: split on
+    block-level tag boundaries (:data:`BLOCK_TAG_SPLIT`) after
+    dropping script/style/comments, then score each non-empty block —
+
+        struct(text, n_chars, link_density, stop_density)
+
+    where ``link_density`` is anchor-text characters over total block
+    characters (the boilerplate signal: menus/footers are nearly all
+    links) and ``stop_density`` is the fraction of the block's
+    [a-z]+ tokens in ``stopwords`` (default :data:`EN_STOPWORDS`;
+    real prose is stopword-rich, keyword stuffing and tag soup are
+    not — Pomikalek 2011 §4). Pure nested higher-order Column
+    expressions: one codegen'd projection, no UDF, no explode.
+
+    Lite by design: an anchor spanning a block boundary contributes
+    its text to neither block's linked count (the split runs first),
+    and no neighbour-smoothing pass is applied — acceptable for
+    corpus filtering, use a DOM parser UDF when structural fidelity
+    matters."""
+    c = F.col(html_col) if isinstance(html_col, str) else html_col
+    c = F.regexp_replace(c, r"(?is)<script[^>]*>.*?</script\s*>", " ")
+    c = F.regexp_replace(c, r"(?is)<style[^>]*>.*?</style\s*>", " ")
+    c = F.regexp_replace(c, r"(?s)<!--.*?-->", " ")
+    stop_arr = F.array(
+        *[F.lit(w) for w in (stopwords if stopwords is not None else EN_STOPWORDS)]
+    )
+
+    def feat(b: Column) -> Column:
+        text = _strip_tags_collapse(b)
+        n = F.length(text)
+        linked = F.regexp_extract_all(
+            b, F.lit(r"(?is)<a\b[^>]*>(.*?)</a\s*>"), F.lit(1)
+        )
+        linked_len = F.aggregate(
+            linked,
+            F.lit(0),
+            lambda acc, x: acc + F.length(_strip_tags_collapse(x)),
+        )
+        toks = F.filter(
+            F.split(F.lower(text), r"[^a-z]+"), lambda t: t != F.lit("")
+        )
+        n_tok = F.size(toks)
+        n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+        return F.struct(
+            text.alias("text"),
+            n.alias("n_chars"),
+            F.when(n > 0, linked_len.cast("double") / n)
+            .otherwise(F.lit(0.0))
+            .alias("link_density"),
+            F.when(n_tok > 0, n_stop.cast("double") / n_tok)
+            .otherwise(F.lit(0.0))
+            .alias("stop_density"),
+        )
+
+    feats = F.transform(F.split(c, BLOCK_TAG_SPLIT), feat)
+    return F.filter(feats, lambda s: s["n_chars"] > 0)
+
+
+def extract_main_content(
+    html_col: str | Column = "html",
+    *,
+    min_chars: int = 25,
+    max_link_density: float = 0.33,
+    min_stop_density: float = 0.2,
+    stopwords: list[str] | None = None,
+) -> Column:
+    """Main-content text of an HTML page: keep the
+    :func:`main_content_blocks` whose length, link density and
+    stopword density pass the jusText-lite gates, joined with single
+    spaces. The extraction stage published pipelines run between the
+    WARC payload and every text rule (RefinedWeb uses trafilatura,
+    CCNet/C4 line rules approximate it) — :func:`strip_html` keeps
+    ALL text including navigation; this keeps prose.
+
+    ``min_stop_density`` assumes the page language matches
+    ``stopwords`` — pass the target language's list, or 0.0 to
+    disable the signal for mixed-language corpora."""
+    blocks = main_content_blocks(html_col, stopwords=stopwords)
+    good = F.filter(
+        blocks,
+        lambda s: (s["n_chars"] >= F.lit(min_chars))
+        & (s["link_density"] <= F.lit(max_link_density))
+        & (s["stop_density"] >= F.lit(min_stop_density)),
+    )
+    return F.array_join(F.transform(good, lambda s: s["text"]), " ")
+
+
 def normalized_fingerprint(text_col: str | Column = "text") -> Column:
     """Stable document fingerprint: md5 of lowercase,
     whitespace-collapsed text."""

@@ -1207,3 +1207,98 @@ def test_domain_pagerank_matches_python_power_iteration(
     # mass conservation: the dangling term makes each iteration a
     # proper stochastic redistribution
     assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+# -- main_content_blocks vs an independent Python replica ---------------------
+
+
+def _py_main_blocks(html, stopwords):
+    """Independent jusText-lite block scorer (re-module): same regex
+    chain as main_content_blocks, plain Python."""
+    import re
+
+    from featurestore_spark.operators.text import BLOCK_TAG_SPLIT
+
+    ents = [
+        ("&nbsp;", " "), ("&lt;", "<"), ("&gt;", ">"),
+        ("&quot;", '"'), ("&#39;", "'"), ("&amp;", "&"),
+    ]
+
+    def strip_collapse(s):
+        s = re.sub(r"<[^>]*>", " ", s)
+        for e, ch in ents:
+            s = s.replace(e, ch)
+        return re.sub(r"\s+", " ", s).strip()
+
+    c = re.sub(r"(?is)<script[^>]*>.*?</script\s*>", " ", html)
+    c = re.sub(r"(?is)<style[^>]*>.*?</style\s*>", " ", c)
+    c = re.sub(r"(?s)<!--.*?-->", " ", c)
+    out = []
+    for b in re.split(BLOCK_TAG_SPLIT, c):
+        text = strip_collapse(b)
+        n = len(text)
+        if n == 0:
+            continue
+        linked = sum(
+            len(strip_collapse(m))
+            for m in re.findall(r"(?is)<a\b[^>]*>(.*?)</a\s*>", b)
+        )
+        toks = [t for t in re.split(r"[^a-z]+", text.lower()) if t]
+        n_stop = sum(1 for t in toks if t in stopwords)
+        out.append(
+            (
+                text,
+                n,
+                linked / n,
+                (n_stop / len(toks)) if toks else 0.0,
+            )
+        )
+    return out
+
+
+_mc_words = st.sampled_from(
+    ["the", "of", "and", "widget", "cheap", "article", "zzz", "Data"]
+)
+_mc_piece = st.one_of(
+    st.builds(
+        lambda ws: " ".join(ws), st.lists(_mc_words, min_size=1, max_size=6)
+    ),
+    st.builds(lambda w: f'<a href="/x">{w}</a>', _mc_words),
+    st.builds(lambda w: f"<A HREF='/y'>{w} link</A>", _mc_words),
+    st.sampled_from(
+        [
+            "<p>", "</p>", "<div class='x'>", "</div>", "<LI>", "<br/>",
+            "<span>", "</span>", "<em>", "</em>",
+            "<script>var a = '<p>';</script>",
+            "<!-- a <p> comment -->",
+            "&amp; &lt;ok&gt;", "&nbsp;",
+        ]
+    ),
+)
+
+
+@given(pieces=st.lists(_mc_piece, min_size=1, max_size=20))
+@settings(**SPARK_SETTINGS)
+def test_main_content_blocks_matches_python_replica(spark, pieces):
+    from featurestore_spark.operators.text import (
+        EN_STOPWORDS,
+        main_content_blocks,
+    )
+
+    html = " ".join(pieces)
+    df = spark.createDataFrame([(html,)], "html string")
+    got = [
+        (b["text"], b["n_chars"], b["link_density"], b["stop_density"])
+        for b in df.select(main_content_blocks("html").alias("b")).collect()[
+            0
+        ]["b"]
+    ]
+    want = _py_main_blocks(html, set(EN_STOPWORDS))
+    assert len(got) == len(want), (html, got, want)
+    for g, w in zip(got, want):
+        assert g[0] == w[0] and g[1] == w[1], (html, g, w)
+        assert abs(g[2] - w[2]) < 1e-12 and abs(g[3] - w[3]) < 1e-12, (
+            html,
+            g,
+            w,
+        )

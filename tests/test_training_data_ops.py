@@ -1782,3 +1782,64 @@ def test_quality_calibrate_matches_brute_force(spark):
         quality_calibrate(
             noisy.where("label IS NULL"), "label", target_precision=0.5
         )
+
+
+# -- jusText-lite main-content extraction --------------------------------------
+
+
+def test_main_content_blocks_signals(spark):
+    from featurestore_spark.operators.text import main_content_blocks
+
+    html = (
+        "<html><head><title>T</title><style>p{}</style></head><body>"
+        '<nav><a href="/">Home</a> <a href="/a">About</a></nav>'
+        "<p>This is the main article text and it has plenty of the "
+        "usual common words in it for the stopword signal.</p>"
+        '<footer><a href="/p">Privacy</a></footer></body></html>'
+    )
+    df = spark.createDataFrame([(html,)], "html string")
+    blocks = df.select(main_content_blocks("html").alias("b")).collect()[0][
+        "b"
+    ]
+    by_text = {b["text"]: b for b in blocks}
+    # nav is nearly all anchor text; the paragraph has none
+    assert by_text["Home About"]["link_density"] > 0.8
+    assert by_text["Privacy"]["link_density"] > 0.8
+    prose = next(t for t in by_text if t.startswith("This is the main"))
+    assert by_text[prose]["link_density"] == 0.0
+    assert by_text[prose]["stop_density"] > 0.3
+    # empty blocks (pure markup runs) never surface
+    assert all(b["n_chars"] > 0 for b in blocks)
+
+
+def test_extract_main_content_gates(spark):
+    from featurestore_spark.operators.text import extract_main_content
+
+    prose = (
+        "This is the main article text and it has plenty of the usual "
+        "common words in it for the stopword signal to be happy."
+    )
+    stuffing = "buy cheap widgets best widgets discount widgets " * 3
+    html = (
+        '<nav><a href="/">Home</a> <a href="/a">About</a> '
+        '<a href="/c">Contact</a></nav>'
+        f"<p>{prose}</p><div>{stuffing}</div>"
+        '<footer><a href="/p">Privacy</a> | <a href="/t">Terms</a></footer>'
+    )
+    df = spark.createDataFrame([(html,)], "html string")
+    out = df.select(extract_main_content("html").alias("t")).collect()[0][
+        "t"
+    ]
+    assert out == prose  # nav/footer (links), stuffing (no stopwords) gone
+    # stopword gate off -> the stuffing block comes back
+    loose = df.select(
+        extract_main_content("html", min_stop_density=0.0).alias("t")
+    ).collect()[0]["t"]
+    assert prose in loose and "cheap widgets" in loose
+    # NULL html -> NULL, empty -> empty string
+    df2 = spark.createDataFrame([(None,), ("",)], "html string")
+    got = [
+        r["t"]
+        for r in df2.select(extract_main_content("html").alias("t")).collect()
+    ]
+    assert got == [None, ""]
