@@ -867,6 +867,143 @@ def sample_mp4_frames(
     return df.mapInPandas(batches, schema=out_schema)
 
 
+def parse_wav_header(payload: bytes | None):
+    """(n_channels, sample_rate, bits_per_sample, block_align,
+    data_offset, data_size) from a RIFF/WAVE payload — the audio
+    analog of `parse_image_header` / `parse_mp4_frames`: a pure
+    chunk-walk (RIFF header, then length-prefixed chunks padded to
+    even offsets) needing no codec. Returns None for non-WAV bytes;
+    a WAV whose fmt chunk is present but whose data chunk is missing
+    or truncated reports data fields as None — nulls-not-failures,
+    corrupt rows in a 100 TB media table must never kill a task.
+
+    ``data_size // block_align`` is the PCM frame count; duration_s
+    = frames / sample_rate (`with_wav_metadata` derives both)."""
+    if not payload or len(payload) < 12:
+        return None
+    b = bytes(payload)
+    if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    fmt = None
+    data_off = data_size = None
+    try:
+        i = 12
+        while i + 8 <= len(b):
+            cid = b[i : i + 4]
+            size = struct.unpack("<I", b[i + 4 : i + 8])[0]
+            body = i + 8
+            if cid == b"fmt " and body + 16 <= len(b):
+                (_afmt, ch, rate, _brate, balign, bits) = struct.unpack(
+                    "<HHIIHH", b[body : body + 16]
+                )
+                fmt = (ch, rate, bits, balign)
+            elif cid == b"data":
+                if body + size <= len(b):
+                    data_off, data_size = body, size
+                # truncated data chunk: leave fields None
+            i = body + size + (size & 1)  # chunks pad to even offsets
+    except (struct.error, IndexError):
+        pass
+    if fmt is None:
+        return None
+    ch, rate, bits, balign = fmt
+    return (ch, rate, bits, balign, data_off, data_size)
+
+
+def with_wav_metadata(
+    df: DataFrame, binary_col: str = "content"
+) -> DataFrame:
+    """Append (n_channels, sample_rate, bits_per_sample, n_frames,
+    duration_s) parsed from WAV payloads — Arrow-batched mapInPandas
+    over header bytes only (the chunk walk never decodes samples);
+    non-WAV rows get NULLs. The audio row of the container-metadata
+    family (image headers / GIF / MP4)."""
+    fields = [
+        ("n_channels", "int"),
+        ("sample_rate", "int"),
+        ("bits_per_sample", "int"),
+        ("n_frames", "long"),
+        ("duration_s", "double"),
+    ]
+    out_schema = ", ".join(
+        [f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields]
+        + [f"{n} {t}" for n, t in fields]
+    )
+
+    def batches(it):
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for _, row in pdf.iterrows():
+                r = row.to_dict()
+                hdr = parse_wav_header(row[binary_col])
+                if hdr is None:
+                    r.update(
+                        n_channels=None,
+                        sample_rate=None,
+                        bits_per_sample=None,
+                        n_frames=None,
+                        duration_s=None,
+                    )
+                else:
+                    ch, rate, bits, balign, _off, size = hdr
+                    frames = (
+                        size // balign
+                        if size is not None and balign
+                        else None
+                    )
+                    r.update(
+                        n_channels=ch,
+                        sample_rate=rate,
+                        bits_per_sample=bits,
+                        n_frames=frames,
+                        duration_s=(
+                            frames / rate
+                            if frames is not None and rate
+                            else None
+                        ),
+                    )
+                rows.append(r)
+            cols = list(pdf.columns) + [n for n, _ in fields]
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.mapInPandas(batches, schema=out_schema)
+
+
+def build_wav_fixture(
+    n_channels: int,
+    sample_rate: int,
+    bits_per_sample: int,
+    n_frames: int,
+    *,
+    pre_chunks: list[tuple[bytes, bytes]] | None = None,
+) -> bytes:
+    """Minimal VALID PCM WAV payload — the fixture side of the
+    chunk-walk round-trip. ``pre_chunks`` inserts arbitrary
+    (id, body) chunks before fmt/data (LIST/INFO metadata in real
+    files), exercising the walker's skip-and-pad path, including an
+    odd-length body's pad byte."""
+    balign = n_channels * (bits_per_sample // 8)
+    body = bytearray()
+    for cid, cbody in pre_chunks or []:
+        body += cid + struct.pack("<I", len(cbody)) + cbody
+        if len(cbody) & 1:
+            body += b"\x00"
+    body += b"fmt " + struct.pack("<I", 16) + struct.pack(
+        "<HHIIHH",
+        1,
+        n_channels,
+        sample_rate,
+        sample_rate * balign,
+        balign,
+        bits_per_sample,
+    )
+    data = bytes(n_frames * balign)
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return bytes(b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body)
+
+
 def sample_frames(
     df: DataFrame,
     binary_col: str = "content",

@@ -246,3 +246,73 @@ def test_image_header_fuzz_roundtrip(fmt, w, h, ch, junk):
     none4 = (None, None, None, None)
     assert parse_image_header(b"\x00" + junk + payload) == none4
     assert parse_image_header(payload[: len(payload) // 2]) in (none4, got)
+
+
+# -- WAV/RIFF chunk walker fuzz ------------------------------------------------
+
+
+def _gen_wav(pre, ch, rate, bits, n_frames, post, with_data):
+    """Test-local randomized RIFF writer: returns (payload, expected
+    parse_wav_header tuple) — offsets tracked while writing. `pre`/
+    `post` are (4-byte id, body length) junk chunks around fmt/data;
+    odd bodies exercise the even-offset padding."""
+    balign = ch * (bits // 8)
+    body = bytearray()
+
+    def chunk(cid, cbody):
+        body.extend(cid + _struct.pack("<I", len(cbody)) + cbody)
+        if len(cbody) & 1:
+            body.append(0)
+
+    for cid, blen in pre:
+        chunk(cid, bytes(blen))
+    chunk(b"fmt ", _struct.pack(
+        "<HHIIHH", 1, ch, rate, rate * balign, balign, bits))
+    data_off = data_size = None
+    if with_data:
+        data_off = 12 + len(body) + 8
+        data_size = n_frames * balign
+        chunk(b"data", bytes(data_size))
+    for cid, blen in post:
+        chunk(cid, bytes(blen))
+    payload = b"RIFF" + _struct.pack("<I", 4 + len(body)) + b"WAVE" + bytes(body)
+    return payload, (ch, rate, bits, balign, data_off, data_size)
+
+
+_wav_junk = st.lists(
+    st.tuples(
+        st.sampled_from([b"LIST", b"fact", b"cue ", b"junk"]),
+        st.integers(0, 9),
+    ),
+    min_size=0,
+    max_size=3,
+)
+
+
+@settings(max_examples=60)
+@given(
+    pre=_wav_junk,
+    ch=st.integers(1, 8),
+    rate=st.sampled_from([8000, 16000, 22050, 44100, 48000]),
+    bits=st.sampled_from([8, 16, 24, 32]),
+    n_frames=st.integers(0, 500),
+    post=_wav_junk,
+    with_data=st.booleans(),
+    cut=st.integers(0, 64),
+)
+def test_wav_walker_fuzz_roundtrip(
+    pre, ch, rate, bits, n_frames, post, with_data, cut
+):
+    from featurestore_spark.operators.multimodal import parse_wav_header
+
+    payload, expected = _gen_wav(pre, ch, rate, bits, n_frames, post, with_data)
+    assert parse_wav_header(payload) == expected
+    # truncation: never an exception; either None (fmt gone / not WAV)
+    # or the fmt tuple with data fields None-or-intact
+    t = payload[: len(payload) - cut] if cut else payload
+    got = parse_wav_header(t)
+    if got is not None:
+        assert got[:4] == expected[:4]
+    # non-RIFF prefixes are rejected, not walked
+    assert parse_wav_header(b"RIFX" + payload[4:]) is None
+    assert parse_wav_header(payload[:8]) is None

@@ -1843,3 +1843,30 @@ def test_extract_main_content_gates(spark):
         for r in df2.select(extract_main_content("html").alias("t")).collect()
     ]
     assert got == [None, ""]
+
+
+def test_with_wav_metadata_round_trip(spark):
+    from featurestore_spark.operators.multimodal import (
+        build_wav_fixture,
+        with_wav_metadata,
+    )
+
+    rows = [
+        (1, build_wav_fixture(2, 44100, 16, 44100)),          # 1.0 s stereo
+        (2, build_wav_fixture(1, 8000, 8, 4000,
+                              pre_chunks=[(b"LIST", b"odd")])),  # 0.5 s mono
+        (3, b"not audio at all"),                              # non-WAV
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, content binary")
+    got = {
+        r["doc_id"]: (
+            r["n_channels"], r["sample_rate"], r["bits_per_sample"],
+            r["n_frames"], r["duration_s"],
+        )
+        for r in with_wav_metadata(df).collect()
+    }
+    assert got[1] == (2, 44100, 16, 44100, 1.0)
+    assert got[2] == (1, 8000, 8, 4000, 0.5)
+    assert got[3] == (None, None, None, None, None)
+    assert got[4] == (None, None, None, None, None)
