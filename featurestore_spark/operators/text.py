@@ -265,13 +265,23 @@ def quality_classify(
         tokens=word_ngrams(F.col("_qtoks"), bigrams=bigrams),
     )
     return s.groupBy(id_col).agg(
-        F.round(
-            (
-                F.max(F.when(F.col("label") == positive_label, F.col("score")))
-                - F.max(F.when(F.col("label") == neg, F.col("score")))
+        # + 0.0 normalizes the negative zero a tiny negative log-odds
+        # rounds to (IEEE: -0.0 + 0.0 == +0.0) — engines format -0.0
+        # differently, and a signed zero carries no signal
+        (
+            F.round(
+                (
+                    F.max(
+                        F.when(
+                            F.col("label") == positive_label, F.col("score")
+                        )
+                    )
+                    - F.max(F.when(F.col("label") == neg, F.col("score")))
+                )
+                / F.greatest(F.max("n_tokens"), F.lit(1)).cast("double"),
+                score_decimals,
             )
-            / F.greatest(F.max("n_tokens"), F.lit(1)).cast("double"),
-            score_decimals,
+            + F.lit(0.0)
         ).alias("quality_score"),
         F.max("n_tokens").alias("n_features"),
     )

@@ -12,7 +12,12 @@ tables. Conventions keeping the two engines hash-identical:
 - double aggregates rounded (2–6 dp) to absorb summation-order ulps;
 - DuckDB `SUM(int)` → HUGEINT is cast to BIGINT; `row_number()` cast
   to INT to match Spark;
-- every computed column aliased identically on both sides.
+- every computed column aliased identically on both sides;
+- SIGNED scores that can round to zero get `+ 0.0` after the final
+  round on BOTH sides: a tiny negative value rounds to -0.0, the
+  engines format signed zero differently ("0" vs "-0"), and IEEE
+  `-0.0 + 0.0 == +0.0` normalizes it (first hit: q_quality_classify
+  log-odds at sf0.1).
 """
 
 from __future__ import annotations
@@ -6003,7 +6008,7 @@ def q_lid_classify(spark, sf_dir):
     SELECT doc_id,
            round((max(CASE WHEN label = 'hq' THEN score END)
                   - max(CASE WHEN label = 'lq' THEN score END))
-                 / greatest(max(td), 1), 4) AS quality_score,
+                 / greatest(max(td), 1), 4) + 0.0 AS quality_score,
            CAST(max(td) AS BIGINT) AS n_features
     FROM scored GROUP BY doc_id
     """,
