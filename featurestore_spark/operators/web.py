@@ -729,11 +729,19 @@ def domain_pagerank(
     n_row = F.broadcast(
         nodes.agg(F.count(F.lit(1)).cast("double").alias("_n"))
     )
+    if checkpoint_every is not None:
+        # materialize the edge frame once: every iteration's
+        # contribution join re-reads it, and without truncation the
+        # whole upstream dataflow (href extraction, PSL chain, edge
+        # groupBy) would re-execute per iteration
+        e = e.localCheckpoint(eager=False)
     base = (
         nodes.join(outw, "domain", "left")
         .select("domain", F.coalesce("_outw", F.lit(0.0)).alias("_outw"))
         .crossJoin(n_row)
     )
+    if checkpoint_every is not None:
+        base = base.localCheckpoint(eager=False)
     if seed_ranks is None:
         ranks = base.withColumn("pr", F.lit(1.0) / F.col("_n"))
     else:
