@@ -638,6 +638,25 @@ def link_graph(
     )
 
 
+def merge_link_graphs(*graphs: DataFrame) -> DataFrame:
+    """Merge (src_domain, dst_domain, n_links) edge frames, summing
+    weights per edge — the recrawl-extension rung for the link graph
+    (the `extend_index` convention applied to edges): each crawl
+    batch's :func:`link_graph` output merges into the persisted
+    graph, then :func:`domain_pagerank` with ``seed_ranks=`` resumes
+    from the previous ranks instead of restarting from uniform. One
+    union + one (src, dst)-keyed groupBy; map-side combine collapses
+    the batch's mass before the exchange."""
+    if not graphs:
+        raise ValueError("merge_link_graphs: need at least one frame")
+    from functools import reduce
+
+    merged = reduce(lambda a, b: a.unionByName(b), graphs)
+    return merged.groupBy("src_domain", "dst_domain").agg(
+        F.sum("n_links").alias("n_links")
+    )
+
+
 def domain_pagerank(
     edges: DataFrame,
     *,

@@ -636,3 +636,30 @@ def test_domain_pagerank_seeded_continuation(spark):
     out = domain_pagerank(grown, iterations=1, seed_ranks=stage1).collect()
     assert {r["domain"] for r in out} >= {"new.org"}
     assert abs(sum(r["pr"] for r in out) - 1.0) < 1e-12
+
+
+def test_merge_link_graphs_equals_whole_crawl(spark):
+    from featurestore_spark.operators.web import link_graph, merge_link_graphs
+
+    rows = [
+        (1, "https://a.com/x", '<a href="https://b.com/1">1</a>'
+         '<a href="https://b.com/2">2</a>'),
+        (2, "https://b.com/y", '<a href="https://a.com/z">b</a>'),
+        (3, "https://a.com/z", '<a href="https://b.com/3">3</a>'),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string, html string")
+    whole = {
+        (r["src_domain"], r["dst_domain"]): r["n_links"]
+        for r in link_graph(df).collect()
+    }
+    merged = merge_link_graphs(
+        link_graph(df.where("doc_id < 3")),
+        link_graph(df.where("doc_id >= 3")),
+    )
+    got = {
+        (r["src_domain"], r["dst_domain"]): r["n_links"]
+        for r in merged.collect()
+    }
+    assert got == whole
+    with pytest.raises(ValueError, match="at least one"):
+        merge_link_graphs()
