@@ -1,0 +1,224 @@
+"""robots.txt parsing + crawl-frontier filtering (RFC 9309): the
+politeness gate a production crawler runs BEFORE the URL frontier —
+the step upstream of everything in `operators/web.py` (Common Crawl's
+CCBot honors exactly these rules; a corpus builder replaying a crawl
+needs them to reproduce the fetch set).
+
+Two halves:
+
+- :func:`parse_robots_rules` — per-host robots.txt payloads → a
+  match-ready rule frame. Parsing is a line state machine (groups of
+  ``User-agent`` lines followed by ``Allow``/``Disallow`` rules), so
+  it runs as an Arrow-batched ``mapInPandas`` parser, the same stance
+  as the container byte walkers: a parser is not a vectorizable
+  expression.
+- :func:`filter_allowed` — the frontier filter as ONE broadcastable
+  join + pure higher-order Column expressions: rules collected per
+  host into a small array, each URL evaluated against it in place
+  (no per-URL explode, no second shuffle).
+
+Reference parity note: the reference engine has no crawl surface;
+this extends the round-7+ web-ingest family.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from featurestore_spark.operators.web import url_parts
+
+# characters escaped when a robots path rule becomes a regex ('*' and
+# the trailing '$' are the rule language's only metacharacters)
+_RE_SPECIALS = r"\.^$+?{}[]|()"
+
+
+def robots_rule_to_regex(rule: str) -> str:
+    """A robots.txt path rule → an anchored RE2-portable regex:
+    every char escaped except ``*`` (→ ``.*``) and a FINAL ``$``
+    (→ end anchor); always anchored at the start (rules are path
+    prefixes)."""
+    anchored_end = rule.endswith("$")
+    body = rule[:-1] if anchored_end else rule
+    out = []
+    for ch in body:
+        if ch == "*":
+            out.append(".*")
+        elif ch in _RE_SPECIALS:
+            out.append("\\" + ch)
+        else:
+            out.append(ch)
+    return "^" + "".join(out) + ("$" if anchored_end else "")
+
+
+def parse_robots_txt(txt: str | None, agent: str) -> list[tuple[str, int, bool]]:
+    """Stdlib-only parse of ONE robots.txt for one crawler token:
+    [(regex, rule_len, allow)] for the agent's effective group(s).
+
+    RFC 9309 semantics: ``#`` comments stripped; groups are runs of
+    ``User-agent`` lines followed by ``Allow``/``Disallow`` records;
+    a ``User-agent`` line after rules starts a new group; the
+    crawler's group set is every group naming its token
+    (case-insensitive exact token match), falling back to every
+    ``*`` group when none does; groups for the same agent merge.
+    An empty ``Disallow:`` value is allow-all (no rule emitted).
+    ``rule_len`` is the original rule's octet length — the
+    most-specific-match key. Unknown fields (Crawl-delay, Sitemap)
+    are ignored; a malformed payload yields [] (allow everything —
+    the fail-open direction robots.txt itself specifies for missing
+    files)."""
+    if not txt:
+        return []
+    agent = agent.lower()
+    groups: list[tuple[list[str], list[tuple[str, bool]]]] = []
+    cur_agents: list[str] = []
+    cur_rules: list[tuple[str, bool]] = []
+    in_agent_run = False
+    for raw in re.split(r"\r\n|\r|\n", txt):
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        field, _, value = line.partition(":")
+        field = field.strip().lower()
+        value = value.strip()
+        if field == "user-agent":
+            if not in_agent_run:
+                if cur_agents:
+                    groups.append((cur_agents, cur_rules))
+                cur_agents, cur_rules = [], []
+                in_agent_run = True
+            cur_agents.append(value.lower())
+        elif field in ("allow", "disallow"):
+            in_agent_run = False
+            if not cur_agents:
+                continue  # rule before any user-agent line: ignored
+            if value == "":
+                continue  # empty Disallow/Allow = no rule
+            cur_rules.append((value, field == "allow"))
+        else:
+            in_agent_run = False
+    if cur_agents:
+        groups.append((cur_agents, cur_rules))
+    exact = [r for agents, rules in groups if agent in agents for r in rules]
+    if not any(agent in agents for agents, _ in groups):
+        exact = [r for agents, rules in groups if "*" in agents for r in rules]
+    return [
+        (robots_rule_to_regex(rule), len(rule), allow)
+        for rule, allow in exact
+    ]
+
+
+def parse_robots_rules(
+    df: DataFrame,
+    *,
+    agent: str = "ccbot",
+    host_col: str = "host",
+    robots_col: str = "robots_txt",
+) -> DataFrame:
+    """Per-host robots.txt payloads → (host, rule_regex, rule_len,
+    allow): the match-ready rule frame :func:`filter_allowed` joins
+    against. Arrow-batched mapInPandas over the text only; hosts
+    whose payload yields no applicable rules emit no rows (absent
+    rows mean allow-all downstream, the robots fail-open default).
+    At crawl scale this frame is hosts × a handful of rules — far
+    smaller than the frontier, usually broadcastable."""
+    out_schema = (
+        f"{host_col} string, rule_regex string, rule_len int, allow boolean"
+    )
+
+    def batches(it):
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for _, row in pdf.iterrows():
+                for regex, rlen, allow in parse_robots_txt(
+                    row[robots_col], agent
+                ):
+                    rows.append(
+                        {
+                            host_col: row[host_col],
+                            "rule_regex": regex,
+                            "rule_len": rlen,
+                            "allow": allow,
+                        }
+                    )
+            yield pd.DataFrame(
+                rows, columns=[host_col, "rule_regex", "rule_len", "allow"]
+            )
+
+    return df.select(host_col, robots_col).mapInPandas(
+        batches, schema=out_schema
+    )
+
+
+def filter_allowed(
+    urls: DataFrame,
+    rules: DataFrame,
+    *,
+    url_col: str = "url",
+    host_col: str = "host",
+    keep_verdict: bool = False,
+) -> DataFrame:
+    """Frontier politeness filter: keep the URLs robots.txt allows.
+
+    Matching (RFC 9309 §2.2.2): a URL's path-plus-query is tested
+    against every rule for its HOST (robots scope is the host, not
+    the registrable domain); the MOST SPECIFIC match — longest
+    ``rule_len`` — decides, an Allow winning length ties (the
+    least-restrictive tie-break). No matching rule, or no rules for
+    the host at all, means allowed (fail-open, as the protocol
+    specifies for a missing robots.txt).
+
+    Execution shape: rules collapse to one small array per host
+    (collect_list groupBy), the frontier left-joins that frame (AQE
+    broadcasts it at realistic sizes), and the per-URL decision is a
+    pure higher-order fold over the array — no per-URL rule explode,
+    no second exchange, nothing collects. ``keep_verdict=True``
+    returns ALL rows with the boolean ``robots_allowed`` instead of
+    filtering (for audit/yield accounting)."""
+    p = url_parts(url_col)
+    pathq = F.concat(
+        F.when(p["path"] == "", F.lit("/")).otherwise(p["path"]),
+        F.when(p["query"] != "", F.concat(F.lit("?"), p["query"])).otherwise(
+            F.lit("")
+        ),
+    )
+    per_host = rules.groupBy(host_col).agg(
+        F.collect_list(
+            F.struct(
+                F.col("rule_regex"), F.col("rule_len"), F.col("allow")
+            )
+        ).alias("_rules")
+    )
+    with_host = urls.withColumn(host_col, p["host"]).withColumn(
+        "_pathq", pathq
+    )
+    j = with_host.join(per_host, host_col, "left")
+    matched = F.filter(
+        F.col("_rules"),
+        lambda r: F.regexp_like(F.col("_pathq"), r["rule_regex"]),
+    )
+    # fold to the most specific rule: longer wins, allow wins ties
+    best = F.aggregate(
+        matched,
+        F.struct(
+            F.lit(-1).alias("rule_len"), F.lit(True).alias("allow")
+        ),
+        lambda acc, r: F.when(
+            (r["rule_len"] > acc["rule_len"])
+            | ((r["rule_len"] == acc["rule_len"]) & r["allow"]),
+            F.struct(r["rule_len"].alias("rule_len"), r["allow"].alias("allow")),
+        ).otherwise(acc),
+    )
+    verdict = F.when(F.col("_rules").isNull(), F.lit(True)).otherwise(
+        best["allow"]
+    )
+    out = j.withColumn("robots_allowed", verdict).drop(
+        "_rules", "_pathq", host_col
+    )
+    if keep_verdict:
+        return out
+    return out.where(F.col("robots_allowed")).drop("robots_allowed")

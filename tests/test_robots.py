@@ -1,0 +1,169 @@
+"""robots.txt parsing + frontier filtering (RFC 9309 semantics)."""
+
+import re
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from featurestore_spark.operators.robots import (
+    parse_robots_txt,
+    robots_rule_to_regex,
+)
+
+SPARK_SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def test_parse_groups_agents_and_fallback():
+    txt = (
+        "User-agent: A\n"
+        "User-agent: B\n"        # agent run: one group for A and B
+        "Disallow: /x\n"
+        "User-agent: *\n"
+        "Disallow: /star\n"
+        "User-agent: a\n"        # case-insensitive merge with group 1
+        "Allow: /x/ok\n"
+    )
+    a = parse_robots_txt(txt, "A")
+    assert ("^/x", 2, False) in a and ("^/x/ok", 5, True) in a
+    assert not any("star" in r for r, _, _ in a)  # * ignored when named
+    b = parse_robots_txt(txt, "b")
+    assert b == [("^/x", 2, False)]
+    other = parse_robots_txt(txt, "zz")
+    assert other == [("^/star", 5, False)]
+
+
+def test_parse_edge_cases():
+    # empty Disallow = allow-all (no rule); comments + CRLF; rules
+    # before any user-agent line are ignored; unknown fields skipped
+    txt = (
+        "Disallow: /orphan\r\n"
+        "User-agent: *  # trailing comment\r\n"
+        "Disallow:\r\n"
+        "Crawl-delay: 10\r\n"
+        "Allow: /a#comment\r\n"
+    )
+    assert parse_robots_txt(txt, "x") == [("^/a", 2, True)]
+    assert parse_robots_txt(None, "x") == []
+    assert parse_robots_txt("", "x") == []
+    assert parse_robots_txt("garbage with no colons", "x") == []
+
+
+def test_rule_to_regex_metachars():
+    assert robots_rule_to_regex("/a*.php$") == r"^/a.*\.php$"
+    assert robots_rule_to_regex("/p?q=1") == r"^/p\?q=1"
+    # '$' only anchors at the END; elsewhere it is literal
+    assert robots_rule_to_regex("/a$b") == r"^/a\$b"
+    assert re.match(robots_rule_to_regex("/x*y"), "/xAAAy")
+
+
+def test_filter_allowed_semantics(spark):
+    from featurestore_spark.operators.robots import (
+        filter_allowed,
+        parse_robots_rules,
+    )
+
+    txt = (
+        "User-agent: *\n"
+        "Disallow: /private/\n"
+        "Allow: /private/public.html\n"
+    )
+    robots = spark.createDataFrame(
+        [("a.com", txt), ("b.com", "User-agent: *\nDisallow: /\nAllow: /ok/")],
+        "host string, robots_txt string",
+    )
+    rules = parse_robots_rules(robots, agent="ccbot")
+    urls = spark.createDataFrame(
+        [
+            (1, "http://a.com/private/secret"),        # disallowed
+            (2, "http://a.com/private/public.html"),   # longer Allow wins
+            (3, "http://a.com/open"),                  # no match -> allowed
+            (4, "http://b.com/ok/x"),                  # allow prefix
+            (5, "http://b.com/no"),                    # blanket disallow
+            (6, "http://c.com/whatever"),              # no robots -> allowed
+            (7, "HTTP://A.COM:80/private/z"),          # host normalization
+        ],
+        "doc_id long, url string",
+    )
+    kept = sorted(r["doc_id"] for r in filter_allowed(urls, rules).collect())
+    assert kept == [2, 3, 4, 6]
+    aud = {
+        r["doc_id"]: r["robots_allowed"]
+        for r in filter_allowed(urls, rules, keep_verdict=True).collect()
+    }
+    assert aud == {1: False, 2: True, 3: True, 4: True, 5: False,
+                   6: True, 7: False}
+    # original columns survive, helper columns do not
+    out = filter_allowed(urls, rules)
+    assert out.columns == ["doc_id", "url"]
+
+
+# -- fuzz: Spark verdicts vs an independent Python matcher --------------------
+
+
+def _py_allowed(path_rules, pathq):
+    """Independent longest-match-allow-ties matcher: translates each
+    rule itself (escape all but '*' and a final '$')."""
+    best_len, best_allow = -1, True
+    for rule, allow in path_rules:
+        end = rule.endswith("$")
+        body = rule[:-1] if end else rule
+        rx = "^" + "".join(
+            ".*" if ch == "*" else re.escape(ch) for ch in body
+        ) + ("$" if end else "")
+        if re.match(rx, pathq) and (
+            len(rule) > best_len or (len(rule) == best_len and allow)
+        ):
+            best_len, best_allow = len(rule), allow
+    return best_allow if best_len >= 0 else True
+
+
+_seg = st.sampled_from(["/a", "/ab", "/a/b", "/x.php", "/priv", "/p"])
+_rule = st.tuples(
+    st.builds(
+        lambda s, star, end: s + ("*" if star else "") + ("$" if end else ""),
+        _seg,
+        st.booleans(),
+        st.booleans(),
+    ),
+    st.booleans(),
+)
+_paths = st.lists(
+    st.sampled_from(
+        ["/a", "/ab", "/a/b/c", "/x.php", "/x.php?q=1", "/priv/x", "/", "/pq"]
+    ),
+    min_size=1,
+    max_size=6,
+)
+
+
+@given(rules=st.lists(_rule, min_size=0, max_size=6), paths=_paths)
+@settings(**SPARK_SETTINGS)
+def test_filter_allowed_matches_python_matcher(spark, rules, paths):
+    from featurestore_spark.operators.robots import (
+        filter_allowed,
+        parse_robots_rules,
+    )
+
+    txt = "User-agent: *\n" + "".join(
+        f"{'Allow' if allow else 'Disallow'}: {rule}\n"
+        for rule, allow in rules
+    )
+    robots = spark.createDataFrame(
+        [("h.com", txt)], "host string, robots_txt string"
+    )
+    parsed = parse_robots_rules(robots, agent="bot")
+    urls = spark.createDataFrame(
+        [(i, f"http://h.com{p}") for i, p in enumerate(paths)],
+        "doc_id long, url string",
+    )
+    got = {
+        r["doc_id"]: r["robots_allowed"]
+        for r in filter_allowed(urls, parsed, keep_verdict=True).collect()
+    }
+    want = {i: _py_allowed(rules, p) for i, p in enumerate(paths)}
+    assert got == want, (txt, paths, got, want)
