@@ -1004,6 +1004,121 @@ def build_wav_fixture(
     return bytes(b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body)
 
 
+def parse_warc_records(payload: bytes | None, max_records: int = 1024):
+    """Record walk of a plain (uncompressed) WARC payload — the
+    container the crawl corpora themselves ship in (Common Crawl
+    WARC/WET/WAT): [(offset, warc_type, target_uri, content_offset,
+    content_length)] per record, walking version line → CRLF header
+    block → Content-Length-delimited content block → CRLF CRLF
+    separator. Content-Length-driven, so header-like bytes INSIDE a
+    payload never confuse the walk. Non-WARC bytes return None;
+    truncation returns the records parsed so far — the family's
+    nulls-not-failures contract. `.warc.gz` (one gzip member per
+    record) is a decompression step upstream of this walker."""
+    if not payload or len(payload) < 5:
+        return None
+    b = bytes(payload)
+    if not b.startswith(b"WARC/"):
+        return None
+    recs = []
+    i = 0
+    try:
+        while i < len(b) and len(recs) < max_records:
+            if not b.startswith(b"WARC/", i):
+                break
+            he = b.find(b"\r\n\r\n", i)
+            if he < 0:
+                break
+            h = {}
+            for line in b[i:he].decode("utf-8", "replace").split("\r\n")[1:]:
+                if ":" in line:
+                    k, _, v = line.partition(":")
+                    h[k.strip().lower()] = v.strip()
+            clen = int(h.get("content-length", "0"))
+            co = he + 4
+            if co + clen > len(b):
+                break  # truncated content block
+            recs.append(
+                (i, h.get("warc-type"), h.get("warc-target-uri"), co, clen)
+            )
+            i = co + clen
+            while b.startswith(b"\r\n", i):  # record separator CRLFs
+                i += 2
+    except ValueError:
+        pass
+    return recs
+
+
+def extract_warc_payloads(
+    df: DataFrame,
+    binary_col: str = "content",
+    *,
+    warc_types: tuple[str, ...] = ("response", "conversion"),
+    max_records: int = 1024,
+) -> DataFrame:
+    """One output row per WARC record of the wanted types —
+    (record_idx, warc_type, target_uri, payload) appended to the
+    input row, Arrow-batched mapInPandas over `parse_warc_records`.
+    `response` carries the fetched HTTP body (WARC files),
+    `conversion` the extracted text (WET files) — exactly what feeds
+    `extract_main_content` / `strip_html` downstream. Non-WARC rows
+    emit nothing (filter upstream to keep them)."""
+    fields = [
+        ("record_idx", "int"),
+        ("warc_type", "string"),
+        ("target_uri", "string"),
+        ("payload", "binary"),
+    ]
+    out_schema = ", ".join(
+        [f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields]
+        + [f"{n} {t}" for n, t in fields]
+    )
+    wanted = {t.lower() for t in warc_types}
+
+    def batches(it):
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for _, row in pdf.iterrows():
+                recs = parse_warc_records(
+                    row[binary_col], max_records=max_records
+                )
+                if not recs:
+                    continue
+                b = bytes(row[binary_col])
+                for idx, (_off, wtype, uri, co, clen) in enumerate(recs):
+                    if wtype is None or wtype.lower() not in wanted:
+                        continue
+                    r = row.to_dict()
+                    r.update(
+                        record_idx=idx,
+                        warc_type=wtype,
+                        target_uri=uri,
+                        payload=b[co : co + clen],
+                    )
+                    rows.append(r)
+            cols = list(pdf.columns) + [n for n, _ in fields]
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.mapInPandas(batches, schema=out_schema)
+
+
+def build_warc_fixture(records: list[tuple[str, str, bytes]]) -> bytes:
+    """Minimal VALID plain-WARC payload from (warc_type, target_uri,
+    content) triples — the fixture side of the record-walk
+    round-trip."""
+    out = bytearray()
+    for wtype, uri, content in records:
+        hdr = (
+            f"WARC/1.0\r\nWARC-Type: {wtype}\r\n"
+            f"WARC-Target-URI: {uri}\r\n"
+            f"Content-Length: {len(content)}\r\n\r\n"
+        )
+        out += hdr.encode("utf-8") + bytes(content) + b"\r\n\r\n"
+    return bytes(out)
+
+
 def sample_frames(
     df: DataFrame,
     binary_col: str = "content",

@@ -316,3 +316,65 @@ def test_wav_walker_fuzz_roundtrip(
     # non-RIFF prefixes are rejected, not walked
     assert parse_wav_header(b"RIFX" + payload[4:]) is None
     assert parse_wav_header(payload[:8]) is None
+
+
+# -- WARC record walker fuzz ----------------------------------------------------
+
+
+def _gen_warc(records, extra_headers, junk_tail):
+    """Test-local randomized WARC writer: returns (payload, expected
+    [(offset, type, uri, content_offset, content_length)]) with
+    offsets tracked while writing. Payloads may contain CRLFs and
+    header-like bytes; extra headers shuffle the field order."""
+    out = bytearray()
+    expected = []
+    for wtype, uri, content in records:
+        off = len(out)
+        hdr = f"WARC/1.0\r\n"
+        fields = [
+            ("WARC-Type", wtype),
+            ("WARC-Target-URI", uri),
+            ("Content-Length", str(len(content))),
+        ] + [(f"X-H{i}", v) for i, v in enumerate(extra_headers)]
+        for k, v in fields:
+            hdr += f"{k}: {v}\r\n"
+        hdr += "\r\n"
+        out += hdr.encode()
+        co = len(out)
+        out += bytes(content) + b"\r\n\r\n"
+        expected.append((off, wtype, uri, co, len(content)))
+    out += junk_tail
+    return bytes(out), expected
+
+
+_warc_content = st.binary(min_size=0, max_size=40) | st.sampled_from(
+    [b"WARC/1.0\r\nWARC-Type: fake\r\n\r\n", b"\r\n\r\n\r\n", b"x" * 30]
+)
+_warc_rec = st.tuples(
+    st.sampled_from(["warcinfo", "response", "conversion", "request"]),
+    st.sampled_from(["-", "http://a.com/x", "https://b.org/p?q=1"]),
+    _warc_content,
+)
+
+
+@settings(max_examples=60)
+@given(
+    records=st.lists(_warc_rec, min_size=0, max_size=5),
+    extra=st.lists(st.sampled_from(["v", "a b", ""]), max_size=2),
+    junk=st.sampled_from([b"", b"\r\n", b"garbage"]),
+    cut=st.integers(0, 80),
+)
+def test_warc_walker_fuzz_roundtrip(records, extra, junk, cut):
+    from featurestore_spark.operators.multimodal import parse_warc_records
+
+    payload, expected = _gen_warc(records, extra, junk)
+    got = parse_warc_records(payload)
+    if not records:
+        assert got is None  # nothing starts with WARC/
+    else:
+        assert got == expected, (payload, got, expected)
+        # truncation never raises and yields a prefix of the records
+        t = payload[: len(payload) - cut] if cut else payload
+        gt = parse_warc_records(t)
+        if gt is not None:
+            assert gt == expected[: len(gt)]

@@ -1870,3 +1870,36 @@ def test_with_wav_metadata_round_trip(spark):
     assert got[2] == (1, 8000, 8, 4000, 0.5)
     assert got[3] == (None, None, None, None, None)
     assert got[4] == (None, None, None, None, None)
+
+
+def test_extract_warc_payloads_spark_path(spark):
+    from featurestore_spark.operators.multimodal import (
+        build_warc_fixture,
+        extract_warc_payloads,
+    )
+
+    w1 = build_warc_fixture(
+        [
+            ("warcinfo", "-", b"software: test"),
+            ("response", "http://a.com/x", b"<html>hi</html>"),
+            ("conversion", "http://a.com/x", b"hi"),
+        ]
+    )
+    df = spark.createDataFrame(
+        [(1, w1), (2, b"not a warc"), (3, None)],
+        "doc_id long, content binary",
+    )
+    out = extract_warc_payloads(df).collect()
+    got = {
+        (r["doc_id"], r["record_idx"]): (
+            r["warc_type"], r["target_uri"], bytes(r["payload"])
+        )
+        for r in out
+    }
+    # warcinfo filtered by default; non-WARC rows emit nothing
+    assert got == {
+        (1, 1): ("response", "http://a.com/x", b"<html>hi</html>"),
+        (1, 2): ("conversion", "http://a.com/x", b"hi"),
+    }
+    only_wet = extract_warc_payloads(df, warc_types=("conversion",)).collect()
+    assert [r["record_idx"] for r in only_wet] == [2]
