@@ -1104,6 +1104,78 @@ def extract_warc_payloads(
     return df.mapInPandas(batches, schema=out_schema)
 
 
+def split_http_response(payload: bytes | None):
+    """(status, content_type, body) from the raw HTTP/1.1 message a
+    WARC `response` record carries: status line + CRLF headers +
+    blank line + body. Returns None when the bytes do not start with
+    an HTTP status line; a headers-only truncation yields an empty
+    body. No transfer-decoding (WARC stores the on-the-wire bytes;
+    chunked bodies keep their framing — at corpus scale the HTML
+    parser downstream tolerates it, and full de-chunking belongs to a
+    fetch-replay layer, not a record splitter)."""
+    if not payload or len(payload) < 12:
+        return None
+    b = bytes(payload)
+    if not b.startswith(b"HTTP/"):
+        return None
+    he = b.find(b"\r\n\r\n")
+    head = b[: he if he >= 0 else len(b)]
+    lines = head.decode("iso-8859-1").split("\r\n")
+    first = lines[0].split(" ", 2)
+    try:
+        status = int(first[1])
+    except (IndexError, ValueError):
+        return None
+    ctype = None
+    for line in lines[1:]:
+        k, _, v = line.partition(":")
+        if k.strip().lower() == "content-type":
+            ctype = v.strip()
+    body = b[he + 4 :] if he >= 0 else b""
+    return (status, ctype, body)
+
+
+def with_http_split(
+    df: DataFrame, payload_col: str = "payload"
+) -> DataFrame:
+    """Append (http_status, content_type, body) split from raw HTTP
+    response bytes (the `extract_warc_payloads` → HTML bridge):
+    Arrow-batched mapInPandas over `split_http_response`; non-HTTP
+    payloads get NULLs. Decode `body` with the charset your corpus
+    policy picks — bytes stay bytes here."""
+    fields = [
+        ("http_status", "int"),
+        ("content_type", "string"),
+        ("body", "binary"),
+    ]
+    out_schema = ", ".join(
+        [f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields]
+        + [f"{n} {t}" for n, t in fields]
+    )
+
+    def batches(it):
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for _, row in pdf.iterrows():
+                r = row.to_dict()
+                parts = split_http_response(row[payload_col])
+                if parts is None:
+                    r.update(http_status=None, content_type=None, body=None)
+                else:
+                    r.update(
+                        http_status=parts[0],
+                        content_type=parts[1],
+                        body=parts[2],
+                    )
+                rows.append(r)
+            cols = list(pdf.columns) + [n for n, _ in fields]
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.mapInPandas(batches, schema=out_schema)
+
+
 def build_warc_fixture(records: list[tuple[str, str, bytes]]) -> bytes:
     """Minimal VALID plain-WARC payload from (warc_type, target_uri,
     content) triples — the fixture side of the record-walk

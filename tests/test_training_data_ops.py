@@ -1903,3 +1903,42 @@ def test_extract_warc_payloads_spark_path(spark):
     }
     only_wet = extract_warc_payloads(df, warc_types=("conversion",)).collect()
     assert [r["record_idx"] for r in only_wet] == [2]
+
+
+def test_warc_to_html_bridge(spark):
+    """WARC response record -> HTTP split -> main-content extraction:
+    the full archive-to-prose chain in one plan."""
+    import pyspark.sql.functions as F
+
+    from featurestore_spark.operators.multimodal import (
+        build_warc_fixture,
+        extract_warc_payloads,
+        with_http_split,
+    )
+    from featurestore_spark.operators.text import extract_main_content
+
+    prose = (
+        "This is the main article text and it has plenty of the usual "
+        "common words in it for the stopword gate."
+    )
+    http = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+        + f'<nav><a href="/">Home</a><a href="/a">About</a></nav><p>{prose}</p>'.encode()
+    )
+    warc = build_warc_fixture(
+        [
+            ("response", "http://a.com/x", http),
+            ("response", "http://a.com/y", b"HTTP/1.1 404 NF\r\n\r\ngone"),
+        ]
+    )
+    df = spark.createDataFrame([(1, warc)], "doc_id long, content binary")
+    recs = with_http_split(extract_warc_payloads(df))
+    ok = recs.where(
+        (F.col("http_status") == 200)
+        & F.col("content_type").startswith("text/html")
+    ).withColumn("text", extract_main_content(F.col("body").cast("string")))
+    rows = ok.select("target_uri", "text").collect()
+    assert rows == [("http://a.com/x", prose)]
+    # the 404 row survives the split with its status for yield accounting
+    sts = {r["target_uri"]: r["http_status"] for r in recs.collect()}
+    assert sts["http://a.com/y"] == 404
