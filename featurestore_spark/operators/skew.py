@@ -122,7 +122,20 @@ def write_bucketed(
 ) -> None:
     """Persist bucketed (and optionally sorted) by the join key:
     subsequent equi-joins / groupBys on `bucket_cols` between tables
-    with matching bucketing run with NO exchange."""
+    with matching bucketing run with NO exchange — the shuffle is
+    paid once at write time and amortized over every later join
+    (this is the primitive the against-index docstrings' "persist
+    bucketed by <key>" notes point at). Requires `saveAsTable`:
+    bucket metadata lives in the catalog, `parquet(path)` has
+    nowhere to put it. Pick `n_buckets` so one bucket's share fits
+    task memory at full scale — buckets are the parallelism FLOOR
+    for later scans."""
+    if n_buckets < 1:
+        raise ValueError(
+            f"write_bucketed: n_buckets must be >= 1: {n_buckets}"
+        )
+    if not bucket_cols:
+        raise ValueError("write_bucketed: need at least one bucket column")
     writer = df.write.mode(mode).format(fmt).bucketBy(n_buckets, *bucket_cols)
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
@@ -131,3 +144,39 @@ def write_bucketed(
 
 def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
     return spark.table(table)
+
+
+class BucketedTableSink:
+    """Sink-protocol wrapper over :func:`write_bucketed` (ctx keys:
+    `table`, `bucket_cols`, `n_buckets`, optional `sort_cols` /
+    `fmt` / `mode`) — drops into transform pipelines like
+    CSVSink/ParquetSink."""
+
+    def __call__(self, df: DataFrame, ctx) -> DataFrame:
+        write_bucketed(
+            df,
+            ctx["table"],
+            ctx["bucket_cols"],
+            ctx["n_buckets"],
+            sort_cols=ctx.get("sort_cols"),
+            fmt=ctx.get("fmt", "parquet"),
+            mode=ctx.get("mode", "overwrite"),
+        )
+        return df
+
+    def apply(self, df, ctx):
+        return self(df, ctx)
+
+
+def is_bucketed_on(
+    spark: SparkSession, table: str, bucket_cols: list[str]
+) -> bool:
+    """True when `table`'s catalog metadata buckets by exactly
+    `bucket_cols` (order-sensitive — bucket pruning and join
+    co-location key on the full tuple). Guard an against-index
+    table's probe with this before assuming its layout."""
+    rows = spark.sql(f"DESCRIBE TABLE EXTENDED {table}").collect()
+    meta = {r["col_name"]: r["data_type"] for r in rows}
+    cols = meta.get("Bucket Columns", "")
+    want = ", ".join(f"`{c}`" for c in bucket_cols)
+    return cols.strip("[]") == want

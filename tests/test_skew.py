@@ -108,3 +108,45 @@ def test_salted_join_rejects_outer_and_is_deterministic(spark, skewed):
     # left join keeps unmatched big rows exactly once
     plain = sorted(map(tuple, skewed.join(dim, "k", "left").collect()))
     assert a == plain
+
+
+def test_bucketed_sink_guard_and_half_bucketed_join(spark):
+    """The round-11 additions around write_bucketed: the metadata
+    guard, the sink-protocol wrapper, validation, and the pin that a
+    bucketed<->UNbucketed join exchanges exactly the unbucketed
+    side."""
+    import shutil
+
+    from featurestore_spark.operators.skew import (
+        BucketedTableSink,
+        is_bucketed_on,
+        write_bucketed,
+    )
+
+    for t in ("bt_g_a",):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        loc = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+        shutil.rmtree(f"{loc.removeprefix('file:')}/{t}", ignore_errors=True)
+    a = spark.range(200).select(F.col("id").alias("k"), (F.col("id") * 2).alias("a"))
+    BucketedTableSink()(a, {"table": "bt_g_a", "bucket_cols": ["k"],
+                            "n_buckets": 4, "sort_cols": ["k"]})
+    assert is_bucketed_on(spark, "bt_g_a", ["k"])
+    assert not is_bucketed_on(spark, "bt_g_a", ["a"])
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plain = spark.range(200).select(
+            F.col("id").alias("k"), F.lit(1).alias("c")
+        )
+        plan = (
+            spark.table("bt_g_a").join(plain, "k")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert plan.count("Exchange hashpartitioning") == 1
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS bt_g_a")
+    with pytest.raises(ValueError, match="n_buckets"):
+        write_bucketed(a, "t", ["k"], 0)
+    with pytest.raises(ValueError, match="bucket column"):
+        write_bucketed(a, "t", [], 4)

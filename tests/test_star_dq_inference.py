@@ -283,62 +283,3 @@ def test_sniff_demotes_mixed_format_date_column(tmp_path):
     md = sniff_file(str(fp))
     assert md.column_types[0] == "string"  # mixed -> demoted, not corrupted
     assert md.column_types[1] == "date" and md.date_format == "dd/MM/yyyy"
-
-
-# -- bucketed co-located joins --------------------------------------------------
-
-
-def test_write_bucketed_join_needs_no_exchange(spark):
-    """The 100-TB co-location claim, pinned on the actual plan: two
-    tables bucketed on the join key produce a sort-merge join with
-    ZERO Exchange operators — the shuffle was paid once at write time.
-    A bucketed↔unbucketed join still exchanges exactly the unbucketed
-    side."""
-    import pyspark.sql.functions as F
-
-    from featurestore_spark.io.bucketing import (
-        is_bucketed_on,
-        write_bucketed,
-    )
-
-    a = spark.range(0, 200).select(
-        F.col("id").alias("k"), (F.col("id") * 2).alias("va")
-    )
-    b = spark.range(0, 200).select(
-        F.col("id").alias("k"), (F.col("id") * 3).alias("vb")
-    )
-    write_bucketed(a, "tb_buck_a", keys="k", buckets=4, sort_by="k")
-    write_bucketed(b, "tb_buck_b", keys="k", buckets=4, sort_by="k")
-    assert is_bucketed_on(spark, "tb_buck_a", ["k"])
-    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    try:
-        ta, tb = spark.table("tb_buck_a"), spark.table("tb_buck_b")
-        j = ta.join(tb, "k")
-        plan = j._jdf.queryExecution().executedPlan().toString()
-        assert "SortMergeJoin" in plan
-        assert "Exchange" not in plan
-        assert j.count() == 200
-        # one unbucketed side -> exactly one Exchange (that side only)
-        plain = spark.range(0, 200).select(
-            F.col("id").alias("k"), F.lit(1).alias("vc")
-        )
-        p2 = (
-            ta.join(plain, "k")
-            ._jdf.queryExecution().executedPlan().toString()
-        )
-        assert p2.count("Exchange") == 1
-    finally:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
-        spark.sql("DROP TABLE IF EXISTS tb_buck_a")
-        spark.sql("DROP TABLE IF EXISTS tb_buck_b")
-
-
-def test_write_bucketed_validation(spark):
-    from featurestore_spark.io.bucketing import write_bucketed
-
-    df = spark.range(3)
-    with pytest.raises(ValueError, match="buckets"):
-        write_bucketed(df, "t", keys="id", buckets=0)
-    with pytest.raises(ValueError, match="bucket key"):
-        write_bucketed(df, "t", keys=[], buckets=4)
