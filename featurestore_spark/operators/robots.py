@@ -222,3 +222,65 @@ def filter_allowed(
     if keep_verdict:
         return out
     return out.where(F.col("robots_allowed")).drop("robots_allowed")
+
+
+# ---------------------------------------------------------------------------
+# Sitemaps: the discovery side of the politeness protocol (robots.txt
+# names them via `Sitemap:` lines; the crawler seeds its frontier from
+# them). Pure Column expressions — a sitemap is XML, but the two
+# fields a frontier needs (<loc>, <lastmod>) extract with RE2-portable
+# regexes, so this stays a zero-exchange projection and an oracle can
+# replay it.
+# ---------------------------------------------------------------------------
+
+
+def sitemap_urls_from_robots(txt_col: str | Column = "robots_txt") -> Column:
+    """Array of `Sitemap:` URLs declared in a robots.txt payload (the
+    field is group-independent per RFC 9309 — every crawler sees every
+    line)."""
+    c = F.col(txt_col) if isinstance(txt_col, str) else txt_col
+    raw = F.regexp_extract_all(
+        c, F.lit(r"(?im)^\s*sitemap\s*:\s*(\S+)"), F.lit(1)
+    )
+    return raw
+
+
+def is_sitemap_index(xml_col: str | Column = "xml") -> Column:
+    """True when the payload is a sitemap INDEX (<sitemapindex> of
+    child sitemaps) rather than a urlset — the caller fetches the
+    children and parses again."""
+    c = F.col(xml_col) if isinstance(xml_col, str) else xml_col
+    return c.rlike(r"(?is)<\s*sitemapindex[\s>]")
+
+
+def extract_sitemap_entries(xml_col: str | Column = "xml") -> Column:
+    """Array of struct(loc, lastmod) from a sitemap urlset (or the
+    child-sitemap list of an index — both use <loc>/<lastmod> inside
+    their entry elements): per-entry blocks via one
+    `regexp_extract_all`, fields extracted inside a higher-order
+    transform, the five XML entities decoded in `loc` (sitemap spec
+    requires escaping them). Entries without a <loc> are dropped;
+    `lastmod` is NULL when absent. Zero exchanges."""
+    c = F.col(xml_col) if isinstance(xml_col, str) else xml_col
+    blocks = F.regexp_extract_all(
+        c,
+        F.lit(r"(?is)<\s*(?:url|sitemap)\s*>(.*?)</\s*(?:url|sitemap)\s*>"),
+        F.lit(1),
+    )
+
+    def entry(b: Column) -> Column:
+        loc = F.regexp_extract(b, r"(?is)<\s*loc\s*>\s*(.*?)\s*</\s*loc\s*>", 1)
+        for ent, ch in [
+            ("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"),
+            ("&quot;", '"'), ("&apos;", "'"),
+        ]:
+            loc = F.replace(loc, F.lit(ent), F.lit(ch))
+        lastmod = F.regexp_extract(
+            b, r"(?is)<\s*lastmod\s*>\s*(.*?)\s*</\s*lastmod\s*>", 1
+        )
+        return F.struct(
+            loc.alias("loc"),
+            F.when(lastmod != "", lastmod).alias("lastmod"),
+        )
+
+    return F.filter(F.transform(blocks, entry), lambda s: s["loc"] != "")

@@ -167,3 +167,49 @@ def test_filter_allowed_matches_python_matcher(spark, rules, paths):
     }
     want = {i: _py_allowed(rules, p) for i, p in enumerate(paths)}
     assert got == want, (txt, paths, got, want)
+
+
+def test_sitemap_extraction(spark):
+    from featurestore_spark.operators.robots import (
+        extract_sitemap_entries,
+        is_sitemap_index,
+        sitemap_urls_from_robots,
+    )
+
+    xml = (
+        '<?xml version="1.0"?>\n'
+        '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">\n'
+        "<url><loc>https://a.com/x?a=1&amp;b=2</loc>"
+        "<lastmod>2024-01-02</lastmod></url>\n"
+        "<URL><LOC> https://a.com/y </LOC></URL>\n"   # case + whitespace
+        "<url><priority>0.5</priority></url>\n"        # no loc -> dropped
+        "</urlset>"
+    )
+    idx = (
+        "<sitemapindex><sitemap><loc>https://a.com/s1.xml</loc></sitemap>"
+        "</sitemapindex>"
+    )
+    df = spark.createDataFrame([(1, xml), (2, idx)], "i long, xml string")
+    rows = {
+        r["i"]: (r["ix"], [(s["loc"], s["lastmod"]) for s in r["e"]])
+        for r in df.select(
+            "i",
+            extract_sitemap_entries("xml").alias("e"),
+            is_sitemap_index("xml").alias("ix"),
+        ).collect()
+    }
+    # entity decoded, whitespace trimmed, loc-less entry dropped
+    assert rows[1] == (
+        False,
+        [("https://a.com/x?a=1&b=2", "2024-01-02"), ("https://a.com/y", None)],
+    )
+    # index detected; child sitemaps extract through the same op
+    assert rows[2] == (True, [("https://a.com/s1.xml", None)])
+    # robots.txt Sitemap: lines (group-independent, case-insensitive)
+    rb = spark.createDataFrame(
+        [("User-agent: *\nSitemap: https://a.com/s.xml\n"
+          "sitemap:https://b.com/t.xml\nDisallow: /x\n",)],
+        "robots_txt string",
+    )
+    [r] = rb.select(sitemap_urls_from_robots().alias("s")).collect()
+    assert r["s"] == ["https://a.com/s.xml", "https://b.com/t.xml"]
