@@ -97,15 +97,20 @@ def parse_robots_txt(txt: str | None, agent: str) -> list[tuple[str, int, bool]]
             if value == "":
                 continue  # empty Disallow/Allow = no rule
             cur_rules.append((value, field == "allow"))
-        else:
-            in_agent_run = False
+        # Unknown fields (Crawl-delay, Sitemap, ...) are no-ops that
+        # leave the user-agent run OPEN: RFC 9309 §2.2.4 says parsers
+        # ignore lines they don't recognize, so 'User-agent: a /
+        # Crawl-delay: 5 / User-agent: b / Disallow: /x' is ONE group
+        # where a and b share the Disallow (Google's reference parser
+        # agrees). Ending the run here used to split the group and
+        # fail OPEN for agent a (ADVICE r11).
     if cur_agents:
         groups.append((cur_agents, cur_rules))
     exact = [r for agents, rules in groups if agent in agents for r in rules]
     if not any(agent in agents for agents, _ in groups):
         exact = [r for agents, rules in groups if "*" in agents for r in rules]
     return [
-        (robots_rule_to_regex(rule), len(rule), allow)
+        (robots_rule_to_regex(rule), len(rule.encode("utf-8")), allow)
         for rule, allow in exact
     ]
 
@@ -178,7 +183,15 @@ def filter_allowed(
     pure higher-order fold over the array — no per-URL rule explode,
     no second exchange, nothing collects. ``keep_verdict=True``
     returns ALL rows with the boolean ``robots_allowed`` instead of
-    filtering (for audit/yield accounting)."""
+    filtering (for audit/yield accounting).
+
+    Encoding assumption: rule paths and frontier URL paths are
+    compared VERBATIM — no percent-encoding normalization — so a
+    rule ``/a%20b`` only matches a URL whose stored path is also
+    ``/a%20b``. A frontier built by this repo's web family satisfies
+    this (URLs are kept in their fetched percent-encoded form, the
+    same form robots.txt files publish rules in); normalize upstream
+    if your frontier decodes paths."""
     p = url_parts(url_col)
     pathq = F.concat(
         F.when(p["path"] == "", F.lit("/")).otherwise(p["path"]),
@@ -186,17 +199,20 @@ def filter_allowed(
             F.lit("")
         ),
     )
+    # the derived join key lives under a collision-proof internal
+    # name so a caller's own 'host' column survives untouched
+    # (ADVICE r11: withColumn(host_col, ...) used to clobber it)
     per_host = rules.groupBy(host_col).agg(
         F.collect_list(
             F.struct(
                 F.col("rule_regex"), F.col("rule_len"), F.col("allow")
             )
         ).alias("_rules")
-    )
-    with_host = urls.withColumn(host_col, p["host"]).withColumn(
+    ).withColumnRenamed(host_col, "_robots_host")
+    with_host = urls.withColumn("_robots_host", p["host"]).withColumn(
         "_pathq", pathq
     )
-    j = with_host.join(per_host, host_col, "left")
+    j = with_host.join(per_host, "_robots_host", "left")
     matched = F.filter(
         F.col("_rules"),
         lambda r: F.regexp_like(F.col("_pathq"), r["rule_regex"]),
@@ -217,7 +233,7 @@ def filter_allowed(
         best["allow"]
     )
     out = j.withColumn("robots_allowed", verdict).drop(
-        "_rules", "_pathq", host_col
+        "_rules", "_pathq", "_robots_host"
     )
     if keep_verdict:
         return out

@@ -616,20 +616,35 @@ def link_graph(
     (tens), but each exploded row is just two short domain strings —
     the page payload is projected away BEFORE the explode; the one
     exchange is the (src, dst) groupBy, and map-side combine
-    collapses the heavy-edge mass pre-shuffle."""
+    collapses the heavy-edge mass pre-shuffle.
+
+    The null/self-loop filters sit above a :func:`plan_fence`
+    (Generate barrier): filtering the raw ``src_domain``/
+    ``dst_domain`` aliases made Catalyst substitute the whole
+    `registrable_domain(url_parts(...))` regex/CASE tree into the
+    Filter, the Project, AND the pushed-down FileScan DataFilters —
+    the fused expression blew janino's 64 KB method limit and the
+    edge-extraction + HashAggregate stage (the one that touches
+    every page) fell back to INTERPRETED execution while
+    triple-evaluating the PSL chain (VERDICT r11). Fenced, each
+    domain computes exactly once and the stage whole-stage-codegens;
+    the cost is exploding hrefs of the rare no-registrable-src pages
+    that the old pushed filter skipped."""
+    from featurestore_spark.operators.materialize import plan_fence
+
     src = registrable_domain(
         url_parts(url_col)["host"], suffixes=suffixes
     ).alias("src_domain")
-    pairs = (
+    pairs = plan_fence(
         df.select(src, F.explode(extract_links(html_col)).alias("_link"))
-        .where(F.col("src_domain").isNotNull())
         .select(
             "src_domain",
             registrable_domain(
                 url_parts("_link")["host"], suffixes=suffixes
             ).alias("dst_domain"),
         )
-        .where(F.col("dst_domain").isNotNull())
+    ).where(
+        F.col("src_domain").isNotNull() & F.col("dst_domain").isNotNull()
     )
     if drop_self_loops:
         pairs = pairs.where(F.col("src_domain") != F.col("dst_domain"))

@@ -53,6 +53,61 @@ def test_parse_edge_cases():
     assert parse_robots_txt("garbage with no colons", "x") == []
 
 
+def test_unknown_field_does_not_split_agent_group():
+    # RFC 9309: unknown lines are ignored — a Crawl-delay BETWEEN two
+    # User-agent lines must not end the agent run, so a and b form ONE
+    # group sharing the Disallow (fail-closed, as the site intended)
+    txt = (
+        "User-agent: a\n"
+        "Crawl-delay: 5\n"
+        "User-agent: b\n"
+        "Disallow: /x\n"
+    )
+    assert parse_robots_txt(txt, "a") == [("^/x", 2, False)]
+    assert parse_robots_txt(txt, "b") == [("^/x", 2, False)]
+    # ...but an allow/disallow record still ends the run: a NEW
+    # User-agent after rules starts a separate group
+    txt2 = "User-agent: a\nDisallow: /x\nUser-agent: b\nDisallow: /y\n"
+    assert parse_robots_txt(txt2, "b") == [("^/y", 2, False)]
+
+
+def test_rule_len_is_octets_not_chars():
+    # most-specific-match key is UTF-8 octet length (RFC 9309 §2.2.2):
+    # 'é' is 1 char but 2 octets, so '/é' (3 octets) outranks '/ab'
+    # (3 chars AND 3 octets) only on ties — here '/éx' = 4 octets
+    # beats the 4-char '/abc' tie... simplest: just pin the lengths.
+    [(_, l1, _)] = parse_robots_txt("User-agent: *\nDisallow: /é\n", "x")
+    assert l1 == 3  # '/' + 2-byte é
+    [(_, l2, _)] = parse_robots_txt("User-agent: *\nDisallow: /ab\n", "x")
+    assert l2 == 3
+
+
+def test_filter_allowed_preserves_caller_host_column(spark):
+    from featurestore_spark.operators.robots import (
+        filter_allowed,
+        parse_robots_rules,
+    )
+
+    robots = spark.createDataFrame(
+        [("a.com", "User-agent: *\nDisallow: /x\n")],
+        "host string, robots_txt string",
+    )
+    rules = parse_robots_rules(robots, agent="bot")
+    # the frontier frame carries ITS OWN 'host' column with caller
+    # values that must survive both modes untouched
+    urls = spark.createDataFrame(
+        [(1, "http://a.com/x/1", "mine"), (2, "http://a.com/ok", "yours")],
+        "doc_id long, url string, host string",
+    )
+    out = filter_allowed(urls, rules).collect()
+    assert [(r["doc_id"], r["host"]) for r in out] == [(2, "yours")]
+    aud = filter_allowed(urls, rules, keep_verdict=True)
+    assert aud.columns == ["doc_id", "url", "host", "robots_allowed"]
+    assert {r["doc_id"]: r["host"] for r in aud.collect()} == {
+        1: "mine", 2: "yours"
+    }
+
+
 def test_rule_to_regex_metachars():
     assert robots_rule_to_regex("/a*.php$") == r"^/a.*\.php$"
     assert robots_rule_to_regex("/p?q=1") == r"^/p\?q=1"

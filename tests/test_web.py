@@ -543,6 +543,29 @@ def test_link_graph_edges_weights_and_drops(spark):
     ) in {(r["src_domain"], r["dst_domain"]) for r in loops.collect()}
 
 
+def test_link_graph_fences_domain_tree_out_of_filters(spark):
+    """Codegen-blowup regression pin (VERDICT r11): the null/self-loop
+    filters must see src_domain/dst_domain as plan_fence Generate
+    OUTPUTS, not re-inline the registrable_domain regex/CASE tree —
+    the inlined form put the tree in the Filter, the Project AND the
+    FileScan DataFilters, blew janino's 64 KB method limit, and the
+    whole per-page stage ran interpreted. The pin: no Filter node and
+    no scan-pushed filter may contain a regexp/CASE expression."""
+    from featurestore_spark.operators.web import link_graph
+
+    df = spark.createDataFrame(
+        [(1, "https://a.com/x", '<a href="https://b.com/1">1</a>')],
+        "doc_id long, url string, html string",
+    )
+    plan = link_graph(df)._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if "Filter" in line or "PushedFilters" in line:
+            assert "regexp" not in line, line
+            assert "CASE WHEN" not in line, line
+    # the fence itself is present: a Generate explode feeding the agg
+    assert "Generate explode" in plan
+
+
 def _pr_edges(spark):
     from featurestore_spark.operators.web import link_graph
 
