@@ -5775,6 +5775,174 @@ def q_strip_html(spark, sf_dir):
     return out.withColumn("n_chars", F.length("text").cast("int"))
 
 
+def _strip_block_sql(expr: str) -> str:
+    """DuckDB replay of text._strip_tags_collapse (the PER-BLOCK half
+    of strip_html: tag strip + entity decode + whitespace collapse —
+    script/style/comments are removed once GLOBALLY before the block
+    split, so they must not be re-removed per block)."""
+    return (
+        r"""trim(regexp_replace(
+               replace(replace(replace(replace(replace(replace(
+                 regexp_replace(__E__, '<[^>]*>', ' ', 'g'),
+                 '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+                 '&quot;', '"'), '&#39;', chr(39)), '&amp;', '&'),
+               '\s+', ' ', 'g'))"""
+    ).replace("__E__", expr)
+
+
+def _stop_density_sql(expr: str) -> str:
+    """DuckDB replay of main_content_blocks' stop_density over an
+    already-stripped block text expression: fraction of the [a-z]+
+    tokens in EN_STOPWORDS (0.0 for token-less blocks). The token
+    pipeline is inlined three times because SQL lambdas cannot bind
+    intermediates — the list is identical in all three spots."""
+    from featurestore_spark.operators.text import EN_STOPWORDS
+
+    stops = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
+    toks = (
+        "list_filter(string_split_regex(lower(__E__), '[^a-z]+'), "
+        "t -> t <> '')"
+    ).replace("__E__", expr)
+    return (
+        f"CASE WHEN len({toks}) > 0 THEN "
+        f"CAST(len(list_filter({toks}, t -> list_contains([{stops}], t)))"
+        f" AS DOUBLE) / len({toks}) ELSE 0.0 END"
+    )
+
+
+def _main_content_oracle() -> str:
+    """q_main_content oracle, rendered from the operator's OWN
+    constants (BLOCK_TAG_SPLIT, EN_STOPWORDS, the jusText-lite gate
+    defaults) so the two engines cannot drift. Recipe pre-validated
+    r11 (PLANS.md): struct-building list_transform stages because SQL
+    lambdas cannot bind intermediates, and coalesce(list_sum(...), 0)
+    where Spark's aggregate seed gives 0 on an empty anchor list but
+    DuckDB's list_sum gives NULL."""
+    from featurestore_spark.operators.text import BLOCK_TAG_SPLIT
+
+    split = BLOCK_TAG_SPLIT.replace("'", "''")
+    strip_b = _strip_block_sql("b")
+    strip_x = _strip_block_sql("x")
+    return rf"""
+    WITH src AS (
+      SELECT doc_id,
+             '<html><head><title>t</title><style>p{{color:red}}</style>'
+             || '</head><body><nav><a href="/h">Home</a> '
+             || '<a href="/a">About</a> | <a href="/c">Contact</a></nav>'
+             || '<h1>Doc ' || CAST(doc_id AS VARCHAR) || '</h1>'
+             || '<p>' || text || '</p>'
+             || '<div>See <a href="/m">more of the archive</a>'
+             || ' for details of all of the rest of it</div>'
+             || '<!-- boilerplate --><script>var x = "<p>no</p>";</script>'
+             || '<footer>(c) 2024 Example</footer></body></html>' AS html
+      FROM documents),
+    scrub AS (
+      SELECT doc_id,
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(html,
+                   '(?is)<script[^>]*>.*?</script\s*>', ' ', 'g'),
+                 '(?is)<style[^>]*>.*?</style\s*>', ' ', 'g'),
+               '(?s)<!--.*?-->', ' ', 'g') AS c
+      FROM src),
+    blk AS (
+      SELECT doc_id,
+             list_filter(
+               list_transform(regexp_split_to_array(c, '{split}'),
+                 b -> struct_pack(
+                   text := {strip_b},
+                   linked_len := coalesce(list_sum(list_transform(
+                     regexp_extract_all(b,
+                       '(?is)<a\b[^>]*>(.*?)</a\s*>', 1),
+                     x -> length({strip_x}))), 0))),
+               s -> length(s.text) > 0) AS bl
+      FROM scrub),
+    mt AS (
+      SELECT doc_id, bl,
+             array_to_string(list_transform(list_filter(bl, s ->
+               length(s.text) >= 25
+               AND CAST(s.linked_len AS DOUBLE) / length(s.text) <= 0.33
+               AND {_stop_density_sql("s.text")} >= 0.2),
+               s -> s.text), ' ') AS main_text
+      FROM blk),
+    ex AS (
+      SELECT doc_id, main_text, bl,
+             unnest(generate_series(1, len(bl))) AS i
+      FROM mt)
+    SELECT doc_id,
+           CAST(i - 1 AS INTEGER) AS block_idx,
+           bl[i].text AS block_text,
+           CAST(length(bl[i].text) AS INTEGER) AS n_chars,
+           CAST(bl[i].linked_len AS DOUBLE) / length(bl[i].text)
+             AS link_density,
+           {_stop_density_sql("bl[i].text")} AS stop_density,
+           main_text
+    FROM ex
+    """
+
+
+@_register(
+    "q_main_content",
+    _main_content_oracle(),
+    "jusText-lite main-content extraction (the boilerplate-removal "
+    "stage between the WARC payload and every text rule — RefinedWeb "
+    "uses trafilatura here): both engines wrap the fixture text in "
+    "identical synthesized markup (nav/footer link boilerplate, a "
+    "prose block, a mixed link+prose div, script/style/comment "
+    "noise), split on block-level tags, and score each non-empty "
+    "block (n_chars, anchor-text link_density, EN-stopword "
+    "stop_density) — plus the gated, space-joined main_text per doc. "
+    "Densities are exact small-integer ratios, identical IEEE "
+    "doubles in both engines (pre-validated r11), so no rounding. "
+    "Spark side is pure nested higher-order Column expressions: one "
+    "codegen'd projection + one posexplode, no UDF, no exchange "
+    "before the driver's comparison sort.",
+)
+def q_main_content(spark, sf_dir):
+    from featurestore_spark.operators.text import (
+        extract_main_content,
+        main_content_blocks,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit(
+            '<html><head><title>t</title><style>p{color:red}</style>'
+            '</head><body><nav><a href="/h">Home</a> '
+            '<a href="/a">About</a> | <a href="/c">Contact</a></nav>'
+            "<h1>Doc "
+        ),
+        F.col("doc_id").cast("string"),
+        F.lit("</h1><p>"),
+        F.col("text"),
+        F.lit(
+            '</p><div>See <a href="/m">more of the archive</a>'
+            " for details of all of the rest of it</div>"
+            '<!-- boilerplate --><script>var x = "<p>no</p>";</script>'
+            "<footer>(c) 2024 Example</footer></body></html>"
+        ),
+    )
+    base = docs.select(
+        "doc_id",
+        main_content_blocks(html).alias("bl"),
+        extract_main_content(html).alias("main_text"),
+    )
+    out = base.select(
+        "doc_id",
+        "main_text",
+        F.posexplode("bl").alias("block_idx", "b"),
+    )
+    return out.select(
+        "doc_id",
+        F.col("block_idx").cast("int").alias("block_idx"),
+        F.col("b.text").alias("block_text"),
+        F.col("b.n_chars").cast("int").alias("n_chars"),
+        F.col("b.link_density").alias("link_density"),
+        F.col("b.stop_density").alias("stop_density"),
+        "main_text",
+    )
+
+
 @_register(
     "q_temperature_mixture",
     r"""
