@@ -2862,6 +2862,77 @@ def q_mp4_frames(spark, sf_dir):
 
 
 @_register(
+    "q_wav",
+    """
+    SELECT doc_id,
+      CASE WHEN doc_id % 7 = 0 THEN NULL
+           ELSE CAST(1 + doc_id % 2 AS INTEGER) END AS n_channels,
+      CASE WHEN doc_id % 7 = 0 THEN NULL
+           ELSE CAST(8000 + (doc_id % 5) * 1000 AS INTEGER)
+           END AS sample_rate,
+      CASE WHEN doc_id % 7 = 0 THEN NULL
+           ELSE CAST(8 * (1 + doc_id % 3) AS INTEGER)
+           END AS bits_per_sample,
+      CASE WHEN doc_id % 7 = 0 THEN NULL
+           ELSE CAST(100 + doc_id % 50 AS BIGINT) END AS n_frames,
+      CASE WHEN doc_id % 7 = 0 THEN NULL
+           ELSE CAST(100 + doc_id % 50 AS DOUBLE)
+                / (8000 + (doc_id % 5) * 1000) END AS duration_s
+    FROM documents
+    """,
+    "REAL RIFF/WAVE chunk-walk round-trip — the audio row of the "
+    "container-metadata family (image headers / GIF / MP4), closing "
+    "the r11 evidence gap: spec-correct PCM WAV fixtures synthesized "
+    "per doc_id (arithmetic channels/rate/bits/frames, plus a LIST "
+    "metadata pre-chunk whose varying odd/even body length exercises "
+    "the walker's even-offset pad path), walked back by "
+    "with_wav_metadata inside Arrow mapInPandas; every 7th row is "
+    "deliberately non-WAV and must yield NULLs (the family's "
+    "nulls-not-failures contract). The oracle recomputes every field "
+    "arithmetically, so drift in the chunk walk, fmt unpack, "
+    "frame-count (data_size // block_align) or duration math "
+    "hash-mismatches. Header bytes only — samples never decode, "
+    "payloads never shuffle.",
+)
+def q_wav(spark, sf_dir):
+    from featurestore_spark.operators.multimodal import (
+        build_wav_fixture,
+        with_wav_metadata,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(it):
+        for pdf in it:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                if did % 7 == 0:
+                    payloads.append(b"ID3\x03notawav" + bytes(8))
+                else:
+                    payloads.append(
+                        build_wav_fixture(
+                            1 + did % 2,
+                            8000 + (did % 5) * 1000,
+                            8 * (1 + did % 3),
+                            100 + did % 50,
+                            pre_chunks=[(b"LIST", b"x" * (3 + did % 4))],
+                        )
+                    )
+            yield pdf.assign(content=payloads)
+
+    with_wav = docs.mapInPandas(synth, schema="doc_id long, content binary")
+    return with_wav_metadata(with_wav).select(
+        "doc_id",
+        "n_channels",
+        "sample_rate",
+        "bits_per_sample",
+        "n_frames",
+        "duration_s",
+    )
+
+
+@_register(
     "q_embedding_topk",
     """
     WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 3),
@@ -7042,6 +7113,318 @@ def q_domain_pagerank(spark, sf_dir):
     edges = link_graph(crawl)
     pr = domain_pagerank(edges, weight_col="n_links", iterations=5)
     return pr.select("domain", F.round("pr", 6).alias("pr"))
+
+
+@_register(
+    "q_robots_filter",
+    r"""
+    WITH u AS (
+      SELECT doc_id, doc_id % 20 AS k,
+        CASE CAST(doc_id % 7 AS INTEGER)
+          WHEN 0 THEN '/private/x'
+          WHEN 1 THEN '/private/ok-page'
+          WHEN 2 THEN '/open/a'
+          WHEN 3 THEN '/t123.php'
+          WHEN 4 THEN '/t.php?x=1'
+          WHEN 5 THEN ''
+          ELSE '/private/ok' END AS path
+      FROM documents),
+    r AS (
+      SELECT doc_id,
+        'https://h' || CAST(k AS VARCHAR) || '.com' || path AS url,
+        CASE WHEN path = '' THEN '/' ELSE path END AS pathq,
+        CASE WHEN k % 3 = 0 THEN
+          [struct_pack(rx := '^/private/', l := 9, a := false),
+           struct_pack(rx := '^/private/ok', l := 11, a := true),
+           struct_pack(rx := '^/t.*\.php$', l := 8, a := false)]
+        ELSE
+          [struct_pack(rx := '^/private/', l := 9, a := false),
+           struct_pack(rx := '^/private/ok', l := 11, a := true)]
+        END AS rules
+      FROM u),
+    m AS (
+      SELECT doc_id, url,
+             list_filter(rules,
+               s -> regexp_matches(pathq, s.rx)) AS matched
+      FROM r)
+    SELECT doc_id, url,
+      CASE WHEN len(matched) = 0 THEN true
+           ELSE len(list_filter(matched,
+                  s -> s.l = list_max(list_transform(matched, t -> t.l))
+                       AND s.a)) > 0 END AS robots_allowed
+    FROM m
+    """,
+    "robots.txt politeness gate (RFC 9309) end-to-end: per-host "
+    "robots.txt payloads synthesized from doc_id % 20 (20 hosts, a "
+    "third carrying an extra '$'-anchored wildcard Disallow), parsed "
+    "by the Arrow line-state-machine parser, then filter_allowed's "
+    "ONE broadcastable per-host rule-array join + higher-order "
+    "longest-match fold over a 7-shape frontier (prefix disallow, "
+    "longer-allow override, no-match, wildcard-$ hit, query string "
+    "that defeats the $ anchor, empty path → '/', exact allow tie). "
+    "Oracle design per PLANS r11: the MATCHER is replayed (rules "
+    "synthesized closed-form in SQL, regexp list-filter + "
+    "longest-match-allow-ties fold in DuckDB — rule_len as UTF-8 "
+    "octets); the parser itself stays fuzz-pinned against an "
+    "independent Python matcher in tests/test_robots.py.",
+)
+def q_robots_filter(spark, sf_dir):
+    from featurestore_spark.operators.robots import (
+        filter_allowed,
+        parse_robots_rules,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    k = (F.col("doc_id") % 20).alias("k")
+    hosts = docs.select(k).distinct()
+    txt = F.concat(
+        F.lit("User-agent: *\nDisallow: /private/\nAllow: /private/ok\n"),
+        F.when(F.col("k") % 3 == 0, F.lit("Disallow: /t*.php$\n")).otherwise(
+            F.lit("")
+        ),
+    )
+    robots = hosts.select(
+        F.concat(F.lit("h"), F.col("k").cast("string"), F.lit(".com")).alias(
+            "host"
+        ),
+        txt.alias("robots_txt"),
+    )
+    rules = parse_robots_rules(robots, agent="ccbot")
+    path = (
+        F.when(F.col("doc_id") % 7 == 0, F.lit("/private/x"))
+        .when(F.col("doc_id") % 7 == 1, F.lit("/private/ok-page"))
+        .when(F.col("doc_id") % 7 == 2, F.lit("/open/a"))
+        .when(F.col("doc_id") % 7 == 3, F.lit("/t123.php"))
+        .when(F.col("doc_id") % 7 == 4, F.lit("/t.php?x=1"))
+        .when(F.col("doc_id") % 7 == 5, F.lit(""))
+        .otherwise(F.lit("/private/ok"))
+    )
+    urls = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://h"),
+            (F.col("doc_id") % 20).cast("string"),
+            F.lit(".com"),
+            path,
+        ).alias("url"),
+    )
+    return filter_allowed(urls, rules, keep_verdict=True).select(
+        "doc_id", "url", "robots_allowed"
+    )
+
+
+@_register(
+    "q_sitemap",
+    r"""
+    WITH f AS (
+      SELECT doc_id,
+             unnest(generate_series(0,
+               CASE WHEN doc_id % 5 = 0 THEN doc_id % 3
+                    ELSE doc_id % 4 END)) AS j
+      FROM documents)
+    SELECT doc_id, CAST(j AS INTEGER) AS entry_idx,
+      CASE WHEN doc_id % 5 = 0
+           THEN 'https://s' || CAST(doc_id AS VARCHAR) || '.com/child'
+                || CAST(j AS VARCHAR) || '.xml'
+           ELSE 'https://s' || CAST(doc_id AS VARCHAR) || '.com/p'
+                || CAST(j AS VARCHAR) || '?a=1&b=' || CAST(j AS VARCHAR)
+           END AS loc,
+      CASE WHEN doc_id % 5 <> 0 AND (doc_id + j) % 2 = 0
+           THEN '2024-01-0' || CAST(1 + j % 9 AS VARCHAR) END AS lastmod,
+      doc_id % 5 = 0 AS is_index,
+      'https://s' || CAST(doc_id AS VARCHAR) || '.com/sm.xml'
+        AS robots_sitemap
+    FROM f
+    """,
+    "Sitemap discovery (the frontier-seeding side of the politeness "
+    "protocol): per-doc sitemap XML synthesized from doc_id — every "
+    "5th doc a <sitemapindex> of child sitemaps, the rest urlsets "
+    "with 1 + doc_id%4 <url> entries carrying &amp;-escaped query "
+    "strings (entity decode pinned), optional <lastmod>, and "
+    "whitespace/case variance on a third of the <loc> tags (trim + "
+    "(?i) pinned without touching the oracle value) — walked back by "
+    "extract_sitemap_entries/is_sitemap_index, plus the robots.txt "
+    "'Sitemap:' line via sitemap_urls_from_robots. All RE2-portable "
+    "regex + higher-order Column expressions, zero exchanges before "
+    "the driver's comparison; the oracle recomputes every entry "
+    "arithmetically.",
+)
+def q_sitemap(spark, sf_dir):
+    from featurestore_spark.operators.robots import (
+        extract_sitemap_entries,
+        is_sitemap_index,
+        sitemap_urls_from_robots,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    sid = d.cast("string")
+    # one <url>/<sitemap> block per j; loc gets padding whitespace on
+    # a third of the entries and the urlset locs carry an &amp; entity
+    j_end = F.when(d % 5 == 0, d % 3).otherwise(d % 4)
+    blocks = F.transform(
+        F.sequence(F.lit(0), j_end),
+        lambda j: F.concat(
+            F.when(d % 5 == 0, F.lit("<sitemap>")).otherwise(F.lit("<url>")),
+            F.lit("<loc>"),
+            F.when((d + j) % 3 == 0, F.lit(" ")).otherwise(F.lit("")),
+            F.when(
+                d % 5 == 0,
+                F.concat(
+                    F.lit("https://s"), sid, F.lit(".com/child"),
+                    j.cast("string"), F.lit(".xml"),
+                ),
+            ).otherwise(
+                F.concat(
+                    F.lit("https://s"), sid, F.lit(".com/p"),
+                    j.cast("string"), F.lit("?a=1&amp;b="), j.cast("string"),
+                ),
+            ),
+            F.when((d + j) % 3 == 0, F.lit(" ")).otherwise(F.lit("")),
+            F.lit("</loc>"),
+            F.when(
+                (d % 5 != 0) & ((d + j) % 2 == 0),
+                F.concat(
+                    F.lit("<lastmod>2024-01-0"),
+                    (1 + j % 9).cast("string"),
+                    F.lit("</lastmod>"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(d % 5 == 0, F.lit("</sitemap>")).otherwise(
+                F.lit("</url>")
+            ),
+        ),
+    )
+    xml = F.concat(
+        F.lit('<?xml version="1.0"?>'),
+        F.when(d % 5 == 0, F.lit("<SitemapIndex>")).otherwise(
+            F.lit('<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">')
+        ),
+        F.array_join(blocks, "\n"),
+        F.when(d % 5 == 0, F.lit("</sitemapindex>")).otherwise(
+            F.lit("</urlset>")
+        ),
+    )
+    robots_txt = F.concat(
+        F.lit("User-agent: *\nSitemap: https://s"),
+        sid,
+        F.lit(".com/sm.xml\nDisallow: /x\n"),
+    )
+    base = docs.select(
+        "doc_id",
+        extract_sitemap_entries(xml).alias("entries"),
+        is_sitemap_index(xml).alias("is_index"),
+        F.element_at(sitemap_urls_from_robots(robots_txt), 1).alias(
+            "robots_sitemap"
+        ),
+    )
+    out = base.select(
+        "doc_id",
+        "is_index",
+        "robots_sitemap",
+        F.posexplode("entries").alias("entry_idx", "e"),
+    )
+    return out.select(
+        "doc_id",
+        F.col("entry_idx").cast("int").alias("entry_idx"),
+        F.col("e.loc").alias("loc"),
+        F.col("e.lastmod").alias("lastmod"),
+        "is_index",
+        "robots_sitemap",
+    )
+
+
+@_register(
+    "q_warc_extract",
+    """
+    WITH resp AS (
+      SELECT doc_id, CAST(1 AS INTEGER) AS record_idx,
+             'response' AS warc_type,
+             'https://ex.com/' || CAST(doc_id AS VARCHAR) AS target_uri,
+             CAST(CASE WHEN doc_id % 4 = 1 THEN 404 ELSE 200 END
+                  AS INTEGER) AS http_status,
+             'text/html; charset=utf-8' AS content_type,
+             '<html><body><p>payload ' || CAST(doc_id AS VARCHAR)
+               || ' of the</p></body></html>' AS text_content
+      FROM documents),
+    conv AS (
+      SELECT doc_id, CAST(2 AS INTEGER) AS record_idx,
+             'conversion' AS warc_type,
+             'https://ex.com/' || CAST(doc_id AS VARCHAR) AS target_uri,
+             CAST(NULL AS INTEGER) AS http_status,
+             CAST(NULL AS VARCHAR) AS content_type,
+             'extracted text ' || CAST(doc_id AS VARCHAR)
+               || ' of doc' AS text_content
+      FROM documents WHERE doc_id % 2 = 0)
+    SELECT * FROM resp UNION ALL SELECT * FROM conv
+    """,
+    "WARC ingest front door (the container crawl corpora ship in — "
+    "Common Crawl WARC/WET): spec-correct plain-WARC payloads "
+    "synthesized per doc_id (a warcinfo record that consumes "
+    "record_idx 0 but is filtered, an HTTP response whose status "
+    "flips 200/404, and a WET-style conversion record on even docs), "
+    "walked by the Content-Length-driven record walker inside Arrow "
+    "mapInPandas, then with_http_split peels (status, content-type, "
+    "body) off the response bytes. text_content decodes the HTTP "
+    "body for responses and the raw payload for conversions — the "
+    "exact bytes extract_main_content feeds on. The oracle "
+    "recomputes every record closed-form, so drift in the record "
+    "walk, header parse, Content-Length arithmetic, separator "
+    "consumption, or HTTP split hash-mismatches.",
+)
+def q_warc_extract(spark, sf_dir):
+    from featurestore_spark.operators.multimodal import (
+        build_warc_fixture,
+        extract_warc_payloads,
+        with_http_split,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(it):
+        for pdf in it:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                status = 404 if did % 4 == 1 else 200
+                html = (
+                    f"<html><body><p>payload {did} of the</p></body></html>"
+                )
+                http = (
+                    f"HTTP/1.1 {status} OK\r\n"
+                    "Content-Type: text/html; charset=utf-8\r\n\r\n"
+                    f"{html}"
+                ).encode()
+                recs = [
+                    ("warcinfo", "https://ex.com/info", b"software: fs\r\n"),
+                    ("response", f"https://ex.com/{did}", http),
+                ]
+                if did % 2 == 0:
+                    recs.append(
+                        (
+                            "conversion",
+                            f"https://ex.com/{did}",
+                            f"extracted text {did} of doc".encode(),
+                        )
+                    )
+                payloads.append(build_warc_fixture(recs))
+            yield pdf.assign(content=payloads)
+
+    with_warc = docs.mapInPandas(synth, schema="doc_id long, content binary")
+    recs = extract_warc_payloads(with_warc)
+    out = with_http_split(recs)
+    text_content = F.when(
+        F.col("warc_type") == "conversion", F.col("payload").cast("string")
+    ).otherwise(F.col("body").cast("string"))
+    return out.select(
+        "doc_id",
+        F.col("record_idx").cast("int").alias("record_idx"),
+        "warc_type",
+        "target_uri",
+        "http_status",
+        "content_type",
+        text_content.alias("text_content"),
+    )
 
 
 # Shared URL-filtering fixture constants: the term weights and
