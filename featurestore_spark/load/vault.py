@@ -137,6 +137,8 @@ class VaultLoader:
         fingerprint_method: str = "xxhash64",
         open_end: str = OPEN_END_DATE,
         collect_counts: bool = True,
+        bucket_current: int | None = None,
+        bucket_table_prefix: str = "vault_",
     ):
         self.spark = spark
         self.base = base_path.rstrip("/")
@@ -145,6 +147,27 @@ class VaultLoader:
         self.fp_method = fingerprint_method
         self.open_end = open_end
         self.collect_counts = collect_counts
+        if bucket_current is not None and bucket_current < 1:
+            raise ValueError(
+                f"bucket_current must be >= 1 buckets, got {bucket_current}"
+            )
+        # Optional co-located-merge knob: when set, every `current`
+        # snapshot is MIRRORED into a catalog table bucketed (and
+        # sorted) by the entity-id hash key — the join key of every
+        # classify/merge and of most downstream consumers.
+        # `read_current` prefers the mirror, so each later load's
+        # big-side join runs with NO exchange on the accumulated
+        # snapshot (only the small incoming batch shuffles into the
+        # bucket layout). The shuffle of the big side is paid once at
+        # write time and amortized over every merge batch — the right
+        # trade when the snapshot is large and loads are frequent
+        # (the 100 TB steady state); leave unset for one-shot loads.
+        # The parquet path stays the source of truth: the mirror is
+        # dropped BEFORE each rewrite, so a crash between the parquet
+        # swap and the mirror write leaves no mirror (fallback to the
+        # parquet read), never a stale one.
+        self.bucket_current = bucket_current
+        self.bucket_table_prefix = bucket_table_prefix
 
     # -- storage helpers ----------------------------------------------------
     #
@@ -174,7 +197,38 @@ class VaultLoader:
     def _exists(self, table: str) -> bool:
         return self._fs_exists(self._path(table, CURRENT_FILE))
 
+    def _bucket_table(self, table: str) -> str:
+        import re as _re
+
+        return self.bucket_table_prefix + _re.sub(
+            r"[^A-Za-z0-9_]", "_", table
+        ) + "_current"
+
+    def _refresh_bucketed_mirror(self, table: str) -> None:
+        from featurestore_spark.operators.skew import write_bucketed
+
+        t = self._bucket_table(table)
+        # drop-then-write: a mirror that EXISTS is always in sync with
+        # the parquet current (crash mid-sequence leaves no mirror)
+        self.spark.sql(f"DROP TABLE IF EXISTS {t}")
+        write_bucketed(
+            self.spark.read.parquet(self._path(table, CURRENT_FILE)),
+            t,
+            [self.m.entity_id],
+            self.bucket_current,
+            sort_cols=[self.m.entity_id],
+            mode="errorifexists",
+        )
+
     def read_current(self, table: str) -> DataFrame:
+        if self.bucket_current is not None:
+            from featurestore_spark.operators.skew import is_bucketed_on
+
+            t = self._bucket_table(table)
+            if self.spark.catalog.tableExists(t) and is_bucketed_on(
+                self.spark, t, [self.m.entity_id]
+            ):
+                return self.spark.table(t)
         return self.spark.read.parquet(self._path(table, CURRENT_FILE))
 
     def read_history(self, table: str) -> DataFrame:
@@ -189,6 +243,8 @@ class VaultLoader:
         if self._fs_exists(final):
             self._fs_delete(final)
         self._fs_rename(tmp, final)
+        if self.bucket_current is not None:
+            self._refresh_bucketed_mirror(table)
 
     def _append_history(self, df: DataFrame, table: str, partition_by=None) -> None:
         writer = df.write.mode("append")

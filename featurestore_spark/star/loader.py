@@ -53,7 +53,15 @@ def _now() -> str:
 
 
 class StarLoader:
-    def __init__(self, spark: SparkSession, base_path: str, fmt: str = "parquet"):
+    def __init__(
+        self,
+        spark: SparkSession,
+        base_path: str,
+        fmt: str = "parquet",
+        *,
+        bucket_dims: int | None = None,
+        bucket_table_prefix: str = "star_",
+    ):
         # fmt: "parquet" (default) or "orc" — S11 HiveWriter wrote ORC
         # (star/io/HiveWriter.scala:14); both are columnar, same API.
         self.spark = spark
@@ -64,9 +72,63 @@ class StarLoader:
         # always report "missing" and silently re-initialize the dim,
         # destroying SCD2 history (ADVICE r1, medium).
         self.fs = HadoopFS(spark)
+        if bucket_dims is not None and bucket_dims < 1:
+            raise ValueError(
+                f"bucket_dims must be >= 1 buckets, got {bucket_dims}"
+            )
+        # Optional co-located-merge knob (same trade as VaultLoader's
+        # `bucket_current`): mirror each written dim into a catalog
+        # table bucketed + sorted by hashed_key — the join key of the
+        # SCD2 merge (new-rows anti-join, changed-rows inner join) —
+        # so repeated `load_dim` batches never re-exchange the
+        # accumulated dim; only the incoming batch shuffles into the
+        # bucket layout. Fact FK resolution keeps its broadcast path
+        # (dims broadcast; bucketing is for the dim-vs-dim merges).
+        # Crash safety mirrors the vault: drop-before-write means an
+        # existing mirror is always in sync with the parquet dim.
+        self.bucket_dims = bucket_dims
+        self.bucket_table_prefix = bucket_table_prefix
 
     def _path(self, name: str) -> str:
         return f"{self.base}/{name}.{self.fmt}"
+
+    def _bucket_table(self, name: str) -> str:
+        import re as _re
+
+        return self.bucket_table_prefix + _re.sub(
+            r"[^A-Za-z0-9_]", "_", name
+        )
+
+    def _refresh_dim_mirror(self, name: str, dim_path: str) -> None:
+        from featurestore_spark.operators.skew import write_bucketed
+
+        t = self._bucket_table(name)
+        self.spark.sql(f"DROP TABLE IF EXISTS {t}")
+        write_bucketed(
+            self.spark.read.format(self.fmt).load(dim_path),
+            t,
+            ["hashed_key"],
+            self.bucket_dims,
+            sort_cols=["hashed_key"],
+            fmt=self.fmt,
+            mode="errorifexists",
+        )
+
+    def read_dim(self, name: str) -> DataFrame:
+        """Current stored state of dim `name` — the bucketed catalog
+        mirror when the `bucket_dims` knob maintains one (co-located
+        merge joins), else the parquet/orc path."""
+        if self.bucket_dims is not None:
+            from featurestore_spark.operators.skew import is_bucketed_on
+
+            t = self._bucket_table(f"dim_{name}")
+            if self.spark.catalog.tableExists(t) and is_bucketed_on(
+                self.spark, t, ["hashed_key"]
+            ):
+                return self.spark.table(t)
+        return self.spark.read.format(self.fmt).load(
+            self._path(f"dim_{name}")
+        )
 
     def _write(self, df: DataFrame, path: str) -> None:
         df.write.mode("overwrite").format(self.fmt).save(path)
@@ -157,9 +219,11 @@ class StarLoader:
             unknown = self._unknown_row(dim, cols, process_time)
             dim = dim.unionByName(unknown)
             dim.write.mode("overwrite").format(self.fmt).save(dim_path)
-            return self.spark.read.format(self.fmt).load(dim_path)
+            if self.bucket_dims is not None:
+                self._refresh_dim_mirror(f"dim_{spec.name}", dim_path)
+            return self.read_dim(spec.name)
 
-        prev = self.spark.read.format(self.fmt).load(dim_path)
+        prev = self.read_dim(spec.name)
         prev_current = prev.where(F.col("current"))
         max_id = prev.agg(F.max("id")).first()[0] or 0  # A8 seed
 
@@ -217,7 +281,9 @@ class StarLoader:
         merged.write.mode("overwrite").format(self.fmt).save(tmp)
         self.fs.delete(dim_path)
         self.fs.rename(tmp, dim_path)
-        return self.spark.read.format(self.fmt).load(dim_path)
+        if self.bucket_dims is not None:
+            self._refresh_dim_mirror(f"dim_{spec.name}", dim_path)
+        return self.read_dim(spec.name)
 
     @staticmethod
     def _unknown_row(dim: DataFrame, cols: list[str], process_time: str) -> DataFrame:
