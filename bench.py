@@ -178,6 +178,16 @@ HEADLINE = [
     "q_mp4_frames",
     # ...and the outlink-graph + domain-PageRank capstone
     "q_domain_pagerank",
+    # Round 12: the jusText-lite main-content extractor and the
+    # crawl-stack front door (robots politeness gate, sitemap
+    # discovery, WARC record walk + HTTP split, WAV chunk walk)
+    "q_main_content",
+    "q_robots_filter",
+    "q_sitemap",
+    "q_warc_extract",
+    "q_wav",
+    # ...and the crawl-frontier planning capstone composing them
+    "q_crawl_frontier",
 ]
 
 # Zero-code-change drift control (VERDICT r6 #8): the TPC-H block has

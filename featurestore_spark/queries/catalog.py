@@ -7427,6 +7427,121 @@ def q_warc_extract(spark, sf_dir):
     )
 
 
+@_register(
+    "q_crawl_frontier",
+    """
+    SELECT doc_id,
+      CAST(1 + doc_id % 4 AS BIGINT) AS n_seeded,
+      CAST(CASE CAST(doc_id % 4 AS INTEGER)
+             WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 2
+             ELSE 3 END AS BIGINT) AS n_allowed,
+      CAST(CASE WHEN doc_id % 4 = 3 THEN 2 ELSE 1 END
+           AS BIGINT) AS n_canonical,
+      CAST(1 AS BIGINT) AS n_kept,
+      'https://h' || CAST(doc_id AS VARCHAR) || '.com/a?b=1'
+        AS fetch_url
+    FROM documents
+    """,
+    "Crawl-frontier planning capstone — the PRE-fetch half of the "
+    "web pipeline, composing this round's crawl stack exactly as a "
+    "crawler runs it: sitemap seed (extract_sitemap_entries over "
+    "per-host urlsets whose candidate mix varies by doc_id%4: a "
+    "utm-tagged trailing-slash URL, its clean canonical twin, a "
+    "robots-blocked path, a second distinct page) → robots "
+    "politeness gate (parse_robots_rules + filter_allowed) → "
+    "canonical URL dedup (url_dedup keep-min-id) → per-domain cap "
+    "(cap_per_domain rank-limit, cap=1). Per-host funnel counts pin "
+    "every stage and fetch_url pins WHICH candidate survived "
+    "(canonicalization must merge the utm twin, the cap must rank "
+    "the min-id page first). The oracle recomputes the funnel "
+    "closed-form; the stage internals are value-pinned by "
+    "q_sitemap / q_robots_filter / q_canonical_url / q_domain_cap.",
+)
+def q_crawl_frontier(spark, sf_dir):
+    from featurestore_spark.operators.robots import (
+        extract_sitemap_entries,
+        filter_allowed,
+        parse_robots_rules,
+    )
+    from featurestore_spark.operators.web import cap_per_domain, url_dedup
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    sid = d.cast("string")
+    host = F.concat(F.lit("h"), sid, F.lit(".com"))
+
+    def cand_path(j):
+        return (
+            F.when(j == 0, F.lit("/a/?utm_source=x&amp;b=1"))
+            .when(j == 1, F.lit("/a?b=1"))
+            .when(j == 2, F.lit("/private/x"))
+            .otherwise(F.lit("/b"))
+        )
+
+    blocks = F.transform(
+        F.sequence(F.lit(0), d % 4),
+        lambda j: F.concat(
+            F.lit("<url><loc>https://h"), sid, F.lit(".com"),
+            cand_path(j), F.lit("</loc></url>"),
+        ),
+    )
+    xml = F.concat(
+        F.lit("<urlset>"), F.array_join(blocks, ""), F.lit("</urlset>")
+    )
+    robots_txt = F.concat(
+        F.lit("User-agent: *\nDisallow: /private/\nSitemap: https://h"),
+        sid,
+        F.lit(".com/sm.xml\n"),
+    )
+    base = docs.select(
+        "doc_id",
+        host.alias("host"),
+        robots_txt.alias("robots_txt"),
+        extract_sitemap_entries(xml).alias("entries"),
+    )
+    frontier = base.select(
+        "doc_id", F.posexplode("entries").alias("j", "e")
+    ).select(
+        "doc_id",
+        (d * 4 + F.col("j")).alias("url_id"),
+        F.col("e.loc").alias("url"),
+    )
+    seeded = frontier.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_seeded")
+    )
+    rules = parse_robots_rules(
+        base.select("host", "robots_txt"), agent="ccbot"
+    )
+    allowed = filter_allowed(frontier, rules)
+    n_allowed = allowed.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_allowed")
+    )
+    dd = url_dedup(allowed, id_col="url_id")
+    keepers = allowed.join(
+        dd.select(F.col("keep_id").alias("url_id"), "canonical_url"),
+        "url_id",
+    )
+    n_canonical = keepers.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_canonical")
+    )
+    capped = cap_per_domain(
+        keepers, 1, url_col="canonical_url", id_col="url_id"
+    )
+    kept = capped.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.min("canonical_url").alias("fetch_url"),
+    )
+    return (
+        seeded.join(n_allowed, "doc_id")
+        .join(n_canonical, "doc_id")
+        .join(kept, "doc_id")
+        .select(
+            "doc_id", "n_seeded", "n_allowed", "n_canonical",
+            "n_kept", "fetch_url",
+        )
+    )
+
+
 # Shared URL-filtering fixture constants: the term weights and
 # threshold of the soft URL score, and the domain blocklists — kept
 # in one place so the Spark queries and the oracle SQL can never
@@ -7900,80 +8015,79 @@ def q_refinedweb_e2e(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 _DRIVER_PRIORITY = [
-    # Round-11 rotation (VERDICT r10 #1): the 46 queries whose last
-    # driver evidence is r8 — the events/vault/star/pivot block, the
-    # exact/minhash/embedding dedup families, PQ/IVF, the r7-r8
-    # curation + sampling representatives — lead, stalest first
-    # (union recomputed from the CORRECTNESS_r* artifacts at rotation
-    # time). Every one is also green in the per-round check_oracle
-    # sweeps at sf0.01 and sf0.1.
-    "q_vault_full_cycle",
-    "q_hub_customer",
-    "q_satellite_classify",
-    "q_star_dim_order_priority",
-    "q_star_fact_order_counts",
-    "q_pivot_snapshot",
-    "q_pivot_registry",
-    "q_sessionize",
-    "q_session_stats",
-    "q_chords",
-    "q_chord_path",
-    "q_chord_path_all",
-    "q_unique_path",
-    "q_collapse_runs",
-    "q_dedup_exact",
-    "q_dedup_lines",
-    "q_dedup_clusters",
-    "q_dedup_ladder",
-    "q_dedup_pipeline",
-    "q_minhash_bands",
-    "q_minhash_pairs",
-    "q_embedding_near_dups",
-    "q_embedding_topk",
-    "q_incremental_dedup",
-    "q_ivf_assign",
-    "q_ivf_serve",
-    "q_ivf_topk",
-    "q_pq_encode",
-    "q_pq_topk",
-    "q_gopher_rules",
-    "q_c4_filter",
-    "q_fineweb_rules",
-    "q_curation_funnel",
-    "q_mixture_sample",
-    "q_ccnet_buckets",
-    "q_ccnet_external",
-    "q_corpus_stats",
-    "q_vocab_topk",
-    "q_token_count",
-    "q_text_quality",
-    "q_chunk_documents",
-    "q_decontaminate",
-    "q_shared_spans",
-    "q_doc_fingerprint",
-    "q_ngram_jaccard",
-    "q_binary_meta",
-    # ...the three queries NEW this round (the trained quality-
-    # classifier gate, the incremental media-dedup rung, the MP4
-    # sample-table walker)...
-    "q_quality_classify",
-    "q_incremental_media_dedup",
-    "q_mp4_frames",
-    # ...and the round's other NEW query takes the last slot: the
-    # outlink-graph + domain-PageRank capstone (a never-driver-checked
-    # query outranks a re-pin — q_refinedweb_e2e keeps its r10 driver
-    # green, which hash-matched the IDENTICAL oracle, plus the
-    # composition-identity pytest proving the library preset equals
-    # the hand-wired chain it replaced, plus this round's full
-    # check_oracle sweeps on the library path at both scale factors).
-    # The other r11-touched paths likewise keep r10 driver evidence
-    # (within the 2-round cadence) plus this round's sweeps:
-    # q_nb_classify/q_lid_classify (nb_scores factoring),
-    # q_simhash_near_dups (_hamming_block_rows factoring),
-    # q_image_dedup (shared fixture helper).
+    # Round-12 rotation (VERDICT r11 #7): the 42 queries whose last
+    # driver evidence is r9 lead (the event/path/TPC-H block, the DQ/
+    # inference/entity-resolution singles, the dedup presets) — every
+    # one is 2 rounds stale at r12 close, so the cadence guard REQUIRES
+    # them; recomputed from the CORRECTNESS_r* artifacts at rotation
+    # time, and all green in this round's check_oracle sweeps.
+    "q_event_count_window",
+    "q_event_distinct_window",
+    "q_event_sum_window",
+    "q_days_since_latest",
+    "q_days_since_earliest",
+    "q_previous_interactions",
+    "q_pivot_chord",
+    "q_full_paths",
+    "q_top_customers",
+    "q_link_customer_order",
+    "q_entity_resolution",
+    "q_dq_assertion",
+    "q_sniff_csv",
+    "q_hash_split",
+    "q_image_meta",
+    "q_boilerplate",
+    "q_dedup_best",
+    "q_dedup_preset",
+    "q_bpe_apply",
+    "q_pack_chunks",
+    "q_tpch_q1",
+    "q_tpch_q2",
+    "q_tpch_q3",
+    "q_tpch_q4",
+    "q_tpch_q5",
+    "q_tpch_q6",
+    "q_tpch_q7",
+    "q_tpch_q8",
+    "q_tpch_q9",
+    "q_tpch_q10",
+    "q_tpch_q11",
+    "q_tpch_q12",
+    "q_tpch_q13",
+    "q_tpch_q14",
+    "q_tpch_q15",
+    "q_tpch_q16",
+    "q_tpch_q17",
+    "q_tpch_q18",
+    "q_tpch_q19",
+    "q_tpch_q20",
+    "q_tpch_q21",
+    "q_tpch_q22",
+    # ...the five queries NEW this round (the jusText-lite main-content
+    # extractor, and the crawl-stack front door: robots politeness
+    # gate, sitemap discovery, WARC record walk + HTTP split, WAV
+    # chunk walk) — never driver-checked, so they outrank re-pins...
+    "q_main_content",
+    "q_robots_filter",
+    "q_sitemap",
+    "q_warc_extract",
+    "q_wav",
+    # ...the round's crawl-frontier capstone (sitemap seed -> robots
+    # gate -> canonical dedup -> per-domain cap), never driver-checked
+    # so it outranks any re-pin...
+    "q_crawl_frontier",
+    # ...and the two slots left go to this round's touched code
+    # paths: q_domain_pagerank (link_graph now plan_fences the
+    # registrable-domain columns — the codegen-blowup fix) and
+    # q_vault_full_cycle (VaultLoader gained the bucketed-mirror
+    # read path; knob off in the catalog, but read_current changed).
+    # StarLoader's equivalent change keeps r11 driver evidence
+    # (q_star_fact_order_counts, within cadence) + this round's
+    # sweeps + the new plan-pinned test_skew coverage.
     "q_domain_pagerank",
-    # --- driver window ends here (first 50). The 42-query r9 block
-    # is two-rounds-old at r11 close and leads the r12 rotation.
+    "q_vault_full_cycle",
+    # --- driver window ends here (first 50). The 50-query r10 block
+    # is two-rounds-old at r12 close and leads the r13 rotation.
 ]
 
 
