@@ -186,8 +186,10 @@ HEADLINE = [
     "q_sitemap",
     "q_warc_extract",
     "q_wav",
-    # ...and the crawl-frontier planning capstone composing them
+    # ...and the crawl-planning pair composing them: the frontier
+    # capstone and the politeness fetch scheduler
     "q_crawl_frontier",
+    "q_fetch_schedule",
 ]
 
 # Zero-code-change drift control (VERDICT r6 #8): the TPC-H block has

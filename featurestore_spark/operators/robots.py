@@ -53,28 +53,24 @@ def robots_rule_to_regex(rule: str) -> str:
     return "^" + "".join(out) + ("$" if anchored_end else "")
 
 
-def parse_robots_txt(txt: str | None, agent: str) -> list[tuple[str, int, bool]]:
-    """Stdlib-only parse of ONE robots.txt for one crawler token:
-    [(regex, rule_len, allow)] for the agent's effective group(s).
+def _robots_groups(txt: str) -> list[tuple[list[str], list[tuple]]]:
+    """The ONE robots.txt group state machine: [(agents, records)]
+    where records are ('rule', path, allow) and ('delay', value).
 
     RFC 9309 semantics: ``#`` comments stripped; groups are runs of
-    ``User-agent`` lines followed by ``Allow``/``Disallow`` records;
-    a ``User-agent`` line after rules starts a new group; the
-    crawler's group set is every group naming its token
-    (case-insensitive exact token match), falling back to every
-    ``*`` group when none does; groups for the same agent merge.
-    An empty ``Disallow:`` value is allow-all (no rule emitted).
-    ``rule_len`` is the original rule's octet length — the
-    most-specific-match key. Unknown fields (Crawl-delay, Sitemap)
-    are ignored; a malformed payload yields [] (allow everything —
-    the fail-open direction robots.txt itself specifies for missing
-    files)."""
-    if not txt:
-        return []
-    agent = agent.lower()
-    groups: list[tuple[list[str], list[tuple[str, bool]]]] = []
+    ``User-agent`` lines followed by records; a ``User-agent`` line
+    after records starts a new group. Only ``Allow``/``Disallow``
+    end a user-agent run — other fields (Crawl-delay, Sitemap,
+    unknown) leave it OPEN (RFC 9309 §2.2.4 ignore-unknown-lines;
+    Google's reference parser agrees), so 'User-agent: a /
+    Crawl-delay: 5 / User-agent: b / Disallow: /x' is ONE group
+    where a and b share both records. Ending the run on unknown
+    fields used to split the group and fail OPEN (ADVICE r11).
+    ``Crawl-delay`` is captured as a group record (the de-facto
+    Bing/Yandex extension) but never splits a run either."""
+    groups: list[tuple[list[str], list[tuple]]] = []
     cur_agents: list[str] = []
-    cur_rules: list[tuple[str, bool]] = []
+    cur_records: list[tuple] = []
     in_agent_run = False
     for raw in re.split(r"\r\n|\r|\n", txt):
         line = raw.split("#", 1)[0].strip()
@@ -86,33 +82,73 @@ def parse_robots_txt(txt: str | None, agent: str) -> list[tuple[str, int, bool]]
         if field == "user-agent":
             if not in_agent_run:
                 if cur_agents:
-                    groups.append((cur_agents, cur_rules))
-                cur_agents, cur_rules = [], []
+                    groups.append((cur_agents, cur_records))
+                cur_agents, cur_records = [], []
                 in_agent_run = True
             cur_agents.append(value.lower())
         elif field in ("allow", "disallow"):
             in_agent_run = False
             if not cur_agents:
-                continue  # rule before any user-agent line: ignored
+                continue  # record before any user-agent line: ignored
             if value == "":
                 continue  # empty Disallow/Allow = no rule
-            cur_rules.append((value, field == "allow"))
-        # Unknown fields (Crawl-delay, Sitemap, ...) are no-ops that
-        # leave the user-agent run OPEN: RFC 9309 §2.2.4 says parsers
-        # ignore lines they don't recognize, so 'User-agent: a /
-        # Crawl-delay: 5 / User-agent: b / Disallow: /x' is ONE group
-        # where a and b share the Disallow (Google's reference parser
-        # agrees). Ending the run here used to split the group and
-        # fail OPEN for agent a (ADVICE r11).
+            cur_records.append(("rule", value, field == "allow"))
+        elif field == "crawl-delay":
+            if cur_agents:
+                cur_records.append(("delay", value))
     if cur_agents:
-        groups.append((cur_agents, cur_rules))
-    exact = [r for agents, rules in groups if agent in agents for r in rules]
-    if not any(agent in agents for agents, _ in groups):
-        exact = [r for agents, rules in groups if "*" in agents for r in rules]
+        groups.append((cur_agents, cur_records))
+    return groups
+
+
+def _effective_records(txt: str | None, agent: str) -> list[tuple]:
+    """The agent's effective record list: every group naming its
+    token (case-insensitive exact match), falling back to every
+    ``*`` group when none does; groups for the same agent merge.
+    Malformed/empty payloads yield [] (allow everything — the
+    fail-open direction robots.txt specifies for missing files)."""
+    if not txt:
+        return []
+    agent = agent.lower()
+    groups = _robots_groups(txt)
+    if any(agent in agents for agents, _ in groups):
+        return [r for agents, recs in groups if agent in agents for r in recs]
+    return [r for agents, recs in groups if "*" in agents for r in recs]
+
+
+def parse_robots_txt(txt: str | None, agent: str) -> list[tuple[str, int, bool]]:
+    """Stdlib-only parse of ONE robots.txt for one crawler token:
+    [(regex, rule_len, allow)] for the agent's effective group(s)
+    (see :func:`_robots_groups` / :func:`_effective_records` for the
+    group semantics). An empty ``Disallow:`` value is allow-all (no
+    rule emitted). ``rule_len`` is the original rule's UTF-8 octet
+    length — the most-specific-match key."""
     return [
-        (robots_rule_to_regex(rule), len(rule.encode("utf-8")), allow)
-        for rule, allow in exact
+        (robots_rule_to_regex(rec[1]), len(rec[1].encode("utf-8")), rec[2])
+        for rec in _effective_records(txt, agent)
+        if rec[0] == "rule"
     ]
+
+
+def parse_crawl_delay(txt: str | None, agent: str) -> float | None:
+    """Crawl-delay (seconds) for one crawler token, or None when the
+    agent's effective group(s) declare none. Crawl-delay is a
+    de-facto extension (honored by Bing/Yandex, ignored by Google),
+    group-scoped like the path rules. Non-numeric or negative values
+    are ignored (fail toward the crawler's own default); multiple
+    declarations take the MAXIMUM — the conservative direction for a
+    politeness control."""
+    delays = []
+    for rec in _effective_records(txt, agent):
+        if rec[0] != "delay":
+            continue
+        try:
+            v = float(rec[1])
+        except ValueError:
+            continue
+        if v >= 0:
+            delays.append(v)
+    return max(delays) if delays else None
 
 
 def parse_robots_rules(
@@ -238,6 +274,97 @@ def filter_allowed(
     if keep_verdict:
         return out
     return out.where(F.col("robots_allowed")).drop("robots_allowed")
+
+
+def crawl_delays(
+    df: DataFrame,
+    *,
+    agent: str = "ccbot",
+    host_col: str = "host",
+    robots_col: str = "robots_txt",
+) -> DataFrame:
+    """Per-host robots.txt payloads → (host, crawl_delay) for the
+    hosts that DECLARE a delay for this agent (absent rows mean "use
+    the crawler's own default" downstream — same absent-is-default
+    stance as :func:`parse_robots_rules`). Arrow-batched mapInPandas
+    over the text, one output row per delay-declaring host; the
+    result is hosts-sized, broadcastable."""
+    out_schema = f"{host_col} string, crawl_delay double"
+
+    def batches(it):
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for _, row in pdf.iterrows():
+                d = parse_crawl_delay(row[robots_col], agent)
+                if d is not None:
+                    rows.append({host_col: row[host_col], "crawl_delay": d})
+            yield pd.DataFrame(rows, columns=[host_col, "crawl_delay"])
+
+    return df.select(host_col, robots_col).mapInPandas(
+        batches, schema=out_schema
+    )
+
+
+def schedule_fetches(
+    frontier: DataFrame,
+    delays: DataFrame | None = None,
+    *,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    order_col: str | None = None,
+    default_delay_s: float = 1.0,
+    host_col: str = "host",
+) -> DataFrame:
+    """Politeness-budgeted fetch plan: appends per-HOST ``fetch_seq``
+    (0-based position in the host's queue) and ``fetch_at_s`` (=
+    fetch_seq × the host's effective delay) to the frontier — the
+    step that turns an allowed URL set into a rate-limited crawl
+    schedule (a crawler shards hosts over workers; within a host,
+    fetches are serialized at the Crawl-delay cadence).
+
+    ``delays`` is a :func:`crawl_delays` frame (host → seconds);
+    hosts without a row get ``default_delay_s``. Within a host, rows
+    rank by ``order_col`` DESCENDING (pass a priority/PageRank
+    signal to fetch the best pages first; NULLs last) with ``id_col``
+    ascending as the tiebreak.
+
+    Shape at crawl scale: one broadcastable left join (the delay
+    frame is hosts-sized) + ONE row_number window keyed on the host.
+    The window partition is a host's frontier — the unit a scheduler
+    must serialize anyway, so the partition size is the politeness
+    constraint itself, not incidental skew. The derived join key
+    lives under an internal collision-proof name; the caller's
+    columns pass through untouched."""
+    if default_delay_s < 0:
+        raise ValueError(
+            f"schedule_fetches: default_delay_s must be >= 0, "
+            f"got {default_delay_s}"
+        )
+    from pyspark.sql import Window
+
+    p = url_parts(url_col)
+    j = frontier.withColumn("_robots_host", p["host"])
+    if delays is not None:
+        d = delays.select(
+            F.col(host_col).alias("_robots_host"),
+            F.col("crawl_delay").alias("_robots_delay"),
+        )
+        j = j.join(d, "_robots_host", "left")
+    else:
+        j = j.withColumn("_robots_delay", F.lit(None).cast("double"))
+    order = [F.col(id_col).asc()]
+    if order_col is not None:
+        order = [F.col(order_col).desc_nulls_last()] + order
+    w = Window.partitionBy("_robots_host").orderBy(*order)
+    seq = (F.row_number().over(w) - 1).cast("int")
+    delay = F.coalesce(F.col("_robots_delay"), F.lit(default_delay_s))
+    return (
+        j.withColumn("fetch_seq", seq)
+        .withColumn("fetch_at_s", F.col("fetch_seq") * delay)
+        .drop("_robots_host", "_robots_delay")
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -7542,6 +7542,81 @@ def q_crawl_frontier(spark, sf_dir):
     )
 
 
+@_register(
+    "q_fetch_schedule",
+    """
+    WITH u AS (
+      SELECT doc_id, doc_id % 20 AS k,
+             CAST(doc_id % 7 AS DOUBLE) AS prio
+      FROM documents),
+    r AS (
+      SELECT u.*,
+             row_number() OVER (PARTITION BY k ORDER BY prio DESC, doc_id)
+               - 1 AS seq
+      FROM u)
+    SELECT doc_id,
+           'https://h' || CAST(k AS VARCHAR) || '.com/p'
+             || CAST(doc_id AS VARCHAR) AS url,
+           prio,
+           CAST(seq AS INTEGER) AS fetch_seq,
+           seq * (CASE CAST(k % 3 AS INTEGER)
+                    WHEN 0 THEN 2.0 WHEN 1 THEN 0.5
+                    ELSE 1.0 END) AS fetch_at_s
+    FROM r
+    """,
+    "Politeness-budgeted fetch scheduling (the step after the "
+    "frontier filter turns allowed URLs into a rate-limited crawl "
+    "plan): per-host Crawl-delay parsed from synthesized robots.txt "
+    "(2s / 0.5s / undeclared by host class — the undeclared third "
+    "falls back to the crawler default, pinning the absent-row "
+    "contract), then schedule_fetches ranks each host's queue by a "
+    "priority signal (doc_id%7, ties on doc_id) and assigns "
+    "fetch_seq x delay timestamps. One broadcastable host-delay join "
+    "+ one per-host row_number window — the partition is the unit a "
+    "polite crawler must serialize anyway. Oracle replays the "
+    "ranking and cadence arithmetic closed-form.",
+)
+def q_fetch_schedule(spark, sf_dir):
+    from featurestore_spark.operators.robots import (
+        crawl_delays,
+        schedule_fetches,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    k = (d % 20).alias("k")
+    hosts = docs.select(k).distinct()
+    robots_txt = F.concat(
+        F.lit("User-agent: *\nDisallow: /x\n"),
+        F.when(F.col("k") % 3 == 0, F.lit("Crawl-delay: 2\n"))
+        .when(F.col("k") % 3 == 1, F.lit("Crawl-delay: 0.5\n"))
+        .otherwise(F.lit("")),
+    )
+    robots = hosts.select(
+        F.concat(F.lit("h"), F.col("k").cast("string"), F.lit(".com")).alias(
+            "host"
+        ),
+        robots_txt.alias("robots_txt"),
+    )
+    frontier = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://h"), (d % 20).cast("string"), F.lit(".com/p"),
+            d.cast("string"),
+        ).alias("url"),
+        (d % 7).cast("double").alias("prio"),
+    )
+    out = schedule_fetches(
+        frontier,
+        crawl_delays(robots, agent="ccbot"),
+        order_col="prio",
+        default_delay_s=1.0,
+    )
+    return out.select(
+        "doc_id", "url", "prio", "fetch_seq", "fetch_at_s"
+    )
+
+
 # Shared URL-filtering fixture constants: the term weights and
 # threshold of the soft URL score, and the domain blocklists — kept
 # in one place so the Spark queries and the oracle SQL can never
@@ -8072,20 +8147,20 @@ _DRIVER_PRIORITY = [
     "q_sitemap",
     "q_warc_extract",
     "q_wav",
-    # ...the round's crawl-frontier capstone (sitemap seed -> robots
-    # gate -> canonical dedup -> per-domain cap), never driver-checked
-    # so it outranks any re-pin...
+    # ...the round's two crawl-planning additions (the frontier
+    # capstone: sitemap seed -> robots gate -> canonical dedup ->
+    # per-domain cap; and the politeness fetch scheduler), never
+    # driver-checked so they outrank any re-pin...
     "q_crawl_frontier",
-    # ...and the two slots left go to this round's touched code
-    # paths: q_domain_pagerank (link_graph now plan_fences the
-    # registrable-domain columns — the codegen-blowup fix) and
-    # q_vault_full_cycle (VaultLoader gained the bucketed-mirror
-    # read path; knob off in the catalog, but read_current changed).
-    # StarLoader's equivalent change keeps r11 driver evidence
-    # (q_star_fact_order_counts, within cadence) + this round's
-    # sweeps + the new plan-pinned test_skew coverage.
+    "q_fetch_schedule",
+    # ...and the last slot re-pins the round's riskiest touched code
+    # path: q_domain_pagerank (link_graph now plan_fences the
+    # registrable-domain columns — the codegen-blowup fix). The
+    # vault/star loaders' bucketed-mirror read paths keep r11 driver
+    # evidence (q_vault_full_cycle / q_star_fact_order_counts, within
+    # cadence) + this round's full sweeps + the plan-pinned test_skew
+    # coverage.
     "q_domain_pagerank",
-    "q_vault_full_cycle",
     # --- driver window ends here (first 50). The 50-query r10 block
     # is two-rounds-old at r12 close and leads the r13 rotation.
 ]

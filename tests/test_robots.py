@@ -268,3 +268,81 @@ def test_sitemap_extraction(spark):
     )
     [r] = rb.select(sitemap_urls_from_robots().alias("s")).collect()
     assert r["s"] == ["https://a.com/s.xml", "https://b.com/t.xml"]
+
+
+def test_parse_crawl_delay_group_semantics():
+    from featurestore_spark.operators.robots import parse_crawl_delay
+
+    txt = (
+        "User-agent: a\n"
+        "Crawl-delay: 2.5\n"
+        "Disallow: /x\n"
+        "User-agent: *\n"
+        "Crawl-delay: 1\n"
+    )
+    assert parse_crawl_delay(txt, "a") == 2.5
+    assert parse_crawl_delay(txt, "zz") == 1.0       # * fallback
+    assert parse_crawl_delay("User-agent: *\nDisallow: /x\n", "a") is None
+    assert parse_crawl_delay(None, "a") is None
+    # non-numeric / negative ignored; multiple -> max (conservative)
+    txt2 = (
+        "User-agent: *\nCrawl-delay: soon\nCrawl-delay: -1\n"
+        "Crawl-delay: 3\nUser-agent: *\nCrawl-delay: 7\n"
+    )
+    assert parse_crawl_delay(txt2, "x") == 7.0
+    # delay between two User-agent lines does not split the run:
+    # both agents share the delay AND the rule group stays merged
+    from featurestore_spark.operators.robots import parse_robots_txt
+    txt3 = "User-agent: a\nCrawl-delay: 5\nUser-agent: b\nDisallow: /x\n"
+    assert parse_crawl_delay(txt3, "a") == 5.0
+    assert parse_crawl_delay(txt3, "b") == 5.0
+    assert parse_robots_txt(txt3, "a") == [("^/x", 2, False)]
+
+
+def test_schedule_fetches_politeness_budget(spark):
+    from featurestore_spark.operators.robots import (
+        crawl_delays,
+        schedule_fetches,
+    )
+
+    robots = spark.createDataFrame(
+        [
+            ("a.com", "User-agent: *\nCrawl-delay: 2\nDisallow: /x\n"),
+            ("b.com", "User-agent: *\nDisallow: /y\n"),  # no delay
+        ],
+        "host string, robots_txt string",
+    )
+    delays = crawl_delays(robots, agent="bot")
+    assert {(r["host"], r["crawl_delay"]) for r in delays.collect()} == {
+        ("a.com", 2.0)
+    }
+    frontier = spark.createDataFrame(
+        [
+            (1, "https://a.com/1", 0.9),
+            (2, "https://a.com/2", 0.1),
+            (3, "https://a.com/3", None),   # NULL priority -> last
+            (4, "https://b.com/1", 0.5),
+            (5, "https://b.com/2", 0.8),
+        ],
+        "doc_id long, url string, prio double",
+    )
+    out = schedule_fetches(
+        frontier, delays, order_col="prio", default_delay_s=0.5
+    )
+    got = {
+        r["doc_id"]: (r["fetch_seq"], r["fetch_at_s"]) for r in out.collect()
+    }
+    # a.com at 2s cadence ranked by prio desc: 1 (0.9), 2 (0.1), 3 (NULL)
+    # b.com at the 0.5s default: 5 (0.8), 4 (0.5)
+    assert got == {
+        1: (0, 0.0), 2: (1, 2.0), 3: (2, 4.0),
+        5: (0, 0.0), 4: (1, 0.5),
+    }
+    # caller columns pass through; no internal names leak
+    assert out.columns == ["doc_id", "url", "prio", "fetch_seq", "fetch_at_s"]
+    # no delay frame at all -> every host on the default cadence
+    out2 = schedule_fetches(frontier, None, default_delay_s=1.0)
+    g2 = {r["doc_id"]: r["fetch_at_s"] for r in out2.collect()}
+    assert g2 == {1: 0.0, 2: 1.0, 3: 2.0, 4: 0.0, 5: 1.0}
+    with pytest.raises(ValueError, match="default_delay_s"):
+        schedule_fetches(frontier, None, default_delay_s=-1)
