@@ -598,8 +598,14 @@ def fit_nb_classifier(
         F.col(label_col).alias("label"), feats.alias("_toks")
     )
     toks = labeled.select("label", F.size("_toks").alias("_nt"), "_toks")
+    # fence before the explode — same InferFiltersFromGenerate
+    # re-inlining pathology as nb_scores (see there); the fit's
+    # counting scan pays it once per fit
+    from featurestore_spark.operators.materialize import plan_fence
+
     word_counts = (
-        toks.select("label", F.explode("_toks").alias("w"))
+        plan_fence(toks.select("label", "_toks"))
+        .select("label", F.explode("_toks").alias("w"))
         .groupBy("label", "w")
         .agg(F.count(F.lit(1)).alias("c"))
     )
@@ -638,8 +644,23 @@ def nb_scores(
     the vocabulary size ride single-row/per-class broadcast cross
     joins. Corpus-sized shuffles: the (doc, word) multiplicity
     aggregate and the word-keyed model join; everything downstream is
-    (doc × classes)-bounded (plan-audited)."""
+    (doc × classes)-bounded (plan-audited).
+
+    EAGER: both model frames materialize at call time (see
+    `operators.materialize`) because each fans out to TWO consumers
+    here (word_counts → the vocabulary-size aggregate AND the
+    correction join; class_stats → the corpus-size aggregate AND the
+    per-class constants) — left lazy, a freshly-FIT model re-runs its
+    whole counting scan (corpus scan + token explode + groupBy) once
+    per consumer: q_lid_classify's executed plan showed SIX corpus
+    FileScans and zero ReusedExchange before this barrier (r12).
+    Models read back from a persisted table pay only one model-sized
+    copy."""
+    from featurestore_spark.operators.materialize import materialize
+
     word_counts, class_stats = model
+    word_counts = materialize(word_counts)
+    class_stats = materialize(class_stats)
     k = float(smoothing)
     v_row = word_counts.agg(
         F.count_distinct("w").cast("double").alias("_v")
@@ -669,8 +690,17 @@ def nb_scores(
         ),
     )
     td = toked.select("_id", F.size("_toks").alias("_td"))
+    # plan_fence before the explode: InferFiltersFromGenerate inserts
+    # a `size(_toks) > 0` filter UNDER the Generate, and pushing it
+    # past the projection re-inlines the whole token expression (for
+    # HOF extractors like char_ngrams, an interpreted re-evaluation
+    # per row) into the Filter — measured 11.9s -> 1.7s on the sf0.1
+    # LID gram explode (PLANS r12). The fence pins the filter to the
+    # computed array.
+    from featurestore_spark.operators.materialize import plan_fence
+
     tok = (
-        toked.select("_id", F.explode("_toks").alias("w"))
+        plan_fence(toked).select("_id", F.explode("_toks").alias("w"))
         .groupBy("_id", "w")
         .agg(F.count(F.lit(1)).alias("_m"))
     )

@@ -304,15 +304,24 @@ def url_dedup(
     collapses the duplicate mass before the exchange, exactly like
     the text-level collapse; join the keeper ids back to the corpus
     to materialize the kept rows."""
-    return (
-        df.where(F.col(url_col).isNotNull())
-        .select(
+    from featurestore_spark.operators.materialize import plan_fence
+
+    # the cheap source-column filter stays BELOW the fence (pushdown
+    # to the scan); the canonical-null filter sits ABOVE it — filtered
+    # unfenced, Catalyst inlines the whole canonicalization chain
+    # (regexps + the interpreted query-param sort/filter HOFs) into
+    # the Filter as well as the groupBy key (VERDICT r11 pathology
+    # class; measured on q_web_funnel/q_crawl_frontier, PLANS r12)
+    keyed = plan_fence(
+        df.where(F.col(url_col).isNotNull()).select(
             F.col(id_col),
             canonical_url(url_col, strip_www=strip_www).alias(
                 "canonical_url"
             ),
         )
-        .where(F.col("canonical_url").isNotNull())
+    )
+    return (
+        keyed.where(F.col("canonical_url").isNotNull())
         .groupBy("canonical_url")
         .agg(
             F.min(id_col).alias("keep_id"),

@@ -5993,12 +5993,17 @@ def q_main_content(spark, sf_dir):
             "<footer>(c) 2024 Example</footer></body></html>"
         ),
     )
+    from featurestore_spark.operators.materialize import plan_fence
+
     base = docs.select(
         "doc_id",
         main_content_blocks(html).alias("bl"),
         extract_main_content(html).alias("main_text"),
     )
-    out = base.select(
+    # fence before the posexplode: the inferred size(bl)>0 filter
+    # otherwise re-inlines the whole nested block-scoring chain as an
+    # interpreted per-row re-evaluation (PLANS r12)
+    out = plan_fence(base).select(
         "doc_id",
         "main_text",
         F.posexplode("bl").alias("block_idx", "b"),
@@ -7318,7 +7323,9 @@ def q_sitemap(spark, sf_dir):
             "robots_sitemap"
         ),
     )
-    out = base.select(
+    from featurestore_spark.operators.materialize import plan_fence
+
+    out = plan_fence(base).select(
         "doc_id",
         "is_index",
         "robots_sitemap",
@@ -7499,7 +7506,9 @@ def q_crawl_frontier(spark, sf_dir):
         robots_txt.alias("robots_txt"),
         extract_sitemap_entries(xml).alias("entries"),
     )
-    frontier = base.select(
+    from featurestore_spark.operators.materialize import plan_fence
+
+    frontier = plan_fence(base).select(
         "doc_id", F.posexplode("entries").alias("j", "e")
     ).select(
         "doc_id",
