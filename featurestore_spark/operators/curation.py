@@ -645,18 +645,24 @@ def decontaminate(
         reps, members = _collapse_exact_texts(
             docs.select(id_col, text_col), text_col, id_col, "decontaminate"
         )
-        doc_sh = reps.select(
-            F.col("rep_id").alias("_uid"),
-            F.explode(shingles(F.col("_text"), n)).alias("_sh"),
-        )
+        doc_sh = plan_fence(
+            reps.select(
+                F.col("rep_id").alias("_uid"),
+                shingles(F.col("_text"), n).alias("_shl"),
+            )
+        ).select("_uid", F.explode("_shl").alias("_sh"))
     else:
-        doc_sh = docs.select(
-            F.col(id_col).alias("_uid"),
-            F.explode(shingles(text_col, n)).alias("_sh"),
+        doc_sh = plan_fence(
+            docs.select(
+                F.col(id_col).alias("_uid"),
+                shingles(text_col, n).alias("_shl"),
+            )
+        ).select("_uid", F.explode("_shl").alias("_sh"))
+    probe_sh = plan_fence(
+        probes.select(
+            F.col(probe_id_col), shingles(probe_text_col, n).alias("_shl")
         )
-    probe_sh = probes.select(
-        F.col(probe_id_col), F.explode(shingles(probe_text_col, n)).alias("_sh")
-    )
+    ).select(probe_id_col, F.explode("_shl").alias("_sh"))
     per_unit = (
         doc_sh.join(F.broadcast(probe_sh), "_sh")
         .groupBy("_uid")
@@ -776,7 +782,7 @@ def boilerplate_flags(
     # materialize the shingle array ONCE: size() lives in a Project and
     # explode() in a Generate, and CSE does not span the two operators —
     # inlining shingles() twice would build every doc's array twice
-    sh = base.select(
+    sh = plan_fence(base).select(
         "_uid",
         "_w",
         F.size("_shl").alias("_n_sh"),
@@ -1015,10 +1021,13 @@ def ngram_novelty(
     deterministic, and exact duplicates credit only the minimum id
     (their replicas score 0, which is the point)."""
     sh = (
-        docs.select(
-            F.col(id_col).alias("_uid"),
-            F.explode(shingles(text_col, n)).alias("_g"),
+        plan_fence(
+            docs.select(
+                F.col(id_col).alias("_uid"),
+                shingles(text_col, n).alias("_shl"),
+            )
         )
+        .select("_uid", F.explode("_shl").alias("_g"))
         # blank/NULL docs shingle to [""] — not a gram, not scored
         .where(F.col("_g") != "")
         .select("_uid", F.md5("_g").alias("_gh"))

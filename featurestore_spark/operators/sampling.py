@@ -535,8 +535,12 @@ def hashed_ngram_features(
             F.array().cast("array<string>")
         )
         grams = F.concat(toks, bigrams)
-    return df.select(
-        F.col(id_col), F.explode(grams).alias("_g")
+    from featurestore_spark.operators.materialize import plan_fence
+
+    return plan_fence(
+        df.select(F.col(id_col), grams.alias("_grams"))
+    ).select(
+        F.col(id_col), F.explode("_grams").alias("_g")
     ).select(
         id_col, hash_bucket(F.col("_g"), n_buckets).alias("bucket")
     )

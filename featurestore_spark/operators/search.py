@@ -119,11 +119,15 @@ def bm25_index(
     corpus-index scan; stats holds the SUM of doc lengths (not the
     average) so merged/unioned indexes recompute avgdl exactly
     (integer-valued dl sums are exact in doubles)."""
+    from featurestore_spark.operators.materialize import plan_fence
+
     toked = docs.select(
         F.col(id_col).alias("doc_id"), _clean_tokens(text_col).alias("_toks")
     )
+    # fence before the explode (InferFiltersFromGenerate re-inlining;
+    # see nb_scores)
     postings = (
-        toked.select(
+        plan_fence(toked).select(
             "doc_id",
             F.size("_toks").cast("double").alias("dl"),
             F.explode("_toks").alias("term"),
@@ -315,8 +319,10 @@ def bm25_topk(
     # explode so scoring never joins back against a corpus-sized
     # frame; materialized because both dfreq and scoring read it (a
     # second reference would otherwise re-run the corpus scan)
+    from featurestore_spark.operators.materialize import plan_fence
+
     postings = materialize(
-        toked.select(
+        plan_fence(toked).select(
             "_id",
             F.size("_toks").cast("double").alias("_dl"),
             F.explode("_toks").alias("term"),
@@ -344,8 +350,10 @@ def doc_bigrams(
         F.slice(F.col("_toks"), 1, F.greatest(n - 1, F.lit(0))).alias("w1"),
         F.slice(F.col("_toks"), 2, F.greatest(n - 1, F.lit(0))).alias("w2"),
     )
+    from featurestore_spark.operators.materialize import plan_fence
+
     return (
-        toked.select("_id", F.explode(pairs).alias("_p"))
+        plan_fence(toked).select("_id", F.explode(pairs).alias("_p"))
         .select("_id", F.col("_p.w1").alias("w1"), F.col("_p.w2").alias("w2"))
     )
 
@@ -429,7 +437,11 @@ def lm_cross_entropy(
     if vocab_size is None:
         # self-fit: V = distinct tokens of docs, computed in-plan as a
         # single-row broadcast (no driver collect)
-        toked = docs.select(F.explode(_clean_tokens(text_col)).alias("_t"))
+        from featurestore_spark.operators.materialize import plan_fence
+
+        toked = plan_fence(
+            docs.select(_clean_tokens(text_col).alias("_ta"))
+        ).select(F.explode("_ta").alias("_t"))
         vfr = toked.agg(F.count_distinct("_t").cast("double").alias("_v"))
         scored = scored.crossJoin(F.broadcast(vfr))
         v = F.col("_v")

@@ -952,10 +952,15 @@ def unigram_kl_divergence(
         )
     from featurestore_spark.operators.materialize import materialize
 
+    from featurestore_spark.operators.materialize import plan_fence
+
     toks = clean_tokens(text_col)
     cs = materialize(
-        df.where(F.col(group_col).isNotNull())
-        .select(F.col(group_col).alias("_g"), F.explode(toks).alias("_t"))
+        plan_fence(
+            df.where(F.col(group_col).isNotNull())
+            .select(F.col(group_col).alias("_g"), toks.alias("_toks"))
+        )
+        .select("_g", F.explode("_toks").alias("_t"))
         .groupBy("_g", "_t")
         .agg(F.count("*").cast("double").alias("_cs"))
     )

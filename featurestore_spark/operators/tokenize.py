@@ -52,8 +52,11 @@ def word_frequencies(
     """(word, count) over whitespace-split lowercased text — the
     sufficient statistic for :func:`learn_bpe`. One scan, map-side
     combined; ``min_count`` prunes the long tail at the source."""
+    from featurestore_spark.operators.materialize import plan_fence
+
     out = (
-        docs.select(F.explode(clean_tokens(text_col)).alias("word"))
+        plan_fence(docs.select(clean_tokens(text_col).alias("_toks")))
+        .select(F.explode("_toks").alias("word"))
         .groupBy("word")
         .agg(F.count("*").alias("count"))
     )
