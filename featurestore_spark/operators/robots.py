@@ -334,7 +334,13 @@ def schedule_fetches(
     frame is hosts-sized) + ONE row_number window keyed on the host.
     The window partition is a host's frontier — the unit a scheduler
     must serialize anyway, so the partition size is the politeness
-    constraint itself, not incidental skew. The derived join key
+    constraint itself, not incidental skew. Rows whose URL parses to
+    NO host each form their OWN singleton queue (fetch_seq 0,
+    fetch_at_s 0.0) via a NUL-prefixed id surrogate — the
+    `cap_per_domain` convention: funneling them into one shared
+    NULL-host partition would both serialize unrelated unfetchable
+    rows as if they were one site and build the exact skewed
+    partition a per-host window must avoid. The derived join key
     lives under an internal collision-proof name; the caller's
     columns pass through untouched."""
     if default_delay_s < 0:
@@ -357,7 +363,11 @@ def schedule_fetches(
     order = [F.col(id_col).asc()]
     if order_col is not None:
         order = [F.col(order_col).desc_nulls_last()] + order
-    w = Window.partitionBy("_robots_host").orderBy(*order)
+    key = F.coalesce(
+        F.when(F.col("_robots_host") != "", F.col("_robots_host")),
+        F.concat(F.lit("\x00"), F.col(id_col).cast("string")),
+    )
+    w = Window.partitionBy(key).orderBy(*order)
     seq = (F.row_number().over(w) - 1).cast("int")
     delay = F.coalesce(F.col("_robots_delay"), F.lit(default_delay_s))
     return (

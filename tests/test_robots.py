@@ -346,3 +346,89 @@ def test_schedule_fetches_politeness_budget(spark):
     assert g2 == {1: 0.0, 2: 1.0, 3: 2.0, 4: 0.0, 5: 1.0}
     with pytest.raises(ValueError, match="default_delay_s"):
         schedule_fetches(frontier, None, default_delay_s=-1)
+
+
+def test_schedule_fetches_hostless_rows_are_singleton_queues(spark):
+    from featurestore_spark.operators.robots import schedule_fetches
+
+    frontier = spark.createDataFrame(
+        [(1, "/no-host-a"), (2, "/no-host-b"), (3, "https://a.com/x"),
+         (4, "https://a.com/y")],
+        "doc_id long, url string",
+    )
+    out = {r["doc_id"]: (r["fetch_seq"], r["fetch_at_s"])
+           for r in schedule_fetches(frontier, None,
+                                     default_delay_s=2.0).collect()}
+    # hostless rows do NOT share a queue (cap_per_domain convention):
+    # each is its own singleton at seq 0 / t 0
+    assert out[1] == (0, 0.0) and out[2] == (0, 0.0)
+    assert out[3] == (0, 0.0) and out[4] == (1, 2.0)
+
+
+# -- fuzz: schedule_fetches vs an independent Python scheduler ----------------
+
+
+def _py_schedule(rows, delays, default):
+    """rows = [(id, host_or_None, prio_or_None)] -> {id: (seq, t)}.
+    Per host: order by prio DESC (None last), id ASC; hostless rows
+    are singletons."""
+    from collections import defaultdict
+
+    by_host = defaultdict(list)
+    out = {}
+    for i, host, prio in rows:
+        if host is None:
+            out[i] = (0, 0.0)
+        else:
+            by_host[host].append((i, prio))
+    for host, items in by_host.items():
+        items.sort(key=lambda ip: (ip[1] is None, -(ip[1] or 0), ip[0]))
+        d = delays.get(host, default)
+        for seq, (i, _) in enumerate(items):
+            out[i] = (seq, seq * d)
+    return out
+
+
+_sched_rows = st.lists(
+    st.tuples(
+        st.sampled_from(["a.com", "b.com", "c.com", None]),
+        st.one_of(st.none(), st.sampled_from([0.25, 0.5, 1.0, 2.0])),
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+@given(rows=_sched_rows, da=st.sampled_from([0.5, 2.0]),
+       with_b=st.booleans())
+@settings(**SPARK_SETTINGS)
+def test_schedule_fetches_matches_python_scheduler(spark, rows, da, with_b):
+    from featurestore_spark.operators.robots import (
+        crawl_delays,
+        schedule_fetches,
+    )
+
+    data = [
+        (i, f"https://{h}/p{i}" if h else "/hostless", p)
+        for i, (h, p) in enumerate(rows)
+    ]
+    frontier = spark.createDataFrame(
+        data, "doc_id long, url string, prio double"
+    )
+    robots_rows = [("a.com", f"User-agent: *\nCrawl-delay: {da}\n")]
+    if with_b:
+        robots_rows.append(("b.com", "User-agent: *\nCrawl-delay: 3\n"))
+    robots = spark.createDataFrame(
+        robots_rows, "host string, robots_txt string"
+    )
+    out = schedule_fetches(
+        frontier, crawl_delays(robots, agent="bot"),
+        order_col="prio", default_delay_s=1.0,
+    )
+    got = {r["doc_id"]: (r["fetch_seq"], r["fetch_at_s"])
+           for r in out.collect()}
+    delays = {"a.com": da} | ({"b.com": 3.0} if with_b else {})
+    want = _py_schedule(
+        [(i, h, p) for i, (h, p) in enumerate(rows)], delays, 1.0
+    )
+    assert got == want, (rows, da, with_b, got, want)
