@@ -204,6 +204,17 @@ class VaultLoader:
             r"[^A-Za-z0-9_]", "_", table
         ) + "_current"
 
+    def _mirror_keys(self, cols: list[str]) -> list[str] | None:
+        """The merge-join key the bucketed mirror co-locates on:
+        entity_id for hubs/satellites/mappings, the (src, dst) entity
+        pair for links — None when neither is present (no mirror)."""
+        if self.m.entity_id in cols:
+            return [self.m.entity_id]
+        pair = [self.m.src_entity_id, self.m.dst_entity_id]
+        if all(c in cols for c in pair):
+            return pair
+        return None
+
     def _refresh_bucketed_mirror(self, table: str) -> None:
         from featurestore_spark.operators.skew import write_bucketed
 
@@ -211,12 +222,16 @@ class VaultLoader:
         # drop-then-write: a mirror that EXISTS is always in sync with
         # the parquet current (crash mid-sequence leaves no mirror)
         self.spark.sql(f"DROP TABLE IF EXISTS {t}")
+        frame = self.spark.read.parquet(self._path(table, CURRENT_FILE))
+        keys = self._mirror_keys(frame.columns)
+        if keys is None:  # keyless table: parquet read is the path
+            return
         write_bucketed(
-            self.spark.read.parquet(self._path(table, CURRENT_FILE)),
+            frame,
             t,
-            [self.m.entity_id],
+            keys,
             self.bucket_current,
-            sort_cols=[self.m.entity_id],
+            sort_cols=keys,
             mode="errorifexists",
         )
 
@@ -225,10 +240,11 @@ class VaultLoader:
             from featurestore_spark.operators.skew import is_bucketed_on
 
             t = self._bucket_table(table)
-            if self.spark.catalog.tableExists(t) and is_bucketed_on(
-                self.spark, t, [self.m.entity_id]
-            ):
-                return self.spark.table(t)
+            if self.spark.catalog.tableExists(t):
+                mirror = self.spark.table(t)
+                keys = self._mirror_keys(mirror.columns)
+                if keys is not None and is_bucketed_on(self.spark, t, keys):
+                    return mirror
         return self.spark.read.parquet(self._path(table, CURRENT_FILE))
 
     def read_history(self, table: str) -> DataFrame:

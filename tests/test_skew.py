@@ -270,3 +270,35 @@ def test_star_bucketed_dim_mirror_and_colocated_merge(spark, tmp_path):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thr)
         _drop_table(spark, "star_dim_d")
+
+
+def test_vault_bucketed_mirror_links_key_on_entity_pair(spark, tmp_path):
+    """load_link currents have no entity_id — the mirror must bucket
+    on the (src, dst) entity pair instead of crashing (and a truly
+    keyless frame would skip the mirror, falling back to parquet)."""
+    from featurestore_spark.load import VaultLoader
+    from featurestore_spark.operators.skew import is_bucketed_on
+
+    _drop_table(spark, "vault_bl_current")
+    plain = VaultLoader(spark, str(tmp_path / "p"))
+    bucketed = VaultLoader(spark, str(tmp_path / "b"), bucket_current=4)
+    pairs = spark.createDataFrame(
+        [(str(i), str(i * 10)) for i in range(30)], ["cust_id", "ord_id"]
+    )
+    pairs2 = spark.createDataFrame(
+        [(str(i), str(i * 10)) for i in range(20, 45)],
+        ["cust_id", "ord_id"],
+    )
+    kw = dict(table="bl", src_fields=["cust_id"], src_id_type="customer",
+              dst_fields=["ord_id"], dst_id_type="order")
+    for ldr in (plain, bucketed):
+        ldr.load_link(pairs, process_time="2024-01-01 00:00:00", **kw)
+        ldr.load_link(pairs2, process_time="2024-01-02 00:00:00", **kw)
+    assert spark.catalog.tableExists("vault_bl_current")
+    assert is_bucketed_on(
+        spark, "vault_bl_current", ["src_entity_id", "dst_entity_id"]
+    )
+    a = sorted(map(tuple, plain.read_current("bl").collect()))
+    b = sorted(map(tuple, bucketed.read_current("bl").collect()))
+    assert a == b and len(a) == 45
+    _drop_table(spark, "vault_bl_current")
