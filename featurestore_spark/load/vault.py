@@ -162,12 +162,19 @@ class VaultLoader:
         # write time and amortized over every merge batch — the right
         # trade when the snapshot is large and loads are frequent
         # (the 100 TB steady state); leave unset for one-shot loads.
-        # The parquet path stays the source of truth: the mirror is
-        # dropped BEFORE each rewrite, so a crash between the parquet
-        # swap and the mirror write leaves no mirror (fallback to the
-        # parquet read), never a stale one.
+        # The parquet path stays the source of truth; crash safety,
+        # cross-vault naming, and the layout-verification cache live
+        # in skew.BucketedMirror (dropped before the parquet swap,
+        # rewritten after — an existing mirror is always in sync).
         self.bucket_current = bucket_current
         self.bucket_table_prefix = bucket_table_prefix
+        self._mirror = None
+        if bucket_current is not None:
+            from featurestore_spark.operators.skew import BucketedMirror
+
+            self._mirror = BucketedMirror(
+                spark, bucket_table_prefix, self.base, bucket_current
+            )
 
     # -- storage helpers ----------------------------------------------------
     #
@@ -197,13 +204,6 @@ class VaultLoader:
     def _exists(self, table: str) -> bool:
         return self._fs_exists(self._path(table, CURRENT_FILE))
 
-    def _bucket_table(self, table: str) -> str:
-        import re as _re
-
-        return self.bucket_table_prefix + _re.sub(
-            r"[^A-Za-z0-9_]", "_", table
-        ) + "_current"
-
     def _mirror_keys(self, cols: list[str]) -> list[str] | None:
         """The merge-join key the bucketed mirror co-locates on:
         entity_id for hubs/satellites/mappings, the (src, dst) entity
@@ -215,36 +215,11 @@ class VaultLoader:
             return pair
         return None
 
-    def _refresh_bucketed_mirror(self, table: str) -> None:
-        from featurestore_spark.operators.skew import write_bucketed
-
-        t = self._bucket_table(table)
-        # drop-then-write: a mirror that EXISTS is always in sync with
-        # the parquet current (crash mid-sequence leaves no mirror)
-        self.spark.sql(f"DROP TABLE IF EXISTS {t}")
-        frame = self.spark.read.parquet(self._path(table, CURRENT_FILE))
-        keys = self._mirror_keys(frame.columns)
-        if keys is None:  # keyless table: parquet read is the path
-            return
-        write_bucketed(
-            frame,
-            t,
-            keys,
-            self.bucket_current,
-            sort_cols=keys,
-            mode="errorifexists",
-        )
-
     def read_current(self, table: str) -> DataFrame:
-        if self.bucket_current is not None:
-            from featurestore_spark.operators.skew import is_bucketed_on
-
-            t = self._bucket_table(table)
-            if self.spark.catalog.tableExists(t):
-                mirror = self.spark.table(t)
-                keys = self._mirror_keys(mirror.columns)
-                if keys is not None and is_bucketed_on(self.spark, t, keys):
-                    return mirror
+        if self._mirror is not None:
+            mirror = self._mirror.read(table, self._mirror_keys)
+            if mirror is not None:
+                return mirror
         return self.spark.read.parquet(self._path(table, CURRENT_FILE))
 
     def read_history(self, table: str) -> DataFrame:
@@ -254,13 +229,26 @@ class VaultLoader:
         # Write-new-then-swap: plain parquet overwrite is not atomic;
         # staging keeps a crash from destroying `current`.
         tmp = self._path(table, CURRENT_FILE + ".tmp")
+        # the tmp write runs FIRST: `df`'s plan may read the mirror
+        # (read_current fed the merge), so the mirror must still exist
+        # while this executes — and the parquet current is untouched,
+        # so a crash here leaves mirror and parquet in sync (both old)
         df.write.mode("overwrite").parquet(tmp)
+        # mirror dropped BEFORE the swap: from here to the post-swap
+        # refresh there is NO mirror, so at every crash point an
+        # existing mirror matches the committed parquet (readers fall
+        # back to the parquet path while the mirror is absent)
+        if self._mirror is not None:
+            self._mirror.drop(table)
         final = self._path(table, CURRENT_FILE)
         if self._fs_exists(final):
             self._fs_delete(final)
         self._fs_rename(tmp, final)
-        if self.bucket_current is not None:
-            self._refresh_bucketed_mirror(table)
+        if self._mirror is not None:
+            frame = self.spark.read.parquet(final)
+            keys = self._mirror_keys(frame.columns)
+            if keys is not None:
+                self._mirror.refresh(table, frame, keys)
 
     def _append_history(self, df: DataFrame, table: str, partition_by=None) -> None:
         writer = df.write.mode("append")

@@ -134,10 +134,14 @@ def parse_crawl_delay(txt: str | None, agent: str) -> float | None:
     """Crawl-delay (seconds) for one crawler token, or None when the
     agent's effective group(s) declare none. Crawl-delay is a
     de-facto extension (honored by Bing/Yandex, ignored by Google),
-    group-scoped like the path rules. Non-numeric or negative values
-    are ignored (fail toward the crawler's own default); multiple
-    declarations take the MAXIMUM — the conservative direction for a
-    politeness control."""
+    group-scoped like the path rules. Non-numeric, negative, or
+    non-finite values ('inf', '9e999' — robots.txt is
+    attacker-controlled input, and an infinite delay would poison
+    every downstream fetch_at_s) are ignored (fail toward the
+    crawler's own default); multiple declarations take the MAXIMUM —
+    the conservative direction for a politeness control."""
+    import math
+
     delays = []
     for rec in _effective_records(txt, agent):
         if rec[0] != "delay":
@@ -146,7 +150,7 @@ def parse_crawl_delay(txt: str | None, agent: str) -> float | None:
             v = float(rec[1])
         except ValueError:
             continue
-        if v >= 0:
+        if math.isfinite(v) and v >= 0:
             delays.append(v)
     return max(delays) if delays else None
 
@@ -287,8 +291,11 @@ def crawl_delays(
     hosts that DECLARE a delay for this agent (absent rows mean "use
     the crawler's own default" downstream — same absent-is-default
     stance as :func:`parse_robots_rules`). Arrow-batched mapInPandas
-    over the text, one output row per delay-declaring host; the
-    result is hosts-sized, broadcastable."""
+    over the text, then a per-host max aggregate: the output is ONE
+    row per delay-declaring host even when the input carries the same
+    host several times (refetched robots.txt, unioned snapshots) —
+    duplicate delay rows would multiply the frontier through
+    :func:`schedule_fetches`'s join. Hosts-sized, broadcastable."""
     out_schema = f"{host_col} string, crawl_delay double"
 
     def batches(it):
@@ -302,8 +309,13 @@ def crawl_delays(
                     rows.append({host_col: row[host_col], "crawl_delay": d})
             yield pd.DataFrame(rows, columns=[host_col, "crawl_delay"])
 
-    return df.select(host_col, robots_col).mapInPandas(
+    parsed = df.select(host_col, robots_col).mapInPandas(
         batches, schema=out_schema
+    )
+    # max matches parse_crawl_delay's multiple-declaration rule (the
+    # conservative politeness direction)
+    return parsed.groupBy(host_col).agg(
+        F.max("crawl_delay").alias("crawl_delay")
     )
 
 

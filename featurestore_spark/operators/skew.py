@@ -168,6 +168,100 @@ class BucketedTableSink:
         return self(df, ctx)
 
 
+class BucketedMirror:
+    """Shared bucketed-mirror machinery for the merge loaders
+    (VaultLoader.bucket_current / StarLoader.bucket_dims): a catalog
+    table bucketed+sorted by the merge join key, maintained alongside
+    a path-based source of truth so repeated merge batches get
+    co-located joins.
+
+    Crash-safety contract (one place, both loaders): the mirror is
+    DROPPED before the caller swaps its path data and REWRITTEN after
+    — so at every crash point an EXISTING mirror is in sync with the
+    path (a missing mirror just falls back to the path read, never a
+    stale snapshot). The drop also clears the managed-table location,
+    so a crash mid-`saveAsTable` cannot orphan files that would fail
+    every later refresh.
+
+    Table names embed an 8-hex digest of the loader's base path —
+    two loaders over different vaults in one metastore can never
+    clobber (or silently serve) each other's mirror.
+
+    `read` caches the bucket-layout verification per table name: the
+    layout only changes through `refresh`/`drop` on this instance, so
+    the DESCRIBE round-trip runs once, not per read."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        prefix: str,
+        base_path: str,
+        n_buckets: int,
+        fmt: str = "parquet",
+    ):
+        import hashlib
+        import re as _re
+
+        if n_buckets < 1:
+            raise ValueError(
+                f"BucketedMirror: n_buckets must be >= 1, got {n_buckets}"
+            )
+        self.spark = spark
+        self.prefix = prefix
+        self.digest = hashlib.md5(base_path.encode()).hexdigest()[:8]
+        self.n_buckets = n_buckets
+        self.fmt = fmt
+        self._sanitize = lambda s: _re.sub(r"[^A-Za-z0-9_]", "_", s)
+        self._verified: dict[str, bool] = {}
+
+    def table_for(self, name: str) -> str:
+        return f"{self.prefix}{self._sanitize(name)}_{self.digest}_current"
+
+    def _location(self, t: str) -> str:
+        wh = self.spark.conf.get(
+            "spark.sql.warehouse.dir", "spark-warehouse"
+        ).rstrip("/")
+        return f"{wh}/{t.lower()}"
+
+    def drop(self, name: str) -> None:
+        from featurestore_spark.io.fs import HadoopFS
+
+        t = self.table_for(name)
+        self._verified.pop(t, None)
+        self.spark.sql(f"DROP TABLE IF EXISTS {t}")
+        # a crash mid-saveAsTable leaves files at the managed location
+        # with no catalog entry; clearing it here keeps refresh
+        # retryable instead of failing 'location already exists'
+        fs = HadoopFS(self.spark)
+        loc = self._location(t)
+        if fs.exists(loc):
+            fs.delete(loc)
+
+    def refresh(self, name: str, frame: DataFrame, keys: list[str]) -> None:
+        t = self.table_for(name)
+        self.drop(name)
+        write_bucketed(
+            frame, t, keys, self.n_buckets,
+            sort_cols=keys, fmt=self.fmt, mode="errorifexists",
+        )
+        self._verified[t] = True
+
+    def read(self, name: str, keys_of) -> DataFrame | None:
+        """The mirror frame when it exists and carries the expected
+        bucket layout, else None (caller falls back to its path
+        read). ``keys_of(columns)`` maps the mirror's columns to the
+        expected bucket keys (or None for un-mirrorable frames)."""
+        t = self.table_for(name)
+        if not self._verified.get(t):
+            if not self.spark.catalog.tableExists(t):
+                return None
+            keys = keys_of(self.spark.table(t).columns)
+            if keys is None or not is_bucketed_on(self.spark, t, keys):
+                return None
+            self._verified[t] = True
+        return self.spark.table(t)
+
+
 def is_bucketed_on(
     spark: SparkSession, table: str, bucket_cols: list[str]
 ) -> bool:

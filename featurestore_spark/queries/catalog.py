@@ -5889,8 +5889,22 @@ def _main_content_oracle() -> str:
     lambdas cannot bind intermediates, and coalesce(list_sum(...), 0)
     where Spark's aggregate seed gives 0 on an empty anchor list but
     DuckDB's list_sum gives NULL."""
-    from featurestore_spark.operators.text import BLOCK_TAG_SPLIT
+    import inspect
 
+    from featurestore_spark.operators.text import (
+        BLOCK_TAG_SPLIT,
+        extract_main_content,
+    )
+
+    # the jusText gates come from the FUNCTION DEFAULTS (not literals)
+    # so a tuned default moves both engines in lockstep
+    gate = {
+        k: p.default
+        for k, p in inspect.signature(extract_main_content).parameters.items()
+    }
+    min_chars = gate["min_chars"]
+    max_ld = gate["max_link_density"]
+    min_sd = gate["min_stop_density"]
     split = BLOCK_TAG_SPLIT.replace("'", "''")
     strip_b = _strip_block_sql("b")
     strip_x = _strip_block_sql("x")
@@ -5931,9 +5945,9 @@ def _main_content_oracle() -> str:
     mt AS (
       SELECT doc_id, bl,
              array_to_string(list_transform(list_filter(bl, s ->
-               length(s.text) >= 25
-               AND CAST(s.linked_len AS DOUBLE) / length(s.text) <= 0.33
-               AND {_stop_density_sql("s.text")} >= 0.2),
+               length(s.text) >= {min_chars}
+               AND CAST(s.linked_len AS DOUBLE) / length(s.text) <= {max_ld}
+               AND {_stop_density_sql("s.text")} >= {min_sd}),
                s -> s.text), ' ') AS main_text
       FROM blk),
     ex AS (

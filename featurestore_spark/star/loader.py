@@ -84,48 +84,32 @@ class StarLoader:
         # accumulated dim; only the incoming batch shuffles into the
         # bucket layout. Fact FK resolution keeps its broadcast path
         # (dims broadcast; bucketing is for the dim-vs-dim merges).
-        # Crash safety mirrors the vault: drop-before-write means an
-        # existing mirror is always in sync with the parquet dim.
+        # Crash safety, cross-store naming, and the layout cache live
+        # in skew.BucketedMirror (dropped before each path swap,
+        # rewritten after — an existing mirror is always in sync).
         self.bucket_dims = bucket_dims
         self.bucket_table_prefix = bucket_table_prefix
+        self._mirror = None
+        if bucket_dims is not None:
+            from featurestore_spark.operators.skew import BucketedMirror
+
+            self._mirror = BucketedMirror(
+                spark, bucket_table_prefix, self.base, bucket_dims, fmt=fmt
+            )
 
     def _path(self, name: str) -> str:
         return f"{self.base}/{name}.{self.fmt}"
-
-    def _bucket_table(self, name: str) -> str:
-        import re as _re
-
-        return self.bucket_table_prefix + _re.sub(
-            r"[^A-Za-z0-9_]", "_", name
-        )
-
-    def _refresh_dim_mirror(self, name: str, dim_path: str) -> None:
-        from featurestore_spark.operators.skew import write_bucketed
-
-        t = self._bucket_table(name)
-        self.spark.sql(f"DROP TABLE IF EXISTS {t}")
-        write_bucketed(
-            self.spark.read.format(self.fmt).load(dim_path),
-            t,
-            ["hashed_key"],
-            self.bucket_dims,
-            sort_cols=["hashed_key"],
-            fmt=self.fmt,
-            mode="errorifexists",
-        )
 
     def read_dim(self, name: str) -> DataFrame:
         """Current stored state of dim `name` — the bucketed catalog
         mirror when the `bucket_dims` knob maintains one (co-located
         merge joins), else the parquet/orc path."""
-        if self.bucket_dims is not None:
-            from featurestore_spark.operators.skew import is_bucketed_on
-
-            t = self._bucket_table(f"dim_{name}")
-            if self.spark.catalog.tableExists(t) and is_bucketed_on(
-                self.spark, t, ["hashed_key"]
-            ):
-                return self.spark.table(t)
+        if self._mirror is not None:
+            mirror = self._mirror.read(
+                f"dim_{name}", lambda cols: ["hashed_key"]
+            )
+            if mirror is not None:
+                return mirror
         return self.spark.read.format(self.fmt).load(
             self._path(f"dim_{name}")
         )
@@ -219,8 +203,12 @@ class StarLoader:
             unknown = self._unknown_row(dim, cols, process_time)
             dim = dim.unionByName(unknown)
             dim.write.mode("overwrite").format(self.fmt).save(dim_path)
-            if self.bucket_dims is not None:
-                self._refresh_dim_mirror(f"dim_{spec.name}", dim_path)
+            if self._mirror is not None:
+                self._mirror.refresh(
+                    f"dim_{spec.name}",
+                    self.spark.read.format(self.fmt).load(dim_path),
+                    ["hashed_key"],
+                )
             return self.read_dim(spec.name)
 
         prev = self.read_dim(spec.name)
@@ -278,11 +266,20 @@ class StarLoader:
         # VaultLoader._write_current): works on any scheme, and a crash
         # mid-write can't destroy the previous dim.
         tmp = dim_path + ".tmp"
+        # tmp write first (`merged` reads the mirror via read_dim),
+        # mirror dropped before the swap, rewritten after — the
+        # BucketedMirror crash contract (see VaultLoader._write_current)
         merged.write.mode("overwrite").format(self.fmt).save(tmp)
+        if self._mirror is not None:
+            self._mirror.drop(f"dim_{spec.name}")
         self.fs.delete(dim_path)
         self.fs.rename(tmp, dim_path)
-        if self.bucket_dims is not None:
-            self._refresh_dim_mirror(f"dim_{spec.name}", dim_path)
+        if self._mirror is not None:
+            self._mirror.refresh(
+                f"dim_{spec.name}",
+                self.spark.read.format(self.fmt).load(dim_path),
+                ["hashed_key"],
+            )
         return self.read_dim(spec.name)
 
     @staticmethod

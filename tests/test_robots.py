@@ -432,3 +432,26 @@ def test_schedule_fetches_matches_python_scheduler(spark, rows, da, with_b):
         [(i, h, p) for i, (h, p) in enumerate(rows)], delays, 1.0
     )
     assert got == want, (rows, da, with_b, got, want)
+
+
+def test_crawl_delay_rejects_nonfinite_and_dedupes_hosts(spark):
+    from featurestore_spark.operators.robots import (
+        crawl_delays,
+        parse_crawl_delay,
+    )
+
+    # attacker-controlled robots.txt: inf/overflow values fall back
+    # toward the crawler default instead of poisoning fetch_at_s
+    assert parse_crawl_delay("User-agent: *\nCrawl-delay: inf\n", "x") is None
+    assert parse_crawl_delay("User-agent: *\nCrawl-delay: 9e999\n", "x") is None
+    assert parse_crawl_delay("User-agent: *\nCrawl-delay: nan\n", "x") is None
+    # duplicate host rows (refetched robots.txt) collapse to ONE
+    # delay row — duplicates would multiply the frontier through
+    # schedule_fetches' join
+    robots = spark.createDataFrame(
+        [("a.com", "User-agent: *\nCrawl-delay: 2\n"),
+         ("a.com", "User-agent: *\nCrawl-delay: 5\n")],
+        "host string, robots_txt string",
+    )
+    rows = crawl_delays(robots, agent="bot").collect()
+    assert [(r["host"], r["crawl_delay"]) for r in rows] == [("a.com", 5.0)]

@@ -169,12 +169,13 @@ def test_vault_bucketed_current_mirror_and_colocated_merge(spark, tmp_path):
     from featurestore_spark.load import VaultLoader
     from featurestore_spark.operators.skew import is_bucketed_on
 
-    _drop_table(spark, "vault_bh_current")
     plain = VaultLoader(spark, str(tmp_path / "plain"))
     bucketed = VaultLoader(
         spark, str(tmp_path / "bucketed"), bucket_current=4,
         bucket_table_prefix="vault_",
     )
+    mt = bucketed._mirror.table_for("bh")
+    _drop_table(spark, mt)
     with pytest.raises(ValueError, match="bucket_current"):
         VaultLoader(spark, str(tmp_path), bucket_current=0)
 
@@ -187,8 +188,8 @@ def test_vault_bucketed_current_mirror_and_colocated_merge(spark, tmp_path):
               id_type="customer")
     for ldr in (plain, bucketed):
         ldr.load_hub(batch(range(50)), process_time="2024-01-01 00:00:00", **kw)
-    assert spark.catalog.tableExists("vault_bh_current")
-    assert is_bucketed_on(spark, "vault_bh_current", ["entity_id"])
+    assert spark.catalog.tableExists(mt)
+    assert is_bucketed_on(spark, mt, ["entity_id"])
     # second (overlapping) batch merges through the bucketed mirror
     for ldr in (plain, bucketed):
         ldr.load_hub(batch(range(40, 70)), process_time="2024-01-02 00:00:00", **kw)
@@ -214,7 +215,7 @@ def test_vault_bucketed_current_mirror_and_colocated_merge(spark, tmp_path):
         assert "Bucketed: true" in plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thr)
-        _drop_table(spark, "vault_bh_current")
+        _drop_table(spark, mt)
 
 
 def test_star_bucketed_dim_mirror_and_colocated_merge(spark, tmp_path):
@@ -225,11 +226,12 @@ def test_star_bucketed_dim_mirror_and_colocated_merge(spark, tmp_path):
     from featurestore_spark.operators.skew import is_bucketed_on
     from featurestore_spark.star.loader import DimSpec, StarLoader
 
-    _drop_table(spark, "star_dim_d")
     plain = StarLoader(spark, str(tmp_path / "plain"))
     bucketed = StarLoader(
         spark, str(tmp_path / "bucketed"), bucket_dims=4
     )
+    mt = bucketed._mirror.table_for("dim_d")
+    _drop_table(spark, mt)
     with pytest.raises(ValueError, match="bucket_dims"):
         StarLoader(spark, str(tmp_path), bucket_dims=-1)
     spec = DimSpec(name="d", key_cols=["k"], attr_cols=["attr"])
@@ -246,8 +248,8 @@ def test_star_bucketed_dim_mirror_and_colocated_merge(spark, tmp_path):
     for ldr in (plain, bucketed):
         ldr.load_dim(b1, spec, process_time="2024-01-01 00:00:00")
         ldr.load_dim(b2, spec, process_time="2024-01-02 00:00:00")
-    assert spark.catalog.tableExists("star_dim_d")
-    assert is_bucketed_on(spark, "star_dim_d", ["hashed_key"])
+    assert spark.catalog.tableExists(mt)
+    assert is_bucketed_on(spark, mt, ["hashed_key"])
     a = sorted(map(tuple, plain.read_dim("d").collect()))
     b = sorted(map(tuple, bucketed.read_dim("d").collect()))
     assert a == b
@@ -269,7 +271,7 @@ def test_star_bucketed_dim_mirror_and_colocated_merge(spark, tmp_path):
         assert "Bucketed: true" in plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thr)
-        _drop_table(spark, "star_dim_d")
+        _drop_table(spark, mt)
 
 
 def test_vault_bucketed_mirror_links_key_on_entity_pair(spark, tmp_path):
@@ -279,9 +281,10 @@ def test_vault_bucketed_mirror_links_key_on_entity_pair(spark, tmp_path):
     from featurestore_spark.load import VaultLoader
     from featurestore_spark.operators.skew import is_bucketed_on
 
-    _drop_table(spark, "vault_bl_current")
     plain = VaultLoader(spark, str(tmp_path / "p"))
     bucketed = VaultLoader(spark, str(tmp_path / "b"), bucket_current=4)
+    mt = bucketed._mirror.table_for("bl")
+    _drop_table(spark, mt)
     pairs = spark.createDataFrame(
         [(str(i), str(i * 10)) for i in range(30)], ["cust_id", "ord_id"]
     )
@@ -294,11 +297,55 @@ def test_vault_bucketed_mirror_links_key_on_entity_pair(spark, tmp_path):
     for ldr in (plain, bucketed):
         ldr.load_link(pairs, process_time="2024-01-01 00:00:00", **kw)
         ldr.load_link(pairs2, process_time="2024-01-02 00:00:00", **kw)
-    assert spark.catalog.tableExists("vault_bl_current")
-    assert is_bucketed_on(
-        spark, "vault_bl_current", ["src_entity_id", "dst_entity_id"]
-    )
+    assert spark.catalog.tableExists(mt)
+    assert is_bucketed_on(spark, mt, ["src_entity_id", "dst_entity_id"])
     a = sorted(map(tuple, plain.read_current("bl").collect()))
     b = sorted(map(tuple, bucketed.read_current("bl").collect()))
     assert a == b and len(a) == 45
-    _drop_table(spark, "vault_bl_current")
+    _drop_table(spark, mt)
+
+
+def test_bucketed_mirror_isolated_per_base_path_and_retryable(spark, tmp_path):
+    """Review findings r12: (a) two bucketed loaders over DIFFERENT
+    vaults sharing a metastore must not clobber (or serve) each
+    other's mirror — names embed a base-path digest; (b) an orphaned
+    managed-table location (crash mid-saveAsTable: files on disk, no
+    catalog entry) must not fail every later refresh — drop() clears
+    the location."""
+    import os
+
+    from featurestore_spark.load import VaultLoader
+
+    dev = VaultLoader(spark, str(tmp_path / "dev"), bucket_current=4)
+    prod = VaultLoader(spark, str(tmp_path / "prod"), bucket_current=4)
+    t_dev, t_prod = dev._mirror.table_for("c"), prod._mirror.table_for("c")
+    assert t_dev != t_prod  # digest makes the names distinct
+    for t in (t_dev, t_prod):
+        _drop_table(spark, t)
+
+    def batch(ids):
+        return spark.createDataFrame(
+            [(str(i),) for i in ids], ["cust_id"]
+        )
+
+    kw = dict(table="c", entity_type="c", id_fields=["cust_id"],
+              id_type="customer")
+    dev.load_hub(batch(range(10)), process_time="2024-01-01 00:00:00", **kw)
+    prod.load_hub(batch(range(50)), process_time="2024-01-01 00:00:00", **kw)
+    # each loader reads ITS OWN snapshot, not the other's
+    assert dev.read_current("c").count() == 10
+    assert prod.read_current("c").count() == 50
+    # orphan-location recovery: fake a crash's leftovers at dev's
+    # mirror location, then reload — the refresh must succeed
+    _drop_table(spark, t_dev)
+    dev2 = VaultLoader(spark, str(tmp_path / "dev"), bucket_current=4)
+    loc = dev2._mirror._location(t_dev)
+    os.makedirs(loc, exist_ok=True)
+    with open(f"{loc}/orphan.bin", "wb") as f:
+        f.write(b"leftover")
+    dev2.load_hub(batch(range(10, 15)),
+                  process_time="2024-01-02 00:00:00", **kw)
+    assert spark.catalog.tableExists(t_dev)
+    assert dev2.read_current("c").count() == 15
+    for t in (t_dev, t_prod):
+        _drop_table(spark, t)
