@@ -46,6 +46,23 @@ class HadoopFS:
         finally:
             out.close()
 
+    def fingerprint(self, path: str) -> str | None:
+        """Cheap snapshot identity for a data directory:
+        ``"<mtime>:<total-bytes>"`` (None when absent). The mtime is
+        the directory inode's own — set when its files were written,
+        so a rename-into-place keeps the staging write's stamp and any
+        rewrite (this loader's or an EXTERNAL job's) produces a new
+        value. Used to verify a bucketed mirror still matches the
+        path source of truth before serving it (ADVICE r12: a writer
+        without the mirror knob, or an external rewrite of the path,
+        must not let a stale mirror win)."""
+        fs, jpath = self._fs_path(path)
+        if not fs.exists(jpath):
+            return None
+        st = fs.getFileStatus(jpath)
+        cs = fs.getContentSummary(jpath)
+        return f"{st.getModificationTime()}:{cs.getLength()}"
+
     def read_text(self, path: str) -> str | None:
         # NB: reading into a Python bytearray buffer does NOT work —
         # py4j passes byte[] by value, so Java's writes into the buffer

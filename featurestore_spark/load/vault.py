@@ -165,7 +165,10 @@ class VaultLoader:
         # The parquet path stays the source of truth; crash safety,
         # cross-vault naming, and the layout-verification cache live
         # in skew.BucketedMirror (dropped before the parquet swap,
-        # rewritten after — an existing mirror is always in sync).
+        # rewritten after, and stamped with the path's snapshot
+        # fingerprint — read_current re-verifies the stamp so a
+        # write from an UNmirrored loader or an external job can
+        # never leave a stale mirror serving).
         self.bucket_current = bucket_current
         self.bucket_table_prefix = bucket_table_prefix
         self._mirror = None
@@ -217,7 +220,17 @@ class VaultLoader:
 
     def read_current(self, table: str) -> DataFrame:
         if self._mirror is not None:
-            mirror = self._mirror.read(table, self._mirror_keys)
+            # fingerprint check: the mirror only wins when its stamp
+            # matches the parquet path's CURRENT snapshot identity —
+            # a plain (unmirrored) loader or an external job rewriting
+            # the path must not let a stale mirror serve (ADVICE r12)
+            mirror = self._mirror.read(
+                table,
+                self._mirror_keys,
+                fingerprint=self._fs.fingerprint(
+                    self._path(table, CURRENT_FILE)
+                ),
+            )
             if mirror is not None:
                 return mirror
         return self.spark.read.parquet(self._path(table, CURRENT_FILE))
@@ -248,7 +261,10 @@ class VaultLoader:
             frame = self.spark.read.parquet(final)
             keys = self._mirror_keys(frame.columns)
             if keys is not None:
-                self._mirror.refresh(table, frame, keys)
+                self._mirror.refresh(
+                    table, frame, keys,
+                    fingerprint=self._fs.fingerprint(final),
+                )
 
     def _append_history(self, df: DataFrame, table: str, partition_by=None) -> None:
         writer = df.write.mode("append")

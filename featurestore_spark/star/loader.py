@@ -86,7 +86,9 @@ class StarLoader:
         # (dims broadcast; bucketing is for the dim-vs-dim merges).
         # Crash safety, cross-store naming, and the layout cache live
         # in skew.BucketedMirror (dropped before each path swap,
-        # rewritten after — an existing mirror is always in sync).
+        # rewritten after, and fingerprint-stamped — read_dim
+        # re-verifies the stamp against the path, so an unmirrored
+        # writer or external rewrite never serves a stale mirror).
         self.bucket_dims = bucket_dims
         self.bucket_table_prefix = bucket_table_prefix
         self._mirror = None
@@ -105,8 +107,13 @@ class StarLoader:
         mirror when the `bucket_dims` knob maintains one (co-located
         merge joins), else the parquet/orc path."""
         if self._mirror is not None:
+            # serve the mirror only when its stamped fingerprint
+            # matches the path's current snapshot (ADVICE r12: an
+            # unmirrored writer / external rewrite must win)
             mirror = self._mirror.read(
-                f"dim_{name}", lambda cols: ["hashed_key"]
+                f"dim_{name}",
+                lambda cols: ["hashed_key"],
+                fingerprint=self.fs.fingerprint(self._path(f"dim_{name}")),
             )
             if mirror is not None:
                 return mirror
@@ -208,6 +215,7 @@ class StarLoader:
                     f"dim_{spec.name}",
                     self.spark.read.format(self.fmt).load(dim_path),
                     ["hashed_key"],
+                    fingerprint=self.fs.fingerprint(dim_path),
                 )
             return self.read_dim(spec.name)
 
@@ -279,6 +287,7 @@ class StarLoader:
                 f"dim_{spec.name}",
                 self.spark.read.format(self.fmt).load(dim_path),
                 ["hashed_key"],
+                fingerprint=self.fs.fingerprint(dim_path),
             )
         return self.read_dim(spec.name)
 

@@ -349,3 +349,91 @@ def test_bucketed_mirror_isolated_per_base_path_and_retryable(spark, tmp_path):
     assert dev2.read_current("c").count() == 15
     for t in (t_dev, t_prod):
         _drop_table(spark, t)
+
+
+def test_bucketed_mirror_fingerprint_rejects_stale_snapshot(spark, tmp_path):
+    """ADVICE r12 (medium): the drop-before-swap contract only covers
+    mirror-ENABLED writers. A plain loader over the same base (or any
+    external job rewriting the parquet path) updates the source of
+    truth without touching the mirror — the fingerprint stamped at
+    refresh and re-verified at read must then disqualify the mirror,
+    so read_current serves the path's data, never the stale
+    snapshot."""
+    from featurestore_spark.load import VaultLoader
+
+    base = str(tmp_path / "v")
+    kw = dict(table="h", entity_type="c", id_fields=["cust_id"],
+              id_type="customer")
+
+    def batch(ids):
+        return spark.createDataFrame([(str(i),) for i in ids], ["cust_id"])
+
+    bucketed = VaultLoader(spark, base, bucket_current=4)
+    mt = bucketed._mirror.table_for("h")
+    _drop_table(spark, mt)
+    bucketed.load_hub(batch(range(10)),
+                      process_time="2024-01-01 00:00:00", **kw)
+    # sanity: in-sync mirror serves (scan of the catalog table, not
+    # the parquet path)
+    plan = (
+        bucketed.read_current("h")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert mt in plan
+
+    # a PLAIN loader (no mirror knob) advances the path underneath
+    plain = VaultLoader(spark, base)
+    plain.load_hub(batch(range(10, 30)),
+                   process_time="2024-01-02 00:00:00", **kw)
+    # ...a fresh bucketed loader must NOT serve the 10-row mirror
+    reader = VaultLoader(spark, base, bucket_current=4)
+    assert reader.read_current("h").count() == 30
+    plan = (
+        reader.read_current("h")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert mt not in plan  # fell back to the path read
+    # ...and the SAME instance that wrote the mirror (warm _verified
+    # cache) re-checks the fingerprint on every read too
+    assert bucketed.read_current("h").count() == 30
+
+    # the next mirrored load re-stamps and the mirror serves again
+    bucketed.load_hub(batch(range(30, 35)),
+                      process_time="2024-01-03 00:00:00", **kw)
+    plan = (
+        reader.read_current("h")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert mt in plan
+    assert reader.read_current("h").count() == 35
+    _drop_table(spark, mt)
+
+
+def test_bucketed_mirror_location_is_loader_owned(spark, tmp_path):
+    """ADVICE r12 (low): the mirror's data lives under the loader's
+    own base ({base}/_mirror/<table>) as an external table — cleanup
+    targets a provably-owned path and works regardless of the current
+    database or warehouse layout."""
+    import os
+
+    from featurestore_spark.load import VaultLoader
+
+    base = str(tmp_path / "v2")
+    ldr = VaultLoader(spark, base, bucket_current=2)
+    mt = ldr._mirror.table_for("h")
+    _drop_table(spark, mt)
+    ldr.load_hub(
+        spark.createDataFrame([("1",), ("2",)], ["cust_id"]),
+        process_time="2024-01-01 00:00:00",
+        table="h", entity_type="c", id_fields=["cust_id"],
+        id_type="customer",
+    )
+    loc = ldr._mirror._location(mt)
+    assert loc.startswith(base)
+    assert os.path.isdir(loc) and any(
+        f.endswith(".parquet") for f in os.listdir(loc)
+    )
+    # drop() removes exactly that owned location
+    ldr._mirror.drop("h")
+    assert not os.path.exists(loc)
+    assert not spark.catalog.tableExists(mt)
