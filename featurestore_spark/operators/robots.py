@@ -34,6 +34,65 @@ from featurestore_spark.operators.web import url_parts
 # the trailing '$' are the rule language's only metacharacters)
 _RE_SPECIALS = r"\.^$+?{}[]|()"
 
+# internal column names the frontier operators add and drop; a caller
+# frame already carrying one would be silently clobbered, so they are
+# rejected up front (ADVICE r12: make the convention enforced)
+_RESERVED_COLS = ("_robots_host", "_pathq", "_rules", "_robots_delay")
+
+
+def _guard_reserved(df: DataFrame, op: str) -> None:
+    clash = [c for c in df.columns if c in _RESERVED_COLS]
+    if clash:
+        raise ValueError(
+            f"{op}: input frame carries reserved internal column(s) "
+            f"{clash} — rename them before calling (these names are "
+            "added and dropped internally and would be clobbered)"
+        )
+
+
+# RFC 3986 unreserved characters: percent-escapes of these decode to
+# the literal; everything else stays (uppercased) percent-encoded.
+_UNRESERVED = set(
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789-._~"
+)
+# characters a path-plus-query keeps literal under normalization:
+# unreserved + sub-delims + path/query punctuation. '*' and '$' stay
+# literal on BOTH sides — they are the robots rule language's
+# metacharacters, and encoding them on one side only would break
+# matching ('%2A' in a rule stays an escaped, literal star).
+_KEEP_LITERAL = _UNRESERVED | set("!$&'()*+,;=:@/?")
+_HEX = set("0123456789abcdefABCDEF")
+
+
+def normalize_percent_encoding(s: str) -> str:
+    """One canonical percent-encoded form for robots matching
+    (RFC 3986 §6.2.2): escapes of UNRESERVED characters decode to the
+    literal (`%7E` → `~`), every other valid escape uppercases
+    (`%2f` → `%2F`), and literal characters outside the path/query
+    safe set — spaces, control bytes, non-ASCII (UTF-8 escaped) — are
+    percent-encoded. A bare '%' that starts no valid escape encodes
+    as '%25'. Applying this to both a rule path and a frontier
+    path-plus-query makes `/a%20b` and `/a b` compare equal."""
+    out: list[str] = []
+    i, n = 0, len(s)
+    while i < n:
+        ch = s[i]
+        if ch == "%" and i + 2 < n and s[i + 1] in _HEX and s[i + 2] in _HEX:
+            byte = int(s[i + 1 : i + 3], 16)
+            lit = chr(byte)
+            if lit in _UNRESERVED:
+                out.append(lit)
+            else:
+                out.append("%" + s[i + 1 : i + 3].upper())
+            i += 3
+        elif ch in _KEEP_LITERAL:
+            out.append(ch)
+            i += 1
+        else:
+            out.extend(f"%{b:02X}" for b in ch.encode("utf-8"))
+            i += 1
+    return "".join(out)
+
 
 def robots_rule_to_regex(rule: str) -> str:
     """A robots.txt path rule → an anchored RE2-portable regex:
@@ -116,18 +175,29 @@ def _effective_records(txt: str | None, agent: str) -> list[tuple]:
     return [r for agents, recs in groups if "*" in agents for r in recs]
 
 
-def parse_robots_txt(txt: str | None, agent: str) -> list[tuple[str, int, bool]]:
+def parse_robots_txt(
+    txt: str | None, agent: str, *, normalize: bool = False
+) -> list[tuple[str, int, bool]]:
     """Stdlib-only parse of ONE robots.txt for one crawler token:
     [(regex, rule_len, allow)] for the agent's effective group(s)
     (see :func:`_robots_groups` / :func:`_effective_records` for the
     group semantics). An empty ``Disallow:`` value is allow-all (no
-    rule emitted). ``rule_len`` is the original rule's UTF-8 octet
-    length — the most-specific-match key."""
-    return [
-        (robots_rule_to_regex(rec[1]), len(rec[1].encode("utf-8")), rec[2])
-        for rec in _effective_records(txt, agent)
-        if rec[0] == "rule"
-    ]
+    rule emitted). ``rule_len`` is the rule's UTF-8 octet length —
+    the most-specific-match key. ``normalize=True`` canonicalizes the
+    rule path's percent-encoding first (see
+    :func:`normalize_percent_encoding`) — pair it with the same flag
+    on :func:`filter_allowed`; rule_len is then the NORMALIZED
+    length, so specificity stays consistent between a rule written
+    `/a%20b` and one written `/a b`."""
+    rules = []
+    for rec in _effective_records(txt, agent):
+        if rec[0] != "rule":
+            continue
+        path = normalize_percent_encoding(rec[1]) if normalize else rec[1]
+        rules.append(
+            (robots_rule_to_regex(path), len(path.encode("utf-8")), rec[2])
+        )
+    return rules
 
 
 def parse_crawl_delay(txt: str | None, agent: str) -> float | None:
@@ -161,6 +231,7 @@ def parse_robots_rules(
     agent: str = "ccbot",
     host_col: str = "host",
     robots_col: str = "robots_txt",
+    normalize: bool = False,
 ) -> DataFrame:
     """Per-host robots.txt payloads → (host, rule_regex, rule_len,
     allow): the match-ready rule frame :func:`filter_allowed` joins
@@ -168,7 +239,10 @@ def parse_robots_rules(
     whose payload yields no applicable rules emit no rows (absent
     rows mean allow-all downstream, the robots fail-open default).
     At crawl scale this frame is hosts × a handful of rules — far
-    smaller than the frontier, usually broadcastable."""
+    smaller than the frontier, usually broadcastable.
+    ``normalize=True`` canonicalizes each rule path's
+    percent-encoding (pass the same flag to :func:`filter_allowed`
+    so both sides compare in one form)."""
     out_schema = (
         f"{host_col} string, rule_regex string, rule_len int, allow boolean"
     )
@@ -180,7 +254,7 @@ def parse_robots_rules(
             rows = []
             for _, row in pdf.iterrows():
                 for regex, rlen, allow in parse_robots_txt(
-                    row[robots_col], agent
+                    row[robots_col], agent, normalize=normalize
                 ):
                     rows.append(
                         {
@@ -206,6 +280,7 @@ def filter_allowed(
     url_col: str = "url",
     host_col: str = "host",
     keep_verdict: bool = False,
+    normalize: bool = False,
 ) -> DataFrame:
     """Frontier politeness filter: keep the URLs robots.txt allows.
 
@@ -225,13 +300,23 @@ def filter_allowed(
     returns ALL rows with the boolean ``robots_allowed`` instead of
     filtering (for audit/yield accounting).
 
-    Encoding assumption: rule paths and frontier URL paths are
-    compared VERBATIM — no percent-encoding normalization — so a
-    rule ``/a%20b`` only matches a URL whose stored path is also
-    ``/a%20b``. A frontier built by this repo's web family satisfies
-    this (URLs are kept in their fetched percent-encoded form, the
-    same form robots.txt files publish rules in); normalize upstream
-    if your frontier decodes paths."""
+    Encoding: by default rule paths and frontier URL paths are
+    compared VERBATIM — so a rule ``/a%20b`` only matches a URL whose
+    stored path is also ``/a%20b``. A frontier built by this repo's
+    web family satisfies this (URLs are kept in their fetched
+    percent-encoded form, the same form robots.txt files publish
+    rules in). For frontiers built elsewhere (decoded paths, mixed
+    escape casing), pass ``normalize=True`` HERE AND on
+    :func:`parse_robots_rules`: both sides are canonicalized to one
+    percent-encoded form (:func:`normalize_percent_encoding`) before
+    matching — ``/a b`` then matches a ``/a%20b`` rule. The URL-side
+    normalization runs as an Arrow-batched pandas UDF (a per-byte
+    state walk is not a Column expression), so leave it off when the
+    frontier is already in fetched form — the default path stays
+    whole-stage-codegen pure."""
+    _guard_reserved(urls, "filter_allowed")
+    _guard_reserved(rules.drop("rule_regex", "rule_len", "allow"),
+                    "filter_allowed (rules)")
     p = url_parts(url_col)
     pathq = F.concat(
         F.when(p["path"] == "", F.lit("/")).otherwise(p["path"]),
@@ -239,6 +324,18 @@ def filter_allowed(
             F.lit("")
         ),
     )
+    if normalize:
+        from pyspark.sql.functions import pandas_udf
+        from pyspark.sql.types import StringType
+
+        def _norm_series(s):
+            return s.map(
+                lambda v: None if v is None
+                else normalize_percent_encoding(v)
+            )
+
+        _norm = pandas_udf(_norm_series, StringType())
+        pathq = _norm(pathq)
     # the derived join key lives under a collision-proof internal
     # name so a caller's own 'host' column survives untouched
     # (ADVICE r11: withColumn(host_col, ...) used to clobber it)
@@ -360,6 +457,7 @@ def schedule_fetches(
             f"schedule_fetches: default_delay_s must be >= 0, "
             f"got {default_delay_s}"
         )
+    _guard_reserved(frontier, "schedule_fetches")
     from pyspark.sql import Window
 
     p = url_parts(url_col)

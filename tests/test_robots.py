@@ -455,3 +455,95 @@ def test_crawl_delay_rejects_nonfinite_and_dedupes_hosts(spark):
     )
     rows = crawl_delays(robots, agent="bot").collect()
     assert [(r["host"], r["crawl_delay"]) for r in rows] == [("a.com", 5.0)]
+
+
+def test_normalize_percent_encoding_unit():
+    """The canonical form: unreserved escapes decode, other escapes
+    uppercase, unsafe literals encode (UTF-8 for non-ASCII), robots
+    metacharacters '*'/'$' stay literal, bare '%' encodes."""
+    from featurestore_spark.operators.robots import (
+        normalize_percent_encoding as norm,
+    )
+
+    assert norm("/a b") == "/a%20b"
+    assert norm("/a%20b") == "/a%20b"
+    assert norm("/a%2fb") == "/a%2Fb"          # uppercased, not decoded
+    assert norm("/%7Euser") == "/~user"        # unreserved decodes
+    assert norm("/%41%62c") == "/Abc"
+    assert norm("/p*x$") == "/p*x$"            # metachars untouched
+    assert norm("/%2A") == "/%2A"              # escaped star stays escaped
+    assert norm("/100%") == "/100%25"          # bare percent
+    assert norm("/café") == "/caf%C3%A9"  # UTF-8 escape
+    assert norm("/a?b=c&d=e") == "/a?b=c&d=e"  # query punctuation literal
+    # idempotent — normalizing twice changes nothing
+    for s in ["/a b", "/a%2fb", "/café", "/100%", "/%7E%2A x$"]:
+        assert norm(norm(s)) == norm(s)
+
+
+def test_filter_allowed_normalize_matches_decoded_frontier(spark):
+    """ADVICE r12 residual closed properly: with normalize=True on
+    BOTH parse_robots_rules and filter_allowed, a rule `/a%20b`
+    matches a frontier whose stored path is `/a b` (and vice versa);
+    with the verbatim default, neither matches."""
+    from featurestore_spark.operators.robots import (
+        filter_allowed,
+        parse_robots_rules,
+    )
+
+    robots = spark.createDataFrame(
+        [("x.com", "User-agent: *\nDisallow: /a%20b\nDisallow: /c d\n")],
+        "host string, robots_txt string",
+    )
+    urls = spark.createDataFrame(
+        [(1, "https://x.com/a b/z"),     # decoded form of rule 1
+         (2, "https://x.com/a%20b/z"),   # encoded form of rule 1
+         (3, "https://x.com/c%20d"),     # encoded form of rule 2
+         (4, "https://x.com/ok")],
+        "doc_id long, url string",
+    )
+    # verbatim default: only the exactly-matching forms are blocked
+    verbatim = filter_allowed(
+        urls, parse_robots_rules(robots, agent="bot"), url_col="url"
+    )
+    assert sorted(r["doc_id"] for r in verbatim.collect()) == [1, 3, 4]
+    # normalized: every encoding variant of a blocked path is blocked
+    normed = filter_allowed(
+        urls,
+        parse_robots_rules(robots, agent="bot", normalize=True),
+        url_col="url",
+        normalize=True,
+    )
+    assert sorted(r["doc_id"] for r in normed.collect()) == [4]
+
+
+def test_reserved_internal_names_are_rejected(spark):
+    """ADVICE r12: the collision-proof internal names are enforced,
+    not a convention — a caller frame already carrying one raises
+    instead of being silently clobbered."""
+    import pytest
+
+    from featurestore_spark.operators.robots import (
+        filter_allowed,
+        parse_robots_rules,
+        schedule_fetches,
+    )
+
+    robots = spark.createDataFrame(
+        [("x.com", "User-agent: *\nDisallow: /p\n")],
+        "host string, robots_txt string",
+    )
+    rules = parse_robots_rules(robots, agent="bot")
+    bad = spark.createDataFrame(
+        [(1, "https://x.com/a", "boom")],
+        "doc_id long, url string, _pathq string",
+    )
+    with pytest.raises(ValueError, match="_pathq"):
+        filter_allowed(bad, rules)
+    bad2 = spark.createDataFrame(
+        [(1, "https://x.com/a", 9.0)],
+        "doc_id long, url string, _robots_delay double",
+    )
+    with pytest.raises(ValueError, match="_robots_delay"):
+        schedule_fetches(bad2)
+    # a caller's ordinary columns (e.g. 'host') still pass through —
+    # pinned by test_filter_allowed_preserves_caller_host_column

@@ -436,3 +436,34 @@ def test_ccnet_buckets_null_keys(spark):
         (r["cross_entropy"], r["bucket"]) for r in rows if r["source"] is None
     )
     assert [b for _, b in null_group] == ["head", "middle", "tail"]
+
+
+def test_nb_scores_memoizes_model_materialization(spark):
+    """ADVICE r12: nb_scores' eager model materialization is memoized
+    per model-frame object — the second scoring call against the same
+    fitted model reuses the first call's checkpoint (same underlying
+    plan object), and eager=False skips the copy entirely for
+    table-backed models."""
+    from featurestore_spark.operators.search import (
+        fit_nb_classifier,
+        nb_scores,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "good fine great", "hq"), (2, "bad awful spam", "lq"),
+         (3, "fine spam good", "hq"), (4, "awful bad bad", "lq")],
+        "doc_id long, text string, label string",
+    )
+    model = fit_nb_classifier(docs, label_col="label")
+    a = nb_scores(docs, model)
+    # the stamp exists after the first call and is reused by the next
+    wc_copy = getattr(model[0], "_fs_eager_copy", None)
+    assert wc_copy is not None
+    b = nb_scores(docs, model)
+    assert getattr(model[0], "_fs_eager_copy") is wc_copy
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+    # eager=False produces identical scores without materializing
+    model2 = fit_nb_classifier(docs, label_col="label")
+    c = nb_scores(docs, model2, eager=False)
+    assert getattr(model2[0], "_fs_eager_copy", None) is None
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, c.collect()))
