@@ -230,3 +230,168 @@ def refinedweb_pipeline(
             max_bucket=max_bucket, **dedup_overrides,
         )
     return kept.select(id_col, text_col)
+
+
+def crawl_pipeline(
+    sites: DataFrame,
+    frontier: DataFrame | None = None,
+    *,
+    agent: str = "ccbot",
+    host_col: str = "host",
+    robots_col: str = "robots_txt",
+    sitemap_col: str = "sitemap_xml",
+    url_col: str = "url",
+    id_col: str = "url_id",
+    seed_id: Column | None = None,
+    normalize: bool = False,
+    strip_www: bool = False,
+    dedup: bool = True,
+    cap: int | None = None,
+    cap_order_col: str | None = None,
+    schedule: bool = True,
+    order_col: str | None = None,
+    default_delay_s: float = 1.0,
+    keep_stages: bool = False,
+) -> DataFrame:
+    """The crawl-PLANNING stack in one call (VERDICT r12 #3 — the
+    `refinedweb_pipeline` precedent applied to the pre-fetch half of
+    the web family): sitemap seed → robots politeness gate →
+    canonical URL dedup → per-domain cap → Crawl-delay fetch
+    schedule, each stage the individually-oracled operator at the
+    placement a crawler runs it.
+
+    Inputs:
+
+    - ``sites`` — one row per host: ``host_col``, ``robots_col`` (the
+      fetched robots.txt payload; rules AND Crawl-delays both come
+      from it), and — when the pipeline seeds its own frontier —
+      ``sitemap_col`` (a sitemap urlset/index XML payload).
+    - ``frontier`` (optional) — a pre-built frontier
+      (``id_col``, ``url_col``, any passthrough columns). When given,
+      the sitemap seed stage is skipped and ``sitemap_col`` ignored.
+
+    Stages (a ``None``/``False`` knob skips its stage):
+
+    1. **Sitemap seed** (no ``frontier``) — `extract_sitemap_entries`
+       over ``sitemap_col``; one frontier row per ``<loc>`` entry,
+       carrying every other ``sites`` column plus ``seed_pos`` (the
+       entry's position). ``seed_id=`` is a Column expression for the
+       row id (it sees the site columns and ``seed_pos``); default
+       ``xxhash64(url)``. The entries array is `plan_fence`d before
+       the explode — InferFiltersFromGenerate would otherwise
+       re-inline the sitemap regex HOFs into the inferred filter (the
+       round-12 pathology).
+    2. **Robots gate** — `parse_robots_rules` + `filter_allowed` at
+       ``agent``; ``normalize=True`` canonicalizes percent-encoding
+       on both sides (for frontiers/robots built outside this repo's
+       web family).
+    3. **Canonical URL dedup** (``dedup=True``) — `url_dedup`
+       keep-min-id on the canonical form; survivors carry
+       ``canonical_url``.
+    4. **Per-domain cap** (``cap=``) — `cap_per_domain`, best rows by
+       ``cap_order_col`` (WindowGroupLimit, no full sort).
+    5. **Fetch schedule** (``schedule=True``) — `crawl_delays` from
+       the same robots payloads + `schedule_fetches`: per-host
+       ``fetch_seq``/``fetch_at_s`` at the host's Crawl-delay cadence
+       (``default_delay_s`` where undeclared), queue order by
+       ``order_col`` descending.
+
+    ``keep_stages=True`` returns the AUDIT frame instead: every
+    seeded/input frontier row with per-stage verdict columns —
+    ``robots_allowed``, ``url_keeper`` (survived the canonical
+    collapse), ``kept`` (survived the cap) and ``canonical_url`` —
+    for funnel accounting (scheduling is skipped; it only applies to
+    kept rows). The capstone query q_crawl_frontier pins this path
+    against a closed-form oracle.
+
+    Scale shape: ``sites`` is hosts-sized — its rule/delay frames
+    broadcast; the frontier moves through one groupBy (canonical
+    collapse), one WindowGroupLimit (cap), and one per-host
+    row_number (schedule), never an all-pairs or a collect."""
+    from featurestore_spark.operators.materialize import plan_fence
+    from featurestore_spark.operators.robots import (
+        crawl_delays,
+        extract_sitemap_entries,
+        filter_allowed,
+        parse_robots_rules,
+    )
+    from featurestore_spark.operators.web import cap_per_domain, url_dedup
+
+    if frontier is None:
+        if sitemap_col not in sites.columns:
+            raise ValueError(
+                f"crawl_pipeline: no frontier= given and sites lacks "
+                f"{sitemap_col!r} to seed one from"
+            )
+        passthrough = [
+            c for c in sites.columns if c not in (robots_col, sitemap_col)
+        ]
+        seeded = plan_fence(
+            sites.select(
+                *passthrough,
+                extract_sitemap_entries(sitemap_col).alias("_entries"),
+            )
+        ).select(
+            *passthrough, F.posexplode("_entries").alias("seed_pos", "_e")
+        ).withColumn(url_col, F.col("_e.loc")).drop("_e")
+        rid = seed_id if seed_id is not None else F.xxhash64(F.col(url_col))
+        frontier = seeded.withColumn(id_col, rid)
+
+    rules = parse_robots_rules(
+        sites.select(host_col, robots_col),
+        agent=agent, host_col=host_col, robots_col=robots_col,
+        normalize=normalize,
+    )
+    gated = filter_allowed(
+        frontier, rules, url_col=url_col, host_col=host_col,
+        keep_verdict=keep_stages, normalize=normalize,
+    )
+    allowed = (
+        gated.where(F.col("robots_allowed")) if keep_stages else gated
+    )
+
+    canonical = None
+    if dedup:
+        dd = url_dedup(allowed, url_col, id_col, strip_www=strip_www)
+        canonical = allowed.join(
+            dd.select(F.col("keep_id").alias(id_col), "canonical_url"),
+            id_col,
+        )
+    else:
+        canonical = allowed
+
+    capped = canonical
+    if cap is not None:
+        capped = cap_per_domain(
+            canonical, cap,
+            url_col="canonical_url" if dedup else url_col,
+            order_col=cap_order_col, id_col=id_col,
+        )
+
+    if keep_stages:
+        # audit frame: every frontier row + per-stage verdicts
+        out = gated
+        if dedup:
+            out = out.join(
+                canonical.select(id_col, "canonical_url"), id_col, "left"
+            ).withColumn("url_keeper", F.col("canonical_url").isNotNull())
+        kept_ids = capped.select(id_col).withColumn("kept", F.lit(True))
+        out = out.join(kept_ids, id_col, "left").withColumn(
+            "kept", F.coalesce(F.col("kept"), F.lit(False))
+        )
+        return out
+
+    if schedule:
+        from featurestore_spark.operators.robots import schedule_fetches
+
+        delays = crawl_delays(
+            sites.select(host_col, robots_col),
+            agent=agent, host_col=host_col, robots_col=robots_col,
+        )
+        capped = schedule_fetches(
+            capped, delays,
+            url_col="canonical_url" if dedup else url_col,
+            id_col=id_col, order_col=order_col,
+            default_delay_s=default_delay_s, host_col=host_col,
+        )
+    return capped

@@ -7479,12 +7479,13 @@ def q_warc_extract(spark, sf_dir):
     "q_sitemap / q_robots_filter / q_canonical_url / q_domain_cap.",
 )
 def q_crawl_frontier(spark, sf_dir):
-    from featurestore_spark.operators.robots import (
-        extract_sitemap_entries,
-        filter_allowed,
-        parse_robots_rules,
-    )
-    from featurestore_spark.operators.web import cap_per_domain, url_dedup
+    # Since r13 this query calls the LIBRARY preset (VERDICT r12 #3 —
+    # the refinedweb_pipeline precedent): the sitemap-seed -> robots
+    # gate -> canonical dedup -> per-domain cap chain lives in
+    # operators/pipelines.py as crawl_pipeline, and this closed-form
+    # oracle pins the library path (stage order, the pre-explode
+    # fence, and the audit verdicts included).
+    from featurestore_spark.operators.pipelines import crawl_pipeline
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     d = F.col("doc_id")
@@ -7514,54 +7515,30 @@ def q_crawl_frontier(spark, sf_dir):
         sid,
         F.lit(".com/sm.xml\n"),
     )
-    base = docs.select(
+    sites = docs.select(
         "doc_id",
         host.alias("host"),
         robots_txt.alias("robots_txt"),
-        extract_sitemap_entries(xml).alias("entries"),
+        xml.alias("sitemap_xml"),
     )
-    from featurestore_spark.operators.materialize import plan_fence
-
-    frontier = plan_fence(base).select(
-        "doc_id", F.posexplode("entries").alias("j", "e")
+    audit = crawl_pipeline(
+        sites,
+        agent="ccbot",
+        seed_id=d * 4 + F.col("seed_pos"),
+        cap=1,
+        keep_stages=True,
+    )
+    return audit.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_seeded"),
+        F.count_if(F.col("robots_allowed")).alias("n_allowed"),
+        F.count_if(F.col("url_keeper")).alias("n_canonical"),
+        F.count_if(F.col("kept")).alias("n_kept"),
+        F.min(F.when(F.col("kept"), F.col("canonical_url"))).alias(
+            "fetch_url"
+        ),
     ).select(
-        "doc_id",
-        (d * 4 + F.col("j")).alias("url_id"),
-        F.col("e.loc").alias("url"),
-    )
-    seeded = frontier.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_seeded")
-    )
-    rules = parse_robots_rules(
-        base.select("host", "robots_txt"), agent="ccbot"
-    )
-    allowed = filter_allowed(frontier, rules)
-    n_allowed = allowed.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_allowed")
-    )
-    dd = url_dedup(allowed, id_col="url_id")
-    keepers = allowed.join(
-        dd.select(F.col("keep_id").alias("url_id"), "canonical_url"),
-        "url_id",
-    )
-    n_canonical = keepers.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_canonical")
-    )
-    capped = cap_per_domain(
-        keepers, 1, url_col="canonical_url", id_col="url_id"
-    )
-    kept = capped.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_kept"),
-        F.min("canonical_url").alias("fetch_url"),
-    )
-    return (
-        seeded.join(n_allowed, "doc_id")
-        .join(n_canonical, "doc_id")
-        .join(kept, "doc_id")
-        .select(
-            "doc_id", "n_seeded", "n_allowed", "n_canonical",
-            "n_kept", "fetch_url",
-        )
+        "doc_id", "n_seeded", "n_allowed", "n_canonical",
+        "n_kept", "fetch_url",
     )
 
 
@@ -7600,10 +7577,12 @@ def q_crawl_frontier(spark, sf_dir):
     "ranking and cadence arithmetic closed-form.",
 )
 def q_fetch_schedule(spark, sf_dir):
-    from featurestore_spark.operators.robots import (
-        crawl_delays,
-        schedule_fetches,
-    )
+    # Since r13 this query drives the LIBRARY preset (VERDICT r12 #3)
+    # in its pre-built-frontier form: crawl_pipeline applies the
+    # robots gate (no rule matches the /p paths -- the fail-open
+    # contract is part of what the oracle pins) and the Crawl-delay
+    # schedule; dedup/cap are off, exactly a re-crawl scheduler.
+    from featurestore_spark.operators.pipelines import crawl_pipeline
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     d = F.col("doc_id")
@@ -7615,7 +7594,7 @@ def q_fetch_schedule(spark, sf_dir):
         .when(F.col("k") % 3 == 1, F.lit("Crawl-delay: 0.5\n"))
         .otherwise(F.lit("")),
     )
-    robots = hosts.select(
+    sites = hosts.select(
         F.concat(F.lit("h"), F.col("k").cast("string"), F.lit(".com")).alias(
             "host"
         ),
@@ -7629,9 +7608,13 @@ def q_fetch_schedule(spark, sf_dir):
         ).alias("url"),
         (d % 7).cast("double").alias("prio"),
     )
-    out = schedule_fetches(
-        frontier,
-        crawl_delays(robots, agent="ccbot"),
+    out = crawl_pipeline(
+        sites,
+        frontier=frontier,
+        agent="ccbot",
+        id_col="doc_id",
+        dedup=False,
+        schedule=True,
         order_col="prio",
         default_delay_s=1.0,
     )

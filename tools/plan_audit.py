@@ -43,7 +43,14 @@ sys.path.insert(0, ".")
 ALLOWLIST = {
     # robots longest-match verdict fold — IS the politeness predicate,
     # appearing once per funnel branch of the frontier capstone
-    "q_crawl_frontier": 5,
+    # (r13: 5 -> 4 — the crawl_pipeline audit mode computes the
+    # verdict once and the funnel branches share it)
+    "q_crawl_frontier": 4,
+    # same fold, one appearance: crawl_pipeline's robots gate ahead of
+    # the fetch scheduler (r13 re-point at the library preset) — the
+    # predicate is the operator, evaluated once; nothing upstream
+    # recomputes it
+    "q_fetch_schedule": 1,
     # constraint-propagated self-similarity filters on the (already
     # materialized) distinct-vector frames — one bounded interpreted
     # eval per distinct vector
