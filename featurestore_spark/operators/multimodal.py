@@ -1196,13 +1196,33 @@ def sample_frames(
     binary_col: str = "content",
     every_n_bytes: int = 1024,
     max_frames: int = 8,
+    *,
+    acknowledge_stub: bool = False,
 ) -> DataFrame:
     """Frame-sampling plumbing for formats with NO codec-free
     container walk (e.g. WebM/MKV EBML with compressed cue data): one
     output row per sampled byte offset. The REAL walkers are
     `sample_gif_frames` (GIF block stream) and `sample_mp4_frames`
-    (ISO-BMFF sample tables) — use this deterministic last resort
-    only when neither container applies."""
+    (ISO-BMFF sample tables) — use those for any GIF/MP4/MOV payload.
+
+    This operator is a STUB by design (VERDICT r12 #7): the offsets
+    are uniform byte positions, NOT decoded frame boundaries —
+    containers beyond GIF/ISO-BMFF need codec libraries this
+    environment does not ship. To stop that surprising anyone at the
+    call site, calling it raises ``NotImplementedError`` unless
+    ``acknowledge_stub=True`` is passed explicitly; the Spark-side
+    plumbing (schema, explode shape, partitioning) is real and
+    tested, so a codec-backed walker can slot in behind the same
+    signature."""
+    if not acknowledge_stub:
+        raise NotImplementedError(
+            "sample_frames emits uniform BYTE OFFSETS, not decoded "
+            "frame boundaries: this container family needs codec "
+            "libraries that are not available. Use sample_gif_frames "
+            "or sample_mp4_frames for real per-frame metadata on "
+            "GIF/ISO-BMFF payloads, or pass acknowledge_stub=True to "
+            "opt into deterministic byte-offset sampling."
+        )
     n = F.length(F.col(binary_col)).cast("long")
     n_frames = F.least(F.lit(max_frames), F.greatest((n / every_n_bytes).cast("int"), F.lit(1)))
     offsets = F.sequence(F.lit(0), n_frames - 1)

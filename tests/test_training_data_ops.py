@@ -345,7 +345,16 @@ def test_multimodal_plumbing(docs):
     r = decode_images(with_bin).where("doc_id = 0").first()
     assert r["format"] is None and r["width"] is None and r["channels"] is None
 
-    frames = sample_frames(with_bin, every_n_bytes=16, max_frames=4)
+    # the codec-free byte-offset sampler is an acknowledged STUB
+    # (VERDICT r12 #7): bare calls raise with a pointer to the real
+    # GIF/MP4 walkers; the opt-in keeps the deterministic plumbing
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError, match="codec"):
+        sample_frames(with_bin, every_n_bytes=16, max_frames=4)
+    frames = sample_frames(
+        with_bin, every_n_bytes=16, max_frames=4, acknowledge_stub=True
+    )
     per_doc = frames.groupBy("doc_id").count().collect()
     assert all(1 <= row["count"] <= 4 for row in per_doc)
 
