@@ -46,6 +46,27 @@ class HadoopFS:
         finally:
             out.close()
 
+    def list_names(self, path: str) -> list[str]:
+        """Child entry names directly under `path` (empty when the
+        path is absent) — partition-directory discovery for the
+        maintenance utilities."""
+        fs, jpath = self._fs_path(path)
+        if not fs.exists(jpath):
+            return []
+        return [st.getPath().getName() for st in fs.listStatus(jpath)]
+
+    def file_count(self, path: str) -> int:
+        fs, jpath = self._fs_path(path)
+        if not fs.exists(jpath):
+            return 0
+        return fs.getContentSummary(jpath).getFileCount()
+
+    def size_bytes(self, path: str) -> int:
+        fs, jpath = self._fs_path(path)
+        if not fs.exists(jpath):
+            return 0
+        return fs.getContentSummary(jpath).getLength()
+
     def fingerprint(self, path: str) -> str | None:
         """Cheap snapshot identity for a data directory:
         ``"<mtime>:<total-bytes>"`` (None when absent). The mtime is

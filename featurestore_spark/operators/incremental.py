@@ -1297,13 +1297,19 @@ def _guard_restart(spark, kept_path: str, batch_id: int, op_name: str) -> None:
     stream restarted with a NEW checkpointLocation re-issues ids 0, 1,
     … and its `batch=<id>` overwrites would silently replace earlier
     accepted batches. A genuine retry only ever re-runs the HIGHEST
-    id — anything lower means a new lineage against old state roots."""
+    id — anything lower means a new lineage against old state roots.
+    A `batch=c<k>` partition (the :func:`compact_index` layout)
+    carries batches up to id ``k``, so its ``k`` counts toward the
+    highest-seen id — compaction must not weaken the guard."""
     try:
         existing = spark.read.parquet(kept_path).select("batch").distinct()
-        ids = [
-            int(v) for (v,) in existing.collect()
-            if str(v).lstrip("-").isdigit()
-        ]
+        ids = []
+        for (v,) in existing.collect():
+            s = str(v)
+            if s.lstrip("-").isdigit():
+                ids.append(int(s))
+            elif s.startswith("c") and s[1:].isdigit():
+                ids.append(int(s[1:]))
     except AnalysisException:
         return  # kept root does not exist yet (first batch)
     if ids and max(ids) > batch_id:
@@ -1448,3 +1454,124 @@ def remove_spans_stream_against_index(
         ).write.mode("overwrite").parquet(f"{index_path}/batch={batch_id}")
 
     return process
+
+
+def compact_index(
+    spark,
+    path: str,
+    *,
+    sum_col: str | None = None,
+    target_files: int | None = None,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> dict:
+    """Consolidate a `batch=<id>` incremental-state root (VERDICT r12
+    #4): after hundreds of ingestion batches the band/SRP/frequency
+    index roots become a small-files field — every read lists and
+    opens one partition per batch. This maintenance rung rewrites all
+    but the HIGHEST-numbered batch partition (plus `seed` and any
+    previous compaction) into ONE `batch=c<k>` partition, where ``k``
+    is the highest batch id consumed — so the restart guard keeps its
+    high-water mark and the existing readers keep working unchanged
+    (partition discovery still surfaces `batch`; a compacted value
+    never equals a live numeric batch id, so the current-batch
+    exclusion and retry idempotency hold).
+
+    - ``sum_col`` — for the frequency-delta families
+      (`line_frequency_index` / `span_window_index`, summed on read):
+      pre-aggregate by every other column and SUM this one, shrinking
+      the row count as well as the file count. Leave None for
+      row-set families (band / SRP / URL / media indexes, kept/base
+      corpora) — pure rewrite.
+    - ``target_files`` — output file count; default sized from the
+      compactable bytes at ``target_file_bytes`` per file.
+
+    The highest NUMERIC batch partition is never touched: it is the
+    only partition a foreachBatch retry can legally overwrite, so
+    leaving it alone keeps the exactly-once overwrite contract even
+    if a compaction races the stream's final commit. Run this OFFLINE
+    (stream stopped / between batches) all the same — the promote
+    step below is not atomic across directories.
+
+    Crash safety (resumable, never lossy): the consolidated data is
+    written to a `_compact_tmp` staging dir (underscore-prefixed —
+    invisible to partition discovery), a `_SOURCES` manifest naming
+    the consumed partitions is written LAST, and only then are the
+    sources deleted and the staging dir renamed to `batch=c<k>`. A
+    re-run after a crash resumes from the manifest (or discards a
+    manifest-less staging dir and starts over); reads between a
+    mid-promote crash and the re-run can under-count — another
+    reason this is an offline op. Returns a stats dict
+    (`compacted`, `into`, `files_before`, `files_after`)."""
+    from featurestore_spark.io.fs import HadoopFS
+
+    fs = HadoopFS(spark)
+    tmp = f"{path}/_compact_tmp"
+    manifest = f"{tmp}/_SOURCES"
+
+    def _promote(sources: list[str], final: str) -> None:
+        for name in sources:
+            src = f"{path}/{name}"
+            if fs.exists(src):
+                fs.delete(src)
+        fs.rename(tmp, f"{path}/{final}")
+
+    # resume a crashed promote first: staging with a manifest is
+    # complete data whose sources may be half-deleted
+    if fs.exists(tmp):
+        names_txt = fs.read_text(manifest)
+        if names_txt is None:
+            fs.delete(tmp)  # crash mid-write: staging data unusable
+        else:
+            lines = [ln for ln in names_txt.splitlines() if ln.strip()]
+            final, sources = lines[0], lines[1:]
+            _promote(sources, final)
+            return {
+                "resumed": True,
+                "compacted": sources,
+                "into": final,
+                "files_after": fs.file_count(path),
+            }
+
+    parts = [
+        n for n in fs.list_names(path)
+        if n.startswith("batch=") and not n.startswith("batch=.")
+    ]
+    numeric = sorted(
+        (int(n[len("batch="):]) for n in parts
+         if n[len("batch="):].lstrip("-").isdigit())
+    )
+    live_head = f"batch={numeric[-1]}" if numeric else None
+    sources = [n for n in parts if n != live_head]
+    if len(sources) < 2:
+        return {"compacted": [], "into": None,
+                "files_before": fs.file_count(path),
+                "files_after": fs.file_count(path)}
+    # high-water mark of the consumed partitions: numeric ids and any
+    # previous compaction's k (seed contributes nothing)
+    consumed_ids = [-1]
+    for n in sources:
+        v = n[len("batch="):]
+        if v.lstrip("-").isdigit():
+            consumed_ids.append(int(v))
+        elif v.startswith("c") and v[1:].isdigit():
+            consumed_ids.append(int(v[1:]))
+    final = f"batch=c{max(consumed_ids)}"
+
+    files_before = fs.file_count(path)
+    src_paths = [f"{path}/{n}" for n in sources]
+    df = spark.read.parquet(*src_paths)
+    if sum_col is not None:
+        keys = [c for c in df.columns if c != sum_col]
+        df = df.groupBy(*keys).agg(F.sum(sum_col).alias(sum_col))
+    if target_files is None:
+        total = sum(fs.size_bytes(p) for p in src_paths)
+        target_files = max(1, -(-total // target_file_bytes))
+    df.coalesce(int(target_files)).write.mode("overwrite").parquet(tmp)
+    fs.write_text(manifest, "\n".join([final] + sources))
+    _promote(sources, final)
+    return {
+        "compacted": sources,
+        "into": final,
+        "files_before": files_before,
+        "files_after": fs.file_count(path),
+    }

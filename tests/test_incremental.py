@@ -911,3 +911,143 @@ def test_media_index_recrawl_round_trip(spark):
         dedup_media_against_index(batch, plain, max_hamming=3)
     with pytest.raises(ValueError, match="content_md5"):
         dedup_media_against_index(batch, spark.range(1), max_hamming=3)
+
+
+def test_compact_index_band_family_read_equivalence(spark, tmp_path, corpus, batch):
+    """VERDICT r12 #4: compacting a batch=<id> band-index root is
+    read-equivalent — same dedup verdicts before and after — while
+    shrinking the partition/file count, leaving the live head batch
+    untouched, and keeping the restart guard's high-water mark."""
+    from featurestore_spark.operators.incremental import (
+        _guard_restart,
+        compact_index,
+    )
+
+    root = str(tmp_path / "idx")
+    minhash_band_index(corpus).write.parquet(f"{root}/batch=seed")
+    # three ingestion batches extend the index (one partition each)
+    extra = [
+        (20, "twenty unique tokens in a row about compaction machinery"),
+        (21, "another wholly distinct document concerning parquet files"),
+        (22, "third batch content mentioning shuffles and small files"),
+    ]
+    for i, (did, txt) in enumerate(extra):
+        one = spark.createDataFrame([(did, txt)], ["doc_id", "text"])
+        minhash_band_index(one).write.parquet(f"{root}/batch={i}")
+
+    def read_all():
+        return spark.read.parquet(root).drop("batch")
+
+    before = sorted(
+        r["doc_id"] for r in dedup_against_index(batch, read_all()).collect()
+    )
+    from featurestore_spark.io.fs import HadoopFS
+
+    fs = HadoopFS(spark)
+    parts_before = sorted(
+        n for n in fs.list_names(root) if n.startswith("batch=")
+    )
+    assert parts_before == ["batch=0", "batch=1", "batch=2", "batch=seed"]
+    stats = compact_index(spark, root)
+    # seed + batches 0,1 consolidated; the live head (2) untouched
+    assert sorted(stats["compacted"]) == ["batch=0", "batch=1", "batch=seed"]
+    assert stats["into"] == "batch=c1"
+    parts_after = sorted(
+        n for n in fs.list_names(root) if n.startswith("batch=")
+    )
+    assert parts_after == ["batch=2", "batch=c1"]
+    assert stats["files_after"] < stats["files_before"]
+    after = sorted(
+        r["doc_id"] for r in dedup_against_index(batch, read_all()).collect()
+    )
+    assert before == after
+    # index rows identical, not just verdicts
+    assert spark.read.parquet(root).drop("batch").count() == (
+        minhash_band_index(corpus).count() + 3 * 4
+    )
+    # restart guard: c1 + live head 2 still gate a fresh lineage
+    with pytest.raises(RuntimeError, match="fresh checkpoint"):
+        _guard_restart(spark, root, 0, "t")
+    _guard_restart(spark, root, 2, "t")  # retry of the head: fine
+    # a second compaction folds c1 (+ nothing else new) -> no-op
+    stats2 = compact_index(spark, root)
+    assert stats2["compacted"] == [] and stats2["into"] is None
+
+
+def test_compact_index_frequency_family_sums_deltas(spark, tmp_path):
+    """Frequency-delta roots (line/span indexes, summed on read):
+    compaction pre-aggregates the deltas — same per-key totals, fewer
+    rows and files."""
+    from featurestore_spark.operators.incremental import (
+        compact_index,
+        line_frequency_index,
+    )
+
+    root = str(tmp_path / "freq")
+    c1 = spark.createDataFrame(
+        [(0, "alpha\nbeta"), (1, "alpha\ngamma")], ["doc_id", "text"]
+    )
+    c2 = spark.createDataFrame(
+        [(2, "alpha\nbeta"), (3, "delta")], ["doc_id", "text"]
+    )
+    c3 = spark.createDataFrame([(4, "beta\ndelta")], ["doc_id", "text"])
+    line_frequency_index(c1).write.parquet(f"{root}/batch=seed")
+    line_frequency_index(c2).write.parquet(f"{root}/batch=0")
+    line_frequency_index(c3).write.parquet(f"{root}/batch=1")
+
+    def totals():
+        return {
+            (r["line_hash"]["h1"], r["line_hash"]["h2"]): r["doc_freq"]
+            for r in spark.read.parquet(root).drop("batch")
+            .groupBy("line_hash").agg(F.sum("doc_freq").alias("doc_freq"))
+            .collect()
+        }
+
+    before = totals()
+    rows_before = spark.read.parquet(root).count()
+    stats = compact_index(spark, root, sum_col="doc_freq")
+    assert sorted(stats["compacted"]) == ["batch=0", "batch=seed"]
+    assert totals() == before
+    # pre-aggregation collapsed the shared-line delta rows
+    assert spark.read.parquet(root).count() < rows_before
+
+
+def test_compact_index_resumes_crashed_promote(spark, tmp_path):
+    """A crash between the source deletes and the rename leaves a
+    manifest-carrying staging dir; the next compact_index call
+    finishes the promote instead of double-counting or losing data."""
+    from featurestore_spark.io.fs import HadoopFS
+    from featurestore_spark.operators.incremental import compact_index
+
+    root = str(tmp_path / "r")
+    a = spark.createDataFrame([(1, 10)], ["k", "v"])
+    b = spark.createDataFrame([(2, 20)], ["k", "v"])
+    c = spark.createDataFrame([(3, 30)], ["k", "v"])
+    a.write.parquet(f"{root}/batch=seed")
+    b.write.parquet(f"{root}/batch=0")
+    c.write.parquet(f"{root}/batch=1")
+    # hand-build the crashed state: staging data + manifest written,
+    # one source already deleted, rename never happened
+    fs = HadoopFS(spark)
+    spark.read.parquet(f"{root}/batch=seed", f"{root}/batch=0").coalesce(
+        1
+    ).write.parquet(f"{root}/_compact_tmp")
+    fs.write_text(
+        f"{root}/_compact_tmp/_SOURCES", "batch=c0\nbatch=seed\nbatch=0"
+    )
+    fs.delete(f"{root}/batch=seed")
+    out = compact_index(spark, root)
+    assert out.get("resumed") is True and out["into"] == "batch=c0"
+    names = sorted(
+        n for n in fs.list_names(root) if n.startswith("batch=")
+    )
+    assert names == ["batch=1", "batch=c0"]
+    got = sorted(
+        (r["k"], r["v"]) for r in spark.read.parquet(root).drop("batch").collect()
+    )
+    assert got == [(1, 10), (2, 20), (3, 30)]
+    # a manifest-LESS staging dir (crash mid-write) is discarded
+    spark.range(1).write.parquet(f"{root}/_compact_tmp")
+    out2 = compact_index(spark, root)
+    assert not fs.exists(f"{root}/_compact_tmp")
+    assert out2["compacted"] == []  # only c0 + live head remain
