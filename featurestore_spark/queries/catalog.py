@@ -2954,7 +2954,7 @@ def q_embedding_topk(spark, sf_dir):
     from pyspark.sql import Window
 
     emb = load_table(spark, sf_dir, "embeddings")
-    as_double = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    as_double = F.col("embedding").cast("array<double>")
     base = emb.select("vec_id", as_double.alias("v"))
     q = base.where(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
@@ -8096,79 +8096,73 @@ def q_refinedweb_e2e(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 _DRIVER_PRIORITY = [
-    # Round-12 rotation (VERDICT r11 #7): the 42 queries whose last
-    # driver evidence is r9 lead (the event/path/TPC-H block, the DQ/
-    # inference/entity-resolution singles, the dedup presets) — every
-    # one is 2 rounds stale at r12 close, so the cadence guard REQUIRES
-    # them; recomputed from the CORRECTNESS_r* artifacts at rotation
-    # time, and all green in this round's check_oracle sweeps.
-    "q_event_count_window",
-    "q_event_distinct_window",
-    "q_event_sum_window",
-    "q_days_since_latest",
-    "q_days_since_earliest",
-    "q_previous_interactions",
-    "q_pivot_chord",
-    "q_full_paths",
-    "q_top_customers",
-    "q_link_customer_order",
-    "q_entity_resolution",
-    "q_dq_assertion",
-    "q_sniff_csv",
-    "q_hash_split",
-    "q_image_meta",
-    "q_boilerplate",
-    "q_dedup_best",
-    "q_dedup_preset",
-    "q_bpe_apply",
-    "q_pack_chunks",
-    "q_tpch_q1",
-    "q_tpch_q2",
-    "q_tpch_q3",
-    "q_tpch_q4",
-    "q_tpch_q5",
-    "q_tpch_q6",
-    "q_tpch_q7",
-    "q_tpch_q8",
-    "q_tpch_q9",
-    "q_tpch_q10",
-    "q_tpch_q11",
-    "q_tpch_q12",
-    "q_tpch_q13",
-    "q_tpch_q14",
-    "q_tpch_q15",
-    "q_tpch_q16",
-    "q_tpch_q17",
-    "q_tpch_q18",
-    "q_tpch_q19",
-    "q_tpch_q20",
-    "q_tpch_q21",
-    "q_tpch_q22",
-    # ...the five queries NEW this round (the jusText-lite main-content
-    # extractor, and the crawl-stack front door: robots politeness
-    # gate, sitemap discovery, WARC record walk + HTTP split, WAV
-    # chunk walk) — never driver-checked, so they outrank re-pins...
-    "q_main_content",
-    "q_robots_filter",
-    "q_sitemap",
-    "q_warc_extract",
-    "q_wav",
-    # ...the round's two crawl-planning additions (the frontier
-    # capstone: sitemap seed -> robots gate -> canonical dedup ->
-    # per-domain cap; and the politeness fetch scheduler), never
-    # driver-checked so they outrank any re-pin...
-    "q_crawl_frontier",
-    "q_fetch_schedule",
-    # ...and the last slot re-pins the round's riskiest touched code
-    # path: q_domain_pagerank (link_graph now plan_fences the
-    # registrable-domain columns — the codegen-blowup fix). The
-    # vault/star loaders' bucketed-mirror read paths keep r11 driver
-    # evidence (q_vault_full_cycle / q_star_fact_order_counts, within
-    # cadence) + this round's full sweeps + the plan-pinned test_skew
-    # coverage.
-    "q_domain_pagerank",
-    # --- driver window ends here (first 50). The 50-query r10 block
-    # is two-rounds-old at r12 close and leads the r13 rotation.
+    # Round-13 rotation (VERDICT r12 #2): exactly the 50-query block
+    # whose last driver evidence is r10 — two rounds stale at r13
+    # close, so the cadence rule REQUIRES all of them (recomputed
+    # mechanically from the CORRECTNESS_r10/r11/r12 artifacts: the
+    # set difference r10 \ (r11 u r12) is precisely 50 queries, so
+    # the window IS the stale set; with 149 catalog queries and a
+    # 50-slot window, the three-round union again covers everything).
+    # This round's touched paths keep fresh evidence without slots:
+    # q_crawl_frontier / q_fetch_schedule (re-pointed at
+    # pipelines.crawl_pipeline) and q_robots_filter hold r12 driver
+    # rows, and the r13 check_oracle sweeps re-verified them at HEAD;
+    # the embedding family's as_double_array cast change IS in-window
+    # via q_semantic_dedup / q_ivf_pq_topk / q_embedding_clusters /
+    # q_incremental_embedding_dedup / q_embedding_ann_lsh below.
+    "q_current_events",
+    "q_lang_id",
+    "q_ngram_containment",
+    "q_simhash_near_dups",
+    "q_embedding_ann_lsh",
+    "q_incremental_embedding_dedup",
+    "q_repetition",
+    "q_redact_pii",
+    "q_quality_filter",
+    "q_asof_purchase",
+    "q_interval_join",
+    "q_time_rollup",
+    "q_attribution",
+    "q_quality_buckets",
+    "q_incremental_line_dedup",
+    "q_shard_corpus",
+    "q_incremental_spans",
+    "q_normalize_text",
+    "q_cluster_balance",
+    "q_decontaminate_spans",
+    "q_token_budget_sample",
+    "q_embedding_clusters",
+    "q_ivf_pq_topk",
+    "q_semantic_dedup",
+    "q_bm25_topk",
+    "q_bm25_index_topk",
+    "q_lm_perplexity",
+    "q_source_divergence",
+    "q_ngram_novelty",
+    "q_dsir_weights",
+    "q_strip_html",
+    "q_temperature_mixture",
+    "q_repeat_epochs",
+    "q_nb_classify",
+    "q_hard_negatives",
+    "q_bpe_segment",
+    "q_refinedweb_e2e",
+    "q_gopher_positional",
+    "q_lid_classify",
+    "q_image_dedup",
+    "q_gif_frames",
+    "q_incremental_url_dedup",
+    "q_canonical_url",
+    "q_url_dedup",
+    "q_url_filter",
+    "q_domain_rollup",
+    "q_domain_cap",
+    "q_web_funnel",
+    "q_gopher_repetition",
+    "q_curate_gopher",
+    # --- driver window ends here (first 50). The r11 50-query block
+    # becomes the two-rounds-stale set at r14 close and leads the
+    # next rotation.
 ]
 
 

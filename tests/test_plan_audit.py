@@ -14,6 +14,10 @@ SF = "/root/testdata/sf0.001"
 # queries whose plans carried DUPLICATED HOF evaluations before the
 # r12 fences — a regression here means a fence was dropped
 FENCED_CLEAN = [
+    # r13: the IVF pair cleared via the native array cast (no HOF to
+    # duplicate) — pinned clean alongside the fenced queries
+    "q_ivf_topk",
+    "q_ivf_serve",
     "q_lid_classify",
     "q_nb_classify",
     "q_quality_classify",
@@ -30,8 +34,8 @@ FENCED_CLEAN = [
 ]
 
 # adjudicated single-eval predicates: pinned at their exact counts so
-# growth is visible (sample — the tool covers all nine)
-ALLOWED_SAMPLE = ["q_crawl_frontier", "q_web_funnel", "q_ivf_serve"]
+# growth is visible (sample — the tool covers the full allowlist)
+ALLOWED_SAMPLE = ["q_crawl_frontier", "q_web_funnel", "q_fetch_schedule"]
 
 
 def _flags(spark, name):

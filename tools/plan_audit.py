@@ -34,12 +34,13 @@ import sys
 sys.path.insert(0, ".")
 
 # (query -> max allowed HOF-carrying Filter lines), each adjudicated
-# as a legitimate single-evaluation predicate in PLANS.md round 12:
-# score-threshold folds (q_url_filter, q_web_funnel), the robots
-# longest-match verdict fold (q_crawl_frontier), constraint-propagated
-# self-similarity filters on distinct-vector frames (the embedding /
-# IVF family), and fixture-synthesis CASE chains re-inlined into
-# cheap codegen'd filters (q_incremental_url_dedup).
+# as a legitimate single-evaluation predicate in PLANS.md rounds
+# 12-13: score-threshold folds (q_url_filter, q_web_funnel), the
+# robots longest-match verdict fold (q_crawl_frontier /
+# q_fetch_schedule), constraint-propagated self-similarity filters
+# on already-materialized distinct-vector frames (the embedding
+# family), and fixture-synthesis CASE chains re-inlined into cheap
+# codegen'd filters (q_incremental_url_dedup).
 ALLOWLIST = {
     # robots longest-match verdict fold — IS the politeness predicate,
     # appearing once per funnel branch of the frontier capstone
@@ -56,12 +57,11 @@ ALLOWLIST = {
     # eval per distinct vector
     "q_embedding_near_dups": 2,
     "q_incremental_embedding_dedup": 1,
-    # size/notnull inferred over the per-element double-cast transform
-    # of the embedding column (~a 128-wide cast re-eval per row; the
-    # candidate fence lives in the melt/assign projections if this
-    # ever grows a heavier expression)
-    "q_ivf_topk": 2,
-    "q_ivf_serve": 2,
+    # (r13: q_ivf_topk / q_ivf_serve cleared — as_double_array now
+    # uses the NATIVE array cast instead of a per-element transform,
+    # so the inferred size/notnull filters carry a codegen'd Cast, not
+    # an HOF; the melt-fence alternative was measured slower and
+    # rejected in r12, PLANS.md)
     # fixture-synthesis CASE chains re-inlined into cheap codegen'd
     # filters (no HOF on the hot path)
     "q_incremental_url_dedup": 4,
