@@ -242,10 +242,19 @@ def main():
     # per-run costs like localCheckpoint materialization.
     repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3")))
 
-    def run_pass(order: list[str]) -> tuple[dict[str, float], dict[str, float]]:
+    def run_pass(
+        order: list[str], deadline: float | None = None
+    ) -> tuple[dict[str, float], dict[str, float]]:
         medians: dict[str, float] = {}
         mins: dict[str, float] = {}
         for name in order:
+            # Pass-2 self-time-box: the second pass exists to remove
+            # suite-position noise, not to risk the artifact — if the
+            # whole bench would outgrow its budget, stop re-measuring
+            # and keep pass-1 readings for the rest (recorded in the
+            # sidecar). The final JSON line must always print.
+            if deadline is not None and time.perf_counter() > deadline:
+                break
             spec = QUERIES.get(name)
             if spec is None:
                 continue
@@ -316,22 +325,29 @@ def main():
     # instead of a re-run. SPARK_GRAFT_BENCH_PASSES=1 restores the
     # single-pass protocol (halves wall time when iterating locally).
     passes = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2")))
+    budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "2700"))
+    t_start = time.perf_counter()
     med1, min1 = run_pass(HEADLINE)
     by_pass = {"pass1": med1}
     timings, timings_min = dict(med1), dict(min1)
+    pass2_truncated = 0
     if passes > 1:
-        med2, min2 = run_pass(list(reversed(HEADLINE)))
+        med2, min2 = run_pass(
+            list(reversed(HEADLINE)), deadline=t_start + budget_s
+        )
         by_pass["pass2"] = med2
+        pass2_truncated = len(med1) - len(med2)
         for q in timings:
             if q in med2:
                 timings[q] = min(timings[q], med2[q])
                 timings_min[q] = min(timings_min[q], min2[q])
     suite_noise = {
-        q: round(max(m[q] for m in by_pass.values())
+        q: round(max(m.get(q, timings[q]) for m in by_pass.values())
                  / max(timings[q], 1e-9), 3)
         for q in timings
         if len(by_pass) > 1
-        and max(m[q] for m in by_pass.values()) > 1.25 * timings[q]
+        and max(m.get(q, timings[q]) for m in by_pass.values())
+        > 1.25 * timings[q]
     }
 
     total = round(sum(timings.values()), 3)
@@ -377,6 +393,7 @@ def main():
                 "sf": sf,
                 "repeats": repeats,
                 "passes": passes,
+                "pass2_skipped_queries": pass2_truncated,
                 "queries_by_pass": by_pass,
                 "suite_noise": suite_noise,
             },
