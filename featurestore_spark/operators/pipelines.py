@@ -299,9 +299,9 @@ def crawl_pipeline(
     ``keep_stages=True`` returns the AUDIT frame instead: every
     seeded/input frontier row with per-stage verdict columns —
     ``robots_allowed``, ``url_keeper`` (survived the canonical
-    collapse), ``kept`` (survived the cap) and ``canonical_url`` —
-    for funnel accounting (scheduling is skipped; it only applies to
-    kept rows). The capstone query q_crawl_frontier pins this path
+    collapse; present only when ``dedup=True``), ``kept`` (survived
+    the cap) and ``canonical_url`` — for funnel accounting
+    (scheduling is skipped; it only applies to kept rows). The capstone query q_crawl_frontier pins this path
     against a closed-form oracle.
 
     Scale shape: ``sites`` is hosts-sized — its rule/delay frames
@@ -350,7 +350,6 @@ def crawl_pipeline(
         gated.where(F.col("robots_allowed")) if keep_stages else gated
     )
 
-    canonical = None
     if dedup:
         dd = url_dedup(allowed, url_col, id_col, strip_www=strip_www)
         canonical = allowed.join(
