@@ -633,3 +633,44 @@ def test_crawl_pipeline_end_to_end(spark):
 
     with pytest.raises(ValueError, match="sitemap"):
         crawl_pipeline(sites2)
+
+
+# --- percent-encoding normalization properties (round 13) -----------
+
+_enc_chars = st.sampled_from(list("abAB019-._~ %/?*$&=+é"))
+_enc_str = st.text(alphabet=_enc_chars, min_size=0, max_size=12)
+
+
+@given(s=_enc_str)
+@settings(max_examples=200, deadline=None)
+def test_normalize_percent_encoding_idempotent(s):
+    from featurestore_spark.operators.robots import (
+        normalize_percent_encoding as norm,
+    )
+
+    assert norm(norm(s)) == norm(s)
+
+
+@given(s=_enc_str)
+@settings(max_examples=200, deadline=None)
+def test_normalize_encoding_variants_converge(s):
+    """Re-encoding any unreserved character of a string (the
+    legitimate alternate spelling RFC 3986 allows) normalizes to the
+    SAME canonical form — the invariance filter_allowed(normalize=
+    True) relies on to match `/a b` against `/a%20b`."""
+    from featurestore_spark.operators.robots import (
+        _UNRESERVED,
+        normalize_percent_encoding as norm,
+    )
+
+    # re-encode unreserved chars OUTSIDE existing escapes (re-writing
+    # a hex digit inside '%00' would change the escape's meaning —
+    # that's generator hygiene, not a library property)
+    if "%" not in s:
+        variant = "".join(
+            f"%{ord(c):02x}" if c in _UNRESERVED else c for c in s
+        )
+        assert norm(variant) == norm(s)
+    # and percent-encoding every SPACE (the common divergence between
+    # decoded frontiers and robots rules) converges too
+    assert norm(s.replace(" ", "%20")) == norm(s)
