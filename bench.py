@@ -410,6 +410,7 @@ def main():
                 "unit": "sec",
                 "queries": top5,
                 "n_queries": len(timings),
+                "suite_noise_count": len(suite_noise),
                 "tpch_control_wall": tpch_control,
                 "control_normalized_total": control_normalized,
                 "control_normalized_total_min": control_normalized_min,
