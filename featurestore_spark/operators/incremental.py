@@ -1519,10 +1519,23 @@ def compact_index(
     # complete data whose sources may be half-deleted
     if fs.exists(tmp):
         names_txt = fs.read_text(manifest)
-        if names_txt is None:
+        lines = (
+            [ln for ln in names_txt.splitlines() if ln.strip()]
+            if names_txt is not None else []
+        )
+        # a crash can also land mid-MANIFEST-write: a partial first
+        # line would promote to a half-named partition, so anything
+        # that does not parse as (final c-partition, >=1 batch=
+        # sources) is treated like a manifest-less staging dir
+        valid = (
+            len(lines) >= 2
+            and lines[0].startswith("batch=c")
+            and lines[0][len("batch=c"):].lstrip("-").isdigit()
+            and all(ln.startswith("batch=") for ln in lines[1:])
+        )
+        if not valid:
             fs.delete(tmp)  # crash mid-write: staging data unusable
         else:
-            lines = [ln for ln in names_txt.splitlines() if ln.strip()]
             final, sources = lines[0], lines[1:]
             _promote(sources, final)
             return {

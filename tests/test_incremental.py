@@ -1051,3 +1051,26 @@ def test_compact_index_resumes_crashed_promote(spark, tmp_path):
     out2 = compact_index(spark, root)
     assert not fs.exists(f"{root}/_compact_tmp")
     assert out2["compacted"] == []  # only c0 + live head remain
+
+
+def test_compact_index_discards_corrupt_manifest(spark, tmp_path):
+    """A crash mid-MANIFEST-write leaves a partial/garbled _SOURCES;
+    resume must treat it as manifest-less (discard staging, start a
+    fresh compaction) instead of promoting a half-named partition."""
+    from featurestore_spark.io.fs import HadoopFS
+    from featurestore_spark.operators.incremental import compact_index
+
+    root = str(tmp_path / "cm")
+    spark.createDataFrame([(1,)], ["k"]).write.parquet(f"{root}/batch=seed")
+    spark.createDataFrame([(2,)], ["k"]).write.parquet(f"{root}/batch=0")
+    spark.createDataFrame([(3,)], ["k"]).write.parquet(f"{root}/batch=1")
+    fs = HadoopFS(spark)
+    spark.range(1).write.parquet(f"{root}/_compact_tmp")
+    fs.write_text(f"{root}/_compact_tmp/_SOURCES", "batch=c")  # truncated
+    out = compact_index(spark, root)
+    # fresh compaction ran: seed+0 folded, live head 1 untouched
+    assert out.get("resumed") is None
+    assert sorted(out["compacted"]) == ["batch=0", "batch=seed"]
+    names = sorted(n for n in fs.list_names(root) if n.startswith("batch="))
+    assert names == ["batch=1", "batch=c0"]
+    assert sorted(r["k"] for r in spark.read.parquet(root).collect()) == [1, 2, 3]
