@@ -605,6 +605,8 @@ def dedup_stream_against_index(
 
     - `index_path`: band index root. Seed it with
       `minhash_band_index(corpus).write.parquet(f"{index_path}/batch=seed")`.
+      After many batches, consolidate the accumulated `batch=` subdirs
+      offline with :func:`compact_index` (reads need no change).
     - `kept_path`: accepted (deduped) docs, the pipeline's output.
     - `base_path` (verified mode): (id, text) corpus lookup for the
       Jaccard verify join — seed with the corpus's id/text columns;

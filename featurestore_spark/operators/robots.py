@@ -547,3 +547,51 @@ def extract_sitemap_entries(xml_col: str | Column = "xml") -> Column:
         )
 
     return F.filter(F.transform(blocks, entry), lambda s: s["loc"] != "")
+
+
+def recrawl_staleness(
+    lastmod_col: str | Column = "lastmod",
+    last_fetched_col: str | Column = "last_fetched",
+    *,
+    default_stale: bool = True,
+) -> Column:
+    """Boolean Column: does the sitemap claim the page changed since
+    the crawler last fetched it? — the signal that turns a sitemap's
+    ``lastmod`` (see :func:`extract_sitemap_entries`) into a recrawl
+    DECISION instead of dead metadata (sitemaps exist so crawlers can
+    skip unchanged pages; the sitemaps.org protocol's whole point).
+
+    Both columns may be timestamp/date or the sitemap spec's string
+    forms (W3C datetime: ``2026-08-16``, ``2026-08-16T10:00:00Z``,
+    offset variants) — strings go through ``to_timestamp`` after
+    normalizing a trailing ``Z``; dates cast. Rows where EITHER side
+    is missing/unparseable fall back to ``default_stale`` (True =
+    refetch when unsure, the freshness-biased default; pass False for
+    a bandwidth-biased crawl). A never-fetched page (NULL
+    last_fetched) is always stale.
+
+    Pure Column expression — compose it with :func:`schedule_fetches`
+    as the frontier filter (or its ``order_col``, via a cast to int,
+    to just PRIORITIZE changed pages):
+
+        frontier.where(recrawl_staleness())  # refetch changed pages
+    """
+    def _ts(c: str | Column) -> Column:
+        col = F.col(c) if isinstance(c, str) else c
+        s = col.cast("string")
+        # W3C datetime: date-only parses via to_timestamp; trailing
+        # 'Z' normalized to +00:00 (to_timestamp in try-mode returns
+        # NULL rather than raising on garbage)
+        s = F.regexp_replace(s, r"(?i)Z$", "+00:00")
+        return F.try_to_timestamp(s)
+
+    lm, lf = _ts(lastmod_col), _ts(last_fetched_col)
+    lf_raw = (
+        F.col(last_fetched_col)
+        if isinstance(last_fetched_col, str) else last_fetched_col
+    )
+    return (
+        F.when(lf_raw.isNull(), F.lit(True))      # never fetched
+        .when(lm.isNull() | lf.isNull(), F.lit(default_stale))
+        .otherwise(lm > lf)
+    )

@@ -674,3 +674,29 @@ def test_normalize_encoding_variants_converge(s):
     # and percent-encoding every SPACE (the common divergence between
     # decoded frontiers and robots rules) converges too
     assert norm(s.replace(" ", "%20")) == norm(s)
+
+
+def test_recrawl_staleness_semantics(spark):
+    """lastmod-vs-last_fetched recrawl decision: W3C datetime string
+    forms (date-only, Z, offset) parse; never-fetched is always
+    stale; unparseable/missing sides fall back to default_stale."""
+    from featurestore_spark.operators.robots import recrawl_staleness
+
+    df = spark.createDataFrame(
+        [(1, "2026-08-16", "2026-08-01T00:00:00Z"),   # changed since
+         (2, "2026-07-01", "2026-08-01T00:00:00Z"),   # fetched after
+         (3, None, "2026-08-01T00:00:00Z"),           # no lastmod
+         (4, "2026-08-16", None),                     # never fetched
+         (5, "not-a-date", "2026-08-01T00:00:00Z"),   # garbage lastmod
+         (6, "2026-08-16T10:00:00+02:00", "2026-08-16T07:59:59Z")],
+        "id long, lastmod string, last_fetched string",
+    )
+    fresh = {r["id"]: r["s"] for r in
+             df.select("id", recrawl_staleness().alias("s")).collect()}
+    assert fresh == {1: True, 2: False, 3: True, 4: True, 5: True, 6: True}
+    thrifty = {r["id"]: r["s"] for r in
+               df.select("id", recrawl_staleness(default_stale=False)
+                         .alias("s")).collect()}
+    # bandwidth-biased: unsure -> skip; never-fetched still stale
+    assert thrifty[3] is False and thrifty[5] is False
+    assert thrifty[4] is True and thrifty[1] is True and thrifty[2] is False
