@@ -275,7 +275,9 @@ def crawl_pipeline(
     1. **Sitemap seed** (no ``frontier``) — `extract_sitemap_entries`
        over ``sitemap_col``; one frontier row per ``<loc>`` entry,
        carrying every other ``sites`` column plus ``seed_pos`` (the
-       entry's position). ``seed_id=`` is a Column expression for the
+       entry's position) and ``sitemap_lastmod`` (the entry's change
+       claim — filter with `robots.recrawl_staleness` for a
+       changed-pages-only recrawl). ``seed_id=`` is a Column expression for the
        row id (it sees the site columns and ``seed_pos``); default
        ``xxhash64(url)``. The entries array is `plan_fence`d before
        the explode — InferFiltersFromGenerate would otherwise
@@ -333,7 +335,12 @@ def crawl_pipeline(
             )
         ).select(
             *passthrough, F.posexplode("_entries").alias("seed_pos", "_e")
-        ).withColumn(url_col, F.col("_e.loc")).drop("_e")
+        ).withColumn(url_col, F.col("_e.loc")).withColumn(
+            # the sitemap's change claim rides along: compose with
+            # robots.recrawl_staleness(lastmod_col="sitemap_lastmod")
+            # to refetch only changed pages
+            "sitemap_lastmod", F.col("_e.lastmod")
+        ).drop("_e")
         rid = seed_id if seed_id is not None else F.xxhash64(F.col(url_col))
         frontier = seeded.withColumn(id_col, rid)
 
