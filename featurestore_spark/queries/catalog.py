@@ -988,7 +988,11 @@ def q_sniff_csv(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents").orderBy("doc_id").limit(50)
     rows = docs.select("doc_id", "n_chars", "lang").collect()
-    path = tempfile.mktemp(suffix=".csv")
+    tmp = tempfile.NamedTemporaryFile(
+        suffix=".csv", mode="w", delete=False
+    )
+    tmp.close()
+    path = tmp.name
     with open(path, "w") as f:
         f.write("doc_id,score,lang,loaded\n")
         for i, r in enumerate(rows):
@@ -7233,6 +7237,177 @@ def q_robots_filter(spark, sf_dir):
 
 
 @_register(
+    "q_recrawl_policy",
+    r"""
+    WITH u AS (
+      SELECT doc_id, doc_id % 12 AS k,
+        CASE CAST(doc_id % 8 AS INTEGER)
+          WHEN 0 THEN '/a b/x'
+          WHEN 1 THEN '/a%20b/ok-page'
+          WHEN 2 THEN '/~secret/x'
+          WHEN 3 THEN '/%7esecret/y'
+          WHEN 4 THEN '/open/z'
+          WHEN 5 THEN '/q1.html'
+          WHEN 6 THEN '/q2.html?x=1'
+          ELSE '' END AS rawpath,
+        CASE CAST(doc_id % 8 AS INTEGER)
+          WHEN 0 THEN '/a%20b/x'
+          WHEN 1 THEN '/a%20b/ok-page'
+          WHEN 2 THEN '/~secret/x'
+          WHEN 3 THEN '/~secret/y'
+          WHEN 4 THEN '/open/z'
+          WHEN 5 THEN '/q1.html'
+          WHEN 6 THEN '/q2.html?x=1'
+          ELSE '/' END AS npath,
+        CASE CAST(doc_id % 6 AS INTEGER)
+          WHEN 0 THEN '2024-03-09'
+          WHEN 1 THEN '2024-03-05T10:00:00Z'
+          WHEN 2 THEN '2024-03-05T10:00:00+02:00'
+          WHEN 3 THEN 'not a lastmod'
+          WHEN 5 THEN '2023-01-01T00:00:00Z' END AS lastmod,
+        CASE CAST(doc_id % 4 AS INTEGER)
+          WHEN 1 THEN '2024-01-01T00:00:00Z'
+          WHEN 2 THEN '2024-06-01'
+          WHEN 3 THEN '2024-03-05T09:59:59Z' END AS last_fetched
+      FROM documents),
+    r AS (
+      SELECT *, 'https://h' || CAST(k AS VARCHAR) || '.com' || rawpath AS url,
+        k % 5 <> 4 AS has_rules,
+        CASE WHEN k % 2 = 0 THEN
+          [struct_pack(rx := '^/a%20b/', l := 7, a := false),
+           struct_pack(rx := '^/a%20b/ok', l := 9, a := true),
+           struct_pack(rx := '^/~secret/', l := 9, a := false),
+           struct_pack(rx := '^/q.*\.html$', l := 9, a := false)]
+        ELSE
+          [struct_pack(rx := '^/a%20b/', l := 7, a := false),
+           struct_pack(rx := '^/a%20b/ok', l := 9, a := true),
+           struct_pack(rx := '^/~secret/', l := 9, a := false)]
+        END AS rules
+      FROM u),
+    m AS (
+      SELECT *, list_filter(rules,
+               s -> regexp_matches(npath, s.rx)) AS matched
+      FROM r),
+    v AS (
+      SELECT doc_id, url,
+        CASE WHEN NOT has_rules OR len(matched) = 0 THEN true
+             ELSE len(list_filter(matched,
+                    s -> s.l = list_max(list_transform(matched, t -> t.l))
+                         AND s.a)) > 0 END AS robots_allowed,
+        try_cast(lastmod AS TIMESTAMPTZ) AS lm,
+        try_cast(last_fetched AS TIMESTAMPTZ) AS lf,
+        last_fetched IS NULL AS never
+      FROM m)
+    SELECT doc_id, url, robots_allowed,
+      CASE WHEN never THEN true
+           WHEN lm IS NULL OR lf IS NULL THEN true
+           ELSE lm > lf END AS refetch,
+      CASE WHEN never THEN true
+           WHEN lm IS NULL OR lf IS NULL THEN false
+           ELSE lm > lf END AS refetch_bw
+    FROM v
+    """,
+    "Recrawl policy end-to-end (VERDICT r13 #1, both r13 oracle gaps "
+    "in ONE product-path query — the 50-slot driver window x 2-round "
+    "staleness cadence caps the catalog at 150 oracled queries, so "
+    "the normalize=True robots gate and recrawl_staleness land "
+    "together, exactly the order a polite recrawl runs them): "
+    "per-host robots.txt parsed with normalize=True (rule '/%7esecret/' "
+    "canonicalizes to '/~secret/', rule_len = NORMALIZED octets), a "
+    "mixed-encoding frontier gated by filter_allowed(normalize=True) "
+    "(literal-space '/a b/x' matches the '/a%20b/' rule; lowercase "
+    "'%7e' escapes decode; allow-override, $-anchor and "
+    "query-defeats-$ shapes carried over from q_robots_filter; a "
+    "fifth of hosts publish an EMPTY robots.txt -> fail-open), then "
+    "recrawl_staleness() over sitemap-spec W3C datetime forms "
+    "(date-only, trailing-Z, +02:00 offset, garbage, NULL) vs "
+    "last-fetch stamps, in BOTH bias modes (refetch = "
+    "default_stale=True freshness bias, refetch_bw = bandwidth bias; "
+    "the two differ exactly on unparseable/missing lastmod with a "
+    "known fetch). Oracle replays the matcher on hand-derived "
+    "RFC-3986 canonical forms and the staleness decision via "
+    "TIMESTAMPTZ try_cast; all cross-form timestamp pairs sit >=2 "
+    "days apart so engine session-timezone differences cannot flip a "
+    "verdict (the 1-second edge pair is Z-form vs Z-form). "
+    "robots.py:228,276,552.",
+)
+def q_recrawl_policy(spark, sf_dir):
+    from featurestore_spark.operators.robots import (
+        filter_allowed,
+        parse_robots_rules,
+        recrawl_staleness,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    k = (F.col("doc_id") % 12).alias("k")
+    hosts = docs.select(k).distinct()
+    txt = F.when(F.col("k") % 5 == 4, F.lit("")).otherwise(
+        F.concat(
+            F.lit(
+                "User-agent: *\nDisallow: /a%20b/\nAllow: /a%20b/ok\n"
+                "Disallow: /%7esecret/\n"
+            ),
+            F.when(
+                F.col("k") % 2 == 0, F.lit("Disallow: /q*.html$\n")
+            ).otherwise(F.lit("")),
+        )
+    )
+    robots = hosts.select(
+        F.concat(F.lit("h"), F.col("k").cast("string"), F.lit(".com")).alias(
+            "host"
+        ),
+        txt.alias("robots_txt"),
+    )
+    rules = parse_robots_rules(robots, agent="ccbot", normalize=True)
+    m8 = F.col("doc_id") % 8
+    path = (
+        F.when(m8 == 0, F.lit("/a b/x"))
+        .when(m8 == 1, F.lit("/a%20b/ok-page"))
+        .when(m8 == 2, F.lit("/~secret/x"))
+        .when(m8 == 3, F.lit("/%7esecret/y"))
+        .when(m8 == 4, F.lit("/open/z"))
+        .when(m8 == 5, F.lit("/q1.html"))
+        .when(m8 == 6, F.lit("/q2.html?x=1"))
+        .otherwise(F.lit(""))
+    )
+    m6 = F.col("doc_id") % 6
+    lastmod = (
+        F.when(m6 == 0, F.lit("2024-03-09"))
+        .when(m6 == 1, F.lit("2024-03-05T10:00:00Z"))
+        .when(m6 == 2, F.lit("2024-03-05T10:00:00+02:00"))
+        .when(m6 == 3, F.lit("not a lastmod"))
+        .when(m6 == 5, F.lit("2023-01-01T00:00:00Z"))
+    )
+    m4 = F.col("doc_id") % 4
+    last_fetched = (
+        F.when(m4 == 1, F.lit("2024-01-01T00:00:00Z"))
+        .when(m4 == 2, F.lit("2024-06-01"))
+        .when(m4 == 3, F.lit("2024-03-05T09:59:59Z"))
+    )
+    frontier = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://h"),
+            (F.col("doc_id") % 12).cast("string"),
+            F.lit(".com"),
+            path,
+        ).alias("url"),
+        lastmod.alias("lastmod"),
+        last_fetched.alias("last_fetched"),
+    )
+    gated = filter_allowed(
+        frontier, rules, keep_verdict=True, normalize=True
+    )
+    return gated.select(
+        "doc_id",
+        "url",
+        "robots_allowed",
+        recrawl_staleness().alias("refetch"),
+        recrawl_staleness(default_stale=False).alias("refetch_bw"),
+    )
+
+
+@_register(
     "q_sitemap",
     r"""
     WITH f AS (
@@ -8096,73 +8271,74 @@ def q_refinedweb_e2e(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 _DRIVER_PRIORITY = [
-    # Round-13 rotation (VERDICT r12 #2): exactly the 50-query block
-    # whose last driver evidence is r10 — two rounds stale at r13
-    # close, so the cadence rule REQUIRES all of them (recomputed
-    # mechanically from the CORRECTNESS_r10/r11/r12 artifacts: the
-    # set difference r10 \ (r11 u r12) is precisely 50 queries, so
-    # the window IS the stale set; with 149 catalog queries and a
-    # 50-slot window, the three-round union again covers everything).
-    # This round's touched paths keep fresh evidence without slots:
-    # q_crawl_frontier / q_fetch_schedule (re-pointed at
-    # pipelines.crawl_pipeline) and q_robots_filter hold r12 driver
-    # rows, and the r13 check_oracle sweeps re-verified them at HEAD;
-    # the embedding family's as_double_array cast change IS in-window
-    # via q_semantic_dedup / q_ivf_pq_topk / q_embedding_clusters /
-    # q_incremental_embedding_dedup / q_embedding_ann_lsh below.
-    "q_current_events",
-    "q_lang_id",
-    "q_ngram_containment",
-    "q_simhash_near_dups",
-    "q_embedding_ann_lsh",
-    "q_incremental_embedding_dedup",
-    "q_repetition",
-    "q_redact_pii",
-    "q_quality_filter",
-    "q_asof_purchase",
-    "q_interval_join",
-    "q_time_rollup",
-    "q_attribution",
-    "q_quality_buckets",
-    "q_incremental_line_dedup",
-    "q_shard_corpus",
-    "q_incremental_spans",
-    "q_normalize_text",
-    "q_cluster_balance",
-    "q_decontaminate_spans",
-    "q_token_budget_sample",
-    "q_embedding_clusters",
-    "q_ivf_pq_topk",
-    "q_semantic_dedup",
-    "q_bm25_topk",
-    "q_bm25_index_topk",
-    "q_lm_perplexity",
-    "q_source_divergence",
-    "q_ngram_novelty",
-    "q_dsir_weights",
-    "q_strip_html",
-    "q_temperature_mixture",
-    "q_repeat_epochs",
-    "q_nb_classify",
-    "q_hard_negatives",
-    "q_bpe_segment",
-    "q_refinedweb_e2e",
-    "q_gopher_positional",
-    "q_lid_classify",
-    "q_image_dedup",
-    "q_gif_frames",
-    "q_incremental_url_dedup",
-    "q_canonical_url",
-    "q_url_dedup",
-    "q_url_filter",
-    "q_domain_rollup",
-    "q_domain_cap",
-    "q_web_funnel",
-    "q_gopher_repetition",
-    "q_curate_gopher",
-    # --- driver window ends here (first 50). The r11 50-query block
-    # becomes the two-rounds-stale set at r14 close and leads the
-    # next rotation.
+    # Round-14 rotation (VERDICT r13 #1): the 49-query block whose
+    # last driver evidence is r11 — two rounds stale at r14 close, so
+    # the cadence rule REQUIRES all of them (recomputed mechanically:
+    # r11 \ (r12 u r13) is exactly 49 queries) — plus the ONE new
+    # catalog entry, q_recrawl_policy, which carries driver-oracle
+    # evidence for both r13 additions that had none (the
+    # normalize=True robots path AND recrawl_staleness, composed in
+    # product order). CAPACITY NOTE: a 50-slot driver window with the
+    # 2-round staleness cadence caps the catalog at 3x50 = 150
+    # driver-oracled queries; the catalog now sits at exactly 150, so
+    # VERDICT r13 #1's "two new entries" land as one combined query —
+    # two separate entries (151) would make the cadence permanently
+    # unsatisfiable. From here every future window is forced to be
+    # exactly the stale block (zero slack), which is already the
+    # rotation practice.
+    "q_recrawl_policy",
+    "q_binary_meta",
+    "q_c4_filter",
+    "q_ccnet_buckets",
+    "q_ccnet_external",
+    "q_chord_path",
+    "q_chord_path_all",
+    "q_chords",
+    "q_chunk_documents",
+    "q_collapse_runs",
+    "q_corpus_stats",
+    "q_curation_funnel",
+    "q_decontaminate",
+    "q_dedup_clusters",
+    "q_dedup_exact",
+    "q_dedup_ladder",
+    "q_dedup_lines",
+    "q_dedup_pipeline",
+    "q_doc_fingerprint",
+    "q_embedding_near_dups",
+    "q_embedding_topk",
+    "q_fineweb_rules",
+    "q_gopher_rules",
+    "q_hub_customer",
+    "q_incremental_dedup",
+    "q_incremental_media_dedup",
+    "q_ivf_assign",
+    "q_ivf_serve",
+    "q_ivf_topk",
+    "q_minhash_bands",
+    "q_minhash_pairs",
+    "q_mixture_sample",
+    "q_mp4_frames",
+    "q_ngram_jaccard",
+    "q_pivot_registry",
+    "q_pivot_snapshot",
+    "q_pq_encode",
+    "q_pq_topk",
+    "q_quality_classify",
+    "q_satellite_classify",
+    "q_session_stats",
+    "q_sessionize",
+    "q_shared_spans",
+    "q_star_dim_order_priority",
+    "q_star_fact_order_counts",
+    "q_text_quality",
+    "q_token_count",
+    "q_unique_path",
+    "q_vault_full_cycle",
+    "q_vocab_topk",
+    # --- driver window ends here (first 50). The r12 50-query block
+    # becomes the two-rounds-stale set at r15 close and IS the next
+    # window (zero slack at 150 queries — see capacity note above).
 ]
 
 
