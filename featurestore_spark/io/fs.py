@@ -69,20 +69,32 @@ class HadoopFS:
 
     def fingerprint(self, path: str) -> str | None:
         """Cheap snapshot identity for a data directory:
-        ``"<mtime>:<total-bytes>"`` (None when absent). The mtime is
-        the directory inode's own — set when its files were written,
-        so a rename-into-place keeps the staging write's stamp and any
-        rewrite (this loader's or an EXTERNAL job's) produces a new
-        value. Used to verify a bucketed mirror still matches the
-        path source of truth before serving it (ADVICE r12: a writer
-        without the mirror knob, or an external rewrite of the path,
-        must not let a stale mirror win)."""
+        ``"<dir-mtime>:<total-bytes>:<file-count>:<max-file-mtime>"``
+        (None when absent). The directory's own mtime catches local /
+        HDFS rewrites (rename-into-place keeps the staging write's
+        stamp), but on object stores (s3a://) directories are
+        synthetic and their mtime is typically 0 (ADVICE r13) — so
+        the identity also folds in the recursive file count and the
+        MAX file modification time from one ``listFiles`` sweep: an
+        external rewrite changes file mtimes even when it reproduces
+        the exact byte count. Used to verify a bucketed mirror still
+        matches the path source of truth before serving it (ADVICE
+        r12: a writer without the mirror knob, or an external rewrite
+        of the path, must not let a stale mirror win)."""
         fs, jpath = self._fs_path(path)
         if not fs.exists(jpath):
             return None
         st = fs.getFileStatus(jpath)
-        cs = fs.getContentSummary(jpath)
-        return f"{st.getModificationTime()}:{cs.getLength()}"
+        n_files, total, max_mtime = 0, 0, 0
+        it = fs.listFiles(jpath, True)
+        while it.hasNext():
+            f = it.next()
+            n_files += 1
+            total += f.getLen()
+            max_mtime = max(max_mtime, f.getModificationTime())
+        return (
+            f"{st.getModificationTime()}:{total}:{n_files}:{max_mtime}"
+        )
 
     def read_text(self, path: str) -> str | None:
         # NB: reading into a Python bytearray buffer does NOT work —

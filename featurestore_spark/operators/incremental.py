@@ -1458,6 +1458,11 @@ def remove_spans_stream_against_index(
     return process
 
 
+# last line of a complete _SOURCES manifest: a manifest without it is
+# a truncated write and the staging dir it describes is discarded
+_MANIFEST_END = "# end"
+
+
 def compact_index(
     spark,
     path: str,
@@ -1497,13 +1502,18 @@ def compact_index(
     Crash safety (resumable, never lossy): the consolidated data is
     written to a `_compact_tmp` staging dir (underscore-prefixed —
     invisible to partition discovery), a `_SOURCES` manifest naming
-    the consumed partitions is written LAST, and only then are the
-    sources deleted and the staging dir renamed to `batch=c<k>`. A
-    re-run after a crash resumes from the manifest (or discards a
-    manifest-less staging dir and starts over); reads between a
-    mid-promote crash and the re-run can under-count — another
-    reason this is an offline op. Returns a stats dict
-    (`compacted`, `into`, `files_before`, `files_after`)."""
+    the consumed partitions is written LAST — terminated by an end
+    marker, so a crash that leaves a line-aligned PREFIX of the
+    manifest (ADVICE r13) reads as incomplete, not as a shorter
+    source list that would promote while unlisted sources double-count
+    — and only then are the sources deleted and the staging dir
+    renamed to `batch=c<k>`. A re-run after a crash resumes from a
+    complete manifest (and discards a manifest-less or truncated
+    staging dir, starting over); reads between a mid-promote crash
+    and the re-run can under-count — another reason this is an
+    offline op. Returns a stats dict (`compacted`, `into`,
+    `files_before`, `files_after`; resumed runs add `resumed: True`,
+    with `files_before` counted at resume time)."""
     from featurestore_spark.io.fs import HadoopFS
 
     fs = HadoopFS(spark)
@@ -1526,24 +1536,32 @@ def compact_index(
             if names_txt is not None else []
         )
         # a crash can also land mid-MANIFEST-write: a partial first
-        # line would promote to a half-named partition, so anything
-        # that does not parse as (final c-partition, >=1 batch=
-        # sources) is treated like a manifest-less staging dir
+        # line would promote to a half-named partition, and a
+        # LINE-ALIGNED truncation (first line + some complete source
+        # lines) would promote while the unlisted sources stay on
+        # disk — double-counting their rows (ADVICE r13). The
+        # manifest is therefore complete-or-absent: the last line is
+        # an end marker, and anything that does not parse as (final
+        # c-partition, >=1 batch= sources, end marker) is treated
+        # like a manifest-less staging dir
         valid = (
-            len(lines) >= 2
+            len(lines) >= 3
+            and lines[-1] == _MANIFEST_END
             and lines[0].startswith("batch=c")
             and lines[0][len("batch=c"):].lstrip("-").isdigit()
-            and all(ln.startswith("batch=") for ln in lines[1:])
+            and all(ln.startswith("batch=") for ln in lines[1:-1])
         )
         if not valid:
             fs.delete(tmp)  # crash mid-write: staging data unusable
         else:
-            final, sources = lines[0], lines[1:]
+            final, sources = lines[0], lines[1:-1]
+            files_before = fs.file_count(path)
             _promote(sources, final)
             return {
                 "resumed": True,
                 "compacted": sources,
                 "into": final,
+                "files_before": files_before,
                 "files_after": fs.file_count(path),
             }
 
@@ -1582,7 +1600,9 @@ def compact_index(
         total = sum(fs.size_bytes(p) for p in src_paths)
         target_files = max(1, -(-total // target_file_bytes))
     df.coalesce(int(target_files)).write.mode("overwrite").parquet(tmp)
-    fs.write_text(manifest, "\n".join([final] + sources))
+    fs.write_text(
+        manifest, "\n".join([final] + sources + [_MANIFEST_END])
+    )
     _promote(sources, final)
     return {
         "compacted": sources,

@@ -319,6 +319,44 @@ def crawl_pipeline(
     )
     from featurestore_spark.operators.web import cap_per_domain, url_dedup
 
+    # generated-name collision guard (ADVICE r13 — the robots-family
+    # _guard_reserved stance applied to the pipeline's own outputs):
+    # an input frame already carrying a column this call generates
+    # would either fail late with an ambiguous reference (dedup join)
+    # or be silently clobbered (seeding withColumns) — reject up front
+    gen = {"robots_allowed"}
+    if dedup:
+        gen.add("canonical_url")
+    if keep_stages:
+        gen.add("kept")
+        if dedup:
+            gen.add("url_keeper")
+    elif schedule:
+        gen.update({"fetch_seq", "fetch_at_s"})
+
+    def _guard_generated(df: DataFrame, which: str, names: set) -> None:
+        clash = sorted(c for c in df.columns if c in names)
+        if clash:
+            raise ValueError(
+                f"crawl_pipeline: {which} frame already carries "
+                f"column(s) {clash}, which this call generates — "
+                "rename them before calling (the robots gate adds "
+                "'robots_allowed'; dedup adds 'canonical_url'; "
+                "keep_stages adds 'url_keeper'/'kept'; schedule adds "
+                "'fetch_seq'/'fetch_at_s'; sitemap seeding adds "
+                "'seed_pos'/'sitemap_lastmod'/'_entries' plus the "
+                "id_col/url_col it synthesizes)"
+            )
+
+    if frontier is None:
+        _guard_generated(
+            sites, "sites",
+            gen | {"seed_pos", "sitemap_lastmod", "_entries",
+                   id_col, url_col},
+        )
+    else:
+        _guard_generated(frontier, "frontier", gen)
+
     if frontier is None:
         if sitemap_col not in sites.columns:
             raise ValueError(

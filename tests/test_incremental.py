@@ -1033,11 +1033,13 @@ def test_compact_index_resumes_crashed_promote(spark, tmp_path):
         1
     ).write.parquet(f"{root}/_compact_tmp")
     fs.write_text(
-        f"{root}/_compact_tmp/_SOURCES", "batch=c0\nbatch=seed\nbatch=0"
+        f"{root}/_compact_tmp/_SOURCES",
+        "batch=c0\nbatch=seed\nbatch=0\n# end",
     )
     fs.delete(f"{root}/batch=seed")
     out = compact_index(spark, root)
     assert out.get("resumed") is True and out["into"] == "batch=c0"
+    assert isinstance(out["files_before"], int)  # stats contract holds
     names = sorted(
         n for n in fs.list_names(root) if n.startswith("batch=")
     )
@@ -1074,3 +1076,38 @@ def test_compact_index_discards_corrupt_manifest(spark, tmp_path):
     names = sorted(n for n in fs.list_names(root) if n.startswith("batch="))
     assert names == ["batch=1", "batch=c0"]
     assert sorted(r["k"] for r in spark.read.parquet(root).collect()) == [1, 2, 3]
+
+
+def test_compact_index_discards_truncated_manifest_tail(spark, tmp_path):
+    """ADVICE r13: a crash mid-manifest-write can leave a LINE-ALIGNED
+    prefix (valid first line + some complete source lines, end marker
+    missing). Promoting it would delete only the listed sources and
+    leave the rest double-counted next to batch=c<k>; the end-marker
+    check must treat it as manifest-less instead."""
+    from featurestore_spark.io.fs import HadoopFS
+    from featurestore_spark.operators.incremental import compact_index
+
+    root = str(tmp_path / "tt")
+    spark.createDataFrame([(1,)], ["k"]).write.parquet(f"{root}/batch=seed")
+    spark.createDataFrame([(2,)], ["k"]).write.parquet(f"{root}/batch=0")
+    spark.createDataFrame([(3,)], ["k"]).write.parquet(f"{root}/batch=1")
+    spark.createDataFrame([(4,)], ["k"]).write.parquet(f"{root}/batch=2")
+    fs = HadoopFS(spark)
+    # staging claims to hold seed+0+1 but the manifest tail lost
+    # batch=1 (and the end marker) in the crash
+    spark.read.parquet(
+        f"{root}/batch=seed", f"{root}/batch=0", f"{root}/batch=1"
+    ).coalesce(1).write.parquet(f"{root}/_compact_tmp")
+    fs.write_text(
+        f"{root}/_compact_tmp/_SOURCES", "batch=c1\nbatch=seed\nbatch=0"
+    )
+    out = compact_index(spark, root)
+    # the truncated staging dir was discarded and a FRESH compaction
+    # consumed all non-head sources exactly once — no double counting
+    assert out.get("resumed") is None
+    assert sorted(out["compacted"]) == ["batch=0", "batch=1", "batch=seed"]
+    names = sorted(n for n in fs.list_names(root) if n.startswith("batch="))
+    assert names == ["batch=2", "batch=c1"]
+    assert sorted(r["k"] for r in spark.read.parquet(root).collect()) == [
+        1, 2, 3, 4,
+    ]

@@ -635,6 +635,42 @@ def test_crawl_pipeline_end_to_end(spark):
         crawl_pipeline(sites2)
 
 
+def test_crawl_pipeline_rejects_generated_column_collisions(spark):
+    """ADVICE r13: inputs already carrying a name the pipeline
+    generates (canonical_url, robots_allowed, fetch_seq, seed_pos,
+    ...) used to fail late with an ambiguous reference or get
+    silently clobbered in the seeding select; the guard now rejects
+    them up front, knob-aware (a name only counts when THIS call's
+    stages would generate it)."""
+    import pytest
+
+    from featurestore_spark.operators.pipelines import crawl_pipeline
+
+    sites = spark.createDataFrame(
+        [("a.com", "User-agent: *\n", "<urlset></urlset>")],
+        "host string, robots_txt string, sitemap_xml string",
+    )
+    # seeding path: a sites column the seeder would clobber
+    bad_sites = sites.withColumn("seed_pos", F.lit(1))
+    with pytest.raises(ValueError, match="seed_pos"):
+        crawl_pipeline(bad_sites, agent="bot")
+    # frontier path: a frontier column a stage output would collide
+    frontier = spark.createDataFrame(
+        [(1, "https://a.com/x", "old")],
+        "url_id long, url string, canonical_url string",
+    )
+    with pytest.raises(ValueError, match="canonical_url"):
+        crawl_pipeline(sites, frontier=frontier, agent="bot")
+    # ...but the same frame is FINE when dedup (the generating stage)
+    # is off — the guard is knob-aware, not a blanket name ban
+    ok = crawl_pipeline(
+        sites, frontier=frontier, agent="bot", dedup=False,
+        schedule=False,
+    )
+    assert ok.columns == ["url_id", "url", "canonical_url"]
+    assert ok.count() == 1
+
+
 # --- percent-encoding normalization properties (round 13) -----------
 
 _enc_chars = st.sampled_from(list("abAB019-._~ %/?*$&=+é"))

@@ -437,3 +437,37 @@ def test_bucketed_mirror_location_is_loader_owned(spark, tmp_path):
     ldr._mirror.drop("h")
     assert not os.path.exists(loc)
     assert not spark.catalog.tableExists(mt)
+
+
+def test_fingerprint_sees_same_size_rewrite_with_inert_dir_mtime(
+    spark, tmp_path
+):
+    """ADVICE r13: on object stores the directory entry is synthetic
+    (mtime typically 0), so the old <dir-mtime>:<bytes> identity
+    degraded to byte-length alone — an external rewrite producing the
+    SAME byte count would still serve a stale mirror. The fingerprint
+    must fold in child-file mtimes (and count) so that scenario — dir
+    mtime and total bytes unchanged, file contents rewritten later —
+    changes the identity."""
+    import os
+
+    from featurestore_spark.io.fs import HadoopFS
+
+    fs = HadoopFS(spark)
+    d = tmp_path / "fp"
+    d.mkdir()
+    f = d / "part-0"
+    f.write_text("abcdefgh")
+    dir_mtime = os.stat(d).st_mtime
+    before = fs.fingerprint(str(d))
+    # external rewrite: same byte count, later file mtime, and the
+    # directory entry pinned back to its original stamp (the object
+    # store behavior: directory metadata carries no signal)
+    f.write_text("ABCDEFGH")
+    st = os.stat(f)
+    os.utime(f, (st.st_atime, st.st_mtime + 10))
+    os.utime(d, (dir_mtime, dir_mtime))
+    after = fs.fingerprint(str(d))
+    assert before is not None and after is not None
+    assert before.split(":")[1] == after.split(":")[1]  # same bytes
+    assert before != after  # ...but the identity still moved
