@@ -190,6 +190,9 @@ HEADLINE = [
     # capstone and the politeness fetch scheduler
     "q_crawl_frontier",
     "q_fetch_schedule",
+    # Round 14: the normalized robots gate + sitemap-lastmod recrawl
+    # decision (the two r13 operators' driver-oracle home)
+    "q_recrawl_policy",
 ]
 
 # Zero-code-change drift control (VERDICT r6 #8): the TPC-H block has
@@ -197,6 +200,25 @@ HEADLINE = [
 # from code-attributable movement — `tpch_control_wall` in the output
 # makes the r(N) vs r(N-1) regression call one subtraction.
 TPCH_CONTROL = [q for q in HEADLINE if q.startswith("q_tpch_")]
+
+
+def flag_for_solo(
+    timings: dict[str, float],
+    suite_noise: dict[str, float],
+    prev_map: dict[str, float],
+    threshold: float = 1.2,
+) -> list[str]:
+    """VERDICT r13 #3 selection rule: queries needing an automatic
+    solo steady-state re-measurement — moved >`threshold`x against
+    the previous committed sidecar AND position-noise-suspect this
+    run (their two passes disagreed >25%). A genuine code regression
+    shows in both passes and carries no suite_noise entry, so it is
+    deliberately NOT re-measured away."""
+    return [
+        q for q, t in timings.items()
+        if q in suite_noise and prev_map.get(q, 0) > 0
+        and t > threshold * prev_map[q]
+    ]
 
 
 def main():
@@ -350,6 +372,55 @@ def main():
         > 1.25 * timings[q]
     }
 
+    # Mechanized suite-noise adjudication (VERDICT r13 #3): a query
+    # whose reading moved >1.2x against the PREVIOUS committed
+    # sidecar AND which carries a suite_noise entry this run (its two
+    # passes disagree — the position-pollution signature) gets an
+    # automatic solo steady-state re-measurement at the end of the
+    # bench: full GC, discarded warm-up, then the usual repeats. The
+    # next round's regression call reads `solo_rerun[q].solo_min`
+    # from the sidecar instead of re-running by hand (the
+    # q_bm25_topk r12 / q_entity_resolution r11 adjudications, now a
+    # lookup). Reading the sidecar BEFORE it is overwritten below is
+    # what makes this round-over-round.
+    sidecar = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_full.json"
+    )
+    prev_map: dict[str, float] = {}
+    try:
+        with open(sidecar) as f:
+            prev_map = json.load(f).get("queries", {}) or {}
+    except (OSError, ValueError):
+        prev_map = {}
+    flagged = flag_for_solo(timings, suite_noise, prev_map)
+    solo_rerun: dict[str, dict] = {}
+    # bounded: the solo block may use up to 15% beyond the pass-2
+    # budget — the artifact's final JSON line still always prints
+    solo_deadline = t_start + budget_s * 1.15
+    for q in flagged:
+        if time.perf_counter() > solo_deadline:
+            break
+        spark._jvm.System.gc()
+        spec = QUERIES[q]
+        spec.spark(spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        runs = []
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            spec.spark(spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            runs.append(time.perf_counter() - t0)
+        solo_rerun[q] = {
+            "solo_median": round(statistics.median(runs), 3),
+            "solo_min": round(min(runs), 3),
+            "suite": timings[q],
+            "prev": prev_map[q],
+        }
+        gc.collect()
+        spark.catalog.clearCache()
+
     total = round(sum(timings.values()), 3)
     tpch_control = round(
         sum(t for q, t in timings.items() if q in set(TPCH_CONTROL)), 3
@@ -373,10 +444,9 @@ def main():
     # Full per-query map goes to a sidecar file: at 80+ queries the
     # inline map outgrew the driver's stdout tail-capture window and
     # BENCH_r05.json recorded parsed:null. The stdout line stays short
-    # (total + the 5 slowest) and is printed LAST.
-    sidecar = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "bench_full.json"
-    )
+    # (total + the 5 slowest) and is printed LAST. (`sidecar` path
+    # defined above — the previous round's map is read from it before
+    # this overwrite.)
     with open(sidecar, "w") as f:
         json.dump(
             {
@@ -396,6 +466,7 @@ def main():
                 "pass2_skipped_queries": pass2_truncated,
                 "queries_by_pass": by_pass,
                 "suite_noise": suite_noise,
+                "solo_rerun": solo_rerun,
             },
             f,
             indent=1,
@@ -411,6 +482,7 @@ def main():
                 "queries": top5,
                 "n_queries": len(timings),
                 "suite_noise_count": len(suite_noise),
+                "solo_rerun_count": len(solo_rerun),
                 "tpch_control_wall": tpch_control,
                 "control_normalized_total": control_normalized,
                 "control_normalized_total_min": control_normalized_min,

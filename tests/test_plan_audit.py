@@ -63,3 +63,23 @@ def test_adjudicated_query_stays_at_allowlist_count(spark, name):
         f"{name}: HOF-carrying Filter count moved off its adjudicated "
         "value — re-adjudicate in tools/plan_audit.py"
     )
+
+
+def test_bench_flag_for_solo_selection_rule():
+    """VERDICT r13 #3: the mechanized suite-noise adjudication flags a
+    query for an automatic solo re-measurement only when BOTH signals
+    fire — >1.2x vs the previous sidecar AND a suite_noise entry this
+    run. A steady regression (no noise entry) or a noisy-but-stable
+    query must not be re-measured away; queries new to the sidecar
+    have no baseline to flag against."""
+    from bench import flag_for_solo
+
+    timings = {"a": 2.5, "b": 2.5, "c": 2.5, "d": 2.5}
+    noise = {"a": 1.4, "c": 1.3, "d": 1.5}
+    prev = {"a": 1.0, "b": 1.0, "c": 2.4}
+    # a: moved 2.5x AND noisy -> flagged
+    # b: moved 2.5x but both passes agreed -> genuine, NOT flagged
+    # c: noisy but only 1.04x vs prev -> stable, NOT flagged
+    # d: noisy but absent from prev sidecar -> no baseline, NOT flagged
+    assert flag_for_solo(timings, noise, prev) == ["a"]
+    assert flag_for_solo(timings, noise, {}) == []

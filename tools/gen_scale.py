@@ -12,8 +12,22 @@ documents/embeddings replicas keep their payloads, so every document
 gains `factor-1` exact near-duplicates — a deliberately brutal dedup
 workload (LSH buckets are `factor`x denser).
 
+`--distinct-text` (VERDICT r13 #2) derives each replica's TEXT from
+its shifted doc_id instead: every ~5th token is replaced by a
+(doc_id, position)-keyed word, so replicas share vocabulary and
+length statistics but drop to ~0.2-0.3 five-gram Jaccard against
+their source — genuinely distinct documents. Replacement (not
+rotation/suffixing) is the operative choice: shingle multisets are
+rotation-invariant, so a rotated or prefixed replica still MinHashes
+as a near-dup of its source and the fuzzy-dedup exponents would keep
+measuring replication-invariance rather than distinct-corpus growth.
+Replica 0 keeps the original rows, so the derived set contains the
+source corpus as a subset; n_chars is re-derived (= length(text), the
+fixture's invariant) for mutated rows.
+
 Usage:
     python3 tools/gen_scale.py [--factor 10] [--out /tmp/sf1_derived]
+        [--distinct-text]
     SPARK_GRAFT_SF_DIR=/tmp/sf1_derived python3 bench.py
 """
 
@@ -49,6 +63,7 @@ def main():
     ap.add_argument("--src", default="/root/testdata/sf0.1")
     ap.add_argument("--out", default="/tmp/sf1_derived")
     ap.add_argument("--factor", type=int, default=10)
+    ap.add_argument("--distinct-text", action="store_true")
     args = ap.parse_args()
 
     spark = get_spark("gen_scale", master="local[32]", shuffle_partitions=32)
@@ -67,6 +82,34 @@ def main():
         )
         for k in keys:
             rep = rep.withColumn(k, F.col(k) + F.col("_i") * F.lit(strides[k]))
+        if args.distinct_text and t == "documents":
+            # replica text keyed off the SHIFTED doc_id: replace every
+            # ~5th token (content change — a rotation or suffix keeps
+            # the shingle multiset and MinHash would still cluster the
+            # replicas); replica 0 keeps the source rows verbatim
+            toks = F.split(F.col("text"), " ")
+            mutated = F.concat_ws(
+                " ",
+                F.transform(
+                    toks,
+                    lambda w, i: F.when(
+                        F.pmod(
+                            F.xxhash64(F.col("doc_id"), i), F.lit(5)
+                        ) == 0,
+                        F.concat(
+                            F.lit("w"),
+                            F.pmod(
+                                F.xxhash64(F.col("doc_id"), i, F.lit(1)),
+                                F.lit(997),
+                            ).cast("string"),
+                        ),
+                    ).otherwise(w),
+                ),
+            )
+            rep = rep.withColumn(
+                "text",
+                F.when(F.col("_i") == 0, F.col("text")).otherwise(mutated),
+            ).withColumn("n_chars", F.length("text"))
         # Partition the derived table for the COMPUTE, not the bytes
         # (round 13): the sf0.1 fact tables are single small files, so
         # the explode-replicated output also landed as ONE file / ONE
