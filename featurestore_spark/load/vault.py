@@ -285,13 +285,96 @@ class VaultLoader:
         )
         return self.spark.read.parquet(self._path(table, PREV_FILE))
 
-    def _overwrite_history(self, df: DataFrame, table: str) -> None:
+    def _overwrite_history(
+        self, df: DataFrame, table: str, partition_by: list[str] | None = None
+    ) -> None:
         """Replace history with `df` (write-new-then-swap)."""
         tmp = self._path(table, HISTORY_FILE + ".tmp")
-        df.write.mode("overwrite").parquet(tmp)
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(tmp)
         final = self._path(table, HISTORY_FILE)
         self._fs_delete(final)
         self._fs_rename(tmp, final)
+
+    def compact_history(
+        self,
+        table: str,
+        *,
+        target_file_bytes: int = 128 * 1024 * 1024,
+        target_files: int | None = None,
+    ) -> dict:
+        """Consolidate a rolling history root (VERDICT r13 #5 — the
+        `compact_index` stance applied to the vault WRITE path): every
+        `load_hub`/`load_satellite`/`load_link` appends one file-set
+        to `history.parquet` forever, so at rolling-ingestion scale
+        the root becomes the same small-files field the incremental
+        indexes had — every downstream read lists and opens one
+        parquet file per historical load. This maintenance rung
+        rewrites history into size-targeted files, preserving the row
+        set exactly (history rows carry their version/process_time
+        ORDER in data columns — `latest_per_key` and the merge reads
+        window on them — so row-set equality is plan equivalence) and
+        preserving the loader's hive partitioning (hub histories
+        partition by the id-type column; satellites/links are flat).
+
+        Crash safety reuses the loader's own discipline rather than
+        inventing one: history is first materialized to
+        `prev.parquet` (the reference's recovery-point escape hatch,
+        ParquetDataLoader.scala:460-463 — also breaks the
+        self-referencing plan), then the compacted frame overwrites
+        history via the usual write-new-then-swap. A crash at any
+        point leaves either the old history or a complete new one,
+        with prev holding the full pre-compaction copy. Run OFFLINE
+        (between loads), same stance as `compact_index`: the
+        append-writers must not race the swap.
+
+        Returns ``{"files_before", "files_after", "rows",
+        "partition_by"}``; a no-op (already at or under target)
+        returns early with equal counts."""
+        path = self._path(table, HISTORY_FILE)
+        files_before = self._fs.file_count(path)
+        # partition layout discovery from the directory shape — the
+        # loader only ever writes ONE level (id_type on hubs)
+        part_cols = sorted(
+            {
+                n.split("=", 1)[0]
+                for n in self._fs.list_names(path)
+                if "=" in n and not n.startswith(("_", "."))
+            }
+        )
+        if target_files is None:
+            total = self._fs.size_bytes(path)
+            target_files = max(1, -(-total // target_file_bytes))
+        n_parts = max(
+            1,
+            len([n for n in self._fs.list_names(path) if "=" in n])
+            if part_cols else 1,
+        )
+        if files_before <= max(target_files, n_parts):
+            return {
+                "files_before": files_before,
+                "files_after": files_before,
+                "rows": None,
+                "partition_by": part_cols,
+            }
+        prev = self._snapshot_history_to_prev(table)
+        rows = prev.count()
+        if part_cols:
+            # one shuffle keyed on the partition columns: every
+            # partition value lands in exactly one task, so each
+            # hive partition dir compacts to one file
+            out = prev.repartition(*[F.col(c) for c in part_cols])
+        else:
+            out = prev.coalesce(int(target_files))
+        self._overwrite_history(out, table, partition_by=part_cols or None)
+        return {
+            "files_before": files_before,
+            "files_after": self._fs.file_count(path),
+            "rows": rows,
+            "partition_by": part_cols,
+        }
 
     # -- shared column builders --------------------------------------------
 

@@ -481,3 +481,53 @@ def test_fingerprint_field_boundaries_and_nulls(spark):
             ).collect()
         ]
         assert fps2[0] != fps2[1], method  # (null,'') vs ('',null)
+
+
+def test_compact_history_read_equivalence_and_file_counts(spark, loader):
+    """VERDICT r13 #5: rolling loads append one file-set to history
+    per load forever; compact_history rewrites the root into few
+    files with the row multiset intact (flat satellite root) and the
+    hub's id_type hive partitioning preserved, using the prev.parquet
+    recovery discipline."""
+    kwargs = dict(table="cs", entity_type="customer",
+                  id_fields=["cust_id"], id_type="customer")
+    loader.load_satellite(_customers(spark, range(40)),
+                          process_time=T0, **kwargs)
+    loader.load_satellite(_customers(spark, range(40, 60)),
+                          process_time=T1, **kwargs)
+    loader.load_satellite(_customers(spark, range(40, 60), flag=9),
+                          process_time=T2, **kwargs)
+    before = sorted(
+        tuple(r) for r in loader.read_history("cs").collect()
+    )
+    stats = loader.compact_history("cs", target_files=1)
+    assert stats["files_before"] > stats["files_after"]
+    assert stats["rows"] == len(before)
+    after = sorted(tuple(r) for r in loader.read_history("cs").collect())
+    assert after == before  # row-set equivalence
+    # prev.parquet holds the full pre-compaction recovery copy
+    prev = spark.read.parquet(loader._path("cs", "prev.parquet"))
+    assert sorted(tuple(r) for r in prev.collect()) == before
+    # current snapshot path still reads fine after the swap
+    assert loader.read_current("cs").count() == 60
+
+    # hub: id_type-partitioned history stays partitioned
+    hub_kw = dict(table="ch", entity_type="customer",
+                  id_fields=["cust_id"], id_type="customer")
+    loader.load_hub(_customers(spark, range(30)),
+                    process_time=T0, **hub_kw)
+    loader.load_hub(_customers(spark, range(30, 50)),
+                    process_time=T1, **hub_kw)
+    hb = sorted(tuple(r) for r in loader.read_history("ch").collect())
+    stats = loader.compact_history("ch")
+    assert stats["partition_by"] == ["id_type"]
+    assert stats["files_before"] > stats["files_after"]
+    names = loader._fs.list_names(loader._path("ch", "history.parquet"))
+    assert any(n.startswith("id_type=") for n in names)
+    ha = sorted(tuple(r) for r in loader.read_history("ch").collect())
+    assert ha == hb
+
+    # already-compact root: explicit no-op, nothing rewritten
+    noop = loader.compact_history("cs", target_files=1_000_000)
+    assert noop["files_before"] == noop["files_after"]
+    assert noop["rows"] is None
