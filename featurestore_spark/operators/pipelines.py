@@ -391,6 +391,17 @@ def crawl_pipeline(
         frontier, rules, url_col=url_col, host_col=host_col,
         keep_verdict=keep_stages, normalize=normalize,
     )
+    if keep_stages:
+        # audit mode branches the gated frame (dedup join, cap join,
+        # funnel verdicts), and Catalyst re-inlines the interpreted
+        # robots longest-match fold into a Filter per branch (4
+        # HOF-carrying Filters adjudicated through r13). The fence
+        # pins the fold as computed — downstream filters reference the
+        # boolean attribute, the fold appears once per scan, and the
+        # plan_audit entry dissolves (VERDICT r13 #6, the IVF de-HOF
+        # precedent). The single-pass keep_verdict=False path needs no
+        # fence: its one where() IS the operator, evaluated once.
+        gated = plan_fence(gated)
     allowed = (
         gated.where(F.col("robots_allowed")) if keep_stages else gated
     )

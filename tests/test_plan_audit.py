@@ -14,6 +14,10 @@ SF = "/root/testdata/sf0.001"
 # queries whose plans carried DUPLICATED HOF evaluations before the
 # r12 fences — a regression here means a fence was dropped
 FENCED_CLEAN = [
+    # r14: the crawl-frontier audit funnel cleared via the
+    # crawl_pipeline keep_stages fence (the verdict fold no longer
+    # re-inlines into a Filter per funnel branch)
+    "q_crawl_frontier",
     # r13: the IVF pair cleared via the native array cast (no HOF to
     # duplicate) — pinned clean alongside the fenced queries
     "q_ivf_topk",
@@ -34,8 +38,10 @@ FENCED_CLEAN = [
 ]
 
 # adjudicated single-eval predicates: pinned at their exact counts so
-# growth is visible (sample — the tool covers the full allowlist)
-ALLOWED_SAMPLE = ["q_crawl_frontier", "q_web_funnel", "q_fetch_schedule"]
+# growth is visible (sample — the tool covers the full allowlist).
+# (r14: q_crawl_frontier moved to FENCED_CLEAN — the audit-mode fence
+# cleared its 4 adjudicated fold-in-Filter entries.)
+ALLOWED_SAMPLE = ["q_web_funnel", "q_fetch_schedule"]
 
 
 def _flags(spark, name):

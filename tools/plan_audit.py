@@ -42,15 +42,16 @@ sys.path.insert(0, ".")
 # family), and fixture-synthesis CASE chains re-inlined into cheap
 # codegen'd filters (q_incremental_url_dedup).
 ALLOWLIST = {
-    # robots longest-match verdict fold — IS the politeness predicate,
-    # appearing once per funnel branch of the frontier capstone
-    # (r13: 5 -> 4 — the crawl_pipeline audit mode computes the
-    # verdict once and the funnel branches share it)
-    "q_crawl_frontier": 4,
-    # same fold, one appearance: crawl_pipeline's robots gate ahead of
-    # the fetch scheduler (r13 re-point at the library preset) — the
+    # (r14: q_crawl_frontier cleared 4 -> 0 — crawl_pipeline's audit
+    # mode now plan_fences the gated frame before the funnel branches,
+    # so downstream filters reference the robots verdict as a computed
+    # boolean instead of re-inlining the interpreted longest-match
+    # fold into a Filter per branch; VERDICT r13 #6)
+    # robots longest-match verdict fold, one appearance:
+    # crawl_pipeline's robots gate ahead of the fetch scheduler — the
     # predicate is the operator, evaluated once; nothing upstream
-    # recomputes it
+    # recomputes it (fencing the single-pass path would add a Generate
+    # for zero sharing gain)
     "q_fetch_schedule": 1,
     # constraint-propagated self-similarity filters on the (already
     # materialized) distinct-vector frames — one bounded interpreted
