@@ -339,3 +339,44 @@ def test_dedup_ladder_pipeline_reliable_mode_end_to_end(spark, tmp_path):
         spark.conf.unset(MATERIALIZE_CONF)
     ckpts = [p for p in (tmp_path / "ladder_ckpt").rglob("*") if p.is_file()]
     assert ckpts, "no reliable checkpoint files written"
+
+
+def test_gen_scale_distinct_text_contract(spark, tmp_path):
+    """VERDICT r13 #2: --distinct-text replicas must be genuinely
+    distinct documents (fuzzy-dedup exponents measure growth, not
+    replication invariance) while replica 0 keeps the source rows and
+    the fixture's n_chars == length(text) invariant holds. Pinned via
+    subprocess so the tool's CLI contract is what's tested."""
+    import subprocess
+    import sys
+
+    out = str(tmp_path / "d")
+    r = subprocess.run(
+        [sys.executable, "tools/gen_scale.py", "--src",
+         "/root/testdata/sf0.001", "--out", out, "--factor", "2",
+         "--distinct-text"],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    docs = spark.read.parquet(f"{out}/documents.parquet")
+    n_src = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).count()
+    assert docs.count() == 2 * n_src
+    a = docs.where(F.col("doc_id") < n_src).selectExpr(
+        "doc_id", "text AS t0")
+    b = docs.where(F.col("doc_id") >= n_src).selectExpr(
+        f"doc_id - {n_src} AS doc_id", "text AS t1")
+    j = a.join(b, "doc_id")
+    # no replica text equals its source text
+    assert j.where("t0 = t1").count() == 0
+    # ...but replicas share the vocabulary-statistics shape (within
+    # 2x length) — they are variations, not unrelated noise
+    assert j.where("length(t1) > 2 * length(t0) + 16").count() == 0
+    # fixture invariant holds everywhere
+    assert docs.where("n_chars <> length(text)").count() == 0
+    # replica 0 is the source corpus verbatim
+    src = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    assert a.join(
+        src.selectExpr("doc_id", "text AS ts"), "doc_id"
+    ).where("t0 <> ts").count() == 0

@@ -86,16 +86,23 @@ def main():
             # replica text keyed off the SHIFTED doc_id: replace every
             # ~5th token (content change — a rotation or suffix keeps
             # the shingle multiset and MinHash would still cluster the
-            # replicas); replica 0 keeps the source rows verbatim
+            # replicas), plus ONE unconditional doc_id-keyed position
+            # so even a 10-token doc cannot escape mutation (0.8^k
+            # passes short docs through verbatim otherwise); replica 0
+            # keeps the source rows verbatim
             toks = F.split(F.col("text"), " ")
+            forced = F.pmod(F.xxhash64(F.col("doc_id")), F.size(toks))
             mutated = F.concat_ws(
                 " ",
                 F.transform(
                     toks,
                     lambda w, i: F.when(
-                        F.pmod(
-                            F.xxhash64(F.col("doc_id"), i), F.lit(5)
-                        ) == 0,
+                        (
+                            F.pmod(
+                                F.xxhash64(F.col("doc_id"), i), F.lit(5)
+                            ) == 0
+                        )
+                        | (i == forced),
                         F.concat(
                             F.lit("w"),
                             F.pmod(
