@@ -16,6 +16,7 @@ warmup — judge by the median, or pass --drop-first).
 from __future__ import annotations
 
 import argparse
+import os
 import statistics
 import sys
 import time
@@ -82,9 +83,15 @@ def main() -> int:
     if unknown:
         print(f"unknown queries: {unknown}", file=sys.stderr)
         return 2
+    # match bench.py's measurement conditions: in local mode every
+    # executor thread shares the driver heap, and the 1g default
+    # (~30 MB/task at local[32]) OOMs the gram-explode aggregates on
+    # the 10x derived sets before they can spill
+    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g")
     spark = get_spark(
         "micro_bench", master=f"local[{args.cpus}]",
         shuffle_partitions=args.cpus,
+        extra_conf={"spark.driver.memory": driver_mem},
     )
     for name in args.queries:
         runs = []
