@@ -125,6 +125,7 @@ def refinedweb_pipeline(
         filter_urls,
         url_dedup,
     )
+    from featurestore_spark.operators.materialize import materialize
 
     if (terms is None) != (url_threshold is None):
         raise ValueError(
@@ -183,6 +184,19 @@ def refinedweb_pipeline(
         kept = kept.withColumn(text_col, extract(F.col(text_col)))
     kept = kept.select(id_col, text_col)
 
+    # Stage-boundary fence: extraction rewrote every surviving page
+    # body, and the corpus-wide stages below each consume their input
+    # MORE than once (dedup_lines' exact-dup collapse runs a groups
+    # pass and a members pass; dedup_keep_docs adds a third read for
+    # its final keep anti-join). Without a barrier here each of those
+    # passes re-executes the extraction lineage — measured 3×
+    # extraction + 3× curation per e2e run at sf0.01 (r14 probe).
+    # One corpus-sized materialization buys single-execution of the
+    # whole URL+extraction front; `materialize`'s reliable mode keeps
+    # the same trade durable on a real cluster.
+    if html_col is not None or extract is not None:
+        kept = materialize(kept)
+
     # 6. trained language-ID gate (the CCNet/RefinedWeb placement:
     # right after extraction, before any text-level correction)
     if lid_model is not None:
@@ -222,6 +236,21 @@ def refinedweb_pipeline(
             threshold=quality_threshold, top_frac=quality_top_frac,
             text_col=text_col, id_col=id_col,
         ).select(id_col, text_col)
+
+    # Second stage-boundary fence: the rule-based curation (a wide
+    # zero-exchange column fold — the single most compute-dense stage
+    # in the chain) and the quality gate stay LAZY, so without a
+    # barrier the fuzzy-dedup stage's three input reads would run the
+    # 13-signal fold three times over the full corpus (measured: the
+    # r14 sf0.01 probe attributed ~4s of q_refinedweb_e2e's fixed
+    # cost to exactly this re-execution). Fence only when one of
+    # those compute-bearing stages actually ran AND a multi-read
+    # consumer follows.
+    if dedup is not None and (
+        curate is not None or quality_model is not None
+        or line_max_docs is not None
+    ):
+        kept = materialize(kept)
 
     # 10. published-constant fuzzy dedup
     if dedup is not None:
