@@ -4337,6 +4337,7 @@ def q_dedup_ladder(spark, sf_dir):
         dedup_lines,
         remove_shared_spans,
     )
+    from featurestore_spark.operators.materialize import materialize
 
     built = _built_lines(load_table(spark, sf_dir, "documents"))
     # chained pipeline: explicit collapse_exact=True on BOTH stages
@@ -4348,8 +4349,14 @@ def q_dedup_ladder(spark, sf_dir):
     ld = dedup_lines(built, max_docs=1, collapse_exact=True).where(
         F.col("n_lines_kept") > 0
     )
+    # the collapse barrier protects the COUNTING side only; stage 2
+    # reads its input frame 3x (collapse groups + members passes,
+    # final re-attach), and each read would re-execute stage 1's
+    # rebuild shuffle — fence the slim inter-stage frame (docs/usage
+    # §11 chain guidance; measured at sf0.1 r14: 9.6s -> 6.6s warm)
     sp = remove_shared_spans(
-        ld.select("doc_id", "text"), n=5, min_df=2, collapse_exact=True
+        materialize(ld.select("doc_id", "text")),
+        n=5, min_df=2, collapse_exact=True,
     )
     return sp.select(
         "doc_id",
