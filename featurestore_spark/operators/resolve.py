@@ -88,11 +88,26 @@ def connected_components(
     # (e.g. shingle→minhash→LSH for dedup clustering) once per job.
     # Measured on q_dedup_clusters at sf0.1: 7.7s → materialized edges
     # make each round touch only the (tiny) vertex/edge frames.
-    fwd = edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+    # Symmetrize with ONE pass over the edge lineage: a self-union's
+    # two branches each execute the full upstream plan (ReuseExchange
+    # does not fire across union branches), so when `edges` is a
+    # computed pair list (LSH candidates + verify) the verify tail ran
+    # twice inside the materialization job. explode(array(fwd, rev))
+    # reads each input row once and emits both directions (r14).
     sym = (
-        fwd.unionByName(
-            edges.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b"))
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col(src_col).alias("a"), F.col(dst_col).alias("b")
+                    ),
+                    F.struct(
+                        F.col(dst_col).alias("a"), F.col(src_col).alias("b")
+                    ),
+                )
+            ).alias("_e")
         )
+        .select("_e.a", "_e.b")
         .distinct()
     )
     sym = materialize(sym)
