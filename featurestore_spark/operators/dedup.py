@@ -500,8 +500,16 @@ def dedup_keep_docs(
     cand = minhash_candidate_pairs(
         reps, text_col, id_col, n=n, k=k, bands=bands, max_bucket=max_bucket
     )
-    verified = jaccard_pairs(reps, cand, text_col=text_col, id_col=id_col, n=n).where(
-        F.col("jaccard") >= threshold
+    # materialized: the drops_a / drops_b branches below each read
+    # `verified`, and ReuseExchange does not fire across them — left
+    # lazy, the Jaccard verify (shingle build + set intersect per
+    # candidate pair, the most expensive part of this tail) ran once
+    # per branch. The verified pair list is tiny relative to the
+    # corpus, so the barrier costs one slim checkpoint (r14).
+    verified = materialize(
+        jaccard_pairs(reps, cand, text_col=text_col, id_col=id_col, n=n).where(
+            F.col("jaccard") >= threshold
+        )
     )
     # rep_id IS each group's minimum id, so for a verified rep pair
     # (A, B): B's members above A's rep id drop, and vice versa —
