@@ -759,9 +759,22 @@ def domain_pagerank(
         F.col(dst_col).alias("_dst"),
         w.alias("_w"),
     ).where(F.col("_src").isNotNull() & F.col("_dst").isNotNull())
+    if checkpoint_every is not None:
+        # materialize the edge frame once, BEFORE deriving nodes /
+        # outw / n_row: every iteration's contribution join re-reads
+        # it, and without truncation the whole upstream dataflow
+        # (href extraction, PSL chain, edge groupBy) would re-execute
+        # per iteration — and the setup frames below would each
+        # re-execute it again per read (the pre-r14 placement derived
+        # them from the PRE-checkpoint plan, so building `base` ran
+        # the upstream three times before the first iteration).
+        e = e.localCheckpoint(eager=False)
     nodes = (
-        e.select(F.col("_src").alias("domain"))
-        .union(e.select(F.col("_dst").alias("domain")))
+        # one pass over the edge frame: explode(array(src, dst))
+        # instead of a self-union, whose branches each re-read `e`
+        e.select(
+            F.explode(F.array(F.col("_src"), F.col("_dst"))).alias("domain")
+        )
         .distinct()
     )
     outw = (
@@ -772,12 +785,6 @@ def domain_pagerank(
     n_row = F.broadcast(
         nodes.agg(F.count(F.lit(1)).cast("double").alias("_n"))
     )
-    if checkpoint_every is not None:
-        # materialize the edge frame once: every iteration's
-        # contribution join re-reads it, and without truncation the
-        # whole upstream dataflow (href extraction, PSL chain, edge
-        # groupBy) would re-execute per iteration
-        e = e.localCheckpoint(eager=False)
     base = (
         nodes.join(outw, "domain", "left")
         .select("domain", F.coalesce("_outw", F.lit(0.0)).alias("_outw"))
