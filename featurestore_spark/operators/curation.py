@@ -34,7 +34,11 @@ from featurestore_spark.operators.dedup import (
     shingles,
     zipped_ngrams,
 )
-from featurestore_spark.operators.materialize import materialize, plan_fence
+from featurestore_spark.operators.materialize import (
+    fan_out,
+    materialize,
+    plan_fence,
+)
 from featurestore_spark.operators.text import clean_tokens, tokens
 
 # -- exact-collapse auto probe -------------------------------------------------
@@ -164,6 +168,7 @@ def repetition_metrics(
     shuffles: one projection per row (see module docstring).
     """
     m = _run_length_metrics(ngrams_all(text_col, n))
+    df = fan_out(df)  # per-row-heavy fold; no-op on multi-split inputs
     out = df.select(F.col(id_col), m.alias("_m")).select(
         F.col(id_col),
         F.col("_m.n_ngrams").alias("n_ngrams"),
@@ -413,6 +418,133 @@ def _positional_coverage_fold(toks: Column, grams: Column, target) -> Column:
     )
 
 
+_GOPHER_KERNEL_CONF = "spark.featurestore.gopher.kernel"
+
+_GOPHER_COUNTS_SCHEMA = (
+    "ln bigint, ldup bigint, ldc bigint, ltc bigint, "
+    "pn bigint, pdup bigint, pdc bigint, ptc bigint, "
+    "norm_len bigint, "
+    "gm2 bigint, gm3 bigint, gm4 bigint, gm5 bigint, gm6 bigint, "
+    "gm7 bigint, gm8 bigint, gm9 bigint, gm10 bigint"
+)
+
+_GOPHER_UDF_CACHE: dict[bool, object] = {}
+
+
+def _gopher_counts_udf(positional: bool):
+    """Arrow-vectorized kernel for the Gopher repetition INTEGER
+    counts (guide §4.2): tokenization/unit splitting stays JVM-side
+    (`clean_tokens` / the trim-split `units`), so the only Python work
+    is gram assembly + run counting over JVM-produced strings — the
+    part the Column formulation runs as interpreted per-element HOF
+    folds (9 per document). Fractions, rounding, thresholds and the
+    keep conjunction remain the SAME JVM expressions, so the operator's
+    values are unchanged (oracle-checked; fold-twin property test).
+
+    Count semantics replicated exactly:
+    - unit masses: per distinct unit with count c, c-1 duplicate units
+      and (c-1)*len duplicate chars; totals over occurrences;
+    - gm2..gm4 default: max over distinct grams of count*len;
+    - gm5..gm10 default: sum over distinct grams of (count-1)*len;
+    - positional: Rae et al. interval sweep over token positions, the
+      target being THE most frequent gram (ties to the
+      lexicographically smallest — UTF-8 byte order == code-point
+      order, so Python `min` agrees with UTF8String comparison) for
+      2-4 and the duplicated-gram set for 5-10;
+    - gm is NULL when the doc has no n-grams (fewer than n tokens).
+    """
+    if positional in _GOPHER_UDF_CACHE:
+        return _GOPHER_UDF_CACHE[positional]
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from collections import Counter
+
+    def _unit_mass(units: list) -> tuple:
+        c = Counter(units)
+        dup_n = dup_c = total = 0
+        for u, v in c.items():
+            lu = len(u)
+            total += lu * v
+            if v >= 2:
+                dup_n += v - 1
+                dup_c += (v - 1) * lu
+        return len(units), dup_n, dup_c, total
+
+    # hint-less signature (scalar eval type): see _minhash_sig_udf's
+    # note on `from __future__ import annotations` vs pandas_udf
+    @pandas_udf(_GOPHER_COUNTS_SCHEMA)
+    def counts(toks_s, lines_s, paras_s):
+        rows = []
+        for toks, lines, paras in zip(toks_s, lines_s, paras_s):
+            toks = list(toks) if toks is not None else []
+            ln, ldup, ldc, ltc = _unit_mass(
+                lines if lines is not None else []
+            )
+            pn, pdup, pdc, ptc = _unit_mass(
+                paras if paras is not None else []
+            )
+            L = len(toks)
+            norm_len = sum(map(len, toks)) + L - 1 if L else 0
+            gms = []
+            grams = toks
+            for n in range(2, 11):
+                # incremental extension — same construction as the
+                # JVM zip chain, one pass per n
+                grams = [
+                    a + " " + b for a, b in zip(grams, toks[n - 1 :])
+                ]
+                if not grams:
+                    gms.append(None)
+                    continue
+                c = Counter(grams)
+                if not positional:
+                    if n <= 4:
+                        gm = max(v * len(g) for g, v in c.items())
+                    else:
+                        gm = sum(
+                            (v - 1) * len(g)
+                            for g, v in c.items()
+                            if v >= 2
+                        )
+                else:
+                    if n <= 4:
+                        mx = max(c.values())
+                        target = min(
+                            g for g, v in c.items() if v == mx
+                        )
+                        dups = None
+                    else:
+                        target = None
+                        dups = {g for g, v in c.items() if v >= 2}
+                    pos = last = cov = 0
+                    ng = len(grams)
+                    for i, t in enumerate(toks):
+                        if i < ng:
+                            g = grams[i]
+                            if (g == target) if dups is None else (g in dups):
+                                newend = pos + len(g)
+                                cs = last if last > pos else pos
+                                if newend > cs:
+                                    cov += newend - cs
+                                if newend > last:
+                                    last = newend
+                        pos += len(t) + 1
+                    gm = cov
+                gms.append(gm)
+            rows.append(
+                (ln, ldup, ldc, ltc, pn, pdup, pdc, ptc, norm_len, *gms)
+            )
+        return pd.DataFrame(
+            rows,
+            columns=[f.split()[0] for f in _GOPHER_COUNTS_SCHEMA.split(", ")],
+            dtype=object,
+        )
+
+    _GOPHER_UDF_CACHE[positional] = counts
+    return counts
+
+
 # Rae et al. 2021, Appendix A1.1 (Table A1), repetition half: the
 # published maximum fractions. Keys are the output column names.
 GOPHER_REPETITION_THRESHOLDS = {
@@ -500,12 +632,66 @@ def gopher_repetition_rules(
                 f"gopher_repetition_rules: unknown thresholds {sorted(unknown)}"
             )
         thr.update(thresholds)
+    # per-row-heavy operator: un-starve single-split inputs (no-op on
+    # real multi-split tables — see materialize.fan_out)
+    df = fan_out(df)
     text = F.coalesce(F.col(text_col), F.lit(""))
 
     def units(sep: str) -> Column:
         return F.filter(
             F.transform(F.split(text, sep), lambda u: F.trim(u)),
             lambda u: u != F.lit(""),
+        )
+
+    # Arrow kernel (default): tokenization and unit splitting stay
+    # JVM-side; the per-gram run counting — interpreted per element in
+    # the fold formulation below — runs as one batched Python kernel,
+    # and every downstream fraction/threshold expression is IDENTICAL.
+    # `spark.featurestore.gopher.kernel=fold` pins the pure-Column
+    # path (portability / property-test twin).
+    if (
+        df.sparkSession.conf.get(_GOPHER_KERNEL_CONF, "arrow")
+        == "arrow"
+    ):
+        g = F.col("_gc")
+        out = df.withColumn(
+            "_gc",
+            _gopher_counts_udf(positional)(
+                clean_tokens(text_col), units("\n"), units("\n\n")
+            ),
+        )
+        cols = {}
+        for unit, pre in (("line", "l"), ("para", "p")):
+            cols[f"dup_{unit}_frac"] = F.round(
+                F.try_divide(g.getField(f"{pre}dup"), g.getField(f"{pre}n")),
+                4,
+            )
+            cols[f"dup_{unit}_char_frac"] = F.round(
+                F.try_divide(g.getField(f"{pre}dc"), g.getField(f"{pre}tc")),
+                4,
+            )
+        for n in (2, 3, 4):
+            cols[f"top_{n}gram_char_frac"] = F.round(
+                F.try_divide(g.getField(f"gm{n}"), g.getField("norm_len")),
+                4,
+            )
+        for n in range(5, 11):
+            cols[f"dup_{n}gram_char_frac"] = F.round(
+                F.try_divide(g.getField(f"gm{n}"), g.getField("norm_len")),
+                4,
+            )
+        out = out.withColumns(cols)
+        keep = None
+        for name, t in thr.items():
+            c = F.col(name) <= F.lit(t)
+            keep = c if keep is None else (keep & c)
+        return plan_fence(
+            out.select(
+                id_col,
+                *passthrough,
+                *cols.keys(),
+                F.coalesce(keep, F.lit(False)).alias("keep"),
+            )
         )
 
     out = df.withColumns(

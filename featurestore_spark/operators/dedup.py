@@ -268,9 +268,14 @@ def _seed_arrays(k: int) -> tuple[Column, Column]:
     return a, b
 
 
-def minhash_signature_array(shingle_col: Column, k: int = 16) -> Column:
+def _minhash_signature_fold(shingle_col: Column, k: int = 16) -> Column:
     """array<long> of k MinHash values, computed in one fold over the
-    shingle hashes — no explode, no shuffle, no per-seed rescan."""
+    shingle hashes — no explode, no shuffle, no per-seed rescan.
+
+    HOF lambdas run INTERPRETED per element, so this costs ~2k
+    interpreted expression evaluations per shingle (k=112 → ~500
+    ops/shingle); kept as the reference/portability formulation and
+    the property-test twin of the vectorized path below."""
     a_arr, b_arr = _seed_arrays(k)
 
     def step(acc: Column, h: Column) -> Column:
@@ -282,6 +287,80 @@ def minhash_signature_array(shingle_col: Column, k: int = 16) -> Column:
         F.array_repeat(F.lit(MINHASH_P).cast("long"), k),
         step,
     )
+
+
+_SIG_UDF_CACHE: dict[int, object] = {}
+
+
+def _minhash_sig_udf(k: int):
+    """Arrow-vectorized MinHash signature kernel (guide §4.2): per doc,
+    the k affine minima over the 28-bit shingle hashes as ONE numpy
+    matrix reduction instead of an interpreted 2k-lambda fold per
+    shingle. Only integers cross the Python boundary (the md5 shingle
+    hashing stays JVM-side in `shingle_hashes`), so the arithmetic is
+    bit-identical to the fold: int64 products stay < 2^59 (a < 2^31,
+    h < 2^28), and numpy `%` on non-negatives == JVM `%` on
+    non-negatives. Fold edge semantics preserved: NULL array → NULL,
+    empty array → [P]*k, NULL elements skipped (`least` ignores NULL).
+    """
+    if k in _SIG_UDF_CACHE:
+        return _SIG_UDF_CACHE[k]
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    a_list, b_list = _minhash_seeds(k)
+    A = np.asarray(a_list, dtype=np.int64)[:, None]
+    B = np.asarray(b_list, dtype=np.int64)[:, None]
+    # bound the k x chunk work matrix to ~32 MB so a k=9000 preset on a
+    # many-shingle doc never balloons one row's scratch allocation
+    chunk = max(1, 4_000_000 // k)
+
+    # no type hints: the module uses `from __future__ import
+    # annotations`, whose stringized hints pandas_udf cannot resolve
+    # against module globals (pandas is imported lazily here) — the
+    # hint-less form defaults to the same scalar eval type
+    @pandas_udf("array<bigint>")
+    def sig(hashes):
+        out = []
+        for hs in hashes:
+            if hs is None:
+                out.append(None)
+                continue
+            H = np.asarray(hs)
+            if H.dtype != np.int64:  # nulls arrived as NaN/objects
+                H = H[~pd.isnull(H)].astype(np.int64, copy=False)
+            acc = np.full(k, MINHASH_P, dtype=np.int64)
+            for i in range(0, H.size, chunk):
+                m = (A * H[None, i : i + chunk] + B) % MINHASH_P
+                np.minimum(acc, m.min(axis=1), out=acc)
+            out.append(acc)
+        return pd.Series(out)
+
+    _SIG_UDF_CACHE[k] = sig
+    return sig
+
+
+_MINHASH_KERNEL_CONF = "spark.featurestore.minhash.kernel"
+
+
+def minhash_signature_array(shingle_col: Column, k: int = 16) -> Column:
+    """array<long> of k MinHash values — same affine family and seed
+    tables as always (the DuckDB oracles replay it exactly), computed
+    by the vectorized Arrow kernel: the shingle md5 hashing stays in
+    the JVM, only (hash array in, signature array out) integers cross
+    the Python boundary. `spark.featurestore.minhash.kernel=fold`
+    pins the pure-Column interpreted fold
+    (`_minhash_signature_fold`, the property-test twin)."""
+    from pyspark.sql import SparkSession
+
+    active = SparkSession.getActiveSession()
+    kernel = (
+        active.conf.get(_MINHASH_KERNEL_CONF, "arrow") if active else "arrow"
+    )
+    if kernel == "fold":
+        return _minhash_signature_fold(shingle_col, k)
+    return _minhash_sig_udf(k)(shingle_hashes(shingle_col))
 
 
 def minhash_bands(

@@ -64,6 +64,43 @@ def materialize(df: DataFrame) -> DataFrame:
     )
 
 
+FAN_OUT_CONF = "spark.featurestore.fanout"
+
+
+def fan_out(df: DataFrame) -> DataFrame:
+    """Scale-adaptive input fan-out for per-row-HEAVY operators
+    (optimization guide §2.5 "input skew"): a small table written as
+    one file/row group yields a one-task scan no matter the core
+    count — `maxPartitionBytes` cannot split inside a row group — so
+    an operator whose cost is per-row compute (the Gopher repetition
+    kernel, NB/LID gram explodes, main-content block scoring) runs on
+    ONE core of N. When the input frame plans to fewer than half the
+    session's parallelism, round-robin repartition to the session
+    default; otherwise pass through untouched. On real multi-split
+    inputs (any table at scale) the check is a driver-side no-op and
+    no exchange is added.
+
+    Apply ONLY where per-row compute dominates: for shuffle-bound
+    pipelines (LSH banding, joins, aggregations) the added exchange +
+    task fan-out of a tiny input was MEASURED as a net loss at sf0.1
+    (q_minhash_pairs 2.3s -> 3.7s, q_incremental_dedup 7s -> 16s —
+    the r14 load-level-fanout rejection), which is why this sits in
+    chosen operators and not in the table loader.
+    `spark.featurestore.fanout=off` disables it globally (A/B knob).
+    """
+    spark = df.sparkSession
+    if spark.conf.get(FAN_OUT_CONF, "auto") == "off":
+        return df
+    par = spark.sparkContext.defaultParallelism
+    try:
+        cur = df.rdd.getNumPartitions()
+    except Exception:
+        return df
+    if 2 * cur >= par:
+        return df
+    return df.repartition(par)
+
+
 def plan_fence(df: DataFrame) -> DataFrame:
     """Zero-cost Catalyst fence: re-emit every column through a
     one-element ``explode`` (a Generate node), so downstream filters

@@ -110,9 +110,15 @@ def lid_fit(
     the (gram_counts, class_stats) model frames; persist them like
     any other model table and classify with `lid_classify` (same
     ``n``)."""
+    from featurestore_spark.operators.materialize import fan_out
     from featurestore_spark.operators.search import fit_nb_classifier
 
-    normed = docs.select(
+    # char n-grams explode ~|text| rows per doc before the counting
+    # aggregate's first exchange — per-row-heavy, so un-starve
+    # single-split inputs (no-op on multi-split tables; the word-level
+    # NB callers stay un-fanned: their per-doc explode is ~10x
+    # lighter and the exchange was measured a net loss)
+    normed = fan_out(docs).select(
         F.col(label_col), lid_normalize(text_col).alias("_lid_norm")
     )
     return fit_nb_classifier(
@@ -137,9 +143,11 @@ def lid_classify(
     the model only on grams that occur (sparse gram-keyed join, AQE
     broadcast for real-size models), everything downstream is
     (docs × languages)-bounded."""
+    from featurestore_spark.operators.materialize import fan_out
     from featurestore_spark.operators.search import nb_classify
 
-    normed = docs.select(
+    # see lid_fit: the char-gram explode is per-row-heavy
+    normed = fan_out(docs).select(
         F.col(id_col), lid_normalize(text_col).alias("_lid_norm")
     )
     out = nb_classify(

@@ -6000,7 +6000,11 @@ def q_main_content(spark, sf_dir):
         main_content_blocks,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
+    from featurestore_spark.operators.materialize import fan_out
+
+    # block scoring is per-row-heavy regex/HOF work with no exchange:
+    # un-starve the one-row-group testdata scan (no-op at scale)
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     html = F.concat(
         F.lit(
             '<html><head><title>t</title><style>p{color:red}</style>'

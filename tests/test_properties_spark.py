@@ -883,26 +883,33 @@ def test_gopher_repetition_matches_reference_both_modes(spark, texts):
     )
     signal_names = list(GOPHER_REPETITION_THRESHOLDS)
     by_mode = {}
-    for positional in (False, True):
-        got = {
-            r["doc_id"]: r
-            for r in gopher_repetition_rules(
-                df, positional=positional
-            ).collect()
-        }
-        by_mode[positional] = got
-        for i, t in enumerate(texts):
-            want = _grt_reference(t, positional)
-            for name in signal_names:
-                assert got[i][name] == want[name], (
-                    f"positional={positional} doc={i} {name} "
-                    f"text={t!r}: {got[i][name]} != {want[name]}"
+    # both execution kernels (r14: the Arrow batch kernel is the
+    # default; the Column-fold path is its portability twin) must
+    # match the independent reference on the same fuzzed corpus
+    for kernel in ("arrow", "fold"):
+        spark.conf.set("spark.featurestore.gopher.kernel", kernel)
+        for positional in (False, True):
+            got = {
+                r["doc_id"]: r
+                for r in gopher_repetition_rules(
+                    df, positional=positional
+                ).collect()
+            }
+            by_mode[positional] = got
+            for i, t in enumerate(texts):
+                want = _grt_reference(t, positional)
+                for name in signal_names:
+                    assert got[i][name] == want[name], (
+                        f"kernel={kernel} positional={positional} "
+                        f"doc={i} {name} "
+                        f"text={t!r}: {got[i][name]} != {want[name]}"
+                    )
+                keep = all(
+                    want[name] is not None and want[name] <= thr
+                    for name, thr in GOPHER_REPETITION_THRESHOLDS.items()
                 )
-            keep = all(
-                want[name] is not None and want[name] <= thr
-                for name, thr in GOPHER_REPETITION_THRESHOLDS.items()
-            )
-            assert got[i]["keep"] == keep, (positional, i, t)
+                assert got[i]["keep"] == keep, (kernel, positional, i, t)
+    spark.conf.unset("spark.featurestore.gopher.kernel")
     # the documented ordering: for the TOP grams the occurrence mass
     # count*len IS an upper bound of positional coverage. (For the
     # dup grams the two modes are incomparable — the default counts

@@ -1646,6 +1646,69 @@ def test_seed_arrays_match_minhash_seeds_beyond_pinned(spark):
     assert list(row["b"]) == b_ref
 
 
+def test_minhash_arrow_kernel_matches_fold(spark):
+    """The Arrow/numpy signature kernel (r14, the default) must be
+    bit-equal to the interpreted Column fold on every edge the fold
+    defines: normal docs, docs shorter than n (whole-text shingle),
+    empty and NULL text, and a k past the 32 pinned seeds (the
+    Knuth/Weyl extension range the presets use)."""
+    from pyspark.sql import functions as F
+
+    from featurestore_spark.operators.dedup import (
+        _minhash_signature_fold,
+        minhash_signature_array,
+        shingles,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "plain words repeated words plain words again and again"),
+            (2, "xy"),          # shorter than n: whole text is the shingle
+            (3, ""),            # empty: [""] single shingle
+            (4, None),          # NULL text
+            (5, "a b c d e f g h i j k l m n o p q r s t u v w x y z"),
+        ],
+        "doc_id long, text string",
+    )
+    for k, n in ((16, 3), (112, 5)):
+        sh = shingles("text", n)
+        got = docs.select(
+            "doc_id", minhash_signature_array(sh, k).alias("sig")
+        ).collect()
+        want = {
+            r["doc_id"]: r["sig"]
+            for r in docs.select(
+                "doc_id", _minhash_signature_fold(sh, k).alias("sig")
+            ).collect()
+        }
+        for r in got:
+            assert list(r["sig"]) == list(want[r["doc_id"]]), (k, r["doc_id"])
+
+
+def test_fan_out_unstarves_only_narrow_inputs(spark):
+    """fan_out (r14): a single-partition frame is widened to the
+    session's default parallelism; a frame already at >= half the
+    parallelism passes through with its plan untouched; the `off`
+    conf pins the no-op (the A/B knob the r14 measurements used)."""
+    from featurestore_spark.operators.materialize import fan_out
+
+    par = spark.sparkContext.defaultParallelism
+    narrow = spark.range(0, 1000).coalesce(1)
+    assert narrow.rdd.getNumPartitions() == 1
+    widened = fan_out(narrow)
+    assert widened.rdd.getNumPartitions() == par
+    assert widened.count() == 1000
+
+    wide = spark.range(0, 1000).repartition(par)
+    assert fan_out(wide) is wide  # pass-through, not a new plan node
+
+    spark.conf.set("spark.featurestore.fanout", "off")
+    try:
+        assert fan_out(narrow) is narrow
+    finally:
+        spark.conf.unset("spark.featurestore.fanout")
+
+
 def test_dedup_keep_best_null_texts(spark):
     """Two NULL-text docs form one exact-dup group (the collapse hashes
     NULLs together) — keep-best keeps exactly one of them, and the
