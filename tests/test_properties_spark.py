@@ -1309,3 +1309,38 @@ def test_main_content_blocks_matches_python_replica(spark, pieces):
             g,
             w,
         )
+
+
+# -- char_ngrams zip construction vs the substr reference ---------------------
+
+
+_ngram_text = st.text(
+    alphabet=st.sampled_from(list("ab c") + ["é", "中", "\U0001F600"]),
+    min_size=0,
+    max_size=24,
+)
+
+
+@given(texts=st.lists(_ngram_text, min_size=1, max_size=10), n=st.sampled_from([2, 3, 4]))
+@settings(**SPARK_SETTINGS)
+def test_char_ngrams_zip_matches_substr(spark, texts, n):
+    """The O(L·n) split/zip_with construction (r14) must produce the
+    exact gram list of the original O(L²) substr form — code-point
+    positions, surrogate pairs intact, shorter-than-n → empty array."""
+    from featurestore_spark.operators.text import char_ngrams
+
+    def substr_ref(col):
+        return F.when(
+            F.length(col) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.length(col) - (n - 1)),
+                lambda i: col.substr(i, F.lit(n)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    df = spark.createDataFrame([(t,) for t in texts], "t string")
+    rows = df.select(
+        char_ngrams(F.col("t"), n).alias("zip"), substr_ref(F.col("t")).alias("ref")
+    ).collect()
+    for r, t in zip(rows, texts):
+        assert r["zip"] == r["ref"], (t, n, r["zip"], r["ref"])
