@@ -517,6 +517,7 @@ def hashed_ngram_features(
     *,
     n_buckets: int = 10_000,
     include_bigrams: bool = True,
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Per-document hashed n-gram feature stream (id, bucket): each
     unigram (and bigram, by default) hashes into one of ``n_buckets``
@@ -524,7 +525,13 @@ def hashed_ngram_features(
     the feature extraction of Data Selection via Importance Resampling
     (DSIR; Xie et al. 2023), which fits bag-of-hashed-ngram unigram
     models over these buckets. Occurrences keep their multiplicity
-    (bag semantics). One scan, no shuffle — the consumer aggregates."""
+    (bag semantics). One scan, no shuffle — the consumer aggregates.
+
+    ``carry_cols`` names source columns replicated onto every feature
+    row: extract ONCE over a corpus carrying its domain/split label,
+    then derive per-domain models by filtering the shared stream
+    instead of re-tokenizing per domain (filter commutes with the
+    per-row projection+explode, so counts are identical)."""
     from featurestore_spark.operators.dedup import zipped_ngrams
     from featurestore_spark.operators.text import clean_tokens
 
@@ -537,12 +544,13 @@ def hashed_ngram_features(
         grams = F.concat(toks, bigrams)
     from featurestore_spark.operators.materialize import plan_fence
 
+    carry = [F.col(c) for c in carry_cols]
     return plan_fence(
-        df.select(F.col(id_col), grams.alias("_grams"))
+        df.select(F.col(id_col), *carry, grams.alias("_grams"))
     ).select(
-        F.col(id_col), F.explode("_grams").alias("_g")
+        F.col(id_col), *carry, F.explode("_grams").alias("_g")
     ).select(
-        id_col, hash_bucket(F.col("_g"), n_buckets).alias("bucket")
+        id_col, *carry_cols, hash_bucket(F.col("_g"), n_buckets).alias("bucket")
     )
 
 
@@ -553,19 +561,26 @@ def hashed_ngram_model(
     *,
     n_buckets: int = 10_000,
     include_bigrams: bool = True,
+    features: DataFrame | None = None,
 ) -> DataFrame:
     """(bucket, count) bag-of-hashed-ngrams model over a corpus — at
     most ``n_buckets`` rows regardless of corpus size (the sufficient
     statistic for DSIR's unigram bucket model). One scan + one
-    map-side-combined aggregate on the bucket key."""
-    return (
-        hashed_ngram_features(
+    map-side-combined aggregate on the bucket key.
+
+    Pass ``features`` (a :func:`hashed_ngram_features` frame, possibly
+    filtered by a carried domain column) to fit from a shared
+    extracted stream instead of re-tokenizing ``df`` — the caller owns
+    the stream's consistency with the extraction knobs."""
+    feats = (
+        features
+        if features is not None
+        else hashed_ngram_features(
             df, text_col, id_col,
             n_buckets=n_buckets, include_bigrams=include_bigrams,
         )
-        .groupBy("bucket")
-        .agg(F.count(F.lit(1)).alias("count"))
     )
+    return feats.groupBy("bucket").agg(F.count(F.lit(1)).alias("count"))
 
 
 def dsir_log_weights(

@@ -819,6 +819,7 @@ def mine_hard_negatives(
     query_id_col: str = "query_id",
     term_col: str = "term",
     score_decimals: int = 6,
+    hits: DataFrame | None = None,
 ) -> DataFrame:
     """BM25 hard negatives for retriever training (the standard
     DPR/sentence-transformers mining recipe): retrieve the top
@@ -834,17 +835,30 @@ def mine_hard_negatives(
     (training pairs) can itself be large — and the re-rank window
     runs over <= depth rows per query (WindowGroupLimit territory).
     Depth must exceed k by enough to survive positive removal; rows
-    short of k negatives return what exists (no padding)."""
+    short of k negatives return what exists (no padding).
+
+    Pass ``hits`` (a (query_id, rank, doc_id, score) frame ranked at
+    least ``depth`` deep — a persisted :func:`bm25_topk` result) to
+    skip the internal retrieval pass: when the positives are
+    themselves derived from the same ranking (top-1 as the simulated
+    label), scoring the corpus once and mining from the shared frame
+    halves the corpus scans; the caller owns the frame's consistency
+    with ``docs``/``queries``."""
     if k < 1 or depth < k:
         raise ValueError(
             f"mine_hard_negatives: need depth >= k >= 1, got k={k} depth={depth}"
         )
-    hits = bm25_topk(
-        docs, queries,
-        k=depth, id_col=id_col, text_col=text_col,
-        query_id_col=query_id_col, term_col=term_col,
-        score_decimals=score_decimals,
-    )
+    if hits is None:
+        hits = bm25_topk(
+            docs, queries,
+            k=depth, id_col=id_col, text_col=text_col,
+            query_id_col=query_id_col, term_col=term_col,
+            score_decimals=score_decimals,
+        )
+    else:
+        # a deeper-ranked frame mines the same negatives as an
+        # internal depth-k retrieval would — cut it to the contract
+        hits = hits.where(F.col("rank") <= depth)
     pos = positives.select(
         F.col(query_id_col).alias("query_id"), F.col(id_col)
     )

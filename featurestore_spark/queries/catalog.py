@@ -5776,17 +5776,26 @@ def q_ngram_novelty(spark, sf_dir):
     "table, so the corpus shuffles only on the per-doc sum.",
 )
 def q_dsir_weights(spark, sf_dir):
+    from featurestore_spark.operators.materialize import materialize
     from featurestore_spark.operators.sampling import (
         dsir_log_weights,
+        hashed_ngram_features,
         hashed_ngram_model,
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    target = docs.where(F.col("source") == "src0")
+    # tokenize+hash the corpus ONCE (carrying the domain label) and
+    # derive all three consumers — target model, raw model, scoring
+    # stream — from the materialized feature frame; the naive
+    # composition re-extracts the corpus three times (target model,
+    # raw model, scoring). Filter-after-extract is count-identical to
+    # extract-after-filter (per-row projection+explode commutes).
+    feats = materialize(hashed_ngram_features(docs, carry_cols=("source",)))
     return dsir_log_weights(
         docs,
-        hashed_ngram_model(target),
-        hashed_ngram_model(docs),
+        hashed_ngram_model(docs, features=feats.where(F.col("source") == "src0")),
+        hashed_ngram_model(docs, features=feats),
+        features=feats.select("doc_id", "bucket"),
     )
 
 
@@ -6438,12 +6447,19 @@ def q_curation_funnel(spark, sf_dir):
     "anti-join and a per-query window.",
 )
 def q_hard_negatives(spark, sf_dir):
+    from featurestore_spark.operators.materialize import materialize
     from featurestore_spark.operators.search import bm25_topk, mine_hard_negatives
 
     docs = load_table(spark, sf_dir, "documents")
     q = _bm25_queries(spark)
-    positives = bm25_topk(docs, q, k=1).select("query_id", "doc_id")
-    return mine_hard_negatives(docs, q, positives, k=5, depth=10)
+    # the simulated positive IS rank 1 of the same ranking the miner
+    # retrieves from — score the corpus once at depth and share the
+    # materialized ranking (tiny: <= depth rows/query) between the
+    # positive derivation and the mining pass, instead of running the
+    # full BM25 corpus scan + postings shuffle twice
+    hits = materialize(bm25_topk(docs, q, k=10))
+    positives = hits.where(F.col("rank") == 1).select("query_id", "doc_id")
+    return mine_hard_negatives(docs, q, positives, k=5, depth=10, hits=hits)
 
 
 # ---------------------------------------------------------------------------

@@ -366,6 +366,27 @@ def test_mine_hard_negatives_excludes_positives(spark, corpus):
         mine_hard_negatives(corpus, q, positives, k=5, depth=3)
 
 
+def test_mine_hard_negatives_shared_hits_matches_internal_retrieval(spark, corpus):
+    """hits= (a precomputed bm25_topk frame) must mine the identical
+    negatives as the internal retrieval — including when the shared
+    frame is ranked DEEPER than depth (the function cuts it to the
+    contract)."""
+    from featurestore_spark.operators.search import bm25_topk, mine_hard_negatives
+
+    q = spark.createDataFrame(
+        [(0, "cat"), (0, "mat"), (1, "the")], "query_id long, term string"
+    )
+    all_hits = bm25_topk(corpus, q, k=10)
+    positives = all_hits.where("rank = 1").select("query_id", "doc_id")
+    internal = mine_hard_negatives(corpus, q, positives, k=3, depth=5)
+    shared = mine_hard_negatives(
+        corpus, q, positives, k=3, depth=5, hits=all_hits
+    )
+    assert sorted(map(tuple, shared.collect())) == sorted(
+        map(tuple, internal.collect())
+    )
+
+
 def test_ccnet_perplexity_buckets(spark):
     """CCNet thirds-by-token-mass: hand-computable histogram walk,
     value-level assignment (equal scores share a bucket), unscoreable

@@ -1520,6 +1520,51 @@ def test_dsir_weights_with_precomputed_features(spark):
     assert via_feats == direct and len(direct) == 6
 
 
+def test_dsir_single_extraction_pass_matches_per_domain_fits(spark):
+    """carry_cols + model-from-filtered-features: one shared
+    extraction with the domain label carried equals re-tokenizing
+    each domain (filter commutes with the projection+explode), so the
+    whole DSIR pipeline over the shared frame is value-identical to
+    the naive three-extraction composition."""
+    from featurestore_spark.operators.sampling import (
+        dsir_log_weights,
+        hashed_ngram_features,
+        hashed_ngram_model,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (i, f"some words number {i % 4} in common", f"src{i % 2}")
+            for i in range(8)
+        ],
+        "doc_id long, text string, source string",
+    )
+    target = docs.where(F.col("source") == "src0")
+    naive = sorted(
+        map(
+            tuple,
+            dsir_log_weights(
+                docs, hashed_ngram_model(target), hashed_ngram_model(docs)
+            ).collect(),
+        )
+    )
+    feats = hashed_ngram_features(docs, carry_cols=("source",))
+    shared = sorted(
+        map(
+            tuple,
+            dsir_log_weights(
+                docs,
+                hashed_ngram_model(
+                    docs, features=feats.where(F.col("source") == "src0")
+                ),
+                hashed_ngram_model(docs, features=feats),
+                features=feats.select("doc_id", "bucket"),
+            ).collect(),
+        )
+    )
+    assert shared == naive and len(naive) == 8
+
+
 def test_repeat_epochs_null_key_gets_floor_copies(spark):
     from featurestore_spark.operators.sampling import repeat_epochs
 
