@@ -237,10 +237,20 @@ def test_round8_web_query_plan_shapes(spark):
     assert "SortMergeJoin" not in p, "blocklist join degraded to SMJ"
 
     # Round-9 Gopher repetition half: 13 signals over 9 n-gram sizes,
-    # still ONE zero-exchange scan (per-doc in-plan folds, never a
-    # corpus aggregate)
+    # still ONE scan with per-doc signals only (never a corpus
+    # aggregate). Since r14 the starved single-split scan is fanned out
+    # through ONE RoundRobin repartition (operators/materialize.py:
+    # fan_out) — a data-movement-only exchange; the invariant this pin
+    # guards is that no shuffle-BY-KEY (hashpartitioning) ever appears.
     p = plan("q_gopher_repetition")
-    assert "Exchange" not in p, "q_gopher_repetition gained a shuffle"
+    assert "hashpartitioning" not in p.lower(), (
+        "q_gopher_repetition gained a key shuffle"
+    )
+    for line in p.splitlines():
+        if "Exchange" in line:
+            assert "RoundRobinPartitioning" in line, (
+                f"non-fanout exchange appeared: {line.strip()[:120]}"
+            )
     assert "Join" not in p
 
 
