@@ -387,9 +387,12 @@ def main():
         os.path.dirname(os.path.abspath(__file__)), "bench_full.json"
     )
     prev_map: dict[str, float] = {}
+    prev_control = 0.0
     try:
         with open(sidecar) as f:
-            prev_map = json.load(f).get("queries", {}) or {}
+            _prev_sidecar = json.load(f)
+        prev_map = _prev_sidecar.get("queries", {}) or {}
+        prev_control = float(_prev_sidecar.get("tpch_control_wall") or 0.0)
     except (OSError, ValueError):
         prev_map = {}
     flagged = flag_for_solo(timings, suite_noise, prev_map)
@@ -421,6 +424,13 @@ def main():
         gc.collect()
         spark.catalog.clearCache()
 
+    # Self-verification fields (VERDICT r14 #2): the actual
+    # parallelism the session ran with — the driver's scaling probe
+    # can now confirm $SPARK_GRAFT_CPUS took effect instead of
+    # inferring it from core-insensitive ratios (the r14
+    # suspect_cpus_ignored false positive).
+    default_parallelism = spark.sparkContext.defaultParallelism
+
     total = round(sum(timings.values()), 3)
     tpch_control = round(
         sum(t for q, t in timings.items() if q in set(TPCH_CONTROL)), 3
@@ -441,6 +451,25 @@ def main():
     control_normalized_min = (
         round(total_min / tpch_control_min, 3) if tpch_control_min else None
     )
+    # Worst-movers digest (VERDICT r14 #2): the one-line JSON's top-5
+    # made the driver's round-over-round per_query comparison top-5
+    # churn (n_common=1 in PERF_r14). Emit the 10 worst HOST-ADJUSTED
+    # movers vs the previous committed sidecar — ratio = (now ÷
+    # control-drift) ÷ prev, so a host 2x slower overall reads ~1.0,
+    # not 2.0. Additions only: the headline `value` semantics are
+    # untouched, and the digest is empty on a first run (no sidecar).
+    worst_movers: dict[str, float] = {}
+    if prev_map and prev_control > 0 and tpch_control > 0:
+        drift = tpch_control / prev_control
+        movers = {
+            q: round(t / drift / prev_map[q], 2)
+            for q, t in timings.items()
+            if prev_map.get(q, 0) > 0
+        }
+        worst_movers = dict(
+            sorted(movers.items(), key=lambda kv: -kv[1])[:10]
+        )
+
     # Full per-query map goes to a sidecar file: at 80+ queries the
     # inline map outgrew the driver's stdout tail-capture window and
     # BENCH_r05.json recorded parsed:null. The stdout line stays short
@@ -463,7 +492,10 @@ def main():
                 "sf": sf,
                 "repeats": repeats,
                 "passes": passes,
+                "default_parallelism": default_parallelism,
                 "pass2_skipped_queries": pass2_truncated,
+                "worst_movers_vs_prev": worst_movers,
+                "prev_tpch_control_wall": prev_control,
                 "queries_by_pass": by_pass,
                 "suite_noise": suite_noise,
                 "solo_rerun": solo_rerun,
@@ -488,6 +520,10 @@ def main():
                 "control_normalized_total_min": control_normalized_min,
                 "sf": sf,
                 "repeats": repeats,
+                "default_parallelism": default_parallelism,
+                "pass2_skipped_queries": pass2_truncated,
+                "worst_movers_vs_prev": worst_movers,
+                "prev_tpch_control_wall": prev_control,
                 "full_map": "bench_full.json",
             }
         ),

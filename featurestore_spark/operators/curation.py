@@ -648,11 +648,18 @@ def gopher_repetition_rules(
     # the fold formulation below — runs as one batched Python kernel,
     # and every downstream fraction/threshold expression is IDENTICAL.
     # `spark.featurestore.gopher.kernel=fold` pins the pure-Column
-    # path (portability / property-test twin).
-    if (
-        df.sparkSession.conf.get(_GOPHER_KERNEL_CONF, "arrow")
-        == "arrow"
-    ):
+    # path (portability / property-test twin). The kernel needs
+    # pandas/pyarrow on the workers (ADVICE r14) — when the driver
+    # import fails, degrade to the fold path instead of erroring.
+    use_arrow = (
+        df.sparkSession.conf.get(_GOPHER_KERNEL_CONF, "arrow") == "arrow"
+    )
+    if use_arrow:
+        try:
+            _gopher_counts_udf(positional)
+        except ImportError:
+            use_arrow = False  # no pandas: pure-Column fold below
+    if use_arrow:
         g = F.col("_gc")
         out = df.withColumn(
             "_gc",

@@ -35,7 +35,11 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from featurestore_spark.operators.materialize import materialize
-from featurestore_spark.operators.text import normalized_fingerprint, tokens
+from featurestore_spark.operators.text import (
+    _SLICE_REST,
+    normalized_fingerprint,
+    tokens,
+)
 
 
 # -- exact ------------------------------------------------------------------
@@ -55,8 +59,6 @@ def exact_dedup(
 
 # -- shingling / minhash ------------------------------------------------------
 
-
-_SLICE_REST = 10_000_000  # "rest of array" length bound for F.slice
 
 _H2_SEED = 0x9E3779B9  # second xxhash64 seed for 128-bit keys
 
@@ -344,23 +346,41 @@ def _minhash_sig_udf(k: int):
 _MINHASH_KERNEL_CONF = "spark.featurestore.minhash.kernel"
 
 
-def minhash_signature_array(shingle_col: Column, k: int = 16) -> Column:
+def minhash_signature_array(
+    shingle_col: Column, k: int = 16, *, session=None
+) -> Column:
     """array<long> of k MinHash values — same affine family and seed
     tables as always (the DuckDB oracles replay it exactly), computed
     by the vectorized Arrow kernel: the shingle md5 hashing stays in
     the JVM, only (hash array in, signature array out) integers cross
     the Python boundary. `spark.featurestore.minhash.kernel=fold`
     pins the pure-Column interpreted fold
-    (`_minhash_signature_fold`, the property-test twin)."""
-    from pyspark.sql import SparkSession
+    (`_minhash_signature_fold`, the property-test twin).
 
-    active = SparkSession.getActiveSession()
+    Conf resolution (ADVICE r14): pass ``session=`` (DataFrame-level
+    operators thread their ``df.sparkSession``) so the kernel conf is
+    read from the frame's OWN session at operator-call time — the
+    same binding the gopher knob uses. Without ``session=`` this is a
+    bare-Column expression and the conf binds at CONSTRUCTION time
+    from the active session (set the conf before building the frame).
+    The Arrow kernel needs pandas/numpy on the workers; when those
+    imports fail on the driver the interpreted fold is used instead
+    (same values, no new dependency)."""
+    if session is None:
+        from pyspark.sql import SparkSession
+
+        session = SparkSession.getActiveSession()
     kernel = (
-        active.conf.get(_MINHASH_KERNEL_CONF, "arrow") if active else "arrow"
+        session.conf.get(_MINHASH_KERNEL_CONF, "arrow")
+        if session is not None
+        else "arrow"
     )
-    if kernel == "fold":
-        return _minhash_signature_fold(shingle_col, k)
-    return _minhash_sig_udf(k)(shingle_hashes(shingle_col))
+    if kernel != "fold":
+        try:
+            return _minhash_sig_udf(k)(shingle_hashes(shingle_col))
+        except ImportError:
+            pass  # no pandas/numpy: degrade to the pure-Column fold
+    return _minhash_signature_fold(shingle_col, k)
 
 
 def minhash_bands(
@@ -380,7 +400,10 @@ def minhash_bands(
     # concat_ws over longs == '|'-joined CAST AS VARCHAR.
     r = k // bands
     sig = df.select(
-        F.col(id_col), minhash_signature_array(shingles(text_col, n), k).alias("_sig")
+        F.col(id_col),
+        minhash_signature_array(
+            shingles(text_col, n), k, session=df.sparkSession
+        ).alias("_sig"),
     )
     return sig.select(
         F.col(id_col),

@@ -87,6 +87,16 @@ def fan_out(df: DataFrame) -> DataFrame:
     the r14 load-level-fanout rejection), which is why this sits in
     chosen operators and not in the table loader.
     `spark.featurestore.fanout=off` disables it globally (A/B knob).
+
+    DRIVER COST (ADVICE r14): the partition probe
+    (`df.rdd.getNumPartitions()`) forces a full physical-planning
+    pass of the upstream plan on the driver and observes pre-AQE
+    partitioning. The operators that call this sit at or near their
+    pipeline's scan (small composed plans), where the extra analysis
+    is microseconds; do NOT add new call sites deep inside large
+    composed plans without measuring driver-side planning time —
+    `spark.featurestore.fanout=off` is the escape hatch if planning
+    ever shows up at scale.
     """
     spark = df.sparkSession
     if spark.conf.get(FAN_OUT_CONF, "auto") == "off":

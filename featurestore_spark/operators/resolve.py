@@ -111,25 +111,62 @@ def connected_components(
         .distinct()
     )
     sym = materialize(sym)
-    labels = (
-        sym.select(F.col("a").alias("id"))
-        .distinct()
-        .withColumn("component", F.col("id"))
+    # Round 1 FUSED into initialization (r15, guide §2.4 "remove
+    # shuffles outright"): labels₁(u) = min(u, min over neighbors) is
+    # one groupBy over the symmetrized edges — the separate
+    # node-distinct pass plus a full union+groupBy round the old
+    # init+round-1 pair paid are gone. NULL ids keep a NULL label (a
+    # NULL never joins as a neighbor, matching the old propagation).
+    # `_chg` carries the round's convergence bit IN the frame: the
+    # probe becomes a limit-1 scan of the materialized labels instead
+    # of a labels⋈labels join job per probe (the r14 profile showed
+    # the CC family spends ~half its wall in per-job driver gaps).
+    labels = materialize(
+        sym.groupBy("a")
+        .agg(F.min("b").alias("_mb"))
+        .select(
+            F.col("a").alias("id"),
+            F.when(
+                F.col("a").isNotNull(), F.least("a", "_mb")
+            ).alias("component"),
+            (F.least("a", "_mb") < F.col("a")).alias("_chg"),
+        )
     )
-    last_probed = labels  # labels as of the most recent probe
-    converged = False
-    for i in range(max_iterations):
-        # each node adopts the min component among itself + neighbors
+
+    def _changed(frame: DataFrame) -> bool:
+        # one-round-exact under monotone min-propagation: "no label
+        # changed in round k" ⇔ fixed point, regardless of earlier
+        # rounds — so a per-round flag makes every probe exact.
+        return bool(frame.where(F.col("_chg")).limit(1).count())
+
+    converged = not _changed(labels)
+    i = 1  # the fused init IS iteration 1
+    while not converged and i < max_iterations:
+        i += 1
+        # each node adopts the min component among itself + neighbors;
+        # the self rows carry their current component in `_old` so the
+        # round's change flag falls out of the same aggregation
         neighbor_labels = (
-            sym.join(labels.withColumnRenamed("id", "b"), "b")
-            .select(F.col("a").alias("id"), "component")
+            sym.join(
+                labels.select(F.col("id").alias("b"), "component"), "b"
+            )
+            .select(
+                F.col("a").alias("id"),
+                "component",
+                F.lit(None).cast(labels.schema["component"].dataType)
+                .alias("_old"),
+            )
         )
         new_labels = (
-            labels.unionByName(neighbor_labels)
+            labels.select("id", "component", F.col("component").alias("_old"))
+            .unionByName(neighbor_labels)
             .groupBy("id")
-            .agg(F.min("component").alias("component"))
+            .agg(
+                F.min("component").alias("component"),
+                F.min("_old").alias("_old"),
+            )
         )
-        if i >= shortcut_after:
+        if i > shortcut_after:
             # pointer jump: comp(u) ← comp(comp(u)). Every label value
             # is itself a node id with a label row, so the mapping
             # join is total; the jump target is in u's component and
@@ -142,36 +179,24 @@ def connected_components(
                     ),
                     "component",
                 )
-                .select("id", F.col("_jump").alias("component"))
+                .select("id", F.col("_jump").alias("component"), "_old")
             )
-        final = i + 1 == max_iterations
-        probing = (i + 1) % probe_every == 0 or final
+        new_labels = new_labels.select(
+            "id",
+            "component",
+            (F.col("component") < F.col("_old")).alias("_chg"),
+        )
+        final = i == max_iterations
+        probing = i % probe_every == 0 or final
         # materialize BEFORE any probe so the probe job reads this
-        # round's result instead of recomputing the join — and ON
-        # probe rounds too, so the NEXT probe's baseline is a
-        # materialized frame rather than up to checkpoint_every
-        # rounds of unmaterialized joins (ADVICE r3)
-        if (i + 1) % checkpoint_every == 0 or probing:
+        # round's result instead of recomputing the join; the probe
+        # itself is then a limit-1 scan of checkpointed partitions
+        if i % checkpoint_every == 0 or probing:
             new_labels = materialize(new_labels)
-        prev_labels = labels  # last round's labels (for the final probe)
         labels = new_labels
-        if probing:
-            # mid-run probes may span several rounds (exact under
-            # monotone min-propagation); the FINAL probe uses the
-            # one-round delta so convergence on the last round isn't
-            # misreported as exhaustion
-            baseline = prev_labels if final else last_probed
-            changed = (
-                labels.alias("n")
-                .join(baseline.alias("o"), "id")
-                .where(F.col("n.component") != F.col("o.component"))
-                .limit(1)
-                .count()
-            )
-            last_probed = labels
-            if changed == 0:
-                converged = True
-                break
+        if probing and not _changed(labels):
+            converged = True
+    labels = labels.select("id", "component")
     if not converged:
         warnings.warn(
             f"connected_components: max_iterations={max_iterations} "

@@ -843,7 +843,14 @@ def mine_hard_negatives(
     themselves derived from the same ranking (top-1 as the simulated
     label), scoring the corpus once and mining from the shared frame
     halves the corpus scans; the caller owns the frame's consistency
-    with ``docs``/``queries``."""
+    with ``docs``/``queries``.
+
+    FAILURE MODE the operator cannot detect (ADVICE r14): a ``hits``
+    frame ranked SHALLOWER than ``depth`` silently mines from fewer
+    candidates than the depth contract promises — there is no
+    runtime check because verifying the frame's max rank would cost
+    a full extra job per call. If the mined negatives look thin,
+    audit that the shared frame was built with ``k >= depth``."""
     if k < 1 or depth < k:
         raise ValueError(
             f"mine_hard_negatives: need depth >= k >= 1, got k={k} depth={depth}"

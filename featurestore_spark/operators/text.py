@@ -12,6 +12,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+# "rest of array/string" length bound for F.slice — the single source
+# for every open-ended slice in the text/dedup family (ADVICE r14:
+# grams past this many code points are silently truncated; keep the
+# bound defined once so the limit stays consistent everywhere).
+_SLICE_REST = 10_000_000
+
 # Small marker lexicons (top function words per language).
 LANG_LEXICONS: dict[str, list[str]] = {
     "en": ["the", "and", "of", "to", "in", "is", "that", "for"],
@@ -100,7 +106,7 @@ def char_ngrams(norm_col: Column, n: int = 3) -> Column:
     for j in range(1, n):
         acc = F.zip_with(
             acc,
-            F.slice(chars, j + 1, 10_000_000),
+            F.slice(chars, j + 1, _SLICE_REST),
             lambda a, b: F.when(
                 a.isNotNull() & b.isNotNull(), F.concat(a, b)
             ),
