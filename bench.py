@@ -292,12 +292,22 @@ def main():
                 "overwrite"
             ).save()
             runs = []
-            for _ in range(repeats):
+            # Adaptive repeats for the sub-second tier (VERDICT r14
+            # #10): on a noisy host the <1s queries dominate the
+            # suite_noise count (their readings are mostly scheduling
+            # jitter), so they get two extra repeats to tighten the
+            # median — the whole tier sums to ~20s, so the extra cost
+            # is bounded while the >=1s queries keep the exact r4-r14
+            # repeat protocol.
+            n_runs = repeats
+            while len(runs) < n_runs:
                 t0 = time.perf_counter()
                 spec.spark(spark, sf_dir).write.format("noop").mode(
                     "overwrite"
                 ).save()
                 runs.append(time.perf_counter() - t0)
+                if len(runs) == 1 and runs[0] < 1.0:
+                    n_runs = repeats + 2
             medians[name] = round(statistics.median(runs), 3)
             # Min-of-repeats alongside the median (VERDICT r7 #4):
             # the median still carries steady per-run costs, but the

@@ -835,8 +835,10 @@ def decontaminate(
     if collapse_exact:
         from featurestore_spark.operators.dedup import _collapse_exact_texts
 
+        # members feeds the single expansion join below — lazy
         reps, members = _collapse_exact_texts(
-            docs.select(id_col, text_col), text_col, id_col, "decontaminate"
+            docs.select(id_col, text_col), text_col, id_col,
+            "decontaminate", materialize_members=False,
         )
         doc_sh = plan_fence(
             reps.select(
@@ -958,8 +960,10 @@ def boilerplate_flags(
     if collapse_exact:
         from featurestore_spark.operators.dedup import _collapse_exact_texts
 
+        # members feeds the single expansion join below — lazy
         reps, members = _collapse_exact_texts(
-            docs.select(id_col, text_col), text_col, id_col, "boilerplate_flags"
+            docs.select(id_col, text_col), text_col, id_col,
+            "boilerplate_flags", materialize_members=False,
         )
         base = reps.select(
             F.col("rep_id").alias("_uid"),
@@ -1427,12 +1431,15 @@ def dedup_lines(
     - The over-frequent line set joins by hash (left_anti), never
       broadcast unconditionally — on a real web corpus the boilerplate
       vocabulary can be millions of lines.
-    - EAGER: the frequent-line set and the affected-id set each fan out
-      to two consumers, so both are materialized (see
-      operators/materialize.py and docs/usage.md "Eager operators") —
-      without the barrier Catalyst re-derives the full counting
-      pipeline once per consumer (measured 4 redundant corpus explodes
-      in the unmaterialized plan).
+    - EAGER: the (unit, frequent-line) hit frame fans out to two
+      consumers each of the frequent-line and affected-id sets, so it
+      is materialized ONCE (see operators/materialize.py and
+      docs/usage.md "Eager operators") and both sets re-aggregate the
+      checkpointed slim frame — without the barrier Catalyst
+      re-derives the full counting pipeline once per consumer
+      (measured 4 redundant corpus explodes in the unmaterialized
+      plan; the former two-barrier form paid a second action + driver
+      gap for the same protection, r15).
     - `collapse_exact=True` factors the whole operator through the
       exact-duplicate collapse (`_collapse_exact_texts`): exploding,
       counting, and rebuilding run once per DISTINCT text, with a
@@ -1470,8 +1477,11 @@ def dedup_lines(
     # dedup unit: one row per distinct text (collapse) or per doc
     collapse_exact = _should_collapse(df, text_col, collapse_exact)
     if collapse_exact:
+        # members feeds the final attach join ONCE — lazy membership
+        # skips its checkpoint job (equal passes, one fewer action)
         reps, members = _collapse_exact_texts(
-            df.select(id_col, text_col), text_col, id_col, "dedup_lines"
+            df.select(id_col, text_col), text_col, id_col, "dedup_lines",
+            materialize_members=False,
         )
         unit = reps.select(
             F.col("rep_id").alias("_uid"), F.col("_text").alias("_utext")
@@ -1518,10 +1528,24 @@ def dedup_lines(
                 .join(idx, "_lh", "left")
                 .select("_lh", F.coalesce(F.col("_idf"), F.lit(0)).alias("_df"))
             )
-    frequent = materialize(doc_freq.where(F.col("_df") > max_docs).select("_lh"))
-    affected = materialize(
-        per_line.join(frequent, "_lh", "left_semi").select("_uid").distinct()
+    # ONE barrier for the whole counting pass (r15, VERDICT r14 #3
+    # "one barrier per stage boundary, not per operator"): `hot` is
+    # every (unit, line-hash) pair of an over-frequent line — tiny
+    # (affected units × their frequent lines). The former separate
+    # `frequent` and `affected` materializations each executed the
+    # per_line pipeline once (two jobs, two driver gaps); here both
+    # sides of the semi-join hang off per_line's distinct exchange in
+    # a single job, and `frequent` / `affected` become cheap
+    # re-aggregations of the checkpointed slim frame.
+    hot = materialize(
+        per_line.join(
+            doc_freq.where(F.col("_df") > max_docs).select("_lh"),
+            "_lh",
+            "left_semi",
+        )
     )
+    frequent = hot.select("_lh").distinct()
+    affected = hot.select("_uid").distinct()
 
     # rebuild ONLY affected units; line strings shuffle once (regroup).
     # A plain left_anti suffices for empty lines too: they are excluded
@@ -1631,15 +1655,22 @@ def remove_shared_spans(
       like the rest of the collapse family. The `'auto'` default
       probes the duplicate factor first and skips the collapse on
       duplicate-free corpora (see `_should_collapse`).
-    - EAGER: the frequent-window set and per-unit interval frame fan
-      out to multiple consumers and are materialized.
+    - LAZY end to end past the exact-collapse barrier (r15): the
+      frequent-window set, membership frame and per-unit interval
+      frame each feed exactly ONE consumer, so the whole
+      count→merge→rebuild tail runs as a single job — the former
+      three materializations paid checkpoint round-trips + driver
+      gaps without removing any re-execution (the gram pass runs
+      twice either way; see `_merged_interval_spans`).
     """
     from featurestore_spark.operators.dedup import _collapse_exact_texts
 
     collapse_exact = _should_collapse(df, text_col, collapse_exact)
     if collapse_exact:
+        # members feeds _apply_span_removal's attach join ONCE — lazy
         reps, members = _collapse_exact_texts(
-            df.select(id_col, text_col), text_col, id_col, "remove_shared_spans"
+            df.select(id_col, text_col), text_col, id_col,
+            "remove_shared_spans", materialize_members=False,
         )
         unit = reps.select(
             F.col("rep_id").alias("_uid"), F.col("_text").alias("_utext")
@@ -1661,9 +1692,12 @@ def remove_shared_spans(
         if collapse_exact
         else per_unit.groupBy("_gh").agg(F.count(F.lit(1)).alias("_df"))
     )
-    frequent = materialize(
-        doc_freq.where(F.col("_df") >= min_df).select("_gh")
-    )
+    # frequent feeds the hit semi-join ONCE, and the gram pass it
+    # shares with the hits side re-executes either way (grams is not
+    # a barrier) — lazy merges the counting pipeline into the single
+    # span job instead of paying a checkpoint round-trip + driver gap
+    # for the same two gram passes (r15, VERDICT r14 #3)
+    frequent = doc_freq.where(F.col("_df") >= min_df).select("_gh")
     spans = _merged_interval_spans(
         grams.join(frequent, "_gh", "left_semi"), n
     )
@@ -1701,8 +1735,10 @@ def decontaminate_spans(
 
     collapse_exact = _should_collapse(docs, text_col, collapse_exact)
     if collapse_exact:
+        # members feeds _apply_span_removal's attach join ONCE — lazy
         reps, members = _collapse_exact_texts(
-            docs.select(id_col, text_col), text_col, id_col, "decontaminate_spans"
+            docs.select(id_col, text_col), text_col, id_col,
+            "decontaminate_spans", materialize_members=False,
         )
         unit = reps.select(
             F.col("rep_id").alias("_uid"), F.col("_text").alias("_utext")
@@ -1743,8 +1779,11 @@ def _positional_gram_hashes(unit: DataFrame, n: int) -> DataFrame:
 def _merged_interval_spans(hits: DataFrame, n: int) -> DataFrame:
     """Per-unit merged removal intervals from hit windows (_uid, _pos):
     fold the sorted start set into [s, e) intervals with e = s + n,
-    merging overlapping/touching runs. MATERIALIZED: the span frame
-    fans out to the rebuild join and the affected-flag logic."""
+    merging overlapping/touching runs. LAZY (r15): the span frame has
+    exactly one consumer — `_apply_span_removal`'s left join (the
+    affected-flag logic reads `_ivs` from the same joined row) — so
+    the former materialization was a checkpoint round-trip + driver
+    gap protecting nothing."""
     iv_type = "array<struct<s:int,e:int>>"
     zero = F.struct(
         F.array().cast(iv_type).alias("ivs"),
@@ -1774,7 +1813,7 @@ def _merged_interval_spans(hits: DataFrame, n: int) -> DataFrame:
             )
         )
 
-    return materialize(
+    return (
         hits.groupBy("_uid")
         .agg(F.sort_array(F.collect_set("_pos")).alias("_starts"))
         .select(

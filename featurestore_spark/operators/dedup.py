@@ -34,7 +34,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from featurestore_spark.operators.materialize import materialize
+from featurestore_spark.operators.materialize import fan_out, materialize
 from featurestore_spark.operators.text import (
     _SLICE_REST,
     normalized_fingerprint,
@@ -82,7 +82,12 @@ def hash128(c: Column) -> Column:
 
 
 def _collapse_exact_texts(
-    df: DataFrame, text_col: str, id_col: str, op_name: str
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    op_name: str,
+    *,
+    materialize_members: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """Collapse exact-duplicate texts. Returns two frames:
 
@@ -103,11 +108,18 @@ def _collapse_exact_texts(
     exactly what this collapse exists for) would put O(dup-factor)
     bytes into one `collect_list` row, an executor-killing skew row.
     As a frame, expansion is plain joins on rep_id: same linear
-    output, no single-row bound (VERDICT r4 #1). Both frames are
-    materialized eagerly (see `materialize`): every caller fans them
-    out to 2+ consumers and exchange reuse does not fire across them,
-    so an unmaterialized lineage would re-scan and re-hash the corpus
-    per consumer."""
+    output, no single-row bound (VERDICT r4 #1). ``groups`` is always
+    materialized eagerly (see `materialize`): every caller fans it out
+    to 2+ consumers and exchange reuse does not fire across them, so
+    an unmaterialized lineage would re-scan and re-hash the corpus per
+    consumer. ``members`` is materialized only when
+    ``materialize_members=True`` (the default): callers that consume
+    the membership frame ONCE — or not at all — pass ``False`` and
+    skip a corpus-sized checkpoint job whose output would be read a
+    single time anyway; the lazy frame's one execution re-reads ``df``
+    exactly as the barrier job did, so total passes are equal and one
+    action + driver gap is saved per call (r15, guide §5
+    "persist only what is reused")."""
     hashed = df.select(
         F.col(id_col).alias("member_id"),
         F.col(text_col).alias("_text"),
@@ -142,11 +154,13 @@ def _collapse_exact_texts(
     )
     # Slim (3 longs/row) join keyed by the uniform hash — a huge
     # duplicate group streams through one join key, never one buffer.
-    members = materialize(
+    members = (
         hashed.select("member_id", "_h1", "_h2")
         .join(groups.select("_h1", "_h2", "rep_id"), ["_h1", "_h2"])
         .select("rep_id", "member_id")
     )
+    if materialize_members:
+        members = materialize(members)
     return groups.drop("_h1", "_h2"), members
 
 
@@ -461,9 +475,13 @@ def minhash_candidate_pairs(
         groups, members = _collapse_exact_texts(
             df, text_col, id_col, "minhash_candidate_pairs"
         )
-        reps = groups.select(
+        # the groups checkpoint froze AQE's post-aggregate coalescing
+        # (ONE partition at bench scale) — without re-widening, the
+        # shingle+signature pass below runs as a single task (r15
+        # profile; guide §2.5). No-op on a wide checkpoint.
+        reps = fan_out(groups.select(
             F.col("rep_id").alias(id_col), F.col("_text").alias(text_col)
-        )
+        ))
         rep_pairs = minhash_candidate_pairs(
             reps, text_col, id_col, n=n, k=k, bands=bands, max_bucket=max_bucket
         )
@@ -545,10 +563,17 @@ def minhash_dedup_edges(
     Use `minhash_candidate_pairs` when the pair LIST itself is the
     product; use this when the product is the component labeling
     (dedup clusters)."""
-    groups, members = _collapse_exact_texts(df, text_col, id_col, "minhash_dedup_edges")
-    reps = groups.select(
-        F.col("rep_id").alias(id_col), F.col("_text").alias(text_col)
+    # members feeds the star union ONCE — lazy membership skips its
+    # checkpoint job (equal passes, one fewer action; r15)
+    groups, members = _collapse_exact_texts(
+        df, text_col, id_col, "minhash_dedup_edges",
+        materialize_members=False,
     )
+    # re-widen the checkpoint-frozen reps before the signature pass
+    # (see minhash_candidate_pairs; no-op on a wide checkpoint)
+    reps = fan_out(groups.select(
+        F.col("rep_id").alias(id_col), F.col("_text").alias(text_col)
+    ))
     rep_pairs = minhash_candidate_pairs(
         reps, text_col, id_col, n=n, k=k, bands=bands, max_bucket=max_bucket
     )
@@ -596,9 +621,11 @@ def dedup_keep_docs(
     shingle arrays in the verify join built once per distinct text)
     and the drop set expands linearly via membership joins."""
     groups, members = _collapse_exact_texts(df, text_col, id_col, "dedup_keep_docs")
-    reps = groups.select(
+    # re-widen the checkpoint-frozen reps before the signature and
+    # Jaccard-verify shingle passes (see minhash_candidate_pairs)
+    reps = fan_out(groups.select(
         F.col("rep_id").alias(id_col), F.col("_text").alias(text_col)
-    )
+    ))
     cand = minhash_candidate_pairs(
         reps, text_col, id_col, n=n, k=k, bands=bands, max_bucket=max_bucket
     )
@@ -1103,7 +1130,12 @@ def simhash_near_dups(
     # true (two longs per distinct text; review r5)
     sig = materialize(
         with_simhash(
-            groups.select("rep_id", F.col("_text").alias(text_col)), text_col
+            # re-widen the checkpoint-frozen reps so the SimHash UDF
+            # runs wide, not as one task (see minhash_candidate_pairs)
+            fan_out(
+                groups.select("rep_id", F.col("_text").alias(text_col))
+            ),
+            text_col,
         ).select("rep_id", "simhash")
     )
     rep_pairs = banded_hamming_rep_pairs(

@@ -289,8 +289,10 @@ def dedup_against_index(
             "disables both directions — pass band-only mode "
             "(threshold=None) if that is intended"
         )
+    # members feeds the single drops-expansion join — lazy (r15)
     groups, members = _collapse_exact_texts(
-        batch, text_col, id_col, "dedup_against_index"
+        batch, text_col, id_col, "dedup_against_index",
+        materialize_members=False,
     )
     reps = groups.select(F.col("rep_id").alias(id_col), F.col("_text").alias(text_col))
     melt_q = _melt_bands(
@@ -978,8 +980,10 @@ def line_frequency_index(
     counts. Counting shuffles are narrow (hash + weight, no line
     text) with map-side partial aggregation. Empty normalized lines
     are excluded (never counted, never dropped)."""
+    # membership frame DISCARDED — lazy skips its checkpoint job (r15)
     reps, _ = _collapse_exact_texts(
-        df.select(id_col, text_col), text_col, id_col, "line_frequency_index"
+        df.select(id_col, text_col), text_col, id_col,
+        "line_frequency_index", materialize_members=False,
     )
     line = F.explode(F.split(F.col("_text"), delimiter)).alias("_line")
     norm = (
@@ -1174,8 +1178,10 @@ def span_window_index(
         _positional_gram_hashes,
     )
 
+    # membership frame DISCARDED — lazy skips its checkpoint job (r15)
     reps, _ = _collapse_exact_texts(
-        df.select(id_col, text_col), text_col, id_col, "span_window_index"
+        df.select(id_col, text_col), text_col, id_col,
+        "span_window_index", materialize_members=False,
     )
     unit = reps.select(
         F.col("rep_id").alias("_uid"), F.col("_text").alias("_utext")
@@ -1222,11 +1228,13 @@ def remove_spans_against_index(
 
     collapse_exact = _should_collapse(batch, text_col, collapse_exact)
     if collapse_exact:
+        # members feeds _apply_span_removal's attach join ONCE — lazy
         reps, members = _collapse_exact_texts(
             batch.select(id_col, text_col),
             text_col,
             id_col,
             "remove_spans_against_index",
+            materialize_members=False,
         )
         unit = reps.select(
             F.col("rep_id").alias("_uid"), F.col("_text").alias("_utext")
@@ -1293,6 +1301,9 @@ def extend_span_index(
     )
 
 
+_RESTART_GUARD_SEEN: dict[tuple[str, str], int] = {}
+
+
 def _guard_restart(spark, kept_path: str, batch_id: int, op_name: str) -> None:
     """Fresh-checkpoint restart guard shared by every stream wrapper:
     Structured Streaming numbers batches per checkpoint lineage, so a
@@ -1302,7 +1313,25 @@ def _guard_restart(spark, kept_path: str, batch_id: int, op_name: str) -> None:
     id — anything lower means a new lineage against old state roots.
     A `batch=c<k>` partition (the :func:`compact_index` layout)
     carries batches up to id ``k``, so its ``k`` counts toward the
-    highest-seen id — compaction must not weaken the guard."""
+    highest-seen id — compaction must not weaken the guard.
+
+    Cost (VERDICT r14 #8): the disk probe is a per-batch listing +
+    collect job, paid once per micro-batch while the answer inside one
+    run is already known — this wrapper WROTE the previous batches. A
+    driver-side memo keyed on (applicationId, kept root) records the
+    highest id seen/accepted and short-circuits the PASS case only;
+    any would-raise still consults the live listing first, so wiping
+    the state roots mid-run (or a memo from a finished stream against
+    since-cleared paths) can never produce a false failure. The one
+    contract change: an EXTERNAL writer appending a higher batch to an
+    operator-owned state root mid-run is no longer detected — those
+    roots are owned by the wrapper per the exactly-once layout, so
+    that was never supported."""
+    key = (spark.sparkContext.applicationId, kept_path)
+    memo = _RESTART_GUARD_SEEN.get(key)
+    if memo is not None and memo <= batch_id:
+        _RESTART_GUARD_SEEN[key] = batch_id
+        return
     try:
         existing = spark.read.parquet(kept_path).select("batch").distinct()
         ids = []
@@ -1313,7 +1342,11 @@ def _guard_restart(spark, kept_path: str, batch_id: int, op_name: str) -> None:
             elif s.startswith("c") and s[1:].isdigit():
                 ids.append(int(s[1:]))
     except AnalysisException:
-        return  # kept root does not exist yet (first batch)
+        # kept root does not exist yet (first batch)
+        _RESTART_GUARD_SEEN[key] = batch_id
+        return
+    if not (ids and max(ids) > batch_id):
+        _RESTART_GUARD_SEEN[key] = max(ids + [batch_id])
     if ids and max(ids) > batch_id:
         raise RuntimeError(
             f"{op_name}: kept root {kept_path!r} already contains "

@@ -176,7 +176,34 @@ def refinedweb_pipeline(
             keep_unattributed=keep_unattributed,
         )
 
-    # 5. text extraction — only the surviving pages pay for it
+    # 5. text extraction — only the surviving pages pay for it.
+    #
+    # Stage-boundary fences: extraction rewrites every surviving page
+    # body, and the corpus-wide stages below each consume their input
+    # MORE than once (dedup_lines' exact-dup collapse runs a groups
+    # pass and a membership pass). Without a barrier each of those
+    # passes re-executes the extraction lineage — measured 3×
+    # extraction + 3× curation per e2e run at sf0.01 (r14 probe).
+    #
+    # r15 examined-and-REJECTED (guide §1's "fresh ideal plans are
+    # usually slower at first" clause, measured): the checkpoint here
+    # freezes AQE's coalesced partitioning (ONE partition at bench
+    # scale — probed), so the extraction ran as a single task and a
+    # split fence (checkpoint the slim pre-extraction frame, fan_out,
+    # extract wide into the second fence) was prototyped to re-widen
+    # it. Alternating A/B (4 runs per arm, per-arm minima) measured
+    # the split fence + a matching pre-curation re-widener as a NET
+    # LOSS on q_refinedweb_e2e (~8.1s vs ~7.4s mins, consistent lean
+    # across runs): the stages downstream of this fence are
+    # SHUFFLE-bound (line-dedup counting, exact-collapse groupBys, LSH
+    # banding), and re-widening a tiny checkpoint multiplies their
+    # task and shuffle-block counts — the same failure mode as the
+    # r14 loader-level fanout rejection, recurring one stage deeper.
+    # Re-widening pays off only where per-row compute dominates
+    # DOWNSTREAM of the barrier (the dedup tail's k=112 signature
+    # pass — see dedup.py's reps fan_out, measured 2.0x on
+    # q_dedup_preset); the extraction's serial slot is bounded by the
+    # fence job itself and the e2e wall prefers the narrow plan.
     if html_col is not None:
         fn = extract if extract is not None else strip_html
         kept = kept.withColumn(text_col, fn(F.col(html_col)))
@@ -187,9 +214,8 @@ def refinedweb_pipeline(
     # Stage-boundary fence: extraction rewrote every surviving page
     # body, and the corpus-wide stages below each consume their input
     # MORE than once (dedup_lines' exact-dup collapse runs a groups
-    # pass and a members pass; dedup_keep_docs adds a third read for
-    # its final keep anti-join). Without a barrier here each of those
-    # passes re-executes the extraction lineage — measured 3×
+    # pass and a membership pass). Without a barrier here each of
+    # those passes re-executes the extraction lineage — measured 3×
     # extraction + 3× curation per e2e run at sf0.01 (r14 probe).
     # One corpus-sized materialization buys single-execution of the
     # whole URL+extraction front; `materialize`'s reliable mode keeps
@@ -219,7 +245,9 @@ def refinedweb_pipeline(
             max_docs=line_max_docs, collapse_exact=True,
         ).select(id_col, text_col)
 
-    # 8. rule-based curation
+    # 8. rule-based curation (a pre-curation re-widening barrier was
+    # prototyped and rejected together with the split fence above —
+    # same A/B, same shuffle-bound-downstream reasoning)
     if curate is not None:
         kept = curate_corpus(
             kept, curate, text_col, id_col, positional=positional
@@ -421,16 +449,22 @@ def crawl_pipeline(
         keep_verdict=keep_stages, normalize=normalize,
     )
     if keep_stages:
-        # audit mode branches the gated frame (dedup join, cap join,
-        # funnel verdicts), and Catalyst re-inlines the interpreted
-        # robots longest-match fold into a Filter per branch (4
-        # HOF-carrying Filters adjudicated through r13). The fence
-        # pins the fold as computed — downstream filters reference the
-        # boolean attribute, the fold appears once per scan, and the
-        # plan_audit entry dissolves (VERDICT r13 #6, the IVF de-HOF
-        # precedent). The single-pass keep_verdict=False path needs no
-        # fence: its one where() IS the operator, evaluated once.
-        gated = plan_fence(gated)
+        # audit mode branches the gated frame FOUR ways (the audit
+        # left-joins read it directly and through canonical/capped;
+        # dedup + cap each read it again), and un-checkpointed lineage
+        # re-executes once per branch — ReuseExchange does not fire
+        # across join branches (the r14 branch-duplication rule,
+        # guide §2.1), so the robots longest-match fold over the whole
+        # frontier ran ~4x per audit. A materialize barrier executes
+        # the gate ONCE and makes every branch a checkpoint scan; it
+        # also subsumes the r14 plan_fence (downstream filters
+        # reference the computed boolean, no HOF-carrying Filters —
+        # plan_audit stays clean). The single-pass keep_stages=False
+        # path needs no barrier: its one where() IS the operator,
+        # evaluated once in a linear plan.
+        from featurestore_spark.operators.materialize import materialize
+
+        gated = materialize(gated)
     allowed = (
         gated.where(F.col("robots_allowed")) if keep_stages else gated
     )

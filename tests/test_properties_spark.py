@@ -5,9 +5,16 @@ inputs, exact-equality oracles."""
 from collections import Counter
 
 import pandas as pd
+import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
+
+# every test here is a hypothesis fuzz TWIN of coverage that also
+# exists as unit tests + the DuckDB oracle gate — the heaviest block
+# of the suite (8 examples x several Spark jobs each), so it runs in
+# the slow tier (FS_FULL_TESTS=1; see tests/conftest.py)
+pytestmark = pytest.mark.slow
 
 from featurestore_spark.operators.curation import repetition_metrics
 from featurestore_spark.operators.temporal import asof_join

@@ -197,6 +197,7 @@ _paths = st.lists(
 )
 
 
+@pytest.mark.slow  # hypothesis x Spark fuzz twin — slow tier
 @given(rules=st.lists(_rule, min_size=0, max_size=6), paths=_paths)
 @settings(**SPARK_SETTINGS)
 def test_filter_allowed_matches_python_matcher(spark, rules, paths):
@@ -400,6 +401,7 @@ _sched_rows = st.lists(
 )
 
 
+@pytest.mark.slow  # hypothesis x Spark fuzz twin — slow tier
 @given(rows=_sched_rows, da=st.sampled_from([0.5, 2.0]),
        with_b=st.booleans())
 @settings(**SPARK_SETTINGS)

@@ -84,6 +84,7 @@ def _assert_all(checks):
     assert not bad, bad
 
 
+@pytest.mark.slow  # factor-3 replication sweep — slow tier
 def test_simhash_replication_invariance(spark, dirs):
     base, rep = dirs
     q = QUERIES["q_simhash_near_dups"].spark
@@ -95,6 +96,7 @@ def test_simhash_replication_invariance(spark, dirs):
     )
 
 
+@pytest.mark.slow  # factor-3 replication sweep — slow tier
 def test_dedup_clusters_replica_isomorphism(spark, dirs):
     base, rep = dirs
     q = QUERIES["q_dedup_clusters"].spark
@@ -109,6 +111,7 @@ def test_dedup_clusters_replica_isomorphism(spark, dirs):
     )
 
 
+@pytest.mark.slow  # factor-3 replication sweep — slow tier
 def test_embedding_clusters_replica_isomorphism(spark, dirs):
     base, rep = dirs
     q = QUERIES["q_embedding_clusters"].spark
@@ -123,6 +126,7 @@ def test_embedding_clusters_replica_isomorphism(spark, dirs):
     )
 
 
+@pytest.mark.slow  # factor-3 replication sweep — slow tier
 def test_pack_chunks_next_fit_replay(spark, dirs):
     from featurestore_spark.operators.curation import chunk_documents
     from featurestore_spark.io import load_table
@@ -140,6 +144,7 @@ def test_pack_chunks_next_fit_replay(spark, dirs):
     )
 
 
+@pytest.mark.slow  # factor-3 replication sweep — slow tier
 def test_pack_replay_catches_a_wrong_packing(spark, dirs):
     """The window replay is a real validator: perturbing one bin
     boundary must fail it."""

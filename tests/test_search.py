@@ -488,3 +488,40 @@ def test_nb_scores_memoizes_model_materialization(spark):
     c = nb_scores(docs, model2, eager=False)
     assert getattr(model2[0], "_fs_eager_copy", None) is None
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, c.collect()))
+
+
+def test_nb_scores_multiplicity_matches_closed_form(spark):
+    """r15: the correction sum is aggregated once per (doc, class)
+    over gram OCCURRENCES (the former per-(doc, gram) multiplicity
+    pass collapsed into it — one exchange fewer). A doc with a
+    repeated token must still contribute m * ln((c+k)/k) per distinct
+    gram: pinned against the closed form computed in Python."""
+    import math
+
+    from featurestore_spark.operators.search import (
+        fit_nb_classifier,
+        nb_scores,
+    )
+
+    train = spark.createDataFrame(
+        [(1, "a a b", "x"), (2, "b c", "y")],
+        "doc_id long, text string, lab string",
+    )
+    model = fit_nb_classifier(train, "lab")
+    test = spark.createDataFrame(
+        [(10, "a a a b b zzz")], "doc_id long, text string"
+    )
+    got = {
+        r["label"]: r["score"]
+        for r in nb_scores(test, model).collect()
+    }
+    # model: V=3 (a,b,c); class x: n_tokens=3, counts a:2 b:1;
+    # class y: n_tokens=2, counts b:1 c:1; priors 1/2 each; k=1.
+    # doc: t_d=6, m_a=3, m_b=2 (zzz unseen: only the base term).
+    def score(n_c, counts):
+        base = math.log(1.0 / (n_c + 3.0))
+        corr = sum(m * math.log(c + 1.0) for c, m in counts)
+        return round(math.log(0.5) + 6 * base + corr, 4)
+
+    assert got["x"] == score(3, [(2, 3), (1, 2)])
+    assert got["y"] == score(2, [(0, 3), (1, 2)])
