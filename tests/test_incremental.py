@@ -136,6 +136,7 @@ def test_extend_index_chains_batches(spark, corpus, batch):
     assert ids0 == {20, 21}
 
 
+@pytest.mark.slow  # multi-batch/sweep twin — slow tier (r15)
 def test_max_bucket_guards_degenerate_index_buckets(spark, corpus, batch):
     """An index band bucket larger than max_bucket is dropped before
     the join: batch docs colliding ONLY in that bucket survive — but
@@ -336,6 +337,7 @@ def test_embeddings_against_index_verified(spark, vec_corpus, vec_batch):
         dedup_embeddings_against_index(vec_batch, idx, threshold=0.9, **kw)
 
 
+@pytest.mark.slow  # multi-batch/sweep twin — slow tier (r15)
 def test_embeddings_against_index_matches_near_dups(spark, vec_corpus, vec_batch):
     """Keep set == batch minus {batch vec with a cross-corpus
     embedding_near_dups pair}: the against-index formulation must drop
@@ -371,6 +373,7 @@ def test_embeddings_against_index_matches_near_dups(spark, vec_corpus, vec_batch
     assert got == expect
 
 
+@pytest.mark.slow  # multi-batch/sweep twin — slow tier (r15)
 def test_prune_index_equals_per_batch_cap(spark, corpus, batch):
     from featurestore_spark.operators.incremental import prune_index
 
@@ -388,6 +391,7 @@ def test_prune_index_equals_per_batch_cap(spark, corpus, batch):
         prune_index(idx.drop("band_hash"))
 
 
+@pytest.mark.slow  # multi-batch/sweep twin — slow tier (r15)
 def test_line_index_dedup_equals_full_corpus(spark):
     """Against-index line dedup == full-corpus dedup_lines restricted
     to the batch rows (include_batch=True, the CCNet semantic)."""
@@ -463,6 +467,7 @@ def test_line_index_dedup_equals_full_corpus(spark):
     assert banner[0]["doc_freq"] == 3
 
 
+@pytest.mark.slow  # multi-batch/sweep twin — slow tier (r15)
 def test_line_stream_callback_chains_and_is_idempotent(spark, tmp_path):
     from featurestore_spark.operators.incremental import (
         dedup_lines_stream_against_index,
@@ -532,6 +537,7 @@ def test_line_stream_first_batch_no_index(spark, tmp_path):
     assert {r["text"] for r in kept.collect()} == {"same line\na", "same line\nb"}
 
 
+@pytest.mark.slow  # multi-batch/sweep twin — slow tier (r15)
 def test_span_index_removal_equals_full_corpus(spark):
     from featurestore_spark.operators.curation import remove_shared_spans
     from featurestore_spark.operators.incremental import (
@@ -585,6 +591,7 @@ def test_span_index_removal_equals_full_corpus(spark):
     assert replay[10] == "" and replay[11] == ""
 
 
+@pytest.mark.slow  # multi-batch/sweep twin — slow tier (r15)
 def test_embedding_stream_callback_chains(spark, tmp_path):
     from featurestore_spark.operators.incremental import (
         dedup_embeddings_stream_against_index,
@@ -626,6 +633,7 @@ def test_embedding_stream_callback_chains(spark, tmp_path):
         cb(b1, 0)
 
 
+@pytest.mark.slow  # multi-batch/sweep twin — slow tier (r15)
 def test_span_stream_callback_chains(spark, tmp_path):
     from featurestore_spark.operators.incremental import (
         remove_spans_stream_against_index,
@@ -683,6 +691,7 @@ def test_extend_index_verify_probe(spark, corpus, batch):
         extend_index(idx, corpus, verify=True, **kw)
 
 
+@pytest.mark.slow  # multi-batch/sweep twin — slow tier (r15)
 def test_dedup_against_index_containment_mode(spark):
     """A short batch doc quoted verbatim inside a long indexed doc
     dedups under containment but SURVIVES Jaccard at the same
@@ -855,6 +864,7 @@ def test_against_index_rejects_64bit_line_index(spark, corpus):
         dedup_lines_against_index(corpus, missing)
 
 
+@pytest.mark.slow  # multi-batch/sweep twin — slow tier (r15)
 def test_media_index_recrawl_round_trip(spark):
     """Incremental recrawl media dedup (VERDICT r10 #4): a batch row
     survives iff its payload digest is new to the index AND first
@@ -1134,12 +1144,13 @@ def test_restart_guard_memo_short_circuits_but_never_false_fails(
     # first batch: root absent -> pass, memo primed
     _guard_restart(spark, root, 0, "t")
     assert _RESTART_GUARD_SEEN[key] == 0
-    spark.createDataFrame([(1, "0")], ["k", "batch"]).write.parquet(
-        f"{root}/batch=0"
-    )
-    # later batches: memo pass (monotone ids), memo tracks the head
+    spark.createDataFrame([(1,)], ["k"]).write.parquet(f"{root}/batch=0")
+    # later batches: memo pass (monotone ids), memo tracks the head;
+    # the caller writes each accepted batch, as the wrappers do
     _guard_restart(spark, root, 1, "t")
+    spark.createDataFrame([(2,)], ["k"]).write.parquet(f"{root}/batch=1")
     _guard_restart(spark, root, 2, "t")
+    spark.createDataFrame([(3,)], ["k"]).write.parquet(f"{root}/batch=2")
     assert _RESTART_GUARD_SEEN[key] == 2
     # fresh-checkpoint restart (id resets) still raises: the memo
     # must not weaken the guard

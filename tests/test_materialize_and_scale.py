@@ -313,6 +313,7 @@ def test_universal_line_narrow_counting(spark):
     assert sample["text"] == "unique payload 7"
 
 
+@pytest.mark.slow  # multi-batch/sweep twin — slow tier (r15)
 def test_dedup_ladder_pipeline_reliable_mode_end_to_end(spark, tmp_path):
     """The 100-TB durability story, end-to-end (VERDICT r5 #6): the
     full q_dedup_ladder pipeline (line dedup chained into span removal
@@ -341,6 +342,7 @@ def test_dedup_ladder_pipeline_reliable_mode_end_to_end(spark, tmp_path):
     assert ckpts, "no reliable checkpoint files written"
 
 
+@pytest.mark.slow  # multi-batch/sweep twin — slow tier (r15)
 def test_gen_scale_distinct_text_contract(spark, tmp_path):
     """VERDICT r13 #2: --distinct-text replicas must be genuinely
     distinct documents (fuzzy-dedup exponents measure growth, not
