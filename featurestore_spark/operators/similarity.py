@@ -506,6 +506,15 @@ def embedding_near_dups(
     )
     reps = reps.drop("_h1", "_h2")
     hp = srp_hyperplanes(dim, bits * bands, seed)
+    # The reps checkpoint freezes AQE's one-partition coalescing at
+    # small scale, so the SRP UDF runs single-task — but re-widening
+    # here (fan_out(reps), the dedup-family pattern) was MEASURED as a
+    # 2x regression at sf0.1 (near_dups 2.40 -> 5.39s median, clusters
+    # 6.11 -> 6.32s, quiet host, r15): the numpy matmul is milliseconds
+    # and everything downstream (posexplode + bucket window + banding
+    # self-join) is shuffle-bound, exactly the profile where the
+    # refinedweb re-widener also lost. Rule: re-widen a frozen
+    # checkpoint only when per-row compute dominates downstream.
     coded = reps.select(
         "rep_id", srp_band_codes(F.col("v"), hp, bits, bands).alias("_codes")
     )
